@@ -1,0 +1,62 @@
+"""Typed loaders for the testdata lake.
+
+Reference analog: ``genesapi/storage.py (upstream)`` — the versioned on-disk
+cube store. Here storage is a columnar Parquet lake read declaratively so
+Catalyst gets predicate pushdown + column pruning for free; there is no
+imperative read loop to port.
+
+Scale notes: each ``load`` is a plain ``spark.read.parquet`` so partition
+discovery, split planning (``spark.sql.files.maxPartitionBytes``) and vectorized
+Parquet decoding all apply. At 100 TB the same call reads a partitioned
+directory tree; nothing here assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.session import ensure_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. ``events.ts`` arrives as LONG nanos (legacy conf); we
+    expose it as:
+
+    - ``ts``     TIMESTAMP (µs precision, truncated — matches DuckDB's ns→µs cast)
+    - ``ts_us``  LONG epoch microseconds (exact integer arithmetic, no float)
+    - ``ts_ns``  LONG raw nanoseconds
+
+    Integer ``div`` is mandatory: float /1000 on ~1.7e18 ns loses precision
+    (> 2^53). Verified against DuckDB's read of the same file.
+    """
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load(spark, sf_dir, n) for n in names)

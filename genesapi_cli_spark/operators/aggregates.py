@@ -1,0 +1,297 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Reference analog: the per-(region, year) fact aggregation and catalog/schema
+statistics of ``genesapi/serialize.py`` / ``genesapi/schema.py`` (upstream) —
+there they are Python dict loops; here every one is a hash aggregate with
+map-side partial aggregation, chosen by Catalyst.
+
+Scale notes: groupBy().agg() compiles to partial (map-side) + final hash
+aggregation, so the shuffle carries one row per (partition × group), not per
+input row. Group cardinalities here (return flags, segments, nations) are tiny
+and skew-free; at 100 TB the same plans hold because the shuffled volume is
+bounded by distinct-group count. ``count(distinct)`` adds one extra shuffle
+(expand + two-phase agg) — acceptable for low-cardinality outer groups;
+``approx_count_distinct`` (HLL++) is the 100-TB alternative and is also
+declared. Exact-parity statistics (stddev/var/corr) are computed from exact
+decimal moments so results are partition-order independent (see registry.DEC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import DEC, dec_sum, oracle_dec_sum, r4, register
+
+# ---------------------------------------------------------------------------
+# q_agg_pricing_summary — the flagship (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "1998-09-02 00:00:00"
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {oracle_dec_sum('l_quantity', 'sum_qty')},
+  {oracle_dec_sum('l_extendedprice', 'sum_base_price')},
+  {oracle_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+  {oracle_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q_agg_pricing_summary", oracle=_Q1_ORACLE)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: group lineitem by (returnflag, linestatus).
+
+    Ref analog: per-(region, year) fact aggregation in genesapi/serialize.py
+    (upstream). Physical plan: Parquet scan with pushed timestamp filter →
+    partial HashAggregate → shuffle on 2 low-card keys → final HashAggregate,
+    all inside whole-stage codegen.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            r4(F.avg("l_quantity"), "avg_qty"),
+            r4(F.avg("l_extendedprice"), "avg_price"),
+            r4(F.avg("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_distinct
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("q_agg_distinct", oracle=_DISTINCT_ORACLE)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) per market segment (distinct customers in catalog build,
+    genesapi/schema.py upstream). Two-phase distinct aggregate; customer side
+    is broadcast (small dim)."""
+    orders, customer = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_stats — exact-decimal moment statistics
+# ---------------------------------------------------------------------------
+
+# Shared formula text: computed from exact decimal sums (order-independent),
+# then identical double arithmetic on both engines.
+_STATS_ORACLE = """
+WITH m AS (
+  SELECT c_nationkey,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(27,7))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(27,7))) AS DOUBLE) AS sxx,
+         MIN(c_acctbal) AS min_bal,
+         MAX(c_acctbal) AS max_bal
+  FROM customer
+  GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       n AS n_customers,
+       ROUND(sx / n, 4) AS avg_bal,
+       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_bal,
+       ROUND((sxx - sx * sx / n) / (n - 1), 4) AS var_bal,
+       ROUND(min_bal, 4) AS min_bal,
+       ROUND(max_bal, 4) AS max_bal
+FROM m
+"""
+
+_STATS_SPARK_SQL = _STATS_ORACLE  # identical ANSI text runs on Spark SQL too
+
+
+@register("q_agg_stats", oracle=_STATS_ORACLE)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation statistics over customer balances.
+
+    stddev/var are derived from exact decimal moments instead of the built-in
+    streaming aggregators: double `stddev_samp` results depend on partition
+    merge order, which would break bit-parity with the oracle. Same SQL text
+    runs on both engines.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_STATS_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q_agg_grouping_sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = f"""
+SELECT l_returnflag,
+       l_linestatus,
+       GROUPING(l_returnflag) AS g_rf,
+       GROUPING(l_linestatus) AS g_ls,
+       COUNT(*) AS n_rows,
+       {oracle_dec_sum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("q_agg_grouping_sets", oracle=_GSETS_SQL)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() indicators (schema rollup across levels,
+    genesapi/schema.py upstream). Expand + single hash aggregate."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GSETS_SQL)
+
+
+_ROLLUP_ORACLE = f"""
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       EXTRACT(month FROM o_orderdate) AS o_month,
+       COUNT(*) AS n_orders,
+       {oracle_dec_sum('o_totalprice', 'sum_total')}
+FROM orders
+GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate), EXTRACT(month FROM o_orderdate))
+"""
+
+
+@register("q_agg_rollup", oracle=_ROLLUP_ORACLE)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (year, month) of order totals — the reference's
+    year/period rollups in the catalog build."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("o_month", F.month("o_orderdate"))
+        .rollup("o_year", "o_month")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "sum_total"))
+    )
+
+
+_CUBE_ORACLE = """
+SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+"""
+
+
+@register("q_agg_cube", oracle=_CUBE_ORACLE)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, status) — all 2^2 grouping combinations."""
+    orders, customer = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_having
+# ---------------------------------------------------------------------------
+
+_HAVING_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > 55
+"""
+
+
+@register("q_agg_having", oracle=_HAVING_ORACLE)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING). Catalyst keeps the filter above the
+    final aggregate; no extra shuffle."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") > 55)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_approx_distinct — rows-only (HLL++ sketches differ across engines)
+# ---------------------------------------------------------------------------
+
+
+@register("q_agg_approx_distinct", oracle=None)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct(user_id) per event_type (HLL++). Rows-only: the
+    sketch estimate is engine-specific by design. This is the scale path for
+    distinct counting at 100 TB — fixed-size sketch, single shuffle, mergeable."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_median_udaf — grouped pandas UDAF surface
+# ---------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+SELECT event_type,
+       ROUND(MEDIAN(value), 4) AS median_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_agg_median_udaf", oracle=_MEDIAN_ORACLE)
+def q_agg_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type median via grouped-map pandas UDAF (applyInPandas).
+
+    Demonstrates the Arrow-batched custom-aggregate surface (SNIPPETS.md
+    grouped-agg pattern). Median interpolation ((lo+hi)/2 on even counts) is
+    identical double arithmetic in numpy and DuckDB, so an exact oracle holds.
+    Scale note: one shuffle on event_type; each group must fit in one worker's
+    memory — fine for bounded group counts; for unbounded groups prefer
+    percentile_approx (sketch-based, mergeable).
+    """
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+
+    def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "median_value": [round(float(pdf["value"].median()), 4)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        median_fn, schema="event_type string, median_value double, n long"
+    )

@@ -1,0 +1,81 @@
+"""The query contract registry.
+
+Every operator from SURVEY.md §2 registers here as a named query:
+a callable ``(spark, sf_dir) -> DataFrame`` plus (unless rows-only) the
+equivalent ANSI SQL for the DuckDB 1.0 oracle. ``__spark_entry__.py`` exposes
+the registry to the driver; ``tests/test_oracle.py`` replicates the driver's
+row-count + schema + order-insensitive value comparison locally so no query is
+declared before it hash-matches.
+
+Parity conventions enforced across the codebase (SURVEY.md §5.3 / §7.5):
+- every computed column aliased identically on both sides;
+- float outputs rounded to 4 decimals on both sides;
+- large SUMs of doubles go through an exact decimal cast (``dec_sum``) so the
+  result is independent of partition/summation order — double addition is not
+  associative, and Spark's partial aggregation order differs from DuckDB's;
+- timestamps leave declared queries as epoch longs or DATE casts, never raw
+  engine-specific timestamp renderings; never emit raw float vectors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name`` with an optional oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+# --- shared parity helpers -------------------------------------------------
+
+#: decimal type wide enough for money×rate products at 100 TB row counts while
+#: keeping 7 fractional digits; sums stay exact (Spark: decimal(37,7)).
+DEC = "decimal(27,7)"
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM of a double expression, rounded to 4 decimals.
+
+    Casting each double to decimal(27,7) is deterministic (round-to-nearest;
+    exact ties are measure-zero for binary doubles), decimal addition is exact
+    and associative, and the final decimal→double→round(4) is deterministic —
+    so Spark and DuckDB agree bit-for-bit regardless of partitioning.
+    DuckDB mirror: ``ROUND(CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE), 4)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)).cast("double"), 4).alias(alias)
+
+
+def oracle_dec_sum(expr: str, alias: str) -> str:
+    """DuckDB-side mirror of :func:`dec_sum`."""
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(27,7))) AS DOUBLE), 4) AS {alias}"
+
+
+def r4(col: Column, alias: str) -> Column:
+    """round(x, 4) with alias — for avg/stddev/ratio scale outputs."""
+    return F.round(col, 4).alias(alias)
