@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load
-from genesapi_cli_spark.registry import DEC, dec_sum, oracle_dec_sum, r4, register
+from genesapi_cli_spark.registry import DEC, dec_avg, dec_sum, oracle_dec_avg, oracle_dec_sum, register
 
 # ---------------------------------------------------------------------------
 # q_agg_pricing_summary — the flagship (TPC-H Q1 shape)
@@ -38,9 +38,9 @@ SELECT
   {oracle_dec_sum('l_extendedprice', 'sum_base_price')},
   {oracle_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
   {oracle_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
-  ROUND(AVG(l_quantity), 4) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-  ROUND(AVG(l_discount), 4) AS avg_disc,
+  {oracle_dec_avg('l_quantity', 'avg_qty')},
+  {oracle_dec_avg('l_extendedprice', 'avg_price')},
+  {oracle_dec_avg('l_discount', 'avg_disc')},
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
@@ -68,9 +68,9 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice", "sum_base_price"),
             dec_sum(disc_price, "sum_disc_price"),
             dec_sum(charge, "sum_charge"),
-            r4(F.avg("l_quantity"), "avg_qty"),
-            r4(F.avg("l_extendedprice"), "avg_price"),
-            r4(F.avg("l_discount"), "avg_disc"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -124,11 +124,11 @@ WITH m AS (
 )
 SELECT c_nationkey,
        n AS n_customers,
-       ROUND(sx / n, 4) AS avg_bal,
-       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_bal,
-       ROUND((sxx - sx * sx / n) / (n - 1), 4) AS var_bal,
-       ROUND(min_bal, 4) AS min_bal,
-       ROUND(max_bal, 4) AS max_bal
+       sx / n AS avg_bal,
+       SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_bal,
+       (sxx - sx * sx / n) / (n - 1) AS var_bal,
+       min_bal,
+       max_bal
 FROM m
 """
 
@@ -261,7 +261,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MEDIAN_ORACLE = """
 SELECT event_type,
-       ROUND(MEDIAN(value), 4) AS median_value,
+       MEDIAN(value) AS median_value,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type
@@ -287,7 +287,7 @@ def q_agg_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "median_value": [round(float(pdf["value"].median()), 4)],
+                "median_value": [float(pdf["value"].median())],
                 "n": [len(pdf)],
             }
         )

@@ -1,0 +1,54 @@
+"""Scan operators (SURVEY.md §2.1) — the storage read path.
+
+Reference analog: ``genesapi/storage.py (upstream)`` iterates raw cube files
+row-at-a-time; here the lake is Parquet and the scan is declarative, so
+vectorized decode, column pruning and predicate pushdown come from the data
+source V2 + Catalyst. ``q_scan_pruned``'s plan shows ``PushedFilters`` and a
+2-column ``ReadSchema`` — verified in tests/test_plans.py.
+
+Scale notes: at 100 TB these same plans prune partitions/row-groups via
+min-max stats; nothing below materializes more than the aggregated result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import dec_sum, oracle_dec_sum, register
+
+_SCAN_ORACLE = f"""
+SELECT COUNT(*) AS n_rows, {oracle_dec_sum('l_quantity', 'sum_qty')}
+FROM lineitem
+"""
+
+
+@register("q_scan_parquet", oracle=_SCAN_ORACLE)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan + global aggregate over lineitem. The agg collapses to a
+    single row; the scan reads only the one referenced column (pruning)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"), dec_sum("l_quantity", "sum_qty"))
+
+
+_PRUNED_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_scan_pruned", oracle=_PRUNED_ORACLE)
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate pushdown: only (o_orderstatus, o_orderpriority)
+    are read, and the equality filter reaches the Parquet scan
+    (``PushedFilters: [EqualTo(o_orderstatus,F)]`` — asserted in test_plans)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderpriority", "o_orderstatus")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -59,23 +59,46 @@ DEC = "decimal(27,7)"
 
 
 def dec_sum(col: Column | str, alias: str) -> Column:
-    """Order-independent SUM of a double expression, rounded to 4 decimals.
+    """Order-independent SUM of a double expression.
 
     Casting each double to decimal(27,7) is deterministic (round-to-nearest;
     exact ties are measure-zero for binary doubles), decimal addition is exact
-    and associative, and the final decimal→double→round(4) is deterministic —
-    so Spark and DuckDB agree bit-for-bit regardless of partitioning.
-    DuckDB mirror: ``ROUND(CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE), 4)``.
+    and associative, and the final decimal→double cast is deterministic — so
+    Spark and DuckDB agree bit-for-bit regardless of partitioning. NOTE: no
+    engine ``round()`` anywhere — Spark and DuckDB round() disagree near
+    .00005 boundaries even on identical doubles (observed empirically).
+    DuckDB mirror: :func:`oracle_dec_sum`.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(DEC)).cast("double"), 4).alias(alias)
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
 
 
 def oracle_dec_sum(expr: str, alias: str) -> str:
     """DuckDB-side mirror of :func:`dec_sum`."""
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(27,7))) AS DOUBLE), 4) AS {alias}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,7))) AS DOUBLE) AS {alias}"
+
+
+def dec_avg(col: Column | str, alias: str) -> Column:
+    """Order-independent AVG: exact decimal sum → double, then one double
+    division by the group count — identical IEEE ops on both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def oracle_dec_avg(expr: str, alias: str) -> str:
+    """DuckDB-side mirror of :func:`dec_avg`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS {alias}"
 
 
 def r4(col: Column, alias: str) -> Column:
-    """round(x, 4) with alias — for avg/stddev/ratio scale outputs."""
-    return F.round(col, 4).alias(alias)
+    """Deterministic 4-decimal rounding: floor(x*1e4 + 0.5)/1e4 — plain IEEE
+    multiply/add/floor/divide, bit-identical across engines (unlike engine
+    round()). Use only on values that are already bit-identical across
+    engines. DuckDB mirror: :func:`oracle_r4`.
+    """
+    return (F.floor(col * 10000 + F.lit(0.5)) / 10000).alias(alias)
+
+
+def oracle_r4(expr: str, alias: str) -> str:
+    """DuckDB-side mirror of :func:`r4`."""
+    return f"FLOOR(({expr}) * 10000 + 0.5) / 10000 AS {alias}"
