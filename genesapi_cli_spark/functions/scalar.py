@@ -1,0 +1,224 @@
+"""Scalar function surface (SURVEY.md §2.8): string / date / math / array /
+JSON / conditional families.
+
+Reference analog: region-code and label munging plus GENESIS time parsing in
+``genesapi/util.py (upstream)``, value typing (GANZ/FEST/PROZ) in the cube
+parser, and the ``props`` JSON handling of the serialized documents.
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; nothing here crosses into Python. Parity traps handled:
+engine round() is never used (floor-form r4 instead); transcendentals (ln,
+log10, pow) are r4-wrapped because libm implementations may differ in the last
+ulp; date outputs are cast to DATE on both sides; dayofweek is avoided
+(numbering differs across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import oracle_r4, r4, register
+
+# --- q_fn_string ------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_brand) AS brand_lower,
+       SUBSTRING(p_name, 1, 5) AS name_head,
+       TRIM(CONCAT(' ', p_name, ' ')) AS name_trim,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       LENGTH(p_name) AS name_len,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word
+FROM part
+"""
+
+
+@register("q_fn_string", oracle=_STRING_ORACLE)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (label munging in genesapi/util.py upstream). substring
+    is 1-based in both engines; regexp_extract returns '' on no-match in both."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+    )
+
+
+# --- q_fn_date --------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       EXTRACT(quarter FROM o_orderdate) AS o_quarter,
+       EXTRACT(month FROM o_orderdate) AS o_month,
+       EXTRACT(day FROM o_orderdate) AS o_day,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+WHERE o_orderkey <= 5000
+"""
+
+
+@register("q_fn_date", oracle=_DATE_ORACLE)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family (GENESIS JAHR/STAG time parsing in util.py upstream).
+    All date-valued outputs cast to DATE on both sides; dayofweek avoided."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("o_year"),
+        F.quarter(d).alias("o_quarter"),
+        F.month(d).alias("o_month"),
+        F.dayofmonth(d).alias("o_day"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_add(d.cast("date"), 30).alias("plus_30d"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch0"
+        ),
+        F.last_day(d.cast("date")).alias("month_end"),
+    )
+
+
+# --- q_fn_math --------------------------------------------------------------
+
+_MATH_ORACLE = f"""
+SELECT l_orderkey, l_linenumber,
+       ABS(l_extendedprice - 30000) AS abs_dev,
+       CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_ceil_k,
+       CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_floor_k,
+       {oracle_r4('SQRT(l_extendedprice)', 'price_sqrt')},
+       {oracle_r4('LN(l_extendedprice + 1)', 'price_ln')},
+       {oracle_r4('LOG10(l_extendedprice + 1)', 'price_log10')},
+       {oracle_r4('POW(1 + l_discount, 2)', 'disc_pow2')},
+       MOD(CAST(l_quantity AS BIGINT), 7) AS qty_mod7,
+       CAST(SIGN(l_extendedprice - 30000) AS INT) AS dev_sign
+FROM lineitem
+WHERE l_orderkey <= 2000
+"""
+
+
+@register("q_fn_math", oracle=_MATH_ORACLE)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (value typing GANZ/FEST/PROZ in the cube parser upstream).
+    sqrt is IEEE-correctly-rounded (bit-exact across engines); ln/log10/pow go
+    through libm and may differ in the last ulp → r4-wrapped."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    p = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(p - 30000).alias("abs_dev"),
+        F.ceil(p / 1000).cast("bigint").alias("price_ceil_k"),
+        F.floor(p / 1000).cast("bigint").alias("price_floor_k"),
+        r4(F.sqrt(p), "price_sqrt"),
+        r4(F.log(p + 1), "price_ln"),
+        r4(F.log10(p + 1), "price_log10"),
+        r4(F.pow(1 + F.col("l_discount"), 2), "disc_pow2"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.signum(p - 30000).cast("int").alias("dev_sign"),
+    )
+
+
+# --- q_fn_array -------------------------------------------------------------
+
+_ARRAY_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+       list_contains(string_split(text, ' '), 'data') AS has_data,
+       list_sort(string_split(text, ' '))[1] AS first_word_sorted
+FROM documents
+"""
+
+
+@register("q_fn_array", oracle=_ARRAY_ORACLE)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized documents (arrays are the Dremel-style
+    nested columnar shape, PAPERS.md). split/size/distinct/contains/sort —
+    all JVM higher-order functions, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.array_contains(words, "data").alias("has_data"),
+        F.sort_array(words).getItem(0).alias("first_word_sorted"),
+    )
+
+
+# --- q_fn_json --------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_fn_json", oracle=_JSON_ORACLE)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + typed aggregation over event props (the document
+    serialization JSON of the reference). Integer sums are exact; avg is one
+    double division on identical operands."""
+    ev = load(spark, sf_dir, "events")
+    k_int = F.get_json_object("props", "$.k").cast("int")
+    k_long = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k_int).alias("min_k"),
+        F.max(k_int).alias("max_k"),
+        F.sum(k_long).alias("sum_k"),
+        (F.sum(k_long).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+# --- q_fn_conditional -------------------------------------------------------
+
+_COND_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 100000 THEN 'low'
+            WHEN o_totalprice < 300000 THEN 'mid'
+            ELSE 'high' END AS tier,
+       GREATEST(o_totalprice, 150000.0) AS at_least_150k,
+       LEAST(o_totalprice, 150000.0) AS at_most_150k,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING-MASKED') AS status_masked
+FROM orders
+WHERE o_orderkey <= 5000
+"""
+
+
+@register("q_fn_conditional", oracle=_COND_ORACLE)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiering + greatest/least/coalesce/nullif (the reference's
+    quality-flag routing)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    p = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.when(p < 100000, "low").when(p < 300000, "mid").otherwise("high").alias("tier"),
+        F.greatest(p, F.lit(150000.0)).alias("at_least_150k"),
+        F.least(p, F.lit(150000.0)).alias("at_most_150k"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING-MASKED")).alias(
+            "status_masked"
+        ),
+    )

@@ -3,6 +3,11 @@ operator queries into :mod:`genesapi_cli_spark.registry`."""
 
 import genesapi_cli_spark.operators.aggregates  # noqa: F401
 import genesapi_cli_spark.operators.filters  # noqa: F401
+import genesapi_cli_spark.operators.joins  # noqa: F401
 import genesapi_cli_spark.operators.scans  # noqa: F401
+import genesapi_cli_spark.operators.pivot  # noqa: F401
 import genesapi_cli_spark.operators.setops  # noqa: F401
+import genesapi_cli_spark.operators.similarity  # noqa: F401
+import genesapi_cli_spark.operators.text  # noqa: F401
 import genesapi_cli_spark.operators.sorts  # noqa: F401
+import genesapi_cli_spark.operators.windows  # noqa: F401

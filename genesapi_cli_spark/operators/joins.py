@@ -1,0 +1,331 @@
+"""Join operators (SURVEY.md §2.3).
+
+Reference analog: fact ⋈ catalog-metadata enrichment in
+``genesapi/serialize.py (upstream)`` (labels, units, region names) and the
+``should_update`` skip-set logic of ``genesapi/storage.py (upstream)``
+(semi/anti joins).
+
+Scale notes per shape:
+- small dims (region/nation/customer/supplier/part at dim-like cardinality)
+  broadcast — no shuffle of the fact side; `q_join_broadcast` pins the hint,
+  elsewhere AQE's size estimate picks it.
+- big-big equi joins shuffle on the key; AQE handles skew splitting.
+- the theta join keeps its equi key (nationkey) so Catalyst plans a hash/SMJ
+  join with a residual predicate — NOT a cartesian product.
+- the as-of join is deliberately NOT a pair-join + filter (quadratic in events
+  per user); it is the sort-based formulation: union both streams, one shuffle
+  by user_id, running `last(ignorenulls)` window — O(n log n) per key and
+  skew-bounded. This is the pattern that survives 100 TB event tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import dec_sum, oracle_dec_sum, register
+
+# --- q_join_inner -----------------------------------------------------------
+
+_INNER_ORACLE = f"""
+SELECT c_mktsegment,
+       {oracle_dec_sum('o_totalprice', 'revenue')},
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("q_join_inner", oracle=_INNER_ORACLE)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders ⋈ customer, revenue per market segment.
+    No hint: Catalyst/AQE picks broadcast (customer is dim-sized) or SMJ."""
+    orders, customer = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(dec_sum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- q_join_broadcast -------------------------------------------------------
+
+_BCAST_ORACLE = f"""
+SELECT p_brand, {oracle_dec_sum('l_quantity', 'sum_qty')}, COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+@register("q_join_broadcast", oracle=_BCAST_ORACLE)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ broadcast(part): the fact side never shuffles for the join —
+    the only shuffle is the final 16-brand aggregate. The explicit hint is the
+    contract for small-lookup joins (reference's label enrichment)."""
+    li, part = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(dec_sum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- q_join_multiway (TPC-H Q5 shape) --------------------------------------
+
+_MULTIWAY_ORACLE = f"""
+SELECT n_name, {oracle_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("q_join_multiway", oracle=_MULTIWAY_ORACLE)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: five-way enrichment chain with a local-supplier predicate.
+    Dims broadcast; the only shuffled join is orders⋈lineitem; the region
+    filter prunes before any join (Catalyst pushes it through)."""
+    region, nation, customer, orders, lineitem, supplier = (
+        load(spark, sf_dir, t)
+        for t in ("region", "nation", "customer", "orders", "lineitem", "supplier")
+    )
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# --- q_join_left ------------------------------------------------------------
+
+_LEFT_ORACLE = """
+SELECT c_nationkey,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS n_without_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+@register("q_join_left", oracle=_LEFT_ORACLE)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers without orders (the reference keeps
+    facts whose metadata is missing)."""
+    customer, orders = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct(
+                F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
+            ).alias("n_without_orders"),
+        )
+    )
+
+
+# --- q_join_full ------------------------------------------------------------
+
+_FULL_ORACLE = """
+SELECT COALESCE(c.k, s.k) AS nationkey, c.n_cust, s.n_supp
+FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+ON c.k = s.k
+"""
+
+
+@register("q_join_full", oracle=_FULL_ORACLE)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer reconciliation of per-nation customer vs supplier counts;
+    nulls mark presence on one side only."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.k == s.k, "full").select(
+        F.coalesce(c.k, s.k).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+# --- q_join_semi / q_join_anti ---------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("q_join_semi", oracle=_SEMI_ORACLE)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi — probe side streams, no row multiplication."""
+    customer, orders = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register("q_join_anti", oracle=_ANTI_ORACLE)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti — the reference's should_update skip-set
+    (storage.py upstream): rows not present in the already-loaded keyset.
+    Restricted to urgent orders so the anti-set is non-trivial at every sf."""
+    customer, orders = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --- q_join_theta -----------------------------------------------------------
+
+_THETA_ORACLE = """
+SELECT s_nationkey AS nationkey, COUNT(*) AS n_pairs
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+GROUP BY s_nationkey
+"""
+
+
+@register("q_join_theta", oracle=_THETA_ORACLE)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi pair join blocked by nation. The equality on nationkey is the
+    join key (hash/SMJ); the balance inequality is a residual predicate — this
+    never degenerates to a cartesian product."""
+    supplier, customer = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "customer")
+    return (
+        supplier.join(
+            customer,
+            (supplier.s_nationkey == customer.c_nationkey)
+            & (supplier.s_acctbal > customer.c_acctbal),
+        )
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --- q_join_cross -----------------------------------------------------------
+
+_CROSS_ORACLE = """
+SELECT r_name, n_name,
+       CASE WHEN n_regionkey = r_regionkey THEN 1 ELSE 0 END AS is_home
+FROM region CROSS JOIN nation
+"""
+
+
+@register("q_join_cross", oracle=_CROSS_ORACLE)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian grid (5 × 25) with a membership flag."""
+    region, nation = load(spark, sf_dir, "region"), load(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).alias("is_home"),
+    )
+
+
+# --- q_join_asof ------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id,
+         epoch_us(ts) AS us,
+         event_id,
+         event_type = 'signup' AS is_signup
+  FROM events
+  WHERE event_type IN ('purchase', 'signup')
+), enriched AS (
+  SELECT user_id, us, event_id, is_signup,
+         LAST_VALUE(CASE WHEN is_signup THEN us END IGNORE NULLS) OVER w AS signup_us,
+         LAST_VALUE(CASE WHEN is_signup THEN event_id END IGNORE NULLS) OVER w AS signup_event_id
+  FROM tagged
+  WINDOW w AS (
+    PARTITION BY user_id
+    ORDER BY us, is_signup DESC, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )
+)
+SELECT event_id, user_id, us AS purchase_us, signup_us, signup_event_id
+FROM enriched
+WHERE NOT is_signup
+"""
+
+
+@register("q_join_asof", oracle=_ASOF_ORACLE)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest signup at-or-
+    before it (time-alignment of facts to reference dates in the reference).
+
+    Spark has no native as-of join in SQL; the scalable formulation is NOT a
+    range pair-join (quadratic per user) but union + single shuffle on
+    user_id + running ``last(ignorenulls)`` — signups sort before purchases at
+    equal timestamps so ts_signup == ts_purchase matches. Ties between signups
+    resolve to the highest event_id on both engines (explicit sort keys).
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    tagged = ev.select(
+        "user_id",
+        F.col("ts_us").alias("us"),
+        "event_id",
+        (F.col("event_type") == "signup").alias("is_signup"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), F.col("is_signup").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.select(
+        "event_id",
+        "user_id",
+        "us",
+        "is_signup",
+        F.last(F.when(F.col("is_signup"), F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("signup_us"),
+        F.last(F.when(F.col("is_signup"), F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("signup_event_id"),
+    )
+    return enriched.filter(~F.col("is_signup")).select(
+        "event_id", "user_id", F.col("us").alias("purchase_us"), "signup_us", "signup_event_id"
+    )

@@ -1,0 +1,238 @@
+"""Text-analysis + deduplication operators (SURVEY.md §2.10; BASELINE.json
+mandates dedup/text-analysis as first-class for LLM-data pipelines).
+
+Reference analog: the content-hash ``fact_id`` dedup of
+``genesapi/serialize.py (upstream)`` generalizes to corpus-level exact and
+near dedup.
+
+Scale notes:
+- exact dedup hashes every doc once (sha256, JVM-side) and aggregates by
+  digest — one shuffle keyed by a uniformly distributed 256-bit key: no skew
+  by construction. At 100 TB this is the canonical first pass.
+- MinHash-LSH: shingle → per-seed min-hash signatures via a single explode +
+  32 min-aggregates (one shuffle on doc_id), then band signatures and a
+  self-join on (band_id, band_hash) — candidate pairs only, never the O(n²)
+  pair space. Deterministic seeds (murmur3 with per-seed salt) keep reruns
+  reproducible. Bands with huge buckets (degenerate near-identical corpora)
+  are the skew risk; AQE skew-join handles moderate cases, and a bucket-size
+  cap is the documented escape hatch.
+- tf-idf: two aggregations over the exploded term table + a broadcast of the
+  document count; df table is term-keyed (bounded by vocabulary, not corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import oracle_r4, r4, register
+
+# --- q_dedup_exact ----------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT sha256(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dup_rows,
+       MIN(keep_id) AS min_keep_id
+FROM (
+  SELECT lang, text, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
+@register("q_dedup_exact", oracle=_DEDUP_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: canonical keeper = min(doc_id) per sha2(text, 256)
+    (the reference's fact_id content-hash identity), summarized per lang.
+    sha2 hex output matches DuckDB's sha256 byte-for-byte."""
+    docs = load(spark, sf_dir, "documents")
+    sha = F.sha2(F.col("text"), 256)
+    keep = F.min("doc_id").over(Window.partitionBy(sha))
+    return (
+        docs.select("lang", sha.alias("sha"), keep.alias("keep_id"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("sha").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("sha")).alias("n_dup_rows"),
+            F.min("keep_id").alias("min_keep_id"),
+        )
+    )
+
+
+# --- q_text_wordcount -------------------------------------------------------
+
+_WORDCOUNT_ORACLE = """
+SELECT term, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+)
+WHERE LENGTH(term) > 2
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT 20
+"""
+
+
+@register("q_text_wordcount", oracle=_WORDCOUNT_ORACLE)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 terms: explode(split(lower)), length filter, count.
+    Ties broken by term so the LIMIT is deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.length("term") > 2)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(20)
+    )
+
+
+# --- q_text_tfidf -----------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), filtered AS (
+  SELECT doc_id, term FROM terms WHERE LENGTH(term) > 2
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM filtered GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM filtered GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * LN(CAST(n_docs AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df,
+         {oracle_r4('tfidf', 'tfidf_r')},
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY FLOOR(tfidf * 10000 + 0.5) / 10000 DESC, term
+         ) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf_r, rn FROM ranked WHERE rn <= 3
+"""
+
+
+@register("q_text_tfidf", oracle=_TFIDF_ORACLE)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf with top-3 terms per document. Ranking happens on the
+    deterministically-rounded score (ties then break by term) so a last-ulp
+    libm difference in LN can never flip the keep-set across engines."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar broadcast — one job over metadata-only scan
+    terms = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.length("term") > 2)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    rounded = scored.withColumn("tfidf_r", F.floor(F.col("tfidf") * 10000 + F.lit(0.5)) / 10000)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_r").desc(), "term")
+    return (
+        rounded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf_r", "rn")
+    )
+
+
+# --- q_text_stats -----------------------------------------------------------
+
+_TEXT_STATS_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q_text_stats", oracle=_TEXT_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language (catalog stats in genesapi/schema.py
+    upstream). Integer sum is exact; one double division for the mean."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# --- q_dedup_near_minhash (rows-only) --------------------------------------
+
+N_HASHES = 32
+N_BANDS = 8  # 4 rows per band
+
+
+@register("q_dedup_near_minhash", oracle=None)
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH over word 3-shingles.
+
+    Pipeline (all JVM-side): shingle (higher-order array fns) → explode →
+    32 per-seed min-hash aggregates in ONE groupBy (single shuffle) → 8 band
+    hashes → explode bands → self-join on (band_id, band_hash) → distinct
+    pairs (doc_a < doc_b). Deterministic: murmur3 with fixed per-seed salts.
+    Rows-only check (no SQL oracle); determinism + golden-pair behavior are
+    pytest-verified (a one-word-changed near-dup pair must collide).
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    # 3-word shingles; docs shorter than 3 words fall back to the whole text
+    shingles = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2), F.element_at(words, i + 3)
+            ),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    exploded = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[F.min(F.hash("shingle", F.lit(j))).alias(f"h{j}") for j in range(N_HASHES)]
+    )
+    per_band = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.hash(*[F.col(f"h{b * per_band + r}") for r in range(per_band)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs

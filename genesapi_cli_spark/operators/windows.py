@@ -1,0 +1,200 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Reference analog: latest-version-per-cube selection in
+``genesapi/storage.py (upstream)`` (rank-1 per key), year-over-year deltas and
+cumulative series in the serialized documents.
+
+Scale notes: every window here partitions by a key (customer/user) before
+ordering, so the sort is per-partition after one hash shuffle — never a global
+sort. Running/trailing sums inside windows use exact decimal casts where the
+frame aggregation order could differ between engines (DuckDB evaluates frames
+with a segment tree; Spark streams the frame — double addition order differs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import DEC, register
+
+# --- q_window_rank ----------------------------------------------------------
+
+_RANK_ORACLE = """
+SELECT * FROM (
+  SELECT c_custkey AS custkey,
+         o_orderkey AS orderkey,
+         o_totalprice AS totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         RANK()       OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC) AS rnk,
+         DENSE_RANK() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC) AS drnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rn <= 3
+"""
+
+
+@register("q_window_rank", oracle=_RANK_ORACLE)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer with row_number/rank/dense_rank — the
+    reference's latest-version-per-cube selection generalized. row_number gets
+    a unique tiebreak; rank/dense_rank keep genuine tie semantics."""
+    orders, customer = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    by_price = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc())
+    unique = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.row_number().over(unique).alias("rn"),
+            F.rank().over(by_price).alias("rnk"),
+            F.dense_rank().over(by_price).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- q_window_running -------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT event_id,
+       user_id,
+       epoch_us(ts) AS us,
+       CAST(SUM(CAST(value AS DECIMAL(27,7))) OVER w AS DOUBLE) AS run_sum,
+       CAST(SUM(CAST(value AS DECIMAL(27,7))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS run_avg,
+       COUNT(*) OVER w AS run_n
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("q_window_running", oracle=_RUNNING_ORACLE)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum/avg over the event stream (cumulative time series
+    in the reference's serialized facts). Decimal-cast keeps the cumulative
+    sum independent of the engines' frame evaluation order."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_sum = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    run_n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("us"),
+        run_sum.alias("run_sum"),
+        (run_sum / run_n).alias("run_avg"),
+        run_n.alias("run_n"),
+    )
+
+
+# --- q_window_lag -----------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT event_id,
+       user_id,
+       value - LAG(value)    OVER w AS delta_value,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS delta_us,
+       LAG(event_id)  OVER w AS prev_event_id,
+       LEAD(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+@register("q_window_lag", oracle=_LAG_ORACLE)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas per user (year-over-year-style deltas in the
+    reference). Double subtraction on identical operands is bit-exact."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("delta_us"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+# --- q_window_range_frame ---------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT o_orderkey AS orderkey,
+       o_custkey AS custkey,
+       daynum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) OVER (
+         PARTITION BY o_custkey ORDER BY daynum
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS daynum
+  FROM orders
+)
+"""
+
+
+@register("q_window_range_frame", oracle=_RANGE_FRAME_ORACLE)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day order total per customer via a RANGE frame over a day
+    number (the reference's trailing-period aggregates). RANGE (not ROWS) so
+    same-day orders aggregate together regardless of physical order."""
+    orders = load(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("daynum")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        orders.withColumn("daynum", days)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            "daynum",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("trailing_30d"),
+        )
+    )
+
+
+# --- q_topk_per_group -------------------------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+SELECT * FROM (
+  SELECT p_type,
+         p_partkey,
+         p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+)
+WHERE rn <= 2
+"""
+
+
+@register("q_topk_per_group", oracle=_TOPK_GROUP_ORACLE)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 parts by retail price per type (QUALIFY shape): row_number +
+    filter. AQE prunes the per-group sort to partition-local work."""
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.select(
+            "p_type", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 2)
+    )
