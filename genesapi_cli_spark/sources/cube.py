@@ -1,0 +1,162 @@
+"""GENESIS "Quader" cube-text source (SURVEY.md §2.1 `q_source_cube_text`).
+
+Reference analog: the cube parser of the upstream repo (``genesapi/cube.py``
+or its vendored regenesis-style parser, ~300 LoC, upstream) — semicolon-
+delimited text where ``K;…`` header records declare the cube's axes
+(dimensions), time axis and measures, and ``D;QEI;…`` records carry the facts.
+The format is publicly documented by Destatis; the grammar here follows
+/root/repo/FIXTURES.md §3 (the reference mount was empty — see SURVEY.md §0).
+
+Spark-first design (NOT a port of the row loop):
+- header records are metadata — tiny, parsed driver-side into an axis/measure
+  layout (exactly like reading a Parquet footer);
+- fact records are data — parsed executor-side with JVM ``split``/``element_at``
+  expressions generated FROM that layout, so a 100 TB cube dump parses as an
+  ordinary projected scan with whole-stage codegen; dimensions land in a
+  MAP<STRING,STRING> column (Dremel-style nested columnar, PAPERS.md).
+- confidential/missing tokens (``...``, ``-``, ``x``, ``.``) become NULL with
+  the quality flag preserved — the reference's value-cleaning semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.registry import register
+
+#: tokens that mean "no value" in GENESIS exports (confidential / missing).
+NA_TOKENS = ("...", "-", "x", ".", "")
+
+
+@dataclass
+class CubeLayout:
+    """Structural metadata of one cube, from its K;/D; header records."""
+
+    cube: str = ""
+    statistic: str = ""
+    axes: list = field(default_factory=list)  # dimension names, in axis order
+    time_axis: str = "JAHR"
+    measures: list = field(default_factory=list)  # (name, unit, value_type)
+
+
+def parse_header(lines: list[str]) -> CubeLayout:
+    """Parse header records (driver-side; headers are O(10) lines per cube)."""
+    layout = CubeLayout()
+    section = None
+    for line in lines:
+        parts = line.strip().split(";")
+        if len(parts) < 2:
+            continue
+        rec, kind = parts[0], parts[1]
+        if rec == "K":
+            section = kind
+            continue
+        if rec != "D":
+            continue
+        if kind == "DQ" and len(parts) > 2:
+            layout.cube = parts[2]
+            layout.statistic = layout.cube[:5]
+        elif kind == "DQA" and len(parts) > 2:
+            layout.axes.append(parts[2])
+        elif kind == "DQZ" and len(parts) > 2:
+            layout.time_axis = parts[2]
+        elif kind == "DQI" and len(parts) > 2:
+            name = parts[2]
+            unit = parts[3] if len(parts) > 3 else ""
+            vtype = parts[5] if len(parts) > 5 else "GANZ"
+            layout.measures.append((name, unit, vtype))
+    return layout
+
+
+def parse_cube_lines(spark: SparkSession, lines_df: DataFrame, layout: CubeLayout) -> DataFrame:
+    """Executor-side fact parse: D;QEI rows → typed fact rows.
+
+    Field layout per QEI record (after `D;QEI`): one code per axis (the first
+    axis is the regional axis → region_id, the rest are dimension members),
+    then the time value, then per-measure groups of (value, quality, lock).
+    """
+    n_axes = len(layout.axes)
+    facts = lines_df.filter(F.col("value").startswith("D;QEI;")).select(
+        F.split(F.col("value"), ";").alias("f")
+    )
+    # positions are 1-based for element_at; fields 1,2 are "D","QEI"
+    region = F.element_at("f", 3)
+    dim_entries = [
+        (layout.axes[i], F.element_at("f", 3 + i)) for i in range(1, n_axes)
+    ]
+    time_pos = 3 + n_axes
+    year = F.element_at("f", time_pos).cast("int")
+
+    rows = []
+    for m_idx, (m_name, _unit, _vtype) in enumerate(layout.measures):
+        base = time_pos + 1 + m_idx * 3
+        raw_value = F.element_at("f", base)
+        quality = F.element_at("f", base + 1)
+        value = F.when(raw_value.isin(*NA_TOKENS), F.lit(None)).otherwise(
+            F.replace(raw_value, F.lit(","), F.lit(".")).cast("double")
+        )
+        dims = (
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k, _ in dim_entries]),
+                F.array(*[v for _, v in dim_entries]),
+            )
+            if dim_entries
+            else F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+        )
+        rows.append(
+            facts.select(
+                region.alias("region_id"),
+                F.lit(layout.statistic).alias("statistic"),
+                F.lit(layout.cube).alias("cube"),
+                year.alias("year"),
+                F.lit(m_name).alias("measure"),
+                value.alias("value"),
+                quality.alias("quality"),
+                dims.alias("dims"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def parse_cube_text(spark: SparkSession, text: str) -> DataFrame:
+    """Parse a complete cube export given as text (fixture / small-file path).
+    For lake-scale inputs, read header lines with ``spark.read.text(...).limit``
+    and feed the body through the same ``parse_cube_lines``."""
+    lines = [ln for ln in text.strip().splitlines() if ln.strip()]
+    header = [ln for ln in lines if not ln.startswith("D;QEI;")]
+    layout = parse_header(header)
+    lines_df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    return parse_cube_lines(spark, lines_df, layout)
+
+
+#: FIXTURES.md §3 sample cube (reconstructed Quader grammar).
+SAMPLE_CUBE_TEXT = """\
+K;DQ;FACH-SCHL;GHH-ART;TS-GED;KTX;PROD-STAND
+D;DQ;12411BJ001;;N;Bevoelkerungsstand;01.01.2024
+K;DQA;NAME;RHF-BSR;RHF-ACHSE
+D;DQA;DINSG;1;1
+D;DQA;GES;2;2
+K;DQZ;NAME;ZI-RHF-BSR
+D;DQZ;JAHR;3
+K;DQI;NAME;ME-NAME;DST;TYP
+D;DQI;BEVSTD;Anzahl;JAHRESSUMME;GANZ
+K;QEI;FACH-SCHL;FACH-SCHL;ZI-WERT;WERT;QUALITAET;GESPERRT
+D;QEI;01001;GESM;2014;43520;e;
+D;QEI;01001;GESW;2014;45678;e;
+D;QEI;01002;GESM;2014;...;g;
+D;QEI;01002;GESW;2014;-;x;
+"""
+
+
+@register("q_source_cube_text", oracle=None)
+def q_source_cube_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the embedded GENESIS-Quader sample into typed fact rows
+    (rows-only check; golden expectations in tests/test_cube_parser.py:
+    4 rows, confidential tokens → NULL + quality flag, GES codes in dims)."""
+    return parse_cube_text(spark, SAMPLE_CUBE_TEXT).orderBy("region_id", "dims.GES")

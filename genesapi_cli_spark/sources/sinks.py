@@ -1,0 +1,75 @@
+"""Document serialization + NDJSON sink (SURVEY.md §2.1 `q_sink_ndjson`).
+
+Reference analog: ``genesapi/serialize.py (upstream)`` — facts nested into
+JSON documents keyed by a content-hash ``fact_id``, written as NDJSON and bulk
+indexed into Elasticsearch. Spark-first: the nested document is a single
+``to_json(struct(...))`` projection (JVM-side), the identity hash is
+``sha2(canonical string)``, the sink is ``df.write.json`` (NDJSON is Spark's
+native JSON output — one doc per line). The idempotent-upsert property of the
+ES sink maps to deterministic fact_ids + an exactly-once checkpointed file
+sink in streaming mode (streaming/runtime.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import register
+
+
+def order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON document per order: customer metadata enriched in
+    (broadcast join) and line items nested as an array — the wide/nested
+    'document' shape of the reference, built columnar."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    items = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+                )
+            )
+        ).alias("items")
+    )
+    doc_struct = F.struct(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date"),
+        F.struct(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        ).alias("customer"),
+        F.col("items"),
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(items, orders.o_orderkey == items.l_orderkey, "left")
+        .select(
+            F.col("o_orderkey"),
+            F.to_json(doc_struct).alias("doc"),
+        )
+        .withColumn("fact_id", F.sha2(F.col("doc"), 256))
+    )
+
+
+def write_ndjson(df: DataFrame, path: str) -> None:
+    """NDJSON sink (one JSON document per line), the reference's on-disk
+    output format. ``maxRecordsPerFile`` caps file sizes at lake scale."""
+    df.write.mode("overwrite").option("maxRecordsPerFile", 1_000_000).json(path)
+
+
+@register("q_sink_ndjson", oracle=None)
+def q_sink_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize nested order documents; declared result is (key, doc length,
+    fact_id) — JSON key order is engine-specific, so the check is rows-only;
+    document structure is golden-tested in tests/test_sinks.py."""
+    docs = order_documents(spark, sf_dir)
+    return docs.select(
+        "o_orderkey", F.length("doc").alias("doc_len"), "fact_id"
+    ).orderBy("o_orderkey")

@@ -1,1 +1,3 @@
 """Event-time windowed operators (batch + Structured Streaming dual mount)."""
+
+import genesapi_cli_spark.streaming.windows  # noqa: F401

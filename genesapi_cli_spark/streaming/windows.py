@@ -1,0 +1,169 @@
+"""Event-time windowed operators (SURVEY.md §2.9), written ONCE as DataFrame
+transforms and mounted on both the batch events table (for the DuckDB oracle)
+and a Structured Streaming source (tests/test_streaming.py).
+
+Reference analog: the periodic batch cadence + incremental sync of
+``genesapi/storage.py (upstream)``; the streaming mount is the continuous
+form of the same pipeline.
+
+Scale notes: tumbling/sliding windows are hash aggregates keyed by
+(window, type) — the sliding form expands each event into exactly 4 overlapping
+windows (1h / 15m) before aggregating, which is how Spark plans it physically;
+state size in streaming mode is bounded by watermark eviction. Session windows
+shuffle once per user and merge adjacent spans — per-key state, skew-bounded
+by per-user event rates. All time arithmetic is integer epoch math (µs/s) —
+no float time anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import register
+
+# --- shared transforms (batch + streaming) ----------------------------------
+
+
+def tumbling_counts(ev: DataFrame) -> DataFrame:
+    """events per 1-hour tumbling window per event_type."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").cast("long").alias("win_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sliding_counts(ev: DataFrame) -> DataFrame:
+    """events per 1-hour window sliding every 15 minutes."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").cast("long").alias("win_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_stats(ev: DataFrame) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap: start, duration, size.
+
+    A new session starts only when the gap strictly exceeds 30min (an event
+    at exactly last+gap merges — session_window's end bound is inclusive for
+    the next event). Duration is computed from exact integer µs bounds, not
+    from the padded window end.
+    """
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "start_us", "dur_us", "n_events")
+    )
+
+
+# --- declared batch queries -------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s,
+       event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q_stream_tumbling", oracle=_TUMBLING_ORACLE)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling counts per event_type (epoch-aligned on both engines)."""
+    return tumbling_counts(load(spark, sf_dir, "events"))
+
+
+_SLIDING_ORACLE = """
+SELECT ((epoch_us(ts) // 900000000) - k) * 900 AS win_start_s,
+       event_type,
+       COUNT(*) AS n
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+GROUP BY 1, 2
+"""
+
+
+@register("q_stream_sliding", oracle=_SLIDING_ORACLE)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min. Every event belongs to exactly 4
+    windows whose starts are bucket(ts) - k·15min for k∈0..3 — the oracle
+    enumerates them with integer slot arithmetic (no window function needed)."""
+    return sliding_counts(load(spark, sf_dir, "events"))
+
+
+_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+), flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER w > 1800000000
+              OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(us) AS start_us,
+       MAX(us) - MIN(us) AS dur_us,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@register("q_stream_session", oracle=_SESSION_ORACLE)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user. Oracle is the classic
+    gaps-and-islands; Spark side is native session_window. Boundary semantics
+    (verified empirically, tests/test_ops_edge.py): an event at EXACTLY
+    last+gap still merges — a new session starts only when the gap is
+    strictly greater than 30 min."""
+    return session_stats(load(spark, sf_dir, "events"))
+
+
+_INCR_ORACLE = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date
+FROM orders
+WHERE o_orderdate > TIMESTAMP '2000-01-01 00:00:00'
+  AND NOT EXISTS (
+    SELECT 1 FROM orders l
+    WHERE l.o_orderkey % 10 < 3 AND l.o_orderkey = orders.o_orderkey
+  )
+"""
+
+
+@register("q_incremental_sync", oracle=_INCR_ORACLE)
+def q_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental load = watermark filter + anti-join against the already-
+    loaded keyset — the exact relational semantics of storage.should_update
+    (upstream): fetch only cubes newer than the stored stand date and not
+    already present. At scale the keyset side is a bloom/broadcast or a
+    partition-pruned lookup; here it is a left_anti join."""
+    orders = load(spark, sf_dir, "orders")
+    fresh = orders.filter(
+        F.col("o_orderdate") > F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    loaded = orders.filter(F.col("o_orderkey") % 10 < 3).select("o_orderkey")
+    return fresh.join(loaded, "o_orderkey", "left_anti").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_date")
+    )

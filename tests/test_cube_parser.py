@@ -1,0 +1,59 @@
+"""Golden tests for the GENESIS Quader cube parser (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+from genesapi_cli_spark.sources.cube import (
+    SAMPLE_CUBE_TEXT,
+    parse_cube_text,
+    parse_header,
+)
+
+
+def test_header_layout():
+    header = [ln for ln in SAMPLE_CUBE_TEXT.splitlines() if not ln.startswith("D;QEI;")]
+    layout = parse_header(header)
+    assert layout.cube == "12411BJ001"
+    assert layout.statistic == "12411"
+    assert layout.axes == ["DINSG", "GES"]
+    assert layout.time_axis == "JAHR"
+    assert layout.measures == [("BEVSTD", "Anzahl", "GANZ")]
+
+
+def test_fact_rows(spark):
+    rows = parse_cube_text(spark, SAMPLE_CUBE_TEXT).orderBy("region_id", "dims.GES").collect()
+    assert len(rows) == 4
+    r0, r1, r2, r3 = rows
+    assert (r0.region_id, r0.statistic, r0.cube, r0.year, r0.measure) == (
+        "01001",
+        "12411",
+        "12411BJ001",
+        2014,
+        "BEVSTD",
+    )
+    assert r0.value == 43520.0 and r0.quality == "e" and r0.dims == {"GES": "GESM"}
+    assert r1.value == 45678.0 and r1.dims == {"GES": "GESW"}
+    # confidential tokens → NULL value, quality flag preserved
+    assert r2.value is None and r2.quality == "g" and r2.region_id == "01002"
+    assert r3.value is None and r3.quality == "x" and r3.dims == {"GES": "GESW"}
+
+
+def test_decimal_comma_and_multi_measure(spark):
+    text = """\
+K;DQ;X
+D;DQ;21111BJ002;;N;Test;01.01.2024
+K;DQA;NAME;RHF-BSR;RHF-ACHSE
+D;DQA;KREISE;1;1
+K;DQZ;NAME
+D;DQZ;JAHR;2
+K;DQI;NAME;ME-NAME;DST;TYP
+D;DQI;M1;Anzahl;SUMME;GANZ
+D;DQI;M2;Prozent;SUMME;PROZ
+K;QEI;...
+D;QEI;05911;2020;1234;e;;12,5;p;
+"""
+    rows = parse_cube_text(spark, text).orderBy("measure").collect()
+    assert len(rows) == 2  # one fact row × two measures
+    m1, m2 = rows
+    assert m1.measure == "M1" and m1.value == 1234.0 and m1.year == 2020
+    assert m2.measure == "M2" and m2.value == 12.5 and m2.quality == "p"
+    assert m1.dims == {}  # single (regional) axis → no extra dimensions

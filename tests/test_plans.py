@@ -1,0 +1,52 @@
+"""Physical-plan assertions (SURVEY.md §4.2): pushdown, pruning, broadcast,
+top-k — the properties that make these plans survive a 100× scale-up."""
+
+from __future__ import annotations
+
+import genesapi_cli_spark
+from genesapi_cli_spark.plans.inspect import assert_in_plan, formatted_plan
+from genesapi_cli_spark.registry import REGISTRY
+
+from .conftest import ORACLE_SF_DIR
+
+genesapi_cli_spark.load_all()
+
+
+def _df(spark, name):
+    return REGISTRY[name].fn(spark, ORACLE_SF_DIR)
+
+
+def test_pruned_scan_pushes_filter_and_prunes_columns(spark):
+    plan = assert_in_plan(_df(spark, "q_scan_pruned"), "PushedFilters")
+    assert "EqualTo(o_orderstatus,F)" in plan
+    # only the two referenced columns are read
+    assert "o_totalprice" not in plan and "o_custkey" not in plan
+
+
+def test_q6_pushes_range_predicates(spark):
+    plan = formatted_plan(_df(spark, "q_filter_range"))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,25.0)" in plan
+
+
+def test_broadcast_join_is_broadcast(spark):
+    assert_in_plan(_df(spark, "q_join_broadcast"), "BroadcastHashJoin")
+
+
+def test_topk_is_take_ordered(spark):
+    assert_in_plan(_df(spark, "q_limit_topk"), "TakeOrderedAndProject")
+
+
+def test_theta_join_not_cartesian(spark):
+    plan = formatted_plan(_df(spark, "q_join_theta"))
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_partial_aggregation_single_shuffle(spark):
+    """Q1 must be scan → partial hash agg (map-side combine) → ONE exchange →
+    final hash agg, with the date filter pushed to the parquet scan."""
+    plan = formatted_plan(_df(spark, "q_agg_pricing_summary"))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange (") == 1  # tree node; detail section spells "(n) Exchange"
+    assert "LessThanOrEqual(l_shipdate" in plan  # pushed, not post-scan

@@ -1,0 +1,156 @@
+"""Streaming harness (SURVEY.md §5.2.4): the SAME transforms must produce the
+same results mounted on a batch DataFrame and on a Structured Streaming file
+source; plus watermark late-data semantics."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.streaming.runtime import (
+    events_file_stream,
+    run_to_memory,
+    with_watermark,
+)
+from genesapi_cli_spark.streaming.windows import (
+    session_stats,
+    sliding_counts,
+    tumbling_counts,
+)
+
+from .conftest import SMOKE_SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _write_event_files(spark, tmp_path, n_files):
+    ev = load(spark, SMOKE_SF_DIR, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "events_ndjson")
+    ev.repartition(n_files).write.mode("overwrite").json(src)
+    return src
+
+
+def test_tumbling_batch_equals_stream(spark, tmp_path):
+    src = _write_event_files(spark, tmp_path, 3)
+    batch = tumbling_counts(load(spark, SMOKE_SF_DIR, "events"))
+    stream = tumbling_counts(events_file_stream(spark, src))
+    q = run_to_memory(stream, "t_tumbling", output_mode="complete")
+    try:
+        assert _rows(spark.table("t_tumbling")) == _rows(batch)
+    finally:
+        q.stop()
+
+
+def test_sliding_batch_equals_stream(spark, tmp_path):
+    src = _write_event_files(spark, tmp_path, 3)
+    batch = sliding_counts(load(spark, SMOKE_SF_DIR, "events"))
+    stream = sliding_counts(events_file_stream(spark, src))
+    q = run_to_memory(stream, "t_sliding", output_mode="complete")
+    try:
+        assert _rows(spark.table("t_sliding")) == _rows(batch)
+    finally:
+        q.stop()
+
+
+def test_session_batch_equals_stream(spark, tmp_path):
+    """Session windows only support append mode in streaming: sessions emit
+    once the watermark passes their end (+gap). Two rounds of synthetic
+    'flush' events push the watermark far enough that every real session
+    finalizes; flush sessions themselves are excluded by timestamp."""
+    ev = load(spark, SMOKE_SF_DIR, "events")
+    max_us = ev.agg(F.max("ts_us")).collect()[0][0]
+    flush1_us = max_us + 8 * 3_600_000_000
+    flush2_us = max_us + 16 * 3_600_000_000
+
+    src = tmp_path / "session_src"
+    src.mkdir()
+    ev.select("event_id", "ts_us", "user_id", "event_type", "value", "props").coalesce(
+        1
+    ).write.mode("overwrite").json(str(src / "b1"))
+    users = [r.user_id for r in ev.select("user_id").distinct().collect()]
+
+    stream = session_stats(
+        with_watermark(events_file_stream(spark, str(src) + "/*/", 100), "0 seconds")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_session")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        flush1 = [
+            {"event_id": 10_000_000 + u, "ts_us": flush1_us, "user_id": u,
+             "event_type": "flush", "value": 0.0, "props": "{}"}
+            for u in users
+        ]
+        (src / "b2").mkdir()
+        (src / "b2" / "data.json").write_text("\n".join(json.dumps(e) for e in flush1))
+        q.processAllAvailable()
+        (src / "b3").mkdir()
+        (src / "b3" / "data.json").write_text(
+            json.dumps({"event_id": 99_999_999, "ts_us": flush2_us, "user_id": users[0],
+                        "event_type": "flush", "value": 0.0, "props": "{}"})
+        )
+        q.processAllAvailable()
+        got = spark.table("t_session").filter(F.col("start_us") < flush1_us)
+        batch = session_stats(ev)
+        assert _rows(got) == _rows(batch)
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """An event older than (max event time - watermark delay) at the time its
+    micro-batch runs must be dropped from the aggregation state."""
+    base = 1_704_100_000_000_000  # ~2024-01-01, µs
+    hour = 3_600_000_000
+
+    def ev(i, us):
+        return {
+            "event_id": i,
+            "ts_us": us,
+            "user_id": 1,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # batch 1: five events in hour H → watermark advances to max - 1h
+    batch1 = [ev(i, base + i * 60_000_000) for i in range(5)]
+    # batch 2: one event 3h earlier (late → dropped), one fresh event in hour H
+    batch2 = [ev(10, base - 3 * hour), ev(11, base + 5 * 60_000_000)]
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in batch1))
+
+    stream = tumbling_counts(with_watermark(events_file_stream(spark, str(src)), "1 hour"))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text("\n".join(json.dumps(e) for e in batch2))
+        q.processAllAvailable()
+        rows = {(r.win_start_s, r.n) for r in spark.table("t_late").collect()}
+        late_win_start = (base - 3 * hour) // 1_000_000 // 3600 * 3600
+        live_win_start = base // 1_000_000 // 3600 * 3600
+        assert not any(w == late_win_start for w, _ in rows), rows
+        # the live window must have been updated to include the fresh event (6 total)
+        assert (live_win_start, 6) in rows, rows
+    finally:
+        q.stop()
