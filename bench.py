@@ -33,8 +33,12 @@ def main() -> int:
     only = set(sys.argv[1:]) or None
     spark = build_session(app_name="genesapi-bench")
 
-    # JVM/codegen warmup on a trivial plan so q1 isn't charged startup cost.
+    # JVM/codegen warmup so the first measured query isn't charged startup
+    # cost: a trivial agg, a local-relation createDataFrame (first use spins
+    # up Python→JVM conversion), and a parquet footer read.
     materialize(spark.range(1000).selectExpr("sum(id) AS s"))
+    materialize(spark.createDataFrame([(1, "w")], "a int, b string"))
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -248,10 +248,8 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch estimate is engine-specific by design. This is the scale path for
     distinct counting at 100 TB — fixed-size sketch, single shuffle, mergeable."""
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
-        .orderBy("event_type")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
     )
 
 

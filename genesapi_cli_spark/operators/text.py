@@ -131,15 +131,19 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically-rounded score (ties then break by term) so a last-ulp
     libm difference in LN can never flip the keep-set across engines."""
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar broadcast — one job over metadata-only scan
+    # N as a broadcast 1-row aggregate INSIDE the plan — a driver-side
+    # .count() here would run a whole extra job per invocation
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = (
         docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
         .filter(F.length("term") > 2)
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").withColumn(
-        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
     rounded = scored.withColumn("tfidf_r", F.floor(F.col("tfidf") * 10000 + F.lit(0.5)) / 10000)
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_r").desc(), "term")
@@ -204,8 +208,16 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array(F.col("text")))
     exploded = docs.select("doc_id", F.explode(shingles).alias("shingle"))
-    sig = exploded.groupBy("doc_id").agg(
-        *[F.min(F.hash("shingle", F.lit(j))).alias(f"h{j}") for j in range(N_HASHES)]
+    # hash each shingle string ONCE (xxhash64), then derive the per-seed
+    # values by re-hashing the fixed 8-byte long with a seed literal: hashing
+    # the variable-length string 32 times was the dominant cost; each derived
+    # hash is constant work and overflow-free under ANSI mode.
+    hashed = exploded.select("doc_id", F.xxhash64("shingle").alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"h{j}")
+            for j in range(N_HASHES)
+        ]
     )
     per_band = N_HASHES // N_BANDS
     bands = F.array(
@@ -222,17 +234,28 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Pair generation WITHOUT a self-join: group each LSH bucket, keep the
+    # (rare) buckets with >1 doc, and emit the in-bucket combinations from the
+    # sorted id array. A self-join here would recompute the whole
+    # shingle+signature pipeline for both sides AND shuffle twice; this form
+    # shuffles once and bounds pair fan-out per bucket (the LSH guarantee).
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_array).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
-    return pairs
