@@ -2,8 +2,10 @@
 operator queries into :mod:`genesapi_cli_spark.registry`."""
 
 import genesapi_cli_spark.operators.aggregates  # noqa: F401
+import genesapi_cli_spark.operators.dedup  # noqa: F401
 import genesapi_cli_spark.operators.filters  # noqa: F401
 import genesapi_cli_spark.operators.joins  # noqa: F401
+import genesapi_cli_spark.operators.multimodal  # noqa: F401
 import genesapi_cli_spark.operators.scans  # noqa: F401
 import genesapi_cli_spark.operators.pivot  # noqa: F401
 import genesapi_cli_spark.operators.setops  # noqa: F401

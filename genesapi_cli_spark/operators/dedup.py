@@ -1,0 +1,285 @@
+"""Near-duplicate detection operators beyond MinHash (SURVEY.md §2.10;
+BASELINE.json mandates dedup as first-class for LLM-data pipelines):
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Reference analog: generalizes the content-hash ``fact_id`` identity of
+``genesapi/serialize.py (upstream)`` from exact identity to similarity-based
+identity — the three standard corpus-dedup families.
+
+Scale notes:
+- SimHash: one explode + one 32-way bit-sum aggregation keyed by doc_id —
+  a single shuffle, map-side combinable, no pair space ever materialized.
+  At 100 TB the 32/64-bit signature is 4-8 bytes/doc; Hamming-ball candidate
+  search then runs on the signature table alone (rotate-and-sort or band the
+  signature — same LSH shape as q_dedup_near_minhash).
+- n-gram Jaccard: the candidate join is on the shingle itself, so only pairs
+  sharing ≥1 shingle are generated — never O(n²). Word 3-shingles are rare
+  enough that bucket fan-out stays bounded for natural text; a shingle-
+  frequency cap (drop shingles in >K docs) is the documented escape hatch
+  for degenerate corpora, exactly like stop-shingle filtering in production
+  dedup pipelines.
+- embedding near-dup: label-blocked pair join (the IVF/LSH-bucket stand-in,
+  see operators/similarity.py) + codegen'd dot products; per-block pair count
+  is bounded by block size, the LSH guarantee at scale.
+
+All three hash-match a DuckDB oracle: the per-word/shingle hashes derive from
+sha256 hex prefixes, which both engines compute byte-identically.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.operators.similarity import as_double, dot_fixed
+from genesapi_cli_spark.registry import register
+
+# --- q_dedup_simhash --------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _hash32(col):
+    """First 8 hex chars of sha256 → unsigned 32-bit value in a long.
+    Spark conv(hex,16,10) and DuckDB ('0x'||hex)::BIGINT agree exactly."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 8), 16, 10).cast("long")
+
+
+_SIMHASH_BIT_SUMS = ",\n         ".join(
+    f"SUM((((h >> {b}) & 1) * 2 - 1) * tf) AS b{b}" for b in range(SIMHASH_BITS)
+)
+_SIMHASH_SIG = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+), tf AS (
+  SELECT doc_id, lang, w, COUNT(*) AS tf FROM words WHERE LENGTH(w) > 0
+  GROUP BY doc_id, lang, w
+), hashed AS (
+  SELECT doc_id, lang, tf, ('0x' || substr(sha256(w), 1, 8))::BIGINT AS h FROM tf
+), bits AS (
+  SELECT doc_id, lang,
+         {_SIMHASH_BIT_SUMS}
+  FROM hashed GROUP BY doc_id, lang
+), sig AS (
+  SELECT doc_id, lang, ({_SIMHASH_SIG}) AS simhash FROM bits
+)
+SELECT doc_id, lang, simhash,
+       COUNT(*) OVER (PARTITION BY simhash) AS n_same
+FROM sig
+"""
+
+
+@register("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-term 32-bit hash (sha256 prefix),
+    tf-weighted ±1 vote per bit position, signature bit b = 1 iff the vote sum
+    is positive. n_same counts signature collisions (exact dups collide by
+    construction; near-dups land within small Hamming distance).
+
+    Plan shape: explode → (doc, term) tf agg → 32 bit-sum aggregates in ONE
+    groupBy (single shuffle on doc_id) → pure projection to the signature.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = words.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("tf"))
+    hashed = tf.select("doc_id", "lang", "tf", _hash32(F.col("w")).alias("h"))
+    bit_votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("tf")
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = hashed.groupBy("doc_id", "lang").agg(*bit_votes)
+    sig = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    per_doc = bits.select("doc_id", "lang", sig.alias("simhash"))
+    return per_doc.withColumn(
+        "n_same", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+    )
+
+
+# --- q_dedup_ngram_jaccard --------------------------------------------------
+
+_JACCARD_TAU = 0.2
+
+_JACCARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS parts, lower(text) AS lt
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(
+           CASE WHEN len(parts) >= 3
+                THEN list_transform(range(1, len(parts) - 1),
+                     i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2]))
+                ELSE [lt] END
+         ) AS g
+  FROM t
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_inter,
+       FLOOR(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) * 10000 + 0.5) / 10000
+         AS jaccard_r
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE FLOOR(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) * 10000 + 0.5) / 10000
+      > {_JACCARD_TAU}
+"""
+
+
+@register("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for candidate pairs sharing at
+    least one shingle (same lang), keeping pairs above τ=0.2.
+
+    The join key is the shingle itself — the pair space is never enumerated;
+    |A∩B| falls out of a groupBy on the joined shingles and |A∪B| =
+    |A|+|B|−|A∩B| from pre-aggregated set sizes. Jaccard is an exact integer
+    ratio, so the only float op is one division — identical across engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    parts = F.split(F.lower("text"), " ")
+    grams = F.when(
+        F.size(parts) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(parts) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(parts, i + 1),
+                F.element_at(parts, i + 2),
+                F.element_at(parts, i + 3),
+            ),
+        ),
+    ).otherwise(F.array(F.lower(F.col("text"))))
+    sh = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("g").alias("gb")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("g") == F.col("gb"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard_r",
+            F.floor(
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000,
+        )
+    )
+    return jac.filter(F.col("jaccard_r") > _JACCARD_TAU).select(
+        "doc_a", "doc_b", "n_inter", "jaccard_r"
+    )
+
+
+# --- q_dedup_embedding ------------------------------------------------------
+
+_EMB_TAU = 0.3
+
+_EMB_DEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id > b.vec_id
+  WHERE FLOOR(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) * 10000 + 0.5) / 10000
+        > {_EMB_TAU}
+)
+SELECT label,
+       COUNT(*) AS n_total,
+       COUNT(*) - COUNT(d.vec_id) AS n_kept,
+       COUNT(d.vec_id) AS n_dropped
+FROM e LEFT JOIN dups d USING (vec_id)
+GROUP BY label
+"""
+
+
+@register("q_dedup_embedding", oracle=_EMB_DEDUP_ORACLE)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: a vector is a duplicate iff some
+    lower-vec_id vector in the same label block has rounded cosine > τ=0.3
+    (keep-first-by-id policy — deterministic, no connected components).
+    Summarized per label: total / kept / dropped.
+
+    Same label-blocked pair skeleton as q_sim_threshold_pairs — the block key
+    is the IVF/LSH bucket stand-in at 100 TB; dot products are codegen'd JVM
+    expressions, vectors never leave the executors.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    e = e.withColumn("nrm", F.sqrt(dot_fixed(F.col("emb"), F.col("emb"))))
+    a = e.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("la"),
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
+        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    cos_r = (
+        F.floor(
+            dot_fixed(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    dups = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("va") > F.col("vb")))
+        .filter(cos_r > _EMB_TAU)
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        e.join(F.broadcast(dups), "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            (F.count(F.lit(1)) - F.count("is_dup")).alias("n_kept"),
+            F.count("is_dup").alias("n_dropped"),
+        )
+    )

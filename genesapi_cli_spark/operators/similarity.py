@@ -222,3 +222,122 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- q_sim_ann_lsh ----------------------------------------------------------
+
+N_PLANES = 4  # 2^4 = 16 buckets
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed, generated once at import).
+    The SAME Python floats are embedded as literals in both the Spark
+    expression tree and the oracle SQL, so the two engines project onto
+    bit-identical planes."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260813)
+    return rng.standard_normal((N_PLANES, EMBEDDING_DIM)).tolist()
+
+
+_PLANES = _hyperplanes()
+
+
+def _bucket_expr(emb: Column) -> Column:
+    """LSH bucket id: bit j = sign of ⟨emb, plane_j⟩ (left-to-right fold,
+    same order as DuckDB's list_dot_product → identical sign, no rounding
+    needed)."""
+    acc = F.lit(0)
+    for j, plane in enumerate(_PLANES):
+        proj = dot_fixed(emb, F.array(*[F.lit(v) for v in plane]))
+        acc = acc + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({emb}, {lit}) >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _ann_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, emb, nrm, ({_bucket_sql('emb')}) AS bucket FROM e
+), q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, bucket FROM bucketed
+  WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, emb AS cemb, nrm AS cnrm, bucket FROM bucketed
+  WHERE vec_id >= 10
+), scored AS (
+  SELECT query_id, neighbor_id, q.bucket AS bucket,
+         list_dot_product(qemb, cemb) / (qnrm * cnrm) AS cos
+  FROM q JOIN c USING (bucket)
+), ranked AS (
+  SELECT query_id, neighbor_id, bucket,
+         FLOOR(cos * 10000 + 0.5) / 10000 AS cos_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY FLOOR(cos * 10000 + 0.5) / 10000 DESC, neighbor_id
+         ) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, bucket, cos_r, rn FROM ranked WHERE rn <= 3
+"""
+
+
+@register("q_sim_ann_lsh", oracle=_ann_oracle())
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via sign-random-projection LSH: 4
+    deterministic hyperplanes → 16 buckets; each query (vec_id < 10) scores
+    ONLY candidates in its own bucket, top-3 by rounded cosine.
+
+    This is the scale path next to q_sim_cosine_topk's brute force: the
+    equi-join on bucket replaces the cross join, so candidate count per query
+    drops by ~2^planes and the whole thing shuffles on a small int key. At
+    100 TB: more planes (or IVF centroids) + multi-probe; the plan shape —
+    bucket equi-join then per-query top-k window — is unchanged.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    e = e.select(
+        "vec_id",
+        "emb",
+        F.sqrt(dot_fixed(F.col("emb"), F.col("emb"))).alias("nrm"),
+        _bucket_expr(F.col("emb")).alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+        "bucket",
+    )
+    scored = F.broadcast(q).join(c, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        "bucket",
+        (dot_fixed(F.col("qemb"), F.col("cemb")) / (F.col("qnrm") * F.col("cnrm"))).alias("cos"),
+    )
+    rounded = scored.withColumn("cos_r", F.floor(F.col("cos") * 10000 + F.lit(0.5)) / 10000)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "neighbor_id")
+    return (
+        rounded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "bucket", "cos_r", "rn")
+    )

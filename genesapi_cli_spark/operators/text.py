@@ -259,3 +259,246 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- q_text_langid ----------------------------------------------------------
+
+#: Disjoint marker-word lists per language label. The corpus vocabulary is
+#: synthetic (FIXTURES.md), so these are demo marker sets: the OPERATOR is the
+#: real deliverable — per-doc keyword-vote scoring + deterministic argmax, the
+#: exact shape of an n-gram language-ID heuristic at 100 TB (fixed tiny model
+#: broadcast to every executor; one pass; no shuffle before the final rollup).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("table", "row", "column"),
+    "en": ("the", "a", "value"),
+    "es": ("query", "scan", "filter"),
+    "fr": ("join", "merge", "sort"),
+    "zh": ("stream", "batch", "window"),
+}
+
+_LANGS = sorted(LANG_MARKERS)  # argmax tie-break: alphabetical
+
+
+def _langid_oracle() -> str:
+    score_cols = ",\n         ".join(
+        "len(list_filter(string_split(lower(text), ' '), w -> w IN ({}))) AS s_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+        )
+        for lang in _LANGS
+    )
+    mx = "GREATEST({})".format(", ".join(f"s_{lang}" for lang in _LANGS))
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lang} = mx THEN '{lang}'" for lang in _LANGS
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM documents
+), mxd AS (
+  SELECT doc_id, lang, {mx} AS mx, * FROM scored
+)
+SELECT lang, {pred} AS pred, COUNT(*) AS n_docs
+FROM mxd
+GROUP BY lang, pred
+"""
+
+
+@register("q_text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-word votes per language, argmax with
+    alphabetical tie-break; output is the (actual, predicted) confusion
+    rollup. All scoring is integer HOF filtering — JVM-side, no shuffle
+    until the final small groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    parts = F.split(F.lower("text"), " ")
+
+    def marker_hits(lang: str):
+        markers = LANG_MARKERS[lang]
+        return F.size(F.filter(parts, lambda w: w.isin(*markers)))
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[marker_hits(lang).alias(f"s_{lang}") for lang in _LANGS],
+    )
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in _LANGS])
+    chain = F.when(F.col(f"s_{_LANGS[0]}") == mx, F.lit(_LANGS[0]))
+    for lang in _LANGS[1:]:
+        chain = chain.when(F.col(f"s_{lang}") == mx, F.lit(lang))
+    return (
+        scored.withColumn("pred", chain)
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- q_text_quality ---------------------------------------------------------
+
+_STOPWORDS = ("a", "the")
+
+_QUALITY_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         LENGTH(text) AS n_chars,
+         len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('a', 'the'))) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_wlen,
+         CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+  FROM m
+)
+SELECT doc_id, lang, n_tokens,
+       {oracle_r4('mean_wlen', 'mean_wlen_r')},
+       {oracle_r4('stop_ratio', 'stop_ratio_r')},
+       {oracle_r4(
+           "LEAST(n_tokens / 50.0, 1.0) * 0.5"
+           " + (1.0 - stop_ratio) * 0.3"
+           " + LEAST(mean_wlen / 5.0, 1.0) * 0.2",
+           'score_r',
+       )}
+FROM r
+"""
+
+
+@register("q_text_quality", oracle=_QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score from cheap structural signals: token count,
+    mean word length, stopword ratio — the standard pre-training corpus
+    filter shape (C4/Gopher-style rules), as one JVM-side projection with no
+    shuffle at all. Score = 0.5·len_sat + 0.3·(1−stop_ratio) + 0.2·wlen_sat,
+    deterministically rounded."""
+    docs = load(spark, sf_dir, "documents")
+    parts = F.split(F.col("text"), " ")
+    n_tokens = F.size(parts)
+    n_stop = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda w: w.isin(*_STOPWORDS))
+    )
+    mean_wlen = (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    score = (
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - stop_ratio) * 0.3
+        + F.least(mean_wlen / F.lit(5.0), F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        r4(mean_wlen, "mean_wlen_r"),
+        r4(stop_ratio, "stop_ratio_r"),
+        r4(score, "score_r"),
+    )
+
+
+# --- q_text_tokens ----------------------------------------------------------
+
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_TOKENS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS ws_tokens,
+         len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS re_tokens,
+         len(list_filter(string_split(text, ' '), w -> LENGTH(w) > 5)) AS long_tokens
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(ws_tokens) AS sum_ws,
+       SUM(re_tokens) AS sum_re,
+       SUM(long_tokens) AS sum_long,
+       CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_ws
+FROM t
+GROUP BY lang
+"""
+
+
+@register("q_text_tokens", oracle=_TOKENS_ORACLE)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace split and a BPE-ish regex
+    lexer (letter runs | digit runs | single other-glyph), the standard
+    pre-tokenizer shape — rolled up per lang. Counting stays JVM-side
+    (regexp_extract_all + size); only per-doc ints reach the shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0)
+        ).alias("re_tokens"),
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 5)
+        ).alias("long_tokens"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("sum_ws"),
+        F.sum("re_tokens").alias("sum_re"),
+        F.sum("long_tokens").alias("sum_long"),
+        (F.sum("ws_tokens").cast("double") / F.count(F.lit(1))).alias("avg_ws"),
+    )
+
+
+# --- q_text_fingerprint -----------------------------------------------------
+
+FP_K = 5  # char k-gram length
+FP_W = 4  # winnowing window (k-grams per window)
+
+_FINGERPRINT_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, lang, lower(text) AS t,
+         unnest(range(1, GREATEST(LENGTH(text) - {FP_K - 1}, 1) + 1)) AS p
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, p,
+         ('0x' || substr(sha256(substr(t, p::INT, {FP_K})), 1, 15))::BIGINT AS h
+  FROM pos
+), fp AS (
+  SELECT doc_id, lang,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {FP_W - 1} FOLLOWING) AS f
+  FROM grams
+)
+SELECT doc_id, MIN(lang) AS lang,
+       COUNT(DISTINCT f) AS n_fp, MIN(f) AS min_fp
+FROM fp
+GROUP BY doc_id
+"""
+
+
+@register("q_text_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. local-minima
+    selection): hash every char 5-gram (sha256-prefix rolling the window by
+    position), keep the minimum hash of each 4-gram window, distinct mins =
+    the fingerprint set. Guarantees any shared substring ≥ k+w−1 chars yields
+    a shared fingerprint — the classic plagiarism/dup sketch.
+
+    Plan: one explode over positions (no joins), a doc-partitioned sliding
+    window min, then a per-doc distinct-count — all shuffles keyed by doc_id.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = F.lower("text")
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (FP_K - 1), F.lit(1))
+    )
+    pos = docs.select(
+        "doc_id", "lang", t.alias("t"), F.explode(positions).alias("p")
+    )
+    h = F.conv(
+        F.substring(F.sha2(F.substring(F.col("t"), F.col("p"), F.lit(FP_K)), 256), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    grams = pos.select("doc_id", "lang", "p", h.alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, FP_W - 1)
+    fp = grams.select("doc_id", "lang", F.min("h").over(w).alias("f"))
+    return fp.groupBy("doc_id").agg(
+        F.min("lang").alias("lang"),
+        F.countDistinct("f").alias("n_fp"),
+        F.min("f").alias("min_fp"),
+    )

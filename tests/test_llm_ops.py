@@ -1,0 +1,170 @@
+"""Golden/edge tests for the LLM-pipeline operators beyond the oracle gate:
+SimHash locality, Jaccard exactness, embedding-dedup keep-first policy,
+winnowing guarantee, langid determinism, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.operators.dedup import SIMHASH_BITS
+from genesapi_cli_spark.operators.multimodal import _decode_features, decode_image
+from genesapi_cli_spark.operators.text import FP_K, FP_W
+from genesapi_cli_spark.operators import dedup as dedup_mod
+
+
+def _simhash_of(spark, texts):
+    """Run the q_dedup_simhash pipeline on literal docs, return {doc: sig}."""
+    docs = spark.createDataFrame(
+        [(i, t, "xx") for i, t in enumerate(texts)], "doc_id long, text string, lang string"
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    hashed = tf.select("doc_id", "tf", dedup_mod._hash32(F.col("w")).alias("h"))
+    bits = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("tf")
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    import functools
+    import operator
+
+    sig = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    return {r.doc_id: r.s for r in bits.select("doc_id", sig.alias("s")).collect()}
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_simhash_locality(spark):
+    """Identical docs get identical signatures; a one-word change moves few
+    bits; unrelated docs are far apart."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("dog", "cat")
+    far = "completely different words about spark shuffles and parquet files"
+    sigs = _simhash_of(spark, [base, base, near, far])
+    assert sigs[0] == sigs[1]
+    assert 0 < _hamming(sigs[0], sigs[2]) <= 10
+    assert _hamming(sigs[0], sigs[3]) > _hamming(sigs[0], sigs[2])
+
+
+def test_jaccard_identical_docs(spark, tmp_path):
+    """Two identical docs must produce a pair with jaccard exactly 1.0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en"),
+            (2, "alpha beta gamma delta epsilon zeta", "en"),
+            (3, "nothing shared here at all folks", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = dedup_mod.q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard_r for r in out}
+    assert got == {(1, 2): 1.0}
+
+
+def test_winnowing_shared_substring(spark, tmp_path):
+    """Winnowing guarantee: docs sharing a substring of length ≥ k+w-1 share
+    at least one fingerprint."""
+    shared = "abcdefghij"  # len 10 >= FP_K + FP_W - 1 == 8
+    docs = spark.createDataFrame(
+        [
+            (1, f"xxxx {shared} yyyy", "en"),
+            (2, f"zz {shared} qqqqqq", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from genesapi_cli_spark.operators.text import q_text_fingerprint
+
+    # recompute the underlying fingerprint SETS (the query returns counts)
+    t = F.lower("text")
+    positions = F.sequence(F.lit(1), F.greatest(F.length("text") - (FP_K - 1), F.lit(1)))
+    pos = docs.select("doc_id", t.alias("t"), F.explode(positions).alias("p"))
+    h = F.conv(
+        F.substring(F.sha2(F.substring(F.col("t"), F.col("p"), F.lit(FP_K)), 256), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, FP_W - 1)
+    fp = pos.select("doc_id", F.min(h).over(w).alias("f"))
+    sets = {
+        r.doc_id: set(r.fps)
+        for r in fp.groupBy("doc_id").agg(F.collect_set("f").alias("fps")).collect()
+    }
+    assert sets[1] & sets[2], "shared substring must yield a shared fingerprint"
+    # and the registered query runs on the same fixture
+    rows = q_text_fingerprint(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+
+
+def test_embedding_dedup_keep_first(spark, tmp_path):
+    """Duplicate marking is keep-first-by-id: of two near-identical vectors
+    the higher vec_id is dropped; singletons are kept."""
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0] + [0.0] * 61),
+        (1, 0, [0.999, 0.001, 0.0] + [0.0] * 61),  # near-dup of 0 → dropped
+        (2, 0, [0.0, 1.0, 0.0] + [0.0] * 61),  # orthogonal → kept
+        (3, 1, [1.0, 0.0, 0.0] + [0.0] * 61),  # other label → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.label: (r.n_total, r.n_kept, r.n_dropped)
+        for r in dedup_mod.q_dedup_embedding(spark, str(tmp_path)).collect()
+    }
+    assert out == {0: (3, 2, 1), 1: (1, 1, 0)}
+
+
+def test_langid_marker_argmax(spark, tmp_path):
+    """Argmax + alphabetical tie-break: doc full of 'join merge sort' → fr;
+    doc with no markers at all → de (first alphabetically, all-zero tie)."""
+    docs = spark.createDataFrame(
+        [(1, "join merge sort join", "en"), (2, "unrelated words only", "zh")],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from genesapi_cli_spark.operators.text import q_text_langid
+
+    got = {
+        (r.lang, r.pred): r.n_docs for r in q_text_langid(spark, str(tmp_path)).collect()
+    }
+    assert got == {("en", "fr"): 1, ("zh", "de"): 1}
+
+
+def test_decode_stub_batch_shape():
+    """The decode stage is a real Arrow-batch transform: bytes in, fixed
+    feature frame out, row-aligned; the codec itself is stubbed."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "lang": ["en", "de"],
+            "mime": ["text/plain", "text/plain"],
+            "payload": [b"abc", b"de"],
+        }
+    )
+    (out,) = list(_decode_features(iter([pdf])))
+    assert list(out.columns) == ["doc_id", "lang", "mime", "n_bytes", "feat"]
+    assert out["n_bytes"].tolist() == [3, 2]
+    assert out["feat"].tolist() == [3 / 97, 2 / 97]
+    try:
+        decode_image(b"\x89PNG")
+        raise AssertionError("stub must raise")
+    except NotImplementedError:
+        pass
