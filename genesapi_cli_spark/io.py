@@ -60,3 +60,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load(spark, sf_dir, n) for n in names)
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread a small scan across all cores before a CPU-heavy stage.
+
+    The local testdata files are single-row-group parquet, so Spark plans ONE
+    input partition and interpreted/HOF-heavy stages serialize on one core.
+    Repartitioning (by the downstream grouping key when given, so the
+    follow-up aggregation needs no second shuffle) costs a tiny shuffle of
+    the raw rows and buys full parallelism.
+
+    No-op when the input already has >= defaultParallelism partitions: at
+    cluster scale inputs arrive pre-split, and an unconditional repartition
+    of 100 TB would be a catastrophic full shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)

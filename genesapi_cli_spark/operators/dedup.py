@@ -34,8 +34,8 @@ import operator
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load
-from genesapi_cli_spark.operators.similarity import as_double, dot_fixed
+from genesapi_cli_spark.io import load, spread
+from genesapi_cli_spark.operators.similarity import as_double, dot_expr
 from genesapi_cli_spark.registry import register
 
 # --- q_dedup_simhash --------------------------------------------------------
@@ -87,7 +87,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode → (doc, term) tf agg → 32 bit-sum aggregates in ONE
     groupBy (single shuffle on doc_id) → pure projection to the signature.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     words = docs.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).filter(F.length("w") > 0)
@@ -153,15 +153,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for candidate pairs sharing at
     least one shingle (same lang), keeping pairs above τ=0.2.
 
-    The join key is the shingle itself — the pair space is never enumerated;
-    |A∩B| falls out of a groupBy on the joined shingles and |A∪B| =
-    |A|+|B|−|A∩B| from pre-aggregated set sizes. Jaccard is an exact integer
-    ratio, so the only float op is one division — identical across engines.
+    The join key is the shingle itself — only pairs sharing ≥1 shingle are
+    ever generated, never O(n²). Per-doc set semantics come from an inline
+    array_distinct (no extra distinct shuffle); |A∩B| falls out of a groupBy
+    on the joined shingles and |A∪B| = |A|+|B|−|A∩B| from pre-aggregated set
+    sizes. Jaccard is an exact integer ratio, so the only float op is one
+    division — identical across engines. Hot-shingle skew is the 100 TB risk;
+    the documented escape hatch is dropping shingles occurring in >K docs
+    (stop-shingles), which only removes pairs already near-certain to be
+    found via rarer shingles.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     parts = F.split(F.lower("text"), " ")
-    grams = F.when(
-        F.size(parts) >= 3,
+    grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(parts) - 3),
             lambda i: F.concat_ws(
@@ -170,15 +174,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(parts, i + 2),
                 F.element_at(parts, i + 3),
             ),
-        ),
-    ).otherwise(F.array(F.lower(F.col("text"))))
-    sh = docs.select(
-        "doc_id", "lang", F.explode(F.array_distinct(grams)).alias("g")
+        )
     )
+    long_docs = docs.filter(F.size(parts) >= 3).select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    )
+    short_docs = docs.filter(F.size(parts) < 3).select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("g")
+    )
+    sh = long_docs.unionByName(short_docs)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g"
-    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g")
     b = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("g").alias("gb")
     )
@@ -244,42 +250,35 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep-first-by-id policy — deterministic, no connected components).
     Summarized per label: total / kept / dropped.
 
-    Same label-blocked pair skeleton as q_sim_threshold_pairs — the block key
-    is the IVF/LSH bucket stand-in at 100 TB; dot products are codegen'd JVM
-    expressions, vectors never leave the executors.
+    Same label-blocked pattern as q_sim_threshold_pairs, and the same
+    per-block Arrow/BLAS execution: one applyInPandas batch per label, one
+    matmul per block (a JVM pair join here would have only n_labels-way
+    parallelism and recompute the scan per side). The block key is the
+    IVF/LSH bucket stand-in at 100 TB; Python sees rows×dim floats per
+    block, never the pair space.
     """
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("emb")
-    )
-    e = e.withColumn("nrm", F.sqrt(dot_fixed(F.col("emb"), F.col("emb"))))
-    a = e.select(
-        F.col("vec_id").alias("va"), F.col("label").alias("la"),
-        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
-        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    cos_r = (
-        F.floor(
-            dot_fixed(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) * 10000
-            + F.lit(0.5)
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    def block_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        cos_r = np.floor((m @ m.T) / np.outer(nrm, nrm) * 10000 + 0.5) / 10000
+        # strict lower triangle: cos vs every LOWER vec_id (ids sorted)
+        dup = (np.tril(cos_r > _EMB_TAU, k=-1)).any(axis=1)
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_total": [n],
+                "n_kept": [int(n - dup.sum())],
+                "n_dropped": [int(dup.sum())],
+            }
         )
-        / 10000
-    )
-    dups = (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("va") > F.col("vb")))
-        .filter(cos_r > _EMB_TAU)
-        .select(F.col("va").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(1))
-    )
-    return (
-        e.join(F.broadcast(dups), "vec_id", "left")
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            (F.count(F.lit(1)) - F.count("is_dup")).alias("n_kept"),
-            F.count("is_dup").alias("n_dropped"),
-        )
+
+    return e.groupBy("label").applyInPandas(
+        block_dedup, schema="label int, n_total long, n_kept long, n_dropped long"
     )

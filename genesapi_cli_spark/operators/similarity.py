@@ -52,11 +52,36 @@ def dot_fixed(a: Column, b: Column, dim: int = EMBEDDING_DIM) -> Column:
     """Σ aᵢ·bᵢ unrolled to a left-associative add chain of element_at
     products — a plain codegen'd expression tree (~10× faster than the
     interpreted HOF fold on pair joins) with the SAME addition order as the
-    sequential fold, so oracle parity is unchanged."""
+    sequential fold, so oracle parity is unchanged. Prefer :func:`dot_expr`
+    on hot paths: building the 64-term tree node-by-node over Py4J costs
+    seconds of plan-build time; a generated SQL string parses JVM-side in one
+    call with identical semantics ('+' is left-associative in Spark SQL)."""
     acc = F.element_at(a, 1) * F.element_at(b, 1)
     for i in range(2, dim + 1):
         acc = acc + F.element_at(a, i) * F.element_at(b, i)
     return acc
+
+
+def dot_expr(a: str, b: str, dim: int = EMBEDDING_DIM) -> Column:
+    """dot_fixed as one generated SQL string (column NAMES, not Columns):
+    single Py4J round-trip, parsed + codegen'd JVM-side, same left-to-right
+    addition order as DuckDB's list_dot_product."""
+    return F.expr(
+        " + ".join(f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1))
+    )
+
+
+def dot_lit_expr(a: str, coeffs: list[float]) -> Column:
+    """⟨column, literal vector⟩ as one generated SQL string. Literals go
+    through CAST('<repr>' AS DOUBLE): Python repr round-trips the exact
+    double, and a string→double cast yields that same IEEE value (a bare
+    decimal literal would parse as DECIMAL and could re-round)."""
+    return F.expr(
+        " + ".join(
+            f"element_at({a}, {i + 1}) * CAST('{v!r}' AS DOUBLE)"
+            for i, v in enumerate(coeffs)
+        )
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -99,7 +124,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    e = e.select("vec_id", "emb", F.sqrt(dot_fixed(F.col("emb"), F.col("emb"))).alias("nrm"))
+    e = e.select("vec_id", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm"))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
     )
@@ -109,7 +134,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        (dot_fixed(F.col("qemb"), F.col("cemb")) / (F.col("qnrm") * F.col("cnrm"))).alias("cos"),
+        (dot_expr("qemb", "cemb") / (F.col("qnrm") * F.col("cnrm"))).alias("cos"),
     )
     rounded = scored.withColumn("cos_r", F.floor(F.col("cos") * 10000 + F.lit(0.5)) / 10000)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "neighbor_id")
@@ -206,10 +231,10 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id=vec_id, per-label text stats + mean embedding L2 norm. The raw
     vector is projected away before the result (scalars only leave the plan)."""
     docs = load(spark, sf_dir, "documents")
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.sqrt(dot_fixed(as_double("embedding"), as_double("embedding"))).alias("l2"),
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double("embedding").alias("embd"))
+        .select("vec_id", "label", F.sqrt(dot_expr("embd", "embd")).alias("l2"))
     )
     return (
         docs.join(emb, docs.doc_id == emb.vec_id)
@@ -243,13 +268,13 @@ def _hyperplanes() -> list[list[float]]:
 _PLANES = _hyperplanes()
 
 
-def _bucket_expr(emb: Column) -> Column:
+def _bucket_expr(emb_name: str) -> Column:
     """LSH bucket id: bit j = sign of ⟨emb, plane_j⟩ (left-to-right fold,
     same order as DuckDB's list_dot_product → identical sign, no rounding
     needed)."""
     acc = F.lit(0)
     for j, plane in enumerate(_PLANES):
-        proj = dot_fixed(emb, F.array(*[F.lit(v) for v in plane]))
+        proj = dot_lit_expr(emb_name, plane)
         acc = acc + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc
 
@@ -313,8 +338,8 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.select(
         "vec_id",
         "emb",
-        F.sqrt(dot_fixed(F.col("emb"), F.col("emb"))).alias("nrm"),
-        _bucket_expr(F.col("emb")).alias("bucket"),
+        F.sqrt(dot_expr("emb", "emb")).alias("nrm"),
+        _bucket_expr("emb").alias("bucket"),
     )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -332,7 +357,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         "bucket",
-        (dot_fixed(F.col("qemb"), F.col("cemb")) / (F.col("qnrm") * F.col("cnrm"))).alias("cos"),
+        (dot_expr("qemb", "cemb") / (F.col("qnrm") * F.col("cnrm"))).alias("cos"),
     )
     rounded = scored.withColumn("cos_r", F.floor(F.col("cos") * 10000 + F.lit(0.5)) / 10000)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "neighbor_id")

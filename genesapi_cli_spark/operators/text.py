@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load
+from genesapi_cli_spark.io import load, spread
 from genesapi_cli_spark.registry import oracle_r4, r4, register
 
 # --- q_dedup_exact ----------------------------------------------------------
@@ -130,7 +130,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf with top-3 terms per document. Ranking happens on the
     deterministically-rounded score (ties then break by term) so a last-ulp
     libm difference in LN can never flip the keep-set across engines."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     # N as a broadcast 1-row aggregate INSIDE the plan — a driver-side
     # .count() here would run a whole extra job per invocation
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -139,7 +139,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("term") > 2)
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (rows are unique per (doc, term)) — the explode+agg
+    # pipeline runs once instead of once per branch
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n))
@@ -188,31 +190,42 @@ N_BANDS = 8  # 4 rows per band
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH over word 3-shingles.
 
-    Pipeline (all JVM-side): shingle (higher-order array fns) → explode →
-    32 per-seed min-hash aggregates in ONE groupBy (single shuffle) → 8 band
-    hashes → explode bands → self-join on (band_id, band_hash) → distinct
-    pairs (doc_a < doc_b). Deterministic: murmur3 with fixed per-seed salts.
-    Rows-only check (no SQL oracle); determinism + golden-pair behavior are
-    pytest-verified (a one-word-changed near-dup pair must collide).
+    Pipeline: shingle-hash each doc inline (each 3-word shingle hashed ONCE
+    with xxhash64 — longs explode, strings never do) → 32 per-seed min-hash
+    aggregates in ONE groupBy (input is already clustered by doc_id via
+    spread, so this shuffles zero extra times) → 8 band hashes →
+    bucket-local pair generation. Deterministic: xxhash64 with fixed
+    per-seed salts. Measured against a posexplode+window-lead variant: the
+    inline transform wins (the window costs an extra sort + shuffle that
+    dwarfs the interpreted-HOF overhead once the scan is spread across
+    cores). Rows-only check (no SQL oracle); determinism + golden-pair
+    behavior are pytest-verified (a one-word-changed near-dup pair must
+    collide).
     """
-    docs = load(spark, sf_dir, "documents")
-    words = F.split(F.lower("text"), " ")
-    # 3-word shingles; docs shorter than 3 words fall back to the whole text
-    shingles = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i + 1), F.element_at(words, i + 2), F.element_at(words, i + 3)
-            ),
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    parts = F.split(F.lower("text"), " ")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 3),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ",
+                F.element_at(parts, i + 1),
+                F.element_at(parts, i + 2),
+                F.element_at(parts, i + 3),
+            )
         ),
-    ).otherwise(F.array(F.col("text")))
-    exploded = docs.select("doc_id", F.explode(shingles).alias("shingle"))
-    # hash each shingle string ONCE (xxhash64), then derive the per-seed
-    # values by re-hashing the fixed 8-byte long with a seed literal: hashing
-    # the variable-length string 32 times was the dominant cost; each derived
-    # hash is constant work and overflow-free under ANSI mode.
-    hashed = exploded.select("doc_id", F.xxhash64("shingle").alias("h"))
+    )
+    long_docs = docs.filter(F.size(parts) >= 3).select(
+        "doc_id", F.explode(shingle_hashes).alias("h")
+    )
+    # docs shorter than 3 words fall back to hashing the whole raw text
+    short_docs = docs.filter(F.size(parts) < 3).select(
+        "doc_id", F.xxhash64("text").alias("h")
+    )
+    # per-seed values derive from the single shingle hash by re-hashing the
+    # fixed 8-byte long with a seed literal — constant work per seed and
+    # overflow-free under ANSI mode.
+    hashed = long_docs.unionByName(short_docs)
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"h{j}")
@@ -257,7 +270,6 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(F.explode(pair_array).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -310,7 +322,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabetical tie-break; output is the (actual, predicted) confusion
     rollup. All scoring is integer HOF filtering — JVM-side, no shuffle
     until the final small groupBy."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     parts = F.split(F.lower("text"), " ")
 
     def marker_hits(lang: str):
@@ -371,7 +383,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter shape (C4/Gopher-style rules), as one JVM-side projection with no
     shuffle at all. Score = 0.5·len_sat + 0.3·(1−stop_ratio) + 0.2·wlen_sat,
     deterministically rounded."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     parts = F.split(F.col("text"), " ")
     n_tokens = F.size(parts)
     n_stop = F.size(
@@ -423,7 +435,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexer (letter runs | digit runs | single other-glyph), the standard
     pre-tokenizer shape — rolled up per lang. Counting stays JVM-side
     (regexp_extract_all + size); only per-doc ints reach the shuffle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     t = docs.select(
         "lang",
         F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
@@ -481,7 +493,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one explode over positions (no joins), a doc-partitioned sliding
     window min, then a per-doc distinct-count — all shuffles keyed by doc_id.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     t = F.lower("text")
     positions = F.sequence(
         F.lit(1), F.greatest(F.length("text") - (FP_K - 1), F.lit(1))

@@ -70,6 +70,4 @@ def q_sink_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact_id) — JSON key order is engine-specific, so the check is rows-only;
     document structure is golden-tested in tests/test_sinks.py."""
     docs = order_documents(spark, sf_dir)
-    return docs.select(
-        "o_orderkey", F.length("doc").alias("doc_len"), "fact_id"
-    ).orderBy("o_orderkey")
+    return docs.select("o_orderkey", F.length("doc").alias("doc_len"), "fact_id")
