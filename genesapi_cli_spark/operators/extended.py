@@ -1,0 +1,251 @@
+"""Extended relational surface: subqueries, unpivot, distribution windows,
+exact percentiles, ordered string aggregation, deterministic sampling.
+
+These close out the long tail of query shapes a reference user would expect
+from a general engine (SURVEY.md §2 conventions apply: aliased columns,
+r4 rounding, tie-free ordering). Each is idiomatic Catalyst surface — the
+subquery forms specifically exercise Spark's subquery decorrelation rather
+than hand-written join rewrites.
+
+Scale notes:
+- scalar/correlated subqueries decorrelate to broadcast/shuffle joins in the
+  physical plan (verify with .explain: no iterative execution exists).
+- the hash-sample is the 100 TB sampling pattern: a deterministic pure-column
+  predicate (sha256 prefix mod k) that pushes into the scan, samples the SAME
+  rows on every engine and every run, and needs no global state — unlike
+  TABLESAMPLE, which is engine- and run-dependent.
+- string_agg materializes per-group lists: bounded by group cardinality
+  (regions×nations here); at scale cap list length or pre-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import oracle_r4, r4, register
+
+# --- q_subquery_scalar ------------------------------------------------------
+
+_SUBQ_SCALAR_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_above_avg,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_above
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_subquery_scalar", oracle=_SUBQ_SCALAR_ORACLE)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above the global average price.
+    Written as SQL so Catalyst's scalar-subquery planning (subquery → 1-row
+    broadcast) is what executes — not a hand-rolled crossJoin."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_above_avg,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_above
+        FROM v_orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM v_orders)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+# --- q_subquery_correlated --------------------------------------------------
+
+_SUBQ_CORR_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n_rich
+FROM customer c
+WHERE c_acctbal > (
+  SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+)
+GROUP BY c_nationkey
+"""
+
+
+@register("q_subquery_correlated", oracle=_SUBQ_CORR_ORACLE)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's average
+    balance. Catalyst decorrelates this to an aggregate + equi-join — there
+    is no per-row re-execution (check .explain: one shuffle on nationkey)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS n_rich
+        FROM v_customer c
+        WHERE c_acctbal > (
+          SELECT AVG(c2.c_acctbal) FROM v_customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        GROUP BY c_nationkey
+        """
+    )
+
+
+# --- q_unpivot --------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(27,7))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value FROM (
+  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+)
+"""
+
+
+@register("q_unpivot", oracle=_UNPIVOT_ORACLE)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of q_genesis_pivot, i.e. the EAV shape
+    GENESIS facts natively have): per-returnflag measure columns melted to
+    (key, measure, value) rows via DataFrame.unpivot."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(27,7)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,7)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(27,7)")).cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# --- q_window_ntile ---------------------------------------------------------
+
+_NTILE_ORACLE = f"""
+WITH w AS (
+  SELECT c_nationkey, c_custkey,
+         NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS quartile,
+         PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS pr,
+         CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS cd
+  FROM customer
+)
+SELECT c_nationkey, quartile,
+       COUNT(*) AS n,
+       MIN(c_custkey) AS min_key,
+       {oracle_r4('MAX(pr)', 'max_pr')},
+       {oracle_r4('MAX(cd)', 'max_cd')}
+FROM w
+GROUP BY c_nationkey, quartile
+"""
+
+
+@register("q_window_ntile", oracle=_NTILE_ORACLE)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile/percent_rank/cume_dist over a
+    tie-free ordering (acctbal, custkey), rolled up per (nation, quartile).
+    percent_rank and cume_dist are exact integer ratios → identical doubles
+    across engines; r4 is belt-and-braces."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    t = cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return t.groupBy("c_nationkey", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_custkey").alias("min_key"),
+        r4(F.max("pr"), "max_pr"),
+        r4(F.max("cd"), "max_cd"),
+    )
+
+
+# --- q_agg_percentile -------------------------------------------------------
+
+_PCTL_ORACLE = f"""
+SELECT c_nationkey,
+       {oracle_r4('quantile_cont(c_acctbal, 0.25)', 'p25')},
+       {oracle_r4('quantile_cont(c_acctbal, 0.5)', 'p50')},
+       {oracle_r4('quantile_cont(c_acctbal, 0.9)', 'p90')}
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("q_agg_percentile", oracle=_PCTL_ORACLE)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per nation (Spark `percentile` ↔
+    DuckDB `quantile_cont`, both linear interpolation on the sorted values;
+    r4 absorbs last-ulp interpolation differences). The exact form sorts per
+    group; the 100 TB path swaps in percentile_approx (t-digest sketch,
+    mergeable, single pass) — same query shape."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        r4(F.percentile("c_acctbal", F.lit(0.25)), "p25"),
+        r4(F.percentile("c_acctbal", F.lit(0.5)), "p50"),
+        r4(F.percentile("c_acctbal", F.lit(0.9)), "p90"),
+    )
+
+
+# --- q_agg_string_agg -------------------------------------------------------
+
+_STRAGG_ORACLE = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("q_agg_string_agg", oracle=_STRAGG_ORACLE)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): sorted collect_list joined with
+    a separator — deterministic because the list is sorted before joining
+    (plain collect_list order is partition-dependent)."""
+    nation = load(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+# --- q_sample_hash ----------------------------------------------------------
+
+_SAMPLE_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_sampled
+FROM orders
+WHERE ('0x' || substr(sha256(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_sample_hash", oracle=_SAMPLE_ORACLE)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample of orders (sha256(key) prefix mod 10):
+    the reproducible sampling primitive for pipeline debugging at 100 TB —
+    a pure column predicate, identical rows on every engine/run/partition
+    layout, unlike TABLESAMPLE."""
+    orders = load(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.sha2(F.col("o_orderkey").cast("string"), 256), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        orders.filter(h % 10 == 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,7)")).cast("double").alias("sum_sampled"),
+        )
+    )

@@ -154,3 +154,42 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         assert (live_win_start, 6) in rows, rows
     finally:
         q.stop()
+
+
+def test_stateful_profile_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user profile accumulated across multiple
+    micro-batches (one file each) must equal the batch groupBy over all
+    events — state survives batch boundaries."""
+    import math
+
+    from genesapi_cli_spark.streaming.stateful import user_running_profile
+
+    src = _write_event_files(spark, tmp_path, 3)
+    stream = events_file_stream(spark, src)
+    q = run_to_memory(user_running_profile(stream), "t_stateful", output_mode="update")
+    try:
+        # update-mode memory sink appends one row per (user, batch); the
+        # final state per user is the one with the largest (monotone) count
+        rows = spark.sql("SELECT * FROM t_stateful").collect()
+        got = {}
+        for r in rows:
+            if r.user_id not in got or r.n_events > got[r.user_id][0]:
+                got[r.user_id] = (r.n_events, r.total_value, r.max_value)
+        exp = {
+            r.user_id: (r.n, r.tv, r.mv)
+            for r in load(spark, SMOKE_SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("tv"),
+                F.max("value").alias("mv"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exp)
+        for u in exp:
+            assert got[u][0] == exp[u][0]
+            assert math.isclose(got[u][1], exp[u][1], rel_tol=1e-9)
+            assert math.isclose(got[u][2], exp[u][2], rel_tol=1e-12)
+    finally:
+        q.stop()
