@@ -160,3 +160,66 @@ def q_source_cube_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only check; golden expectations in tests/test_cube_parser.py:
     4 rows, confidential tokens → NULL + quality flag, GES codes in dims)."""
     return parse_cube_text(spark, SAMPLE_CUBE_TEXT).orderBy("region_id", "dims.GES")
+
+
+@register("q_genesis_schema", oracle=None)
+def q_genesis_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/schema build (``genesapi/schema.py`` upstream): aggregate the
+    parsed facts into the per-(statistic, measure) metadata tree the GraphQL
+    layer would expose — fact/region/year coverage plus the observed value
+    set of every dimension. Rows-only; golden-tested.
+
+    Plan shape: explode the dims map once, then two small aggregations —
+    exactly the metadata-derivation pass the reference runs across all cubes,
+    here as one shuffle keyed by (statistic, measure)."""
+    facts = parse_cube_text(spark, SAMPLE_CUBE_TEXT)
+    dim_values = (
+        facts.select(
+            "statistic", "measure", F.explode("dims").alias("dim", "dim_value")
+        )
+        .groupBy("statistic", "measure", "dim")
+        .agg(F.sort_array(F.collect_set("dim_value")).alias("values"))
+        .groupBy("statistic", "measure")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("dim", "values")))
+            ).alias("dim_domains")
+        )
+    )
+    coverage = facts.groupBy("statistic", "measure").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.count("value").alias("n_values"),
+        F.countDistinct("region_id").alias("n_regions"),
+        F.min("year").alias("year_min"),
+        F.max("year").alias("year_max"),
+    )
+    return coverage.join(dim_values, ["statistic", "measure"]).select(
+        "statistic",
+        "measure",
+        "n_facts",
+        "n_values",
+        "n_regions",
+        "year_min",
+        "year_max",
+        F.to_json("dim_domains").alias("dim_domains_json"),
+    )
+
+
+@register("q_genesis_region_rollup", oracle=None)
+def q_genesis_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGS regional-hierarchy rollup: GENESIS region keys nest by prefix
+    (2=Land, 5=Kreis, 8=Gemeinde), so aggregation up the hierarchy is a
+    substring groupBy — no hierarchy table needed. Confidential (NULL)
+    values stay excluded; n_locked counts them, preserving the reference's
+    quality-flag accounting. Rows-only; golden-tested."""
+    facts = parse_cube_text(spark, SAMPLE_CUBE_TEXT)
+    return (
+        facts.withColumn("land", F.substring("region_id", 1, 2))
+        .groupBy("land", "year", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.count("value").alias("n_values"),
+            F.sum("value").alias("total"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_locked"),
+        )
+    )

@@ -57,3 +57,28 @@ D;QEI;05911;2020;1234;e;;12,5;p;
     assert m1.measure == "M1" and m1.value == 1234.0 and m1.year == 2020
     assert m2.measure == "M2" and m2.value == 12.5 and m2.quality == "p"
     assert m1.dims == {}  # single (regional) axis → no extra dimensions
+
+
+def test_genesis_schema_golden(spark):
+    """Catalog build over the sample cube: one (statistic, measure) row with
+    full coverage metadata and the observed GES dimension domain."""
+    import json
+
+    from genesapi_cli_spark.sources.cube import q_genesis_schema
+
+    (row,) = q_genesis_schema(spark, "").collect()
+    assert (row.statistic, row.measure) == ("12411", "BEVSTD")
+    assert (row.n_facts, row.n_values, row.n_regions) == (4, 2, 2)
+    assert (row.year_min, row.year_max) == (2014, 2014)
+    assert json.loads(row.dim_domains_json) == {"GES": ["GESM", "GESW"]}
+
+
+def test_genesis_region_rollup_golden(spark):
+    """AGS prefix rollup: both sample regions share Land '01'; the two
+    confidential values count as locked and are excluded from the total."""
+    from genesapi_cli_spark.sources.cube import q_genesis_region_rollup
+
+    (row,) = q_genesis_region_rollup(spark, "").collect()
+    assert (row.land, row.year, row.measure) == ("01", 2014, "BEVSTD")
+    assert (row.n_facts, row.n_values, row.n_locked) == (4, 2, 2)
+    assert row.total == 43520 + 45678

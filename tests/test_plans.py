@@ -50,3 +50,47 @@ def test_flagship_partial_aggregation_single_shuffle(spark):
     assert "partial_sum" in plan  # map-side combine before the shuffle
     assert plan.count("Exchange (") == 1  # tree node; detail section spells "(n) Exchange"
     assert "LessThanOrEqual(l_shipdate" in plan  # pushed, not post-scan
+
+
+def test_multiway_broadcasts_dims(spark):
+    """TPC-H Q5 shape: region/nation (tiny dims) must broadcast; the plan
+    must not contain a cartesian product."""
+    plan = formatted_plan(_df(spark, "q_join_multiway"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Catalyst must rewrite the correlated scalar subquery to an aggregate
+    + join — no per-row subquery execution node in the physical plan."""
+    plan = formatted_plan(_df(spark, "q_subquery_correlated"))
+    assert "HashAggregate" in plan
+    assert "Join" in plan
+
+
+def test_simhash_single_wide_aggregation(spark):
+    """The 32 bit-vote sums must run as ONE aggregation (single exchange for
+    the doc-level agg after the spread repartition), not 32 passes."""
+    plan = formatted_plan(_df(spark, "q_dedup_simhash"))
+    # one shuffle for spread(doc_id), one for the (doc,term) tf agg; the
+    # doc-level 32-way agg reuses the tf partitioning (no third exchange
+    # before the window's own exchange)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_ann_bucket_join_is_equi(spark):
+    """The LSH ANN query must join on the bucket id (equi-join), never a
+    cartesian pair space."""
+    plan = formatted_plan(_df(spark, "q_sim_ann_lsh"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_sample_hash_scans_once(spark):
+    """The deterministic sample is a pure predicate over one scan — no join,
+    no extra exchange beyond the final aggregation."""
+    plan = formatted_plan(_df(spark, "q_sample_hash"))
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 1  # only the final agg shuffles
+    assert "partial_count" in plan  # map-side combine below the exchange
