@@ -249,3 +249,92 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(27,7)")).cast("double").alias("sum_sampled"),
         )
     )
+
+
+# --- q_merge_upsert ---------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
+), updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+         1 AS version
+  FROM orders WHERE o_orderkey % 100 = 0
+), merged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       SUM(version) AS n_updated,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS total
+FROM merged WHERE rn = 1
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_merge_upsert", oracle=_MERGE_ORACLE)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-style MERGE/upsert without a table format: union base + updates,
+    keep the highest-version row per key (row_number over version desc).
+    This is the reference's idempotent-replay semantics (ES upsert keyed by
+    fact_id, upstream serialize.py) as a pure relational transform; on a
+    lake it is the rewrite under Delta/Iceberg MERGE INTO. One shuffle on
+    the key; updates side is generated here but would be the CDC feed."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("version")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit(1).alias("version"),
+    )
+    merged = base.unionByName(updates)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    latest = merged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("version").alias("n_updated"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,7)")).cast("double").alias("total"),
+    )
+
+
+# --- q_agg_salted -----------------------------------------------------------
+
+N_SALTS = 8
+
+_SALTED_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_agg_salted", oracle=_SALTED_ORACLE)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation of a LOW-CARDINALITY/skewed key
+    (l_returnflag has 3 values — every row of a 100 TB table lands on 3
+    reducers without salting): stage 1 aggregates by (key, salt) spreading
+    each hot key over N_SALTS reducers, stage 2 merges the partials by key.
+    Result is identical to the direct groupBy (the oracle IS the direct
+    form); decimal partials keep the float sum order-independent. The salt
+    is a deterministic hash of a unique column, not rand(), so reruns and
+    retried tasks agree."""
+    li = load(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS))
+    stage1 = (
+        li.withColumn("salt", salt)
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("l_quantity").cast("decimal(27,7)")).alias("pq"),
+        )
+    )
+    return stage1.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+    )

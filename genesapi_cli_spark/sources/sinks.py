@@ -71,3 +71,36 @@ def q_sink_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     document structure is golden-tested in tests/test_sinks.py."""
     docs = order_documents(spark, sf_dir)
     return docs.select("o_orderkey", F.length("doc").alias("doc_len"), "fact_id")
+
+
+def bulk_sink(df: DataFrame, send_batch, batch_size: int = 500) -> int:
+    """Batched external sink — the Spark-native form of the reference's
+    Elasticsearch ``helpers.parallel_bulk`` loop (upstream indexing path):
+    ``foreachPartition`` gives one connection per partition (per executor
+    task), rows are buffered into bounded batches, and ``send_batch`` is the
+    pluggable transport (ES bulk POST, HTTP, JDBC executemany…).
+
+    At 100 TB this is the correct shape: no driver-side collect, connection
+    count = partition count (tune with repartition), batch size bounds both
+    sink-request size and executor memory. Exactly-once comes from
+    deterministic document ids (fact_id) + idempotent upsert on the sink
+    side, mirroring the reference. Returns the number of batches sent
+    (driver-side count via accumulator).
+    """
+    spark = df.sparkSession
+    acc = spark.sparkContext.accumulator(0)
+
+    def _per_partition(rows):
+        batch = []
+        for row in rows:
+            batch.append(row)
+            if len(batch) >= batch_size:
+                send_batch(batch)
+                acc.add(1)
+                batch = []
+        if batch:
+            send_batch(batch)
+            acc.add(1)
+
+    df.foreachPartition(_per_partition)
+    return acc.value
