@@ -19,6 +19,8 @@ import genesapi_cli_spark
 from genesapi_cli_spark.registry import REGISTRY
 from genesapi_cli_spark.session import build_session
 
+from pyspark.sql import functions as F
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -33,12 +35,36 @@ def main() -> int:
     only = set(sys.argv[1:]) or None
     spark = build_session(app_name="genesapi-bench")
 
-    # JVM/codegen warmup so the first measured query isn't charged startup
-    # cost: a trivial agg, a local-relation createDataFrame (first use spins
-    # up Python→JVM conversion), and a parquet footer read.
+    # Engine warmup so the first measured query of each kind isn't charged
+    # one-time startup cost (data-independent infrastructure, not query
+    # results): JVM codegen templates for agg/window/explode/join, the
+    # parquet reader path, Arrow setup, and — the big one — the Python UDF
+    # worker pool, which the first pandas_udf/applyInPandas query otherwise
+    # pays ~1s to spawn.
     materialize(spark.range(1000).selectExpr("sum(id) AS s"))
     materialize(spark.createDataFrame([(1, "w")], "a int, b string"))
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = spark.range(256).selectExpr(
+        "id", "id % 7 AS k", "sha2(cast(id AS string), 256) AS s", "xxhash64(id) AS h"
+    )
+    materialize(
+        warm.selectExpr(
+            "k",
+            "sum(id) OVER (PARTITION BY k ORDER BY id) AS rs",
+            "row_number() OVER (PARTITION BY k ORDER BY id) AS rn",
+        )
+    )
+    materialize(
+        warm.groupBy("k").agg(F.sort_array(F.collect_list("id")).alias("xs"))
+        .select("k", F.explode("xs").alias("x"))
+    )
+    materialize(warm.join(F.broadcast(warm.select("k").distinct()), "k"))
+
+    def _warm_pandas(it):
+        for pdf in it:
+            yield pdf
+
+    materialize(warm.select("k", "id").mapInPandas(_warm_pandas, schema="k long, id long"))
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -64,3 +64,77 @@ def test_topk_subset_of_group(spark, vals):
     assert all(c <= 2 for c in per_group.values())
     src = {(r.g, r.k) for r in df.collect()}
     assert {(r.g, r.k) for r in top.collect()} <= src
+
+
+@given(docs=st.lists(DOC, min_size=2, max_size=8))
+@_slow
+def test_jaccard_bounds_and_identity(spark, docs):
+    """Registered n-gram Jaccard: every emitted pair score is in (0.2, 1.0];
+    a duplicated doc always pairs with its copy at exactly 1.0."""
+    import tempfile
+
+    from genesapi_cli_spark.operators.dedup import q_dedup_ngram_jaccard
+
+    rows = [(i, d, "xx") for i, d in enumerate(docs)]
+    rows.append((len(docs), docs[0], "xx"))  # exact copy of doc 0
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        out = q_dedup_ngram_jaccard(spark, tmp).collect()
+    scores = {(r.doc_a, r.doc_b): r.jaccard_r for r in out}
+    assert all(0.2 < v <= 1.0 for v in scores.values())
+    assert scores.get((0, len(docs))) == 1.0
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_slow
+def test_salted_agg_equals_direct(spark, vals):
+    """Two-stage salted aggregation must be exactly equal to the direct
+    groupBy for any data (decimal partials make it order-independent)."""
+    df = spark.createDataFrame(
+        [(k, float(v), i) for i, (k, v) in enumerate(vals)], "k int, v double, uid long"
+    )
+    direct = {
+        (r.k): (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(27,7)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    salted1 = (
+        df.withColumn("salt", F.pmod(F.xxhash64("uid"), F.lit(4)))
+        .groupBy("k", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("v").cast("decimal(27,7)")).alias("pq"),
+        )
+    )
+    salted = {
+        (r.k): (r.n, r.s)
+        for r in salted1.groupBy("k")
+        .agg(F.sum("pn").alias("n"), F.sum("pq").cast("double").alias("s"))
+        .collect()
+    }
+    assert salted == direct
+
+
+@given(keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True))
+@_slow
+def test_hash_sample_deterministic_subset(spark, keys):
+    """The sha256 hash-sample picks a stable subset: rerunning yields the
+    identical key set, and it is always a subset of the input."""
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    h = F.conv(F.substring(F.sha2(F.col("k").cast("string"), 256), 1, 8), 16, 10).cast("long")
+    pick = lambda: {r.k for r in df.filter(h % 10 == 0).collect()}  # noqa: E731
+    first, second = pick(), pick()
+    assert first == second
+    assert first <= set(keys)
