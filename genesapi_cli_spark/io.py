@@ -79,3 +79,22 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+def write_bucketed(df: DataFrame, name: str, key: str, n_buckets: int, path: str) -> None:
+    """Persist a table bucketed+sorted by its join key — the 100 TB layout
+    decision for repeated co-located joins (SURVEY.md §4.2): two tables
+    bucketed the same way join with ZERO shuffle (bucket layout supplies
+    the distribution, the sort supplies the order for SortMergeJoin).
+
+    Uses saveAsTable (external, explicit path) because bucket metadata lives
+    in the catalog; plain parquet files cannot carry it.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )

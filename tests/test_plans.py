@@ -4,6 +4,8 @@ top-k — the properties that make these plans survive a 100× scale-up."""
 from __future__ import annotations
 
 import genesapi_cli_spark
+from pyspark.sql import functions as F
+
 from genesapi_cli_spark.plans.inspect import assert_in_plan, formatted_plan
 from genesapi_cli_spark.registry import REGISTRY
 
@@ -94,3 +96,30 @@ def test_sample_hash_scans_once(spark):
     assert "Join" not in plan
     assert plan.count("Exchange (") == 1  # only the final agg shuffles
     assert "partial_count" in plan  # map-side combine below the exchange
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must SortMergeJoin with no
+    Exchange — the co-located-join layout that makes repeated 100 TB joins
+    shuffle-free."""
+    from genesapi_cli_spark.io import load, write_bucketed
+    from genesapi_cli_spark.plans.inspect import formatted_plan
+
+    orders = load(spark, ORACLE_SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, ORACLE_SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", 8, str(tmp_path / "b_orders"))
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8, str(tmp_path / "b_lineitem"))
+    # at sf0.01 the small side would auto-broadcast; hint MERGE to exercise
+    # the layout the buckets exist for (at 100 TB neither side broadcasts)
+    joined = spark.table("b_orders").hint("merge").join(
+        spark.table("b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    plan = formatted_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket layout replaces the shuffle
+    # result sanity: same row count as the plain join
+    plain = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    assert joined.count() == plain.count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -1,0 +1,78 @@
+"""Source-format coverage beyond parquet: CSV and JSON/NDJSON read paths
+with explicit schemas round-trip the same rows (SURVEY.md §2.1 — the
+reference's storage is text-based, so text sources are first-class here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+
+from .conftest import SMOKE_SF_DIR
+
+
+def _key_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    """orders → CSV (header) → read back with explicit schema: identical
+    rows, no inference drift. Explicit schemas are mandatory at scale —
+    inference reads the data twice and can flip types between runs."""
+    orders = load(spark, SMOKE_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_csv")
+    orders.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .option("header", True)
+        .csv(path)
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    assert _key_rows(back, cols) == _key_rows(orders, cols)
+
+
+def test_ndjson_roundtrip_nested(spark, tmp_path):
+    """Nested struct + array survives an NDJSON round-trip with an explicit
+    schema — the document shape of the reference's serialize output."""
+    docs = (
+        load(spark, SMOKE_SF_DIR, "orders")
+        .limit(100)
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+            ).alias("meta"),
+            F.array(F.col("o_orderkey"), F.col("o_orderkey") + 1).alias("refs"),
+        )
+    )
+    path = str(tmp_path / "docs_ndjson")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey long, meta struct<status:string,total:double>, refs array<bigint>"
+    ).json(path)
+    got = sorted((r.o_orderkey, r.meta.status, r.meta.total, tuple(r.refs)) for r in back.collect())
+    exp = sorted((r.o_orderkey, r.meta.status, r.meta.total, tuple(r.refs)) for r in docs.collect())
+    assert got == exp
+
+
+def test_csv_malformed_rows_quarantined(spark, tmp_path):
+    """PERMISSIVE mode + columnNameOfCorruptRecord: bad rows land in the
+    corrupt-record column instead of failing the load — the value-cleaning
+    posture of the reference's parser (bad tokens never kill the batch)."""
+    p = tmp_path / "m.csv"
+    p.write_text("k,v\n1,10\nbad_row_only_one_col\n2,20\n")
+    df = (
+        spark.read.schema("k int, v int, _corrupt string")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+    )
+    rows = df.collect()
+    good = {(r.k, r.v) for r in rows if r._corrupt is None}
+    bad = [r._corrupt for r in rows if r._corrupt is not None]
+    assert good == {(1, 10), (2, 20)}
+    assert bad == ["bad_row_only_one_col"]
