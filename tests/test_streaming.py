@@ -193,3 +193,25 @@ def test_stateful_profile_across_batches(spark, tmp_path):
             assert math.isclose(got[u][2], exp[u][2], rel_tol=1e-12)
     finally:
         q.stop()
+
+
+def test_ndjson_sink_exactly_once_on_replay(spark, tmp_path):
+    """Checkpointed file sink: re-starting the same query over the same
+    source and checkpoint must not duplicate output rows — the streaming
+    form of the reference's idempotent indexing."""
+    src = _write_event_files(spark, tmp_path, 2)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    agg = tumbling_counts(with_watermark(events_file_stream(spark, src), "0 seconds"))
+    from genesapi_cli_spark.streaming.runtime import write_ndjson_stream
+
+    q1 = write_ndjson_stream(agg, out, ckpt)
+    q1.awaitTermination(120)
+    q1.stop()
+    n_first = spark.read.json(out).count()
+    assert n_first > 0
+    # replay: same source, same checkpoint — nothing new to process
+    q2 = write_ndjson_stream(agg, out, ckpt)
+    q2.awaitTermination(120)
+    q2.stop()
+    assert spark.read.json(out).count() == n_first
