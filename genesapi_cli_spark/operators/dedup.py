@@ -282,3 +282,85 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").applyInPandas(
         block_dedup, schema="label int, n_total long, n_kept long, n_dropped long"
     )
+
+
+# --- q_dedup_clusters (iterative connected components) ----------------------
+
+
+def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node's
+    label converges to the smallest doc_id reachable from it — the canonical
+    keeper of its duplicate cluster.
+
+    This is the "iterative algorithm" class the declarative layer can't
+    express in one plan: a driver-side loop where EACH step is a distributed
+    join + aggregate, with ``localCheckpoint`` truncating lineage per
+    iteration (otherwise the plan doubles every round) and an early-exit
+    when a round changes no label. Iteration count is bounded by the cluster
+    diameter — near-dup clusters are shallow (stars/cliques), so this
+    converges in 2-4 rounds in practice; max_iters is the safety bound.
+    At 100 TB use the same loop over pre-partitioned (node-keyed) storage;
+    the per-round cost is one shuffle of the edge list.
+    """
+    nodes = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                labels.node.alias("node"),
+                F.least(labels.label, F.coalesce("nb_min", labels.label)).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels
+
+
+@register("q_dedup_clusters", oracle=None)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the MinHash candidate pairs: connected
+    components over the near-dup pair graph, one row per cluster with its
+    canonical keeper (min doc_id = the component label) and size. This is
+    the step that turns pairwise similarity into the actual keep/drop
+    decision of a corpus dedup pipeline (pairs alone over-count: A~B, B~C
+    must drop two docs, not be handled independently). Rows-only (iterative;
+    not expressible as one SQL query); golden + invariant pytest coverage."""
+    from genesapi_cli_spark.operators.text import q_dedup_near_minhash
+
+    pairs = q_dedup_near_minhash(spark, sf_dir)
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc"))
+        .select(
+            F.col("label").alias("keeper_doc"),
+            "n_docs",
+            "max_doc",
+            (F.col("n_docs") - 1).alias("n_dropped"),
+        )
+    )

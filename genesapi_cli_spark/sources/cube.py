@@ -223,3 +223,20 @@ def q_genesis_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("value")).alias("n_locked"),
         )
     )
+
+
+def parse_cube_file(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a cube export FILE (or glob/directory of one cube's files).
+
+    Header records are O(10) lines — read driver-side (the parquet-footer
+    analog); the fact body streams through ``spark.read.text`` so a
+    lake-scale dump parses as an ordinary projected scan: the D;QEI filter
+    and the split/element_at projection run executor-side with whole-stage
+    codegen, and input splitting gives per-file/least-per-block parallelism.
+    """
+    body = spark.read.text(path)
+    header_rows = (
+        body.filter(~F.col("value").startswith("D;QEI;")).limit(200).collect()
+    )
+    layout = parse_header([r.value for r in header_rows])
+    return parse_cube_lines(spark, body, layout)

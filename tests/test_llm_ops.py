@@ -182,3 +182,30 @@ def test_bulk_sink_batches(spark):
     # 1000 rows / 100 per batch = 10 full batches, possibly +partials due to
     # uneven partition split (each partition flushes its remainder)
     assert 10 <= n_batches <= 14
+
+
+def test_connected_components_golden(spark):
+    """Chain 1-2-3 and pair 4-5: two components labeled by their minima;
+    every edge's endpoints share a component."""
+    from genesapi_cli_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    labels = {r.node: r.label for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_dedup_clusters_cover_pairs(spark):
+    """Every minhash candidate pair must fall inside one cluster, and
+    cluster sizes account for every paired doc exactly once."""
+    from genesapi_cli_spark.operators.dedup import q_dedup_clusters
+    from genesapi_cli_spark.operators.text import q_dedup_near_minhash
+
+    sf = "/root/testdata/sf0.001"
+    pairs = q_dedup_near_minhash(spark, sf).collect()
+    clusters = q_dedup_clusters(spark, sf).collect()
+    paired_docs = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert sum(r.n_docs for r in clusters) == len(paired_docs)
+    assert all(r.keeper_doc <= r.max_doc for r in clusters)
+    assert all(r.n_docs >= 2 for r in clusters)
