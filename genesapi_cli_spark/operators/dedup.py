@@ -302,18 +302,17 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     At 100 TB use the same loop over pre-partitioned (node-keyed) storage;
     the per-round cost is one shuffle of the edge list.
     """
+    # One materialization of the (possibly expensive) upstream pair pipeline;
+    # nodes/sym/every round then read the cached blocks, not the lineage.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("doc_a").alias("node"))
         .unionByName(edges.select(F.col("doc_b").alias("node")))
         .distinct()
     )
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint()
+    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -321,21 +320,19 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nb_min"))
         )
-        new_labels = (
+        # Carry the previous label through the update so convergence is a
+        # filter-count on the checkpointed result — no old-vs-new join job.
+        updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 labels.node.alias("node"),
+                labels.label.alias("prev"),
                 F.least(labels.label, F.coalesce("nb_min", labels.label)).alias("label"),
             )
             .localCheckpoint()
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = updated.filter(F.col("label") != F.col("prev")).count()
+        labels = updated.select("node", "label")
         if n_changed == 0:
             break
     return labels

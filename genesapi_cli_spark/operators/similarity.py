@@ -366,3 +366,181 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "bucket", "cos_r", "rn")
     )
+
+
+# --- q_sim_ivf --------------------------------------------------------------
+
+IVF_CENTROID_LO, IVF_CENTROID_HI = 10, 17  # 8 seed vectors act as centroids
+IVF_NPROBE = 2
+
+_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS c_id, emb AS cemb, nrm AS cnrm FROM e
+  WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}
+), assign AS (
+  SELECT b.vec_id, b.emb, b.nrm, c.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY FLOOR(list_dot_product(b.emb, c.cemb) / (b.nrm * c.cnrm)
+                          * 10000 + 0.5) / 10000 DESC, c.c_id
+         ) AS rn
+  FROM e b CROSS JOIN cent c
+  WHERE b.vec_id >= 10
+), bucketed AS (
+  SELECT vec_id AS neighbor_id, emb AS cemb2, nrm AS cnrm2, c_id AS bucket
+  FROM assign WHERE rn = 1
+), probes AS (
+  SELECT q.vec_id AS query_id, q.emb AS qemb, q.nrm AS qnrm, c.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY FLOOR(list_dot_product(q.emb, c.cemb) / (q.nrm * c.cnrm)
+                          * 10000 + 0.5) / 10000 DESC, c.c_id
+         ) AS rn
+  FROM e q CROSS JOIN cent c
+  WHERE q.vec_id < 10
+), probed AS (
+  SELECT query_id, qemb, qnrm, c_id AS bucket FROM probes WHERE rn <= {IVF_NPROBE}
+), scored AS (
+  SELECT query_id, neighbor_id, p.bucket,
+         FLOOR(list_dot_product(qemb, cemb2) / (qnrm * cnrm2) * 10000 + 0.5) / 10000
+           AS cos_r
+  FROM probed p JOIN bucketed b ON p.bucket = b.bucket
+), ranked AS (
+  SELECT query_id, neighbor_id, bucket, cos_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id
+         ) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, bucket, cos_r, rn FROM ranked WHERE rn <= 3
+"""
+
+
+@register("q_sim_ivf", oracle=_IVF_ORACLE)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the centroid-bucketed scale path next to q_sim_ann_lsh's
+    hyperplane buckets): 8 seed vectors (vec_id 10-17) are the coarse
+    centroids; every candidate is assigned to its nearest centroid by rounded
+    cosine (tie → smallest centroid id); each query (vec_id < 10) probes its
+    {nprobe}=2 nearest centroid lists and takes top-3 by rounded cosine.
+
+    Scale shape: the "trained" centroids are tiny model state — an 8-row
+    broadcast table, so candidate assignment is a broadcast nested-loop plus
+    a map-side-combined argmax agg (shuffle ≈ one row per vector); real IVF
+    swaps in k-means centroids without changing the plan. The probe side
+    stays a broadcast join on the bucket id exactly like LSH. In a persisted
+    lake, write the table partitioned by this bucket column and the probe
+    join becomes partition pruning (read nprobe/K of the data).
+    """
+    import math
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    e = e.select("vec_id", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm"))
+
+    # Centroid "model state": 8 rows × 64 doubles, collected once. The plain
+    # left-to-right ||v||² accumulation matches SQRT(list_dot_product(v,v)).
+    cent_rows = sorted(
+        e.filter(F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    cents = []
+    for r in cent_rows:
+        v = [float(x) for x in r.emb]
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        cents.append((int(r.vec_id), v, math.sqrt(acc)))
+
+    # Broadcast 8-row centroid table: assignment is a broadcast nested-loop
+    # (×8 row inflation, narrow) then an argmax agg whose partials collapse
+    # map-side — the shuffle carries ~one row per vector. One shared 64-term
+    # dot expression stays comfortably inside whole-stage codegen. (Embedding
+    # the centroids as literals with a greatest()/CASE or array_max argmax
+    # blows the generated method past janino's limit → interpreted fallback,
+    # measured 10-100x slower.)
+    cent_df = spark.createDataFrame(
+        [(cid, v, cn) for cid, v, cn in cents], "c_id long, cemb0 array<double>, cnrm0 double"
+    )
+    assign = (
+        e.filter(F.col("vec_id") >= 10)
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            "c_id",
+            (
+                F.floor(
+                    dot_expr("emb", "cemb0") / (F.col("nrm") * F.col("cnrm0")) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("cos_r"),
+        )
+    )
+    # max(struct(cos_r, -c_id)): highest rounded cos, ties → smallest c_id —
+    # the oracle's ORDER BY cos DESC, c_id. emb/nrm are constant per vec_id.
+    cand = (
+        assign.groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("cos_r"), (-F.col("c_id")).alias("neg_id"))).alias("m"),
+            F.first("emb").alias("cemb"),
+            F.first("nrm").alias("cnrm"),
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cemb",
+            "cnrm",
+            (-F.col("m.neg_id")).alias("bucket"),
+        )
+    )
+
+    # Query → nprobe nearest centroids: ~10 rows × 8 centroids; window top-2.
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            (
+                F.floor(
+                    dot_expr("emb", "cemb0") / (F.col("nrm") * F.col("cnrm0")) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("pcos"),
+            F.col("c_id").alias("bucket"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(), "bucket")
+    probed = (
+        q.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "qemb", "qnrm", "bucket")
+    )
+
+    scored = F.broadcast(probed).join(cand, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        "bucket",
+        (
+            F.floor(
+                dot_expr("qemb", "cemb") / (F.col("qnrm") * F.col("cnrm")) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("cos_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "bucket", "cos_r", "rn")
+    )

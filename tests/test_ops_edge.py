@@ -130,3 +130,31 @@ def test_minhash_pairs_near_duplicates(spark):
         }
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_ivf_invariants(spark):
+    """IVF structural invariants: <=3 ranked neighbors per query, ranks
+    dense from 1, neighbors drawn only from the query's probed buckets,
+    and every reported bucket is a centroid id."""
+    from collections import defaultdict
+
+    from genesapi_cli_spark.operators.similarity import (
+        IVF_CENTROID_HI,
+        IVF_CENTROID_LO,
+        IVF_NPROBE,
+        q_sim_ivf,
+    )
+
+    rows = q_sim_ivf(spark, "/root/testdata/sf0.001").collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.query_id].append(r)
+        assert IVF_CENTROID_LO <= r.bucket <= IVF_CENTROID_HI
+        assert r.neighbor_id >= 10
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        assert len({r.bucket for r in rs}) <= IVF_NPROBE
+        sims = [r.cos_r for r in rs]
+        assert sims == sorted(sims, reverse=True)

@@ -123,3 +123,12 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     assert joined.count() == plain.count()
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_plan_broadcasts_and_combines_mapside(spark):
+    """IVF assignment must broadcast the tiny centroid table (nested-loop,
+    never a shuffled cross join) and collapse the 8x argmax partials
+    map-side before the per-vector shuffle."""
+    plan = formatted_plan(_df(spark, "q_sim_ivf"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan or "partial_first" in plan
