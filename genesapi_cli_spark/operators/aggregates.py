@@ -293,3 +293,50 @@ def q_agg_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         median_fn, schema="event_type string, median_value double, n long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_cascade
+# ---------------------------------------------------------------------------
+
+_CASCADE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n_ev,
+         SUM(CAST(value AS DECIMAL(27,7))) AS sum_v
+  FROM events
+  GROUP BY 1
+)
+SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+       COUNT(*) AS n_days,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(SUM(sum_v) AS DOUBLE) AS sum_value,
+       CAST(MAX(sum_v) AS DOUBLE) AS max_daily
+FROM daily
+GROUP BY 1
+"""
+
+
+@register("q_agg_cascade", oracle=_CASCADE_ORACLE)
+def q_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup cascade: daily pre-aggregate reused for the monthly rollup —
+    the reference's hierarchical time rollup (day→month→year) done as one
+    scan + two cheap aggregations instead of re-scanning facts per level.
+
+    The monthly agg consumes the daily output (≤ days-of-history rows), so
+    level 2 is effectively free; at 100 TB this is the materialized-rollup
+    pattern where each coarser level reads the previous level, never the
+    fact table. Decimal partials (not doubles) keep the cascade's re-summed
+    totals order-independent across both hops.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum(F.col("value").cast("decimal(27,7)")).alias("sum_v"),
+    )
+    return daily.groupBy(F.trunc("day", "month").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_ev").alias("n_events"),
+        F.sum("sum_v").cast("double").alias("sum_value"),
+        F.max("sum_v").cast("double").alias("max_daily"),
+    )

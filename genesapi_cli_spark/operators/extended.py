@@ -338,3 +338,63 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_rows"),
         F.sum("pq").cast("double").alias("sum_qty"),
     )
+
+
+# --- q_sample_stratified ----------------------------------------------------
+
+_STRAT_ORACLE = """
+WITH keyed AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(('0x' || substr(sha256(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                      CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS h
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_price
+FROM keyed
+WHERE h < CASE l_returnflag WHEN 'A' THEN 10 WHEN 'N' THEN 2 ELSE 5 END
+GROUP BY l_returnflag
+"""
+
+
+@register("q_sample_stratified", oracle=_STRAT_ORACLE)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (A 10%, N 2%,
+    R 5%) via a sha256-prefix hash predicate — the downsample-by-class
+    primitive of a training-data pipeline (e.g. rebalancing languages or
+    sources) at 100 TB.
+
+    Pure column predicate: no TABLESAMPLE (engine/run dependent), no global
+    state, pushes past the scan, and picks the SAME rows on every engine and
+    partition layout. The per-stratum rate is one CASE expression, so adding
+    strata never adds passes over the data.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")), 256
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 100
+    rate = (
+        F.when(F.col("l_returnflag") == "A", 10)
+        .when(F.col("l_returnflag") == "N", 2)
+        .otherwise(5)
+    )
+    return (
+        li.filter(h < rate)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("l_extendedprice").cast("decimal(27,7)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -329,3 +329,64 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.filter(~F.col("is_signup")).select(
         "event_id", "user_id", F.col("us").alias("purchase_us"), "signup_us", "signup_event_id"
     )
+
+
+# --- q_join_range -----------------------------------------------------------
+
+_RANGE_ORACLE = """
+WITH bands AS (
+  SELECT CAST(i AS INT) AS band_id,
+         CAST(i * i * 1500.0 AS DOUBLE) AS lo,
+         CAST((i + 1) * (i + 1) * 1500.0 AS DOUBLE) AS hi
+  FROM range(20) t(i)
+)
+SELECT band_id,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_price
+FROM bands JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id
+"""
+
+
+@register("q_join_range", oracle=_RANGE_ORACLE)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: orders matched to irregular price bands
+    [i²·1500, (i+1)²·1500), the value-banding the reference applies when
+    grouping statistics into class intervals.
+
+    A naive ``ON price >= lo AND price < hi`` theta join is BroadcastNestedLoop
+    (every row × every band). The scale formulation is *bucket expansion*:
+    each interval explodes into the fixed-width buckets it overlaps
+    (``sequence(floor(lo/B), floor(hi/B))``), the fact side computes one
+    bucket per row, and the join becomes an equi-join on bucket + residual
+    range filter — hash join, shuffle-free here because the expanded band side
+    stays broadcastable. The same rewrite holds when the interval side is
+    large: equi-join on bucket shuffles both sides by bucket instead of
+    looping.
+    """
+    bucket_w = 25000.0
+    bands = spark.range(20).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * F.col("id") * F.lit(1500.0)).alias("lo"),
+        ((F.col("id") + 1) * (F.col("id") + 1) * F.lit(1500.0)).alias("hi"),
+    )
+    expanded = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / bucket_w), F.floor(F.col("hi") / bucket_w)
+            )
+        ).alias("bkt"),
+    )
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "bkt", F.floor(F.col("o_totalprice") / bucket_w)
+    )
+    joined = orders.join(F.broadcast(expanded), on="bkt").filter(
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,7)")).cast("double").alias("sum_price"),
+    )

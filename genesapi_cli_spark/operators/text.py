@@ -514,3 +514,57 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("f").alias("n_fp"),
         F.min("f").alias("min_fp"),
     )
+
+
+# --- q_text_bigrams ---------------------------------------------------------
+
+_BIGRAMS_ORACLE = """
+WITH toks AS (
+  SELECT string_split(lower(text), ' ') AS t FROM documents
+), grams AS (
+  SELECT unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n
+FROM grams
+WHERE LENGTH(bigram) > 6
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
+@register("q_text_bigrams", oracle=_BIGRAMS_ORACLE)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams: adjacent-token pairs via an index-transform over
+    the token array — the n-gram collocation step of corpus analysis /
+    phrase-vocabulary mining for tokenizer training.
+
+    Pairing stays a per-row array op (no posexplode self-join, which would
+    shuffle the corpus twice on (doc_id, pos)); the only shuffle is the
+    count aggregation, with map-side partial counts doing most of the work.
+    Ties break on the bigram string so LIMIT is deterministic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN size(split(lower(text), ' ')) >= 2 THEN
+                  transform(
+                    sequence(0, size(split(lower(text), ' ')) - 2),
+                    i -> concat(split(lower(text), ' ')[i], ' ',
+                                split(lower(text), ' ')[i + 1])
+                  )
+                ELSE array() END
+                """
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.filter(F.length("bigram") > 6)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

@@ -198,3 +198,55 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 2)
     )
+
+
+# --- q_window_firstlast -----------------------------------------------------
+
+_FIRSTLAST_ORACLE = """
+WITH w AS (
+  SELECT user_id,
+         FIRST_VALUE(event_type) OVER win AS first_type,
+         LAST_VALUE(event_type)  OVER win AS last_type,
+         NTH_VALUE(event_type, 2) OVER win AS second_type,
+         COUNT(*) OVER win AS n_events,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WINDOW win AS (
+    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  )
+)
+SELECT user_id, first_type, last_type, second_type, n_events
+FROM w WHERE rn = 1
+"""
+
+
+@register("q_window_firstlast", oracle=_FIRSTLAST_ORACLE)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user journey endpoints: first/last/2nd event type over the full
+    per-user frame (the reference's first-seen/last-seen attribute semantics).
+
+    One shuffle on user_id serves all four window functions AND the rn=1
+    dedup — Spark computes every function sharing (partition, order, frame)
+    in a single Window exec, so this costs the same as one rank. Ties at
+    equal timestamps break on event_id (unique) for engine-stable output.
+    """
+    ev = load(spark, sf_dir, "events")
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(full).alias("first_type"),
+            F.last("event_type").over(full).alias("last_type"),
+            F.nth_value("event_type", 2).over(full).alias("second_type"),
+            F.count(F.lit(1)).over(full).alias("n_events"),
+            F.row_number().over(seq).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
