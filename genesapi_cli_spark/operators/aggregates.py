@@ -340,3 +340,38 @@ def q_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_v").cast("double").alias("sum_value"),
         F.max("sum_v").cast("double").alias("max_daily"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_sketch_merge (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("q_agg_sketch_merge", oracle=None)
+def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count rollup: per-day HLL sketches of user_id
+    merged into per-month estimates (Apache DataSketches via hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate).
+
+    THE 100 TB distinct-count pattern: exact COUNT(DISTINCT) re-shuffles raw
+    keys at every rollup level, while sketches make every level above the
+    first a byte-blob merge — the daily sketch table is a few KB/day and the
+    month/quarter/year cascade never touches facts again. Rows-only check:
+    DataSketches estimates are Spark-specific (DuckDB's approx sketch differs),
+    so no value oracle exists by construction; the companion exact query
+    q_agg_cascade covers value-level parity for the same shape.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return (
+        daily.groupBy(F.trunc("day", "month").alias("month"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n_ev").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("month")
+    )

@@ -390,3 +390,56 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(27,7)")).cast("double").alias("sum_price"),
     )
+
+
+# --- q_join_skew_salted -----------------------------------------------------
+
+_SKEW_ORACLE = """
+SELECT s_nationkey,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier
+  ON s_suppkey = CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_suppkey END
+GROUP BY s_nationkey
+"""
+
+
+@register("q_join_skew_salted", oracle=_SKEW_ORACLE)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join: ~25% of lineitems are remapped onto one
+    hot supplier (CASE key), then joined to supplier with an 8-way salt —
+    the hot key's rows spread across 8 shuffle partitions instead of one
+    straggler task.
+
+    Build side replicates each supplier row 8× (explode(sequence)); probe side
+    computes a deterministic salt (xxhash64 of the row key, pmod 8 — NOT
+    rand(), which breaks retry/replay determinism). Join keys become
+    (suppkey, salt); results are provably identical to the unsalted join, so
+    the oracle is the plain join. SHUFFLE_HASH hint models the
+    both-sides-large case where broadcast (the first skew escape) is
+    unavailable; with AQE skew-join this is the manual fallback for a single
+    pathological key.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("k"),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)).alias("salt"),
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("salt"),
+    )
+    j = li.join(
+        sup.hint("shuffle_hash"),
+        (F.col("k") == F.col("s_suppkey")) & (li["salt"] == sup["salt"]),
+    )
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,7)"))
+        .cast("double")
+        .alias("revenue"),
+    )

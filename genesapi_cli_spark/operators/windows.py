@@ -250,3 +250,71 @@ def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- q_window_sessionize ----------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), sessed AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM ordered
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         (MAX(us) - MIN(us)) // 1000000 AS dur_s
+  FROM sessed GROUP BY user_id, session_id
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(dur_s) AS BIGINT) AS max_dur_s,
+       CAST(SUM(dur_s) AS BIGINT) AS sum_dur_s
+FROM per_session
+"""
+
+
+@register("q_window_sessionize", oracle=_SESSIONIZE_ORACLE)
+def q_window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap): the offline mirror of
+    q_stream_session — gaps > threshold start a new session; session id is
+    the running sum of gap flags.
+
+    Both window passes share the (user_id, ts, event_id) sort, so Spark plans
+    ONE shuffle + ONE sort for lag + running-sum (same Window exec group).
+    All arithmetic is integer microseconds (integer div for durations — no
+    float division, whose long-cast truncates on Spark but rounds on DuckDB),
+    so the oracle match is exact. At 100 TB this is the canonical
+    shuffle-once-per-user sessionizer; the streaming twin handles the
+    unbounded case with state + watermarks.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w) > 1800 * 1000 * 1000, 1
+    ).otherwise(0)
+    sessed = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.sum(gap).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    per_session = sessed.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias("dur_s"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("dur_s").cast("long").alias("max_dur_s"),
+        F.sum("dur_s").cast("long").alias("sum_dur_s"),
+    )

@@ -132,3 +132,43 @@ def test_ivf_plan_broadcasts_and_combines_mapside(spark):
     plan = formatted_plan(_df(spark, "q_sim_ivf"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_max" in plan or "partial_first" in plan
+
+
+def test_range_join_is_broadcast_hash_not_bnl(spark):
+    """Bucket expansion must turn the interval join into a hash equi-join:
+    no BroadcastNestedLoop anywhere, and the residual range predicate stays
+    a post-join filter, not a join loop."""
+    plan = formatted_plan(_df(spark, "q_join_range"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sessionize_single_sort_for_both_windows(spark):
+    """lag + running-sum share (partition, order): ONE exchange on user_id
+    and no second sort pass."""
+    plan = formatted_plan(_df(spark, "q_window_sessionize"))
+    assert plan.count("Exchange (") <= 2  # user_id shuffle + final single-partition agg
+    assert plan.count("Sort (") <= 2  # window sort (+ at most the agg's)
+
+
+def test_firstlast_single_window_exec(spark):
+    """All four window functions + rn must evaluate in one Window exec
+    over one shuffle."""
+    plan = formatted_plan(_df(spark, "q_window_firstlast"))
+    assert plan.count("Exchange (") == 1
+
+
+def test_skew_salted_join_is_shuffle_hash(spark):
+    """The salted join must honor the SHUFFLE_HASH hint (models the
+    both-sides-large case) — not fall back to sort-merge or nested loop."""
+    plan = formatted_plan(_df(spark, "q_join_skew_salted"))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_filter_before_agg(spark):
+    """The hash predicate must evaluate scan-side (a Filter under the
+    partial agg), so sampled-out rows never reach the shuffle."""
+    plan = formatted_plan(_df(spark, "q_sample_stratified"))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Exchange (") == 1
