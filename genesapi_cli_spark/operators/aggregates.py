@@ -375,3 +375,86 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_argmax
+# ---------------------------------------------------------------------------
+
+_ARGMAX_ORACLE = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rd,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS ra
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rd = 1 THEN event_id END) AS top_event_id,
+       MAX(CASE WHEN ra = 1 THEN event_id END) AS bottom_event_id,
+       MAX(value) AS max_value,
+       MIN(value) AS min_value
+FROM r
+GROUP BY event_type
+"""
+
+
+@register("q_agg_argmax", oracle=_ARGMAX_ORACLE)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min per group: which event carried the extreme value —
+    the reference's "latest/largest fact per cell" selection
+    (genesapi/storage.py (upstream) picks the newest cube version the same
+    way) without a window pass.
+
+    max_by/min_by with a struct ordering key gives deterministic tie-breaks
+    (lexicographic (value, event_id)) in ONE hash aggregate — no sort, no
+    per-group row_number shuffle. At 100 TB this replaces the
+    rank-then-filter pattern whenever only the argmax row (not the top-k)
+    is needed: shuffled bytes drop from all rows to one row per group.
+    DuckDB 1.0's arg_max lacks composite ordering keys, so the oracle spells
+    the same semantics with row_number.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("max_by(event_id, struct(value, event_id))").alias("top_event_id"),
+        F.expr("min_by(event_id, struct(value, event_id))").alias("bottom_event_id"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_histogram
+# ---------------------------------------------------------------------------
+
+_HIST_ORACLE = f"""
+SELECT LEAST(GREATEST(CAST(FLOOR(l_extendedprice / 10000) AS INT), 0), 9) AS bucket,
+       COUNT(*) AS n_items,
+       {oracle_dec_sum('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("q_agg_histogram", oracle=_HIST_ORACLE)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (10 × 10k price buckets, clamped overflow
+    bucket): the GANZ/FEST value-distribution diagnostics the reference
+    prints per cube, as one hash aggregate.
+
+    Bucketing is plain floor arithmetic (identical IEEE semantics in both
+    engines) rather than width_bucket — DuckDB 1.0 lacks it, and an explicit
+    expression keeps the bucket id inside whole-stage codegen. Shuffle
+    volume is 10 rows × partitions regardless of input size: the canonical
+    map-side-combine win.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("l_extendedprice") / 10000).cast("int"), F.lit(0)),
+        F.lit(9),
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum("l_extendedprice", "sum_price"),
+    )

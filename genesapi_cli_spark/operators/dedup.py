@@ -361,3 +361,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - 1).alias("n_dropped"),
         )
     )
+
+
+# --- q_dedup_exact_norm -----------------------------------------------------
+
+_NORM_DEDUP_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         AS n_norm_distinct,
+       COUNT(*) - COUNT(DISTINCT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         AS n_dups
+FROM documents
+GROUP BY source
+"""
+
+
+@register("q_dedup_exact_norm", oracle=_NORM_DEDUP_ORACLE)
+def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup: lowercase, fold every non-alphanumeric
+    run to one space, trim — then count distinct normalized forms per source.
+    The first rung of the corpus-dedup ladder (before MinHash/SimHash):
+    catches whitespace/punctuation/case variants that byte-exact sha2 dedup
+    (q_dedup_exact) misses, at exact-dedup cost.
+
+    The normalization is a codegen'd regexp projection (no Python); the
+    distinct-count is Spark's two-phase expand aggregate. At 100 TB one
+    would normalize once, store sha2(norm) as a column, and dedup on that —
+    this query is the semantics both paths must agree on.
+    """
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    return docs.select("source", norm.alias("norm")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("norm").alias("n_norm_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("norm")).alias("n_dups"),
+    )

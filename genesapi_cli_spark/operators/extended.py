@@ -398,3 +398,50 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+# --- q_cte_recursive --------------------------------------------------------
+
+_RCTE_ORACLE = """
+WITH RECURSIVE h AS (
+  SELECT c_custkey AS k, CAST(0 AS INT) AS depth
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, h.depth + 1
+  FROM customer c JOIN h ON c.c_custkey // 10 = h.k
+  WHERE c.c_custkey >= 10
+)
+SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(k) AS BIGINT) AS sum_keys
+FROM h GROUP BY depth
+"""
+
+
+@register("q_cte_recursive", oracle=_RCTE_ORACLE)
+def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE hierarchy walk (Spark 4.x WITH RECURSIVE): customers
+    form a decimal tree (parent = custkey div 10, roots < 10 — the same
+    prefix-hierarchy shape as GENESIS AGS region codes, 2→5→8 digits,
+    cf. q_genesis_region_rollup); the walk labels every node with its depth.
+
+    Spark's recursive CTE executes as iterated joins with a per-step
+    UnionLoop — each iteration is a distributed hash join against the full
+    table, so the pattern scales to hierarchy tables that connected-
+    components driver loops (q_dedup_clusters) would need many rounds for.
+    Depth is bounded by key length (~log10 N), so the loop terminates in
+    a handful of iterations regardless of row count.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE h AS (
+          SELECT c_custkey AS k, CAST(0 AS INT) AS depth
+          FROM rcte_customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, h.depth + 1
+          FROM rcte_customer c JOIN h ON c.c_custkey div 10 = h.k
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(k) AS BIGINT) AS sum_keys
+        FROM h GROUP BY depth
+        """
+    )

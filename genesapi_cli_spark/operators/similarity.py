@@ -544,3 +544,72 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "bucket", "cos_r", "rn")
     )
+
+
+# --- q_sim_quantized --------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH q8 AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(GREATEST(LEAST(floor(CAST(x AS DOUBLE) * 127 + 0.5), 127), -127)
+                     AS DOUBLE)) AS qv
+  FROM embeddings
+), p AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+         CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS qdot
+  FROM q8 q JOIN q8 c ON q.label = c.label AND c.vec_id >= 10
+  WHERE q.vec_id < 10
+), r AS (
+  SELECT qid, cand_id, qdot,
+         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, cand_id) AS rn
+  FROM p
+)
+SELECT qid, cand_id, qdot, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 3
+"""
+
+
+@register("q_sim_quantized", oracle=_QUANT_ORACLE)
+def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized similarity: embeddings quantize to
+    round-half-up(x·127) clamped to [-127,127]; neighbor ranking runs on the
+    integer dot product. The memory-scaling rung of the ANN ladder
+    (cf. q_sim_ivf / q_sim_ann_lsh): at 100 TB an int8 vector is 4× smaller
+    than float32 — quantize once at ingest, rank on int8, optionally
+    re-score survivors at full precision.
+
+    Everything here is EXACT: quantization uses floor(x·127+0.5) (identical
+    IEEE arithmetic in both engines, no round-half-even divergence) and the
+    int dot of 64 values ≤ 127² sums far below 2^53, so the oracle matches
+    bit-for-bit with no float tolerance anywhere — which is the point:
+    quantized pipelines are reproducible across engines in a way raw-float
+    cosine never is. Label-blocked join bounds the pair space (the IVF-
+    bucket stand-in); the query side broadcasts.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q8 = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.greatest(
+                F.least(F.floor(x.cast("double") * 127 + 0.5), F.lit(127).cast("long")),
+                F.lit(-127).cast("long"),
+            ),
+        ).alias("qv"),
+    )
+    q = q8.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "label", F.col("qv").alias("qa")
+    )
+    c = q8.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "label", F.col("qv").alias("qb")
+    )
+    pairs = q.join(c, "label").select(
+        "qid", "cand_id", dot_expr("qa", "qb").cast("long").alias("qdot")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qdot"), "cand_id")
+    return (
+        pairs.select("qid", "cand_id", "qdot", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+    )

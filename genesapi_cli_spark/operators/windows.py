@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load
-from genesapi_cli_spark.registry import DEC, register
+from genesapi_cli_spark.registry import DEC, dec_sum, register
 
 # --- q_window_rank ----------------------------------------------------------
 
@@ -317,4 +317,124 @@ def q_window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.max("dur_s").cast("long").alias("max_dur_s"),
         F.sum("dur_s").cast("long").alias("sum_dur_s"),
+    )
+
+
+# --- q_window_gap_fill ------------------------------------------------------
+
+_GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_ev,
+         SUM(CAST(value AS DECIMAL(27,7))) AS sum_v
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+), cal AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM span
+), filled AS (
+  SELECT c.user_id, c.d, dy.n_ev,
+         last_value(dy.sum_v IGNORE NULLS) OVER (
+           PARTITION BY c.user_id ORDER BY c.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS ff
+  FROM cal c LEFT JOIN daily dy ON c.user_id = dy.user_id AND c.d = dy.d
+)
+SELECT user_id,
+       COUNT(*) AS span_days,
+       COUNT(n_ev) AS active_days,
+       COUNT(*) - COUNT(n_ev) AS gap_days,
+       CAST(SUM(ff) AS DOUBLE) AS filled_sum
+FROM filled
+GROUP BY user_id
+"""
+
+
+@register("q_window_gap_fill", oracle=_GAP_FILL_ORACLE)
+def q_window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill: each user's daily series gets
+    explicit rows for missing days (sequence-explode calendar, left join),
+    then the last observed daily sum carries forward (last(..., ignorenulls)).
+
+    The reference's time axis is dense per cube but sparse across cubes;
+    GENESIS region×year series routinely skip years — this is the standard
+    publish-a-complete-series operator. Sums stay DECIMAL end-to-end until
+    the final double cast, so fill + re-aggregation is exact in both engines.
+
+    Scale: the calendar explode generates span×users rows but never shuffles
+    the raw events twice — daily agg (shuffle 1, map-side combined) → tiny
+    span agg reuses the same partitioning → explode is in-plan → the ffill
+    window re-shuffles only daily rows (≤ users × span), not events. At
+    100 TB the daily table is ~4 orders of magnitude smaller than facts.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_v"),
+    )
+    span = daily.groupBy("user_id").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+    )
+    filled = cal.join(daily, ["user_id", "d"], "left").select(
+        "user_id",
+        "d",
+        "n_ev",
+        F.last("sum_v", ignorenulls=True)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("ff"),
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("span_days"),
+        F.count("n_ev").alias("active_days"),
+        (F.count(F.lit(1)) - F.count("n_ev")).alias("gap_days"),
+        F.sum("ff").cast("double").alias("filled_sum"),
+    )
+
+
+# --- q_window_yoy -----------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH y AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_price
+  FROM orders GROUP BY 1
+)
+SELECT o_year, n_orders, sum_price,
+       LAG(sum_price) OVER (ORDER BY o_year) AS prev_sum,
+       (sum_price - LAG(sum_price) OVER (ORDER BY o_year))
+         / LAG(sum_price) OVER (ORDER BY o_year) AS growth
+FROM y
+"""
+
+
+@register("q_window_yoy", oracle=_YOY_ORACLE)
+def q_window_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth of order volume: aggregate-then-lag. The
+    reference's headline use case is exactly this (population change per
+    region per year); here the period roll-up happens FIRST, so the window
+    runs over one row per year — the 100 TB pattern is agg-early,
+    window-late (a window over raw facts would sort everything; over the
+    aggregate it sorts 7 rows). Growth is a single double division of two
+    exact-decimal-derived sums — deterministic in both engines.
+    """
+    orders = load(spark, sf_dir, "orders")
+    y = orders.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", "sum_price"),
+    )
+    w = Window.orderBy("o_year")
+    prev = F.lag("sum_price").over(w)
+    return y.select(
+        "o_year",
+        "n_orders",
+        "sum_price",
+        prev.alias("prev_sum"),
+        ((F.col("sum_price") - prev) / prev).alias("growth"),
     )

@@ -172,3 +172,28 @@ def test_stratified_sample_filter_before_agg(spark):
     plan = formatted_plan(_df(spark, "q_sample_stratified"))
     assert "partial_count" in plan or "partial_sum" in plan
     assert plan.count("Exchange (") == 1
+
+
+def test_quantized_sim_is_broadcast_hash_join(spark):
+    """Label-blocked quantized join must broadcast the tiny query side —
+    no sort-merge, no nested loop; int dot stays in codegen."""
+    plan = formatted_plan(_df(spark, "q_sim_quantized"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_aggregates_before_calendar(spark):
+    """Densification must run over the DAILY aggregate (map-side combined),
+    never re-shuffle raw events for the calendar join."""
+    plan = formatted_plan(_df(spark, "q_window_gap_fill"))
+    assert "partial" in plan  # daily agg is partial+final
+    assert plan.count("Exchange (") <= 3
+
+
+def test_argmax_single_exchange(spark):
+    """max_by/min_by is one hash aggregate — no window, no sort, one
+    shuffle of one row per group."""
+    plan = formatted_plan(_df(spark, "q_agg_argmax"))
+    assert plan.count("Exchange (") == 1
+    assert "Window" not in plan
