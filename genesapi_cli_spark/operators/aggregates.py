@@ -458,3 +458,37 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dec_sum("l_extendedprice", "sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_bitwise
+# ---------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT event_type,
+       CAST(bit_or(user_id) AS BIGINT) AS users_bor,
+       CAST(bit_and(user_id) AS BIGINT) AS users_band,
+       CAST(bit_xor(user_id) AS BIGINT) AS users_bxor,
+       CAST(bit_count(CAST(bit_or(user_id) AS BIGINT)) AS INT) AS bor_bits
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_agg_bitwise", oracle=_BITWISE_ORACLE)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_or / bit_and / bit_xor + popcount): the
+    fixed-width roll-your-own-bitmap primitive — OR of per-row bit positions
+    is how small-domain membership bitmaps merge without a sketch library,
+    the 100 TB trick for "which of ≤64 flags appeared in this group" in
+    8 bytes of shuffle per group. Integer-exact, so the oracle matches
+    bit-for-bit.
+    """
+    ev = load(spark, sf_dir, "events")
+    bor = F.expr("bit_or(user_id)")
+    return ev.groupBy("event_type").agg(
+        bor.cast("long").alias("users_bor"),
+        F.expr("bit_and(user_id)").cast("long").alias("users_band"),
+        F.expr("bit_xor(user_id)").cast("long").alias("users_bxor"),
+        F.bit_count(bor).cast("int").alias("bor_bits"),
+    )

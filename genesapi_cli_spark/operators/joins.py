@@ -443,3 +443,44 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# --- q_join_lateral ---------------------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT n_name, l.c_custkey, l.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) l
+"""
+
+
+@register("q_join_lateral", oracle=_LATERAL_ORACLE)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL (correlated table) join: for every nation, its top-2 customers
+    by account balance — the per-entity-top-k join written the SQL-standard
+    way instead of window+filter (q_topk_per_group shows the window form;
+    both must exist for a user switching engines).
+
+    Catalyst plans the correlated LIMIT subquery via DomainJoin rewrite —
+    the per-key top-k runs as a distributed join + per-group limit, not a
+    driver loop per nation. Ties are impossible (custkey in the sort key).
+    """
+    load(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n_name, l.c_custkey, l.c_acctbal
+        FROM lat_nation JOIN LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM lat_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) l
+        """
+    )

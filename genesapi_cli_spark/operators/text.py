@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load, spread
-from genesapi_cli_spark.registry import oracle_r4, r4, register
+from genesapi_cli_spark.registry import DEC, oracle_r4, r4, register
 
 # --- q_dedup_exact ----------------------------------------------------------
 
@@ -569,4 +569,73 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
+    )
+
+
+# --- q_text_repetition ------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) _
+  WHERE len(t) >= 2
+), per_gram AS (
+  SELECT doc_id, lang, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, lang, MAX(c) AS mx, SUM(c) AS tot FROM per_gram GROUP BY 1, 2
+), fr AS (
+  SELECT lang, CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) AS frac FROM per_doc
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN frac > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(SUM(CAST(frac AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS avg_top_bigram_frac
+FROM fr
+GROUP BY lang
+"""
+
+
+@register("q_text_repetition", oracle=_REPETITION_ORACLE)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: a document whose single most frequent
+    bigram covers >10% of all its bigrams is template/boilerplate-like.
+    Reports per-language doc counts, repetitive counts, and the mean
+    top-bigram fraction — the aggregate a pipeline monitors to tune the
+    threshold before filtering a 100 TB crawl.
+
+    Plan: bigrams come from one in-row transform (no tokenize re-split per
+    reference), then two hash aggregates (gram counts → per-doc max/total);
+    both are map-side combinable and key on doc_id, so the second agg
+    reuses the first's partitioning (no extra exchange under AQE). The mean
+    goes through an exact decimal sum (partition-order independent); the
+    per-doc fraction is a single double division — identical IEEE result in
+    both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+        ).alias("g"),
+    )
+    per_doc = (
+        grams.groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "lang")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    frac = F.col("mx").cast("double") / F.col("tot").cast("double")
+    fr = per_doc.select("lang", frac.alias("frac"))
+    return fr.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("frac") > 0.1, 1).otherwise(0).cast("long")).alias("n_repetitive"),
+        (F.sum(F.col("frac").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_top_bigram_frac"
+        ),
     )

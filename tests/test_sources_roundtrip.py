@@ -76,3 +76,42 @@ def test_csv_malformed_rows_quarantined(spark, tmp_path):
     bad = [r._corrupt for r in rows if r._corrupt is not None]
     assert good == {(1, 10), (2, 20)}
     assert bad == ["bad_row_only_one_col"]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink parity: write nation to ORC, read back, all rows and
+    schema survive (the lake-format escape hatch when parquet isn't the
+    interchange)."""
+    nation = load(spark, SMOKE_SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == nation.schema
+    assert _key_rows(back, ["n_nationkey", "n_name", "n_regionkey"]) == _key_rows(
+        nation, ["n_nationkey", "n_name", "n_regionkey"]
+    )
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout (the 100 TB lake pattern): writing
+    orders partitioned by year and filtering on the partition column must
+    prune at planning time — the scan's PartitionFilters carries the
+    predicate and only one year's files are read."""
+    import os
+
+    from genesapi_cli_spark.plans.inspect import formatted_plan
+
+    orders = load(spark, SMOKE_SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    years = sorted(d for d in os.listdir(path) if d.startswith("o_year="))
+    assert len(years) > 1  # layout actually split
+    df = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "o_year" in plan
+    expected = load(spark, SMOKE_SF_DIR, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    assert df.count() == expected.count()

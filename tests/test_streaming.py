@@ -215,3 +215,34 @@ def test_ndjson_sink_exactly_once_on_replay(spark, tmp_path):
     q2.awaitTermination(120)
     q2.stop()
     assert spark.read.json(out).count() == n_first
+
+
+def test_stream_stream_join_batch_equals_stream(spark, tmp_path):
+    """The attribution join must produce identical rows mounted on batch
+    DataFrames and on two watermarked file streams (stream-stream inner
+    join with an event-time range bound)."""
+    from genesapi_cli_spark.streaming.joins import purchase_attribution
+
+    src = _write_event_files(spark, tmp_path, 3)
+    ev = load(spark, SMOKE_SF_DIR, "events")
+    batch = purchase_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "signup"),
+    )
+    # Watermark wider than the data span (30 days): state never evicts in
+    # this bounded test, so no row can be dropped by arrival order; the
+    # range condition still marks the join state-bounded for the planner.
+    sp = with_watermark(
+        events_file_stream(spark, src).filter(F.col("event_type") == "purchase"),
+        "40 days",
+    )
+    ss = with_watermark(
+        events_file_stream(spark, src).filter(F.col("event_type") == "signup"),
+        "40 days",
+    )
+    stream = purchase_attribution(sp, ss)
+    q = run_to_memory(stream, "t_ssjoin", output_mode="append")
+    try:
+        assert _rows(spark.table("t_ssjoin")) == _rows(batch)
+    finally:
+        q.stop()
