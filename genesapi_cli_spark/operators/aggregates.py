@@ -492,3 +492,44 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(user_id)").cast("long").alias("users_bxor"),
         F.bit_count(bor).cast("int").alias("bor_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_mode
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM per
+)
+SELECT r.user_id,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS mode_type,
+       MAX(CASE WHEN rn = 1 THEN cnt END) AS n_mode,
+       CAST(SUM(cnt) AS BIGINT) AS n_events
+FROM r
+GROUP BY r.user_id
+"""
+
+
+@register("q_agg_mode", oracle=_MODE_ORACLE)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: each user's most frequent event type, ties broken
+    lexicographically. Built-in mode() is tie-nondeterministic in BOTH
+    engines — a hash-parity trap — so the engine spells it as
+    min_by(type, struct(-cnt, type)): two chained hash aggregates, no window
+    over raw rows, deterministic by construction. With AQE the second agg
+    reuses the first's hash partitioning on user_id (no extra exchange).
+    """
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy("user_id").agg(
+        F.expr("min_by(event_type, struct(-cnt, event_type))").alias("mode_type"),
+        F.max("cnt").alias("n_mode"),
+        F.sum("cnt").cast("long").alias("n_events"),
+    )

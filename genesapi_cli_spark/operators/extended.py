@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load
-from genesapi_cli_spark.registry import oracle_r4, r4, register
+from genesapi_cli_spark.registry import DEC, oracle_r4, r4, register
 
 # --- q_subquery_scalar ------------------------------------------------------
 
@@ -444,4 +444,62 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(k) AS BIGINT) AS sum_keys
         FROM h GROUP BY depth
         """
+    )
+
+
+# --- q_cdc_apply ------------------------------------------------------------
+
+_CDC_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100
+                          ELSE o_totalprice END AS DECIMAL(27,7))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderkey % 20 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_cdc_apply", oracle=_CDC_ORACLE)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: a base snapshot (v0 inserts) + an update wave
+    (v1: +100 on every 5th key) + a delete wave (v2: every 20th key) collapse
+    to current state by keep-latest-version-per-key, dropping rows whose
+    latest op is a delete. This extends q_merge_upsert (upserts only) with
+    the full insert/update/DELETE op vocabulary of a real CDC feed
+    (Debezium-style), which the reference's idempotent ES indexing
+    (id = fact_id upsert, upstream genesapi indexing) only approximates.
+
+    One shuffle: union is free (no exchange), the row_number window on
+    o_orderkey is the only repartition, and the final tiny agg reuses
+    map-side combine. The ORACLE is the declarative final state (filter +
+    CASE) — the differential check proves the mechanical changelog replay
+    equals the semantic result.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(0).alias("version"), F.lit("I").alias("op"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        F.lit(1).alias("version"), F.lit("U").alias("op"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(2).alias("version"), F.lit("D").alias("op"),
+    )
+    log = base.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    current = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return current.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
     )

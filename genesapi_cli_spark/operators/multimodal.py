@@ -107,3 +107,98 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_feat"
         ),
     )
+
+
+# --- q_multimodal_framesample -----------------------------------------------
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def sample_video_frames(payload: bytes) -> "object":
+    """STUB — real frame extraction (ffmpeg/pyav) is unavailable in this
+    environment. The mapInPandas plumbing around it is real; swap this body
+    for an av.open(...) keyframe iterator where codecs exist."""
+    raise NotImplementedError("video codecs not available in this environment")
+
+
+def _frame_sample(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Row-EXPLODING Arrow stage: one input row (payload) → many output rows
+    (sampled frames). This is the defining batch shape of frame sampling —
+    output cardinality is data-dependent, so it must be mapInPandas (UDTF-
+    like), not a scalar pandas_udf. The 'frame' is a fixed-width byte slice;
+    features are slice length + first-byte code (pure byte arithmetic
+    standing in for the codec call, oracle-checkable)."""
+    for pdf in batches:
+        out_doc, out_lang, out_idx, out_len, out_code = [], [], [], [], []
+        for doc_id, lang, payload in zip(pdf["doc_id"], pdf["lang"], pdf["payload"]):
+            n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                out_doc.append(doc_id)
+                out_lang.append(lang)
+                out_idx.append(i)
+                out_len.append(len(chunk))
+                out_code.append(chunk[0])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "lang": pd.Series(out_lang, dtype="object"),
+                "frame_idx": pd.Series(out_idx, dtype="int64"),
+                "frame_len": pd.Series(out_len, dtype="int64"),
+                "first_code": pd.Series(out_code, dtype="int64"),
+            }
+        )
+
+
+_FRAMESAMPLE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS INT) AS nf
+  FROM documents
+), frames AS (
+  SELECT doc_id, lang, i AS frame_idx,
+         octet_length(encode(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})))
+           AS frame_len,
+         ascii(substr(text, i * {FRAME_BYTES} + 1, 1)) AS first_code
+  FROM base, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) _
+  WHERE i % {FRAME_STRIDE} = 0
+)
+SELECT lang,
+       COUNT(*) AS n_frames,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(frame_len) AS BIGINT) AS sum_frame_bytes,
+       CAST(SUM(first_code) AS BIGINT) AS sum_first_codes
+FROM frames
+GROUP BY lang
+"""
+
+
+@register("q_multimodal_framesample", oracle=_FRAMESAMPLE_ORACLE)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling plumbing: binary payloads chunk into fixed-width
+    'frames'; every FRAME_STRIDE-th frame is extracted with byte-level
+    features, then rolled up per language. Complements q_multimodal_decode
+    (1 row in → 1 row out) with the OTHER multimodal batch shape: 1 row in →
+    N rows out, where N is data-dependent.
+
+    The oracle reproduces the byte arithmetic with substr/ascii on the same
+    (all-ASCII) text, so even the stubbed codec path is value-checked, not
+    just row-counted. At 100 TB: payload column pruned except at this stage;
+    Arrow batch size bounds peak frame memory; downstream rollup is a
+    map-side-combined hash agg on the exploded (small) feature rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id", "lang", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = assets.mapInPandas(
+        _frame_sample,
+        schema="doc_id long, lang string, frame_idx long, frame_len long, first_code long",
+    )
+    return frames.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("frame_len").cast("long").alias("sum_frame_bytes"),
+        F.sum("first_code").cast("long").alias("sum_first_codes"),
+    )

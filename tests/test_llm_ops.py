@@ -209,3 +209,28 @@ def test_dedup_clusters_cover_pairs(spark):
     assert sum(r.n_docs for r in clusters) == len(paired_docs)
     assert all(r.keeper_doc <= r.max_doc for r in clusters)
     assert all(r.n_docs >= 2 for r in clusters)
+
+
+def test_frame_sampler_short_and_exact_payloads(spark):
+    """Edge shapes: payload shorter than one frame (1 frame, partial), payload
+    exactly two frames (frames 0..1, only 0 sampled at stride 4), and a long
+    payload where the last sampled frame is partial."""
+    import pandas as pd
+
+    from genesapi_cli_spark.operators.multimodal import _frame_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["en", "de", "fr"],
+            "payload": [b"x" * 5, b"y" * 64, b"z" * (32 * 5 + 7)],
+        }
+    )
+    out = pd.concat(list(_frame_sample(iter([pdf]))))
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    assert list(by_doc[1]["frame_len"]) == [5]          # one partial frame
+    assert list(by_doc[2]["frame_idx"]) == [0]          # frame 1 not sampled
+    assert list(by_doc[2]["frame_len"]) == [32]
+    assert list(by_doc[3]["frame_idx"]) == [0, 4]       # stride 4; frame 5 is idx 5
+    assert list(by_doc[3]["frame_len"]) == [32, 32]
+    assert set(out["first_code"]) == {ord("x"), ord("y"), ord("z")}

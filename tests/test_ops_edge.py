@@ -158,3 +158,24 @@ def test_ivf_invariants(spark):
         assert len({r.bucket for r in rs}) <= IVF_NPROBE
         sims = [r.cos_r for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_cdc_apply_delete_beats_update(spark):
+    """A key hit by both the update wave (%5) and the delete wave (%20) must
+    vanish (latest version wins); an update-only key must carry the new
+    price. Checked against the declarative oracle shape on a literal frame."""
+    from genesapi_cli_spark.operators.extended import q_cdc_apply
+
+    # o_orderkey 20 → updated AND deleted (gone); 5 → updated (+100);
+    # 1 → untouched. Totals per status prove each path.
+    rows = [(1, "O", 10.0), (5, "O", 20.0), (20, "F", 40.0)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderstatus string, o_totalprice double")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        out = {
+            r["o_orderstatus"]: (r["n_orders"], r["sum_price"])
+            for r in q_cdc_apply(spark, d).collect()
+        }
+    assert out == {"O": (2, 130.0)}  # 10 + (20+100); key 20 deleted
