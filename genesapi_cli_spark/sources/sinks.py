@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load
+from genesapi_cli_spark.io import load, spread
 from genesapi_cli_spark.registry import register
 
 
@@ -23,9 +23,13 @@ def order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested JSON document per order: customer metadata enriched in
     (broadcast join) and line items nested as an array — the wide/nested
     'document' shape of the reference, built columnar."""
-    orders = load(spark, sf_dir, "orders")
+    # spread(): the local single-row-group parquet would otherwise run the
+    # heavy collect_list partial agg and the to_json/sha2 projection on ONE
+    # core; repartitioning by the join/group key costs one small shuffle and
+    # parallelizes the whole doc build (no-op on pre-split cluster inputs).
+    orders = spread(load(spark, sf_dir, "orders"), "o_orderkey")
     customer = load(spark, sf_dir, "customer")
-    lineitem = load(spark, sf_dir, "lineitem")
+    lineitem = spread(load(spark, sf_dir, "lineitem"), "l_orderkey")
     items = lineitem.groupBy("l_orderkey").agg(
         F.sort_array(
             F.collect_list(
@@ -68,7 +72,7 @@ def write_ndjson(df: DataFrame, path: str) -> None:
 def q_sink_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize nested order documents; declared result is (key, doc length,
     fact_id) — JSON key order is engine-specific, so the check is rows-only;
-    document structure is golden-tested in tests/test_sinks.py."""
+    document structure is golden-tested in tests/test_ops_edge.py."""
     docs = order_documents(spark, sf_dir)
     return docs.select("o_orderkey", F.length("doc").alias("doc_len"), "fact_id")
 
