@@ -533,3 +533,34 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("n_mode"),
         F.sum("cnt").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_boolean
+# ---------------------------------------------------------------------------
+
+_BOOL_ORACLE = """
+SELECT event_type,
+       bool_and(value > 5)  AS all_above5,
+       bool_or(value > 95)  AS any_above95,
+       CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_above50,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_agg_boolean", oracle=_BOOL_ORACLE)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and/bool_or/count-if): the quality-flag
+    routing of the reference as predicates folded into ONE hash aggregate —
+    "were ALL values in this cell unlocked? was ANY confidential?" — instead
+    of separate filtered scans. 1 bit per group per predicate shuffles.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 5).alias("all_above5"),
+        F.bool_or(F.col("value") > 95).alias("any_above95"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("long").alias("n_above50"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -484,3 +484,45 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+# --- q_join_null_safe -------------------------------------------------------
+
+_NULL_SAFE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS pri
+  FROM orders
+), p AS (
+  SELECT DISTINCT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS pri
+  FROM orders
+)
+SELECT COALESCE(o.pri, '<null>') AS pri_key, COUNT(*) AS n_orders
+FROM o JOIN p ON o.pri IS NOT DISTINCT FROM p.pri
+GROUP BY 1
+"""
+
+
+@register("q_join_null_safe", oracle=_NULL_SAFE_ORACLE)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH each
+    other instead of vanishing — the semantics needed when joining on
+    optional dimensions (the reference's confidential-token dims parse to
+    NULL but must still align across cubes).
+
+    Crucially this stays a HASH join: <=> is an equi-condition to Catalyst
+    (null-aware key), not a theta residual — at 100 TB the difference
+    between a shuffle-hash join and a nested loop. The NULL bucket is a
+    single hot key by construction; if it dominated, pre-split it like
+    q_join_skew_salted.
+    """
+    orders = load(spark, sf_dir, "orders")
+    pri = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    o = orders.select("o_orderkey", pri.alias("pri"))
+    p = orders.select(pri.alias("p_pri")).distinct()
+    j = o.join(p, F.col("pri").eqNullSafe(F.col("p_pri")))
+    return j.groupBy(F.coalesce("pri", F.lit("<null>")).alias("pri_key")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

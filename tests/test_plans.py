@@ -197,3 +197,13 @@ def test_argmax_single_exchange(spark):
     plan = formatted_plan(_df(spark, "q_agg_argmax"))
     assert plan.count("Exchange (") == 1
     assert "Window" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """eqNullSafe must plan as an equi (hash) join — a theta/nested-loop
+    fallback would be catastrophic at scale."""
+    plan = formatted_plan(_df(spark, "q_join_null_safe"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "SortMergeJoin" in plan
+    )
