@@ -222,3 +222,83 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_masked"
         ),
     )
+
+
+# --- q_fn_trycast -----------------------------------------------------------
+
+_TRYCAST_ORACLE = """
+WITH dirty AS (
+  SELECT o_orderpriority,
+         CASE o_orderkey % 4
+           WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
+           WHEN 1 THEN ' ' || CAST(o_custkey AS VARCHAR) || ' '
+           WHEN 2 THEN o_orderpriority
+           ELSE '' END AS s_int,
+         CASE o_orderkey % 3
+           WHEN 0 THEN CAST(o_orderkey AS VARCHAR) || '.5'
+           WHEN 1 THEN '1e3'
+           ELSE 'n/a' END AS s_dbl,
+         CASE o_orderkey % 3
+           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+           WHEN 1 THEN '2024-13-01'
+           ELSE o_orderstatus END AS s_date
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(TRY_CAST(s_int AS BIGINT))            AS n_int_ok,
+       CAST(SUM(TRY_CAST(s_int AS BIGINT)) AS BIGINT) AS sum_int,
+       COUNT(TRY_CAST(s_dbl AS DOUBLE))            AS n_dbl_ok,
+       CAST(SUM(CAST(TRY_CAST(s_dbl AS DOUBLE) AS DECIMAL(27,7))) AS DOUBLE) AS sum_dbl,
+       COUNT(TRY_CAST(s_date AS DATE))             AS n_date_ok,
+       MIN(TRY_CAST(s_date AS DATE))               AS min_date,
+       COUNT(*)                                    AS n
+FROM dirty
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_fn_trycast", oracle=_TRYCAST_ORACLE)
+def q_fn_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant parsing (TRY_CAST): the dirty-input path of every
+    ingest pipeline — malformed ints/doubles/dates become NULL instead of
+    failing the job (Spark 4 runs ANSI mode, so a plain CAST would THROW on
+    the first bad row of 100 TB; try_cast is the scale-safe idiom).
+
+    Parity trap (probed): decimal-strings like '4.5' → int differ between
+    engines (DuckDB rounds to 5, Spark ANSI try_cast yields NULL), so the
+    generated dirt avoids that case; whole numbers, whitespace-padded,
+    scientific notation, invalid dates, and garbage all agree.
+    """
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s_int = (
+        F.when(k % 4 == 0, k.cast("string"))
+        .when(k % 4 == 1, F.concat(F.lit(" "), F.col("o_custkey").cast("string"), F.lit(" ")))
+        .when(k % 4 == 2, F.col("o_orderpriority"))
+        .otherwise(F.lit(""))
+    )
+    s_dbl = (
+        F.when(k % 3 == 0, F.concat(k.cast("string"), F.lit(".5")))
+        .when(k % 3 == 1, F.lit("1e3"))
+        .otherwise(F.lit("n/a"))
+    )
+    s_date = (
+        F.when(k % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k % 3 == 1, F.lit("2024-13-01"))
+        .otherwise(F.col("o_orderstatus"))
+    )
+    dirty = orders.select(
+        "o_orderpriority",
+        s_int.try_cast("bigint").alias("v_int"),
+        s_dbl.try_cast("double").alias("v_dbl"),
+        s_date.try_cast("date").alias("v_date"),
+    )
+    return dirty.groupBy("o_orderpriority").agg(
+        F.count("v_int").alias("n_int_ok"),
+        F.sum("v_int").cast("bigint").alias("sum_int"),
+        F.count("v_dbl").alias("n_dbl_ok"),
+        F.sum(F.col("v_dbl").cast("decimal(27,7)")).cast("double").alias("sum_dbl"),
+        F.count("v_date").alias("n_date_ok"),
+        F.min("v_date").alias("min_date"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -564,3 +564,83 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("long").alias("n_above50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_corr — bivariate statistics from exact integer-cents co-moments
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity      * 100 + 0.5) AS DECIMAL(19,0)) AS xc,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0)) AS yc
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(xc)      AS DOUBLE) AS sx,
+         CAST(SUM(yc)      AS DOUBLE) AS sy,
+         CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
+         CAST(SUM(yc * yc) AS DOUBLE) AS syy,
+         CAST(SUM(xc * yc) AS DOUBLE) AS sxy
+  FROM c
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n AS n_rows,
+       (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+         AS corr_qty_price,
+       (sxy - sx * sy / n) / (n - 1) / 10000.0 AS covar_qty_price,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_price_per_qty,
+       (sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx / n) / 100.0
+         AS intercept
+FROM m
+"""
+
+
+@register("q_agg_corr", oracle=_CORR_ORACLE)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covar_samp / OLS slope+intercept): the
+    drift-detection profile of a data pipeline — is price still linear in
+    quantity per return class?
+
+    Parity discipline, one step stricter than q_agg_stats: Spark's builtin
+    corr() is a distributed streaming co-moment whose float result is
+    partition-order dependent, and even decimal(27,7) sums of double
+    SQUARES can differ across engines by one rounding tie (observed on
+    l_extendedprice² at sf0.01). So both engines first snap the 2-decimal
+    money/quantity values to exact integer cents — floor(x*100+0.5), bit-
+    identical IEEE — and accumulate co-moments in exact DECIMAL integer
+    arithmetic (one hash aggregate, map-side partials intact; decimal(38,0)
+    products hold to ~1e38, far past 100 TB row counts). The closed-form
+    double arithmetic on top is identical in both engines, so corr/slope
+    hash-match at any parallelism. Scale factors cancel in corr and slope;
+    covar and intercept divide back by 1e4 / 1e2.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    xc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    yc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    c = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"))
+    dbl = lambda col: F.sum(col).cast("double")  # exact decimal sum, one cast out  # noqa: E731
+    m = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dbl(F.col("xc")).alias("sx"),
+        dbl(F.col("yc")).alias("sy"),
+        dbl(F.col("xc") * F.col("xc")).alias("sxx"),
+        dbl(F.col("yc") * F.col("yc")).alias("syy"),
+        dbl(F.col("xc") * F.col("yc")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        n.alias("n_rows"),
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        ((sxy - sx * sy / n) / (n - 1) / 10000.0).alias("covar_qty_price"),
+        slope.alias("slope_price_per_qty"),
+        ((sy / n - slope * sx / n) / 100.0).alias("intercept"),
+    )

@@ -503,3 +503,134 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
     )
+
+
+# --- q_events_funnel --------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH staged AS (
+  SELECT user_id, t1,
+         MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END) OVER (PARTITION BY user_id) AS t2
+  FROM (
+    SELECT user_id, event_type, epoch_us(ts) AS us,
+           MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (PARTITION BY user_id) AS t1
+    FROM events
+  )
+), staged3 AS (
+  SELECT user_id, t1, t2,
+         MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END) OVER (PARTITION BY user_id) AS t3
+  FROM (
+    SELECT s.user_id, s.t1, s.t2, e.event_type, epoch_us(e.ts) AS us
+    FROM (SELECT DISTINCT user_id, t1, t2 FROM staged) s
+    JOIN events e USING (user_id)
+  )
+), per_user AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM staged3 GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t1) AS n_view,
+       COUNT(t2) AS n_view_click,
+       COUNT(t3) AS n_view_click_purchase,
+       CAST(MIN(t3 - t1) AS BIGINT) AS min_funnel_us,
+       CAST(MAX(t3 - t1) AS BIGINT) AS max_funnel_us
+FROM per_user
+"""
+
+
+@register("q_events_funnel", oracle=_FUNNEL_ORACLE)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click-after-view → purchase-after-
+    click): the sequential-pattern query of product analytics, with strict
+    event-time ordering between stages (a click BEFORE the first view does
+    not count).
+
+    Spark-first shape: three stacked unordered windows over the SAME
+    partitioning (user_id) — stage k's threshold time feeds stage k+1's
+    conditional MIN — so Catalyst plans ONE Exchange+Sort feeding three
+    Window execs, then a single final aggregate to one row. No self-joins:
+    the per-stage "first event after T" never rescans events, which is the
+    difference between 1 shuffle and 3 at 100 TB. Skew note: partition
+    cardinality = users, uniform here; a whale user would be AQE-split.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    s1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1")), F.col("ts_us"))
+    ).over(w)
+    s2 = s1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t2")), F.col("ts_us")
+        )
+    ).over(w)
+    s3 = s2.withColumn("t3", t3)
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_view_click_purchase"),
+        F.min(F.col("t3") - F.col("t1")).cast("bigint").alias("min_funnel_us"),
+        F.max(F.col("t3") - F.col("t1")).cast("bigint").alias("max_funnel_us"),
+    )
+
+
+# --- q_pack_sequences -------------------------------------------------------
+
+_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 2048) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT source,
+       COUNT(DISTINCT bin_id) AS n_bins,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+FROM packed
+GROUP BY source
+"""
+
+
+@register("q_pack_sequences", oracle=_PACK_ORACLE)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: assign documents to fixed-budget
+    context bins (2048 whitespace tokens) by contiguous fill — bin_id =
+    exclusive-prefix-sum(tokens) div budget — the deterministic packing used
+    to build training batches without padding waste.
+
+    Packing is PER SOURCE (partitionBy source, order doc_id): each stream
+    packs independently, so the running sum parallelizes across sources
+    instead of one global serial scan — at 100 TB you pack per
+    (source, shard) exactly like this, never with one global cumsum. The
+    window and final aggregate share the source partitioning → one shuffle
+    total. Integer token counts make the prefix sum exact on both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
+    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bin_id = F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("bigint")
+    packed = toks.withColumn("bin_id", bin_id)
+    return packed.groupBy("source").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
+    )

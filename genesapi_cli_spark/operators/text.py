@@ -639,3 +639,52 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_top_bigram_frac"
         ),
     )
+
+
+# --- q_text_redact ----------------------------------------------------------
+
+_REDACT_ORACLE = """
+WITH r AS (
+  SELECT event_type,
+         props,
+         regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+         length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+           AS n_digit_chars
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(n_digit_chars) AS BIGINT) AS digits_removed,
+       COUNT(DISTINCT redacted) AS n_distinct_shapes,
+       MIN(redacted) AS sample_shape
+FROM r
+GROUP BY event_type
+"""
+
+
+@register("q_text_redact", oracle=_REDACT_ORACLE)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: collapse every digit run to a `<NUM>` token and
+    profile the result — the scrubbing pass a training-data pipeline runs
+    before anything leaves the raw zone (here the numeric payloads in the
+    events `props` JSON; the same regexp ladder handles emails/phones/IDs).
+
+    Pure codegen'd regexp projection — no Python in the hot path — followed
+    by one hash aggregate; at 100 TB the replace streams through the scan
+    with zero extra shuffles. `n_distinct_shapes` is the fleet-health
+    signal: a redacted corpus should collapse to few templates; a sudden
+    explosion means a new unredacted pattern is leaking through.
+
+    Parity: Java and RE2 regexes agree on the character-class subset used;
+    Spark regexp_replace is global by default = DuckDB 'g' flag.
+    """
+    ev = load(spark, sf_dir, "events")
+    red = F.regexp_replace(F.col("props"), "[0-9]+", "<NUM>")
+    n_digits = F.length("props") - F.length(F.regexp_replace(F.col("props"), "[0-9]", ""))
+    r = ev.select("event_type", red.alias("redacted"), n_digits.alias("n_digit_chars"))
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_digit_chars").cast("bigint").alias("digits_removed"),
+        F.countDistinct("redacted").alias("n_distinct_shapes"),
+        F.min("redacted").alias("sample_shape"),
+    )

@@ -438,3 +438,42 @@ def q_window_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_sum"),
         ((F.col("sum_price") - prev) / prev).alias("growth"),
     )
+
+
+# --- q_window_distribution --------------------------------------------------
+
+_DISTRIBUTION_ORACLE = """
+SELECT p_partkey,
+       p_brand,
+       rank()         OVER w AS price_rank,
+       percent_rank() OVER w AS price_pct_rank,
+       cume_dist()    OVER w AS price_cume_dist,
+       count(*)       OVER (PARTITION BY p_brand) AS n_in_brand
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+"""
+
+
+@register("q_window_distribution", oracle=_DISTRIBUTION_ORACLE)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (percent_rank / cume_dist): where a row sits in
+    its group's value distribution — the percentile-band assignment used for
+    quality-score binning of a training corpus (keep the top X% per source).
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = n_le/n are exact
+    small-integer ratios, so both engines agree bit-for-bit (no r4 wrap
+    needed). All four windows share ONE partitioning (p_brand), so Catalyst
+    plans a single sort+shuffle feeding every frame — adding the unordered
+    count() costs nothing extra. ~25 brands → 25-way parallelism; at 100 TB
+    partition by a finer key (brand×container) or pre-bucket by it.
+    """
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).alias("price_rank"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.count(F.lit(1)).over(Window.partitionBy("p_brand")).alias("n_in_brand"),
+    )

@@ -207,3 +207,25 @@ def test_null_safe_join_is_hash_join(spark):
     assert ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "SortMergeJoin" in plan
     )
+
+
+def test_funnel_single_data_shuffle(spark):
+    """Three stacked conditional-MIN windows must share ONE Exchange+Sort
+    (the 2nd exchange is the tiny per-user→global agg, not raw data)."""
+    plan = formatted_plan(_df(spark, "q_events_funnel"))
+    assert plan.count("Window (") == 3
+    assert plan.count("Sort (") == 1
+    assert plan.count("Exchange (") == 2
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Prefix-sum packing + per-source agg share the source partitioning."""
+    plan = formatted_plan(_df(spark, "q_pack_sequences"))
+    assert plan.count("Exchange (") == 1
+
+
+def test_distribution_windows_share_sort(spark):
+    """rank/percent_rank/cume_dist/count over one partitioning: 1 shuffle."""
+    plan = formatted_plan(_df(spark, "q_window_distribution"))
+    assert plan.count("Exchange (") == 1
+    assert plan.count("Sort (") == 1
