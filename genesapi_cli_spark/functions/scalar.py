@@ -302,3 +302,50 @@ def q_fn_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v_date").alias("min_date"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- q_fn_url ---------------------------------------------------------------
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/docs/' || CAST(doc_id AS VARCHAR)
+           || '?lang=' || lang || '&v=2' AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+       regexp_extract(url, '^(https?)://', 1) AS protocol
+FROM u
+"""
+
+
+@register("q_fn_url", oracle=_URL_ORACLE)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (host / path / query / single param / protocol) —
+    the provenance-tracking projection of a web-scale corpus pipeline
+    (CommonCrawl-style source attribution, per-domain quotas, param
+    stripping).
+
+    Uses Spark's builtin parse_url (JVM, codegen'd) rather than regexes;
+    the oracle mirrors with RE2 extracts. parse_url returns NULL on
+    missing components and '' only when present-but-empty — the synthetic
+    URLs here always carry every component, so both engines agree.
+    """
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"), F.lit("&v=2"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -644,3 +644,44 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_price_per_qty"),
         ((sy / n - slope * sx / n) / 100.0).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_multi_distinct
+# ---------------------------------------------------------------------------
+
+_MULTI_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey)  AS n_parts,
+       COUNT(DISTINCT l_suppkey)  AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25) AS n_supps_bulk,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_agg_multi_distinct", oracle=_MULTI_DISTINCT_ORACLE)
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates (plus a FILTERed one) in a single query —
+    the cardinality dashboard every pipeline runs (distinct parts/suppliers/
+    orders per flag in one pass).
+
+    Catalyst plans N distinct columns as ONE Expand (each input row fans out
+    to N+1 tagged copies) feeding a two-level aggregate, instead of N
+    separate scans+joins — the scan happens once at 100 TB. The filtered
+    distinct rides the same Expand via a null-out projection. When distinct
+    cardinality itself explodes, the documented relief valve is
+    approx_count_distinct (q_agg_approx_distinct).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count_distinct(F.when(F.col("l_quantity") > 25, F.col("l_suppkey"))).alias(
+            "n_supps_bulk"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

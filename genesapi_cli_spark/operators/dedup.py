@@ -397,3 +397,113 @@ def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("norm").alias("n_norm_distinct"),
         (F.count(F.lit(1)) - F.countDistinct("norm")).alias("n_dups"),
     )
+
+
+# --- q_dedup_containment ----------------------------------------------------
+
+_CONTAIN_TAU = 0.5
+
+_CONTAIN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS parts, lower(text) AS lt
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(
+           CASE WHEN len(parts) >= 4
+                THEN list_transform(range(1, len(parts) - 2),
+                     i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2], parts[i+3]))
+                ELSE [lt] END
+         ) AS g
+  FROM t
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CASE WHEN sa.sz <= sb.sz THEN doc_a ELSE doc_b END AS doc_small,
+       CASE WHEN sa.sz <= sb.sz THEN doc_b ELSE doc_a END AS doc_big,
+       n_inter,
+       CAST(LEAST(sa.sz, sb.sz) AS BIGINT) AS sz_small,
+       FLOOR(CAST(n_inter AS DOUBLE) / LEAST(sa.sz, sb.sz) * 10000 + 0.5) / 10000
+         AS containment_r
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE FLOOR(CAST(n_inter AS DOUBLE) / LEAST(sa.sz, sb.sz) * 10000 + 0.5) / 10000
+      >= {_CONTAIN_TAU}
+"""
+
+
+@register("q_dedup_containment", oracle=_CONTAIN_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT (|A∩B| / min(|A|,|B|)): catches
+    doc-inside-doc duplication — a page quoted wholesale inside a longer
+    page — which symmetric Jaccard misses (the union term dilutes it below
+    any usable τ). The standard second rung of corpus dedup after exact
+    hashing (CCNet / Gopher use the same measure over shingles).
+
+    Same never-O(n²) shape as q_dedup_ngram_jaccard: the 4-gram itself is
+    the join key, so only pairs sharing a shingle materialize; sizes come
+    from a pre-aggregate broadcast back onto the pair list. The output
+    orients each pair (doc_small = the contained candidate). Containment is
+    an exact integer ratio — one float division, floor-rounded, identical
+    across engines.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    parts = F.split(F.lower("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(parts) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(parts, i + 1),
+                F.element_at(parts, i + 2),
+                F.element_at(parts, i + 3),
+                F.element_at(parts, i + 4),
+            ),
+        )
+    )
+    long_docs = docs.filter(F.size(parts) >= 4).select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    )
+    short_docs = docs.filter(F.size(parts) < 4).select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("g")
+    )
+    sh = long_docs.unionByName(short_docs)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g")
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("g").alias("gb")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("g") == F.col("gb"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    sz_small = F.least("sz_a", "sz_b")
+    cont = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "containment_r",
+            F.floor(F.col("n_inter").cast("double") / sz_small * 10000 + F.lit(0.5)) / 10000,
+        )
+    )
+    small_first = F.col("sz_a") <= F.col("sz_b")
+    return cont.filter(F.col("containment_r") >= _CONTAIN_TAU).select(
+        F.when(small_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_small"),
+        F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_big"),
+        "n_inter",
+        sz_small.cast("bigint").alias("sz_small"),
+        "containment_r",
+    )

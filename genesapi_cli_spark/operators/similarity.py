@@ -613,3 +613,42 @@ def q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("qid", "cand_id", "qdot", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# --- q_sim_centroid ---------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+)
+SELECT label,
+       i AS dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(v AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS centroid_v
+FROM e
+GROUP BY label, i
+"""
+
+
+@register("q_sim_centroid", oracle=_CENTROID_ORACLE)
+def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the M-step of distributed k-means, and
+    the class-prototype build of retrieval/routing systems): mean vector per
+    label, emitted as (label, dim, centroid) rows.
+
+    Spark-first: posexplode the vector ONCE and hash-aggregate on
+    (label, dim) — map-side partial sums shrink the shuffle to
+    n_labels × n_dims rows per task regardless of input size, exactly how
+    vector averaging should scale to 100 TB (vs. collecting vectors or an
+    interpreted HOF zip-fold over a grouped list, which buffers whole groups).
+    Float parity: float32 → DOUBLE is exact; the decimal-cast sum makes the
+    reduction order-independent; one double division at the end.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return e.groupBy("label", (F.col("pos") + 1).alias("dim")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum(F.col("v").cast("double").cast("decimal(27,7)")).cast("double")
+         / F.count(F.lit(1))).alias("centroid_v"),
+    )

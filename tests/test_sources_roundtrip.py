@@ -115,3 +115,60 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
         F.year("o_orderdate") == 1995
     )
     assert df.count() == expected.count()
+
+
+def test_range_partitioned_write_enables_data_skipping(spark, tmp_path):
+    """Range-partition + sortWithinPartitions before write → per-file key
+    ranges must NOT overlap. This is the data-skipping layout: with disjoint
+    min/max per file, a point/range predicate prunes every other file at
+    scan time (parquet row-group stats), the difference between reading one
+    file and all of 100 TB."""
+    out = str(tmp_path / "range_parted")
+    li = load(spark, SMOKE_SF_DIR, "lineitem")
+    (
+        li.repartitionByRange(4, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import glob
+
+    ranges = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        st = spark.read.parquet(f).agg(
+            F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+        ).collect()[0]
+        if st.lo is not None:
+            ranges.append((st.lo, st.hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_small_file_compaction(spark, tmp_path):
+    """Compaction: many tiny files → few sized files with identical content.
+    The small-files problem is the classic long-running-pipeline failure
+    (NameNode pressure, per-file open cost dominating); the fix is a
+    periodic rewrite with a row budget per file."""
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    li = load(spark, SMOKE_SF_DIR, "lineitem")
+    li.repartition(32).write.mode("overwrite").parquet(src)
+    import glob
+
+    n_small = len(glob.glob(src + "/part-*.parquet"))
+    assert n_small >= 16
+
+    frag = spark.read.parquet(src)
+    n_rows = frag.count()
+    target_files = max(1, n_rows // 5000)
+    frag.repartition(target_files).write.mode("overwrite").parquet(dst)
+    n_compact = len(glob.glob(dst + "/part-*.parquet"))
+    assert n_compact <= target_files
+    # content-identical (order-insensitive): same count + same checksum
+    a = frag.agg(F.bit_xor(F.xxhash64(*frag.columns)).alias("h")).collect()[0].h
+    b_df = spark.read.parquet(dst)
+    b = b_df.agg(F.bit_xor(F.xxhash64(*b_df.columns)).alias("h")).collect()[0].h
+    assert spark.read.parquet(dst).count() == n_rows
+    assert a == b

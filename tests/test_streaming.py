@@ -246,3 +246,34 @@ def test_stream_stream_join_batch_equals_stream(spark, tmp_path):
         assert _rows(spark.table("t_ssjoin")) == _rows(batch)
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: at-least-once upstreams (Kafka redelivery,
+    file re-lists) re-emit the same event_id across micro-batches; bounded-state
+    dedup must collapse them to exactly one row WITHOUT keeping all history
+    (the watermark bounds the dedup state — the only way streaming dedup
+    survives an unbounded 100 TB/day feed)."""
+    ev = load(spark, SMOKE_SF_DIR, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value", "props"
+    ).limit(200)
+    src = str(tmp_path / "dup_events")
+    # Write the same 200 events TWICE (two files → two micro-batches):
+    # a redelivered source.
+    ev.coalesce(1).write.mode("overwrite").json(src)
+    import glob, shutil
+
+    f = glob.glob(src + "/part-*.json")[0]
+    shutil.copy(f, f.replace("part-", "redelivered-part-"))
+
+    stream = events_file_stream(spark, src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = run_to_memory(deduped, "t_dedup_stream", output_mode="append")
+    try:
+        got = spark.table("t_dedup_stream")
+        assert got.count() == 200
+        assert got.select("event_id").distinct().count() == 200
+    finally:
+        q.stop()
