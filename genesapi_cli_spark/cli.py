@@ -4,6 +4,8 @@
     python -m genesapi_cli_spark.cli serialize CUBE_PATH OUT_DIR
     python -m genesapi_cli_spark.cli schema    CUBE_PATH OUT_JSON
     python -m genesapi_cli_spark.cli query     NAME [--sf-dir DIR] [--limit N]
+    python -m genesapi_cli_spark.cli sql       "SELECT ..." [--sf-dir DIR] [--limit N]
+    python -m genesapi_cli_spark.cli explain   NAME [--sf-dir DIR]
     python -m genesapi_cli_spark.cli list
 
 - ``serialize``: cube text → typed facts → nested JSON documents with
@@ -12,6 +14,11 @@
   (the reference's schema build).
 - ``query``/``list``: run/enumerate any registered engine query — the
   generalization the reference never had.
+- ``sql``: ad-hoc ANSI SQL over the lake tables (region nation customer
+  supplier part orders lineitem events documents embeddings), registered
+  as temp views; the full Spark SQL surface, Catalyst-optimized.
+- ``explain``: the formatted physical plan of any registered query — the
+  tool for verifying pushdown/broadcast/shuffle shape before a 100 TB run.
 - ``sync``/``index`` are intentionally absent: the SOAP download client and
   the Elasticsearch transport are out of scope (SURVEY.md §7.4); their
   relational semantics live on as q_incremental_sync and sinks.bulk_sink.
@@ -110,6 +117,33 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    from genesapi_cli_spark.io import TABLES, load
+
+    spark = _session()
+    for t in TABLES:
+        load(spark, args.sf_dir, t).createOrReplaceTempView(t)
+    df = spark.sql(args.query)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_explain(args: argparse.Namespace) -> int:
+    import genesapi_cli_spark
+
+    genesapi_cli_spark.load_all()
+    from genesapi_cli_spark.plans.inspect import formatted_plan
+    from genesapi_cli_spark.registry import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _session()
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    print(formatted_plan(df))
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     import genesapi_cli_spark
 
@@ -142,6 +176,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     s.add_argument("--limit", type=int, default=20)
     s.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("sql", help="ad-hoc SQL over the lake tables")
+    s.add_argument("query")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_sql)
+
+    s = sub.add_parser("explain", help="formatted physical plan of a registered query")
+    s.add_argument("name")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.set_defaults(fn=cmd_explain)
 
     s = sub.add_parser("list", help="list registered queries")
     s.set_defaults(fn=cmd_list)

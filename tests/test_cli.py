@@ -56,3 +56,21 @@ def test_cli_schema_build(spark, tmp_path):
     assert m["n_facts"] == 4 and m["n_regions"] == 2
     assert m["years"] == [2014, 2014]
     assert m["dimensions"] == {"GES": ["GESM", "GESW"]}
+
+
+def test_cli_sql_adhoc(spark, capsys):
+    rc = main([
+        "sql",
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out and "A" in out
+
+
+def test_cli_explain_plan(spark, capsys):
+    rc = main(["explain", "q_join_broadcast", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "BroadcastHashJoin" in out or "Exchange" in out
