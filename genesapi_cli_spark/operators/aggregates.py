@@ -690,3 +690,137 @@ def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_decay — exponentially time-decayed score
+# ---------------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+WITH mx AS (
+  SELECT MAX(epoch_us(ts)) AS tmax FROM events
+), w AS (
+  SELECT user_id, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(FLOOR(EXP(-CAST((tmax - epoch_us(ts)) // 86400000000 AS DOUBLE) / 7.0)
+               * 1000000 + 0.5) AS BIGINT) AS w6
+  FROM events, mx
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents * w6) AS DOUBLE) / 100000000 AS decayed_score,
+       CAST(SUM(CAST(value AS DECIMAL(27,7))) AS DOUBLE) AS raw_score
+FROM w
+GROUP BY user_id
+"""
+
+
+@register("q_agg_decay", oracle=_DECAY_ORACLE)
+def q_agg_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score (half-life ≈ 7·ln2 days):
+    the recency weighting behind feature stores, trending rankers, and
+    freshness-weighted sampling of training data.
+
+    Parity engineering: exp() goes through libm and may differ in the last
+    ulp across engines, so the decay weight is snapped to integer MICROS
+    (floor(exp·1e6+0.5); age is first quantized to whole days → only ~30
+    distinct exp arguments, so a snap-boundary collision needs both engines
+    within 1e-16 of a 1e-6 edge — negligible and fixed for given data). The
+    2-decimal value likewise snaps to integer cents, making the weighted sum
+    EXACT integer arithmetic (cents·w6 ≤ 1e10/row, decimal-summed) — no
+    float rounding ties anywhere (a decimal(27,7) cast of the product was
+    observed to tie-round differently across engines on ~10%% of rows); one
+    double division by 1e8 at the end. Global T_max comes from a 1-row agg
+    cross-joined (broadcast) onto the scan — one extra tiny stage, no second
+    pass over the data.
+    """
+    ev = load(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts_us").alias("tmax"))
+    w = ev.crossJoin(F.broadcast(tmax)).select(
+        "user_id",
+        "value",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+        F.floor(
+            F.exp(-F.expr("cast((tmax - ts_us) div 86400000000 as double)") / 7.0)
+            * 1000000
+            + F.lit(0.5)
+        ).alias("w6"),
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum((F.col("cents") * F.col("w6")).cast("decimal(27,0)")).cast("double")
+            / 100000000
+        ).alias("decayed_score"),
+        F.sum(F.col("value").cast("decimal(27,7)")).cast("double").alias("raw_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_anomaly — z-score outlier profiling
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,7))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(27,7))) AS DOUBLE) AS sxx
+  FROM events
+  GROUP BY event_type
+), s AS (
+  SELECT event_type, n,
+         sx / n AS mean_v,
+         SQRT((sxx - sx * sx / n) / (n - 1)) AS sd_v
+  FROM m
+), z AS (
+  SELECT e.event_type,
+         (e.value - s.mean_v) / s.sd_v AS zv
+  FROM events e JOIN s USING (event_type)
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN ABS(zv) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n,
+       FLOOR(MAX(ABS(zv)) * 10000 + 0.5) / 10000 AS max_abs_z
+FROM z
+GROUP BY event_type
+"""
+
+
+@register("q_events_anomaly", oracle=_ANOMALY_ORACLE)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier profiling: group moments → per-row
+    standardization → outlier counts. The data-quality tripwire run over
+    every ingest batch (value drift, sensor glitches, corrupted shards).
+
+    Two-pass shape done the scale-correct way: pass 1 is a tiny hash agg
+    (one row per event_type); pass 2 re-joins those stats via BROADCAST —
+    the 100 TB scan streams once, no shuffle of the fact table at all.
+    Moments use exact decimal sums (order-independent); mean/sd/z are then
+    identical double arithmetic in both engines, so even the >2 threshold
+    compare is deterministic; max |z| is floor-rounded for output.
+    """
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,7)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(27,7)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    s = m.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean_v"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias(
+            "sd_v"
+        ),
+    )
+    z = ev.join(F.broadcast(s), "event_type").select(
+        "event_type", ((F.col("value") - F.col("mean_v")) / F.col("sd_v")).alias("zv")
+    )
+    return z.groupBy("event_type").agg(
+        F.sum(F.when(F.abs("zv") > 2, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+        (F.floor(F.max(F.abs("zv")) * 10000 + F.lit(0.5)) / 10000).alias("max_abs_z"),
+    )

@@ -311,8 +311,16 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         .distinct()
     )
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
-    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # Pre-partition the (static) symmetric edge list ON THE JOIN KEY once:
+    # every round's join then reuses this partitioning and only shuffles the
+    # much smaller labels side — at scale this halves per-round shuffle bytes
+    # (the edge list is the big side and it never changes between rounds).
+    shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .repartition(shuffle_n, "dst")
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         neighbor_min = (

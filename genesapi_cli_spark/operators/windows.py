@@ -477,3 +477,68 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("price_cume_dist"),
         F.count(F.lit(1)).over(Window.partitionBy("p_brand")).alias("n_in_brand"),
     )
+
+
+# --- q_window_retention -----------------------------------------------------
+
+#: 2024-01-01 00:00:00 UTC in epoch-µs; week bucket = integer div on µs.
+_RET_EPOCH0_US = 1704067200000000
+_RET_WEEK_US = 7 * 86400 * 1000000
+
+_RETENTION_ORACLE = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) - {_RET_EPOCH0_US}) // {_RET_WEEK_US} AS week_idx
+  FROM events
+), c AS (
+  SELECT user_id, week_idx,
+         MIN(week_idx) OVER (PARTITION BY user_id) AS cohort
+  FROM uw
+), g AS (
+  SELECT cohort, week_idx, COUNT(*) AS n_active
+  FROM c GROUP BY cohort, week_idx
+)
+SELECT cohort,
+       week_idx,
+       week_idx - cohort AS weeks_since,
+       n_active,
+       FLOOR(CAST(n_active AS DOUBLE)
+             / MAX(CASE WHEN week_idx = cohort THEN n_active END)
+                 OVER (PARTITION BY cohort)
+             * 10000 + 0.5) / 10000 AS retention_r
+FROM g
+"""
+
+
+@register("q_window_retention", oracle=_RETENTION_ORACLE)
+def q_window_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week, tracked
+    across subsequent weeks — THE product-analytics query, and the same shape
+    as data-freshness tracking (first-crawl cohort vs re-crawl activity).
+
+    Spark-first plan: distinct (user, week) pairs → per-user MIN window for
+    the cohort (1 shuffle on user) → (cohort, week) hash agg → cohort-size
+    lookup as an unordered window over cohort (no self-join back for the
+    denominator — the window reuses the agg's partitioning). Retention is an
+    exact integer ratio, floor-rounded. Week bucketing is integer µs
+    division — no timestamp/timezone arithmetic to disagree on.
+    """
+    ev = load(spark, sf_dir, "events")
+    week = ((F.col("ts_us") - _RET_EPOCH0_US) / _RET_WEEK_US).cast("long")
+    uw = ev.select("user_id", week.alias("week_idx")).distinct()
+    c = uw.withColumn(
+        "cohort", F.min("week_idx").over(Window.partitionBy("user_id"))
+    )
+    g = c.groupBy("cohort", "week_idx").agg(F.count(F.lit(1)).alias("n_active"))
+    size = F.max(
+        F.when(F.col("week_idx") == F.col("cohort"), F.col("n_active"))
+    ).over(Window.partitionBy("cohort"))
+    return g.select(
+        "cohort",
+        "week_idx",
+        (F.col("week_idx") - F.col("cohort")).alias("weeks_since"),
+        "n_active",
+        (F.floor(F.col("n_active").cast("double") / size * 10000 + F.lit(0.5)) / 10000).alias(
+            "retention_r"
+        ),
+    )
