@@ -634,3 +634,54 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
     )
+
+
+# --- q_sample_weighted ------------------------------------------------------
+
+_WSAMPLE_K = 25
+
+_WSAMPLE_ORACLE = f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         -LN((('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0)
+             / 4294967296.0) / n_chars AS priority
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rk
+  FROM pri
+)
+SELECT doc_id, source, n_chars, rk
+FROM ranked WHERE rk <= {_WSAMPLE_K}
+"""
+
+
+@register("q_sample_weighted", oracle=_WSAMPLE_ORACLE)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    top-k per source by priority -ln(u)/w, u = deterministic hash-uniform,
+    w = doc length — the quality/length-weighted subset selection of corpus
+    curation, reproducible across engines, runs, and partitionings (unlike
+    rand()-based TABLESAMPLE, which cannot be replayed or audited).
+
+    One pass + one top-k window per source (partial ranking; no global
+    sort). The priority stays an internal ordering key only — output columns
+    are all integers, so engine libm ulp drift in ln() cannot surface (a
+    rank flip would need two priorities within ~1e-16 — measure-zero).
+    At 100 TB: same plan, with the window's rank pushed down by
+    WindowGroupLimit (top-k early pruning in each partition).
+    """
+    docs = load(spark, sf_dir, "documents")
+    h32 = F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h32 + F.lit(1.0)) / F.lit(4294967296.0)
+    pri = docs.select(
+        "doc_id", "source", "n_chars", (-F.log(u) / F.col("n_chars")).alias("priority")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("priority").desc(), F.col("doc_id"))
+    return (
+        pri.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WSAMPLE_K)
+        .select("doc_id", "source", "n_chars", "rk")
+    )

@@ -688,3 +688,142 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("redacted").alias("n_distinct_shapes"),
         F.min("redacted").alias("sample_shape"),
     )
+
+
+# --- q_text_unigram_lm ------------------------------------------------------
+
+_UNIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok
+), totals AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS total FROM vocab GROUP BY lang
+), logp AS (
+  SELECT v.lang, v.tok,
+         FLOOR(LN(CAST(v.c AS DOUBLE) / t.total) * 1000000 + 0.5) / 1000000 AS lp
+  FROM vocab v JOIN totals t USING (lang)
+), scored AS (
+  SELECT k.doc_id, k.lang,
+         COUNT(*) AS n_toks,
+         CAST(SUM(CAST(l.lp AS DECIMAL(27,7))) AS DOUBLE) AS sum_lp
+  FROM toks k JOIN logp l ON k.lang = l.lang AND k.tok = l.tok
+  GROUP BY k.doc_id, k.lang
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_toks) AS BIGINT) AS min_toks,
+       FLOOR(MIN(sum_lp / n_toks) * 10000 + 0.5) / 10000 AS worst_avg_lp,
+       FLOOR(MAX(sum_lp / n_toks) * 10000 + 0.5) / 10000 AS best_avg_lp
+FROM scored
+GROUP BY lang
+"""
+
+
+@register("q_text_unigram_lm", oracle=_UNIGRAM_ORACLE)
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a corpus-trained unigram language model
+    scores every document by mean token log-probability — the statistical
+    rung above heuristic quality filters (CCNet's KenLM step reduced to its
+    distributed essentials: TRAIN pass = count tokens, SCORE pass = join
+    log-probs back, both over the same lake).
+
+    Scale shape: vocab is tiny relative to the corpus (Zipf), so the score
+    join broadcasts the per-lang log-prob table onto the token stream — the
+    100 TB scan shuffles only for the per-doc aggregate. Parity: ln() is
+    snapped to integer micros (floor-form) BEFORE summation; snapped values
+    sit on the 1e-6 grid so the decimal-cast sum has no rounding ties, and
+    the final per-lang extremes are floor-rounded.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.groupBy("lang").agg(F.sum("c").cast("bigint").alias("total"))
+    logp = vocab.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "tok",
+        (
+            F.floor(F.log(F.col("c").cast("double") / F.col("total")) * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("lp"),
+    )
+    scored = (
+        toks.join(F.broadcast(logp), ["lang", "tok"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.col("lp").cast("decimal(27,7)")).cast("double").alias("sum_lp"),
+        )
+    )
+    avg = F.col("sum_lp") / F.col("n_toks")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_toks").cast("bigint").alias("min_toks"),
+        (F.floor(F.min(avg) * 10000 + F.lit(0.5)) / 10000).alias("worst_avg_lp"),
+        (F.floor(F.max(avg) * 10000 + F.lit(0.5)) / 10000).alias("best_avg_lp"),
+    )
+
+
+# --- q_vocab_coverage -------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok
+), ranked AS (
+  SELECT lang, tok, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rk,
+         SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS total
+  FROM vocab
+)
+SELECT lang,
+       CAST(MAX(total) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_vocab,
+       CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN rk END) AS BIGINT) AS vocab_p99,
+       CAST(MIN(CASE WHEN cum * 2 >= total THEN rk END) AS BIGINT) AS vocab_p50
+FROM ranked
+GROUP BY lang
+"""
+
+
+@register("q_vocab_coverage", oracle=_VOCAB_ORACLE)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing: per language, how many distinct tokens
+    (by descending frequency) cover 50% / 99% of all token occurrences —
+    the Zipf-coverage analysis that sizes a tokenizer vocab before training
+    it, and a drift check afterwards.
+
+    Plan: token hash-count (the scan's only full shuffle, map-side combined)
+    → per-lang frequency ranking + running coverage in ONE window sort over
+    the (small, Zipf-compressed) vocab table. The coverage threshold is an
+    exact integer cross-multiply (cum·100 ≥ total·99) — no float division
+    anywhere in the operator.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    vocab = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tok"))
+    ranked = vocab.select(
+        "lang",
+        "c",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("total"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.max("total").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("total") * 99, F.col("rk")))
+        .cast("bigint")
+        .alias("vocab_p99"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("rk")))
+        .cast("bigint")
+        .alias("vocab_p50"),
+    )

@@ -234,3 +234,49 @@ def test_frame_sampler_short_and_exact_payloads(spark):
     assert list(by_doc[3]["frame_idx"]) == [0, 4]       # stride 4; frame 5 is idx 5
     assert list(by_doc[3]["frame_len"]) == [32, 32]
     assert set(out["first_code"]) == {ord("x"), ord("y"), ord("z")}
+
+
+def test_cogroup_applyinpandas_matches_asof_join(spark):
+    """cogroup().applyInPandas — the two-sided grouped Arrow primitive — must
+    reproduce the declarative as-of join (merge_asof per user key). This is
+    the escape hatch for per-key algorithms needing BOTH sides in memory at
+    once (alignment, per-entity reconciliation); each user's slice arrives as
+    two pandas frames, Arrow-batched, so state never crosses keys."""
+    import pandas as pd
+
+    from genesapi_cli_spark.io import load
+
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts_us", "value")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_us").alias("v_ts")
+    )
+
+    def asof(purch: pd.DataFrame, view: pd.DataFrame) -> pd.DataFrame:
+        if purch.empty:
+            return pd.DataFrame(columns=["user_id", "ts_us", "v_ts"])
+        purch = purch.sort_values("ts_us")
+        view = view.sort_values("v_ts")[["v_ts"]]
+        m = pd.merge_asof(
+            purch, view, left_on="ts_us", right_on="v_ts", direction="backward"
+        )
+        return m[["user_id", "ts_us", "v_ts"]]
+
+    got = (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(asof, "user_id long, ts_us long, v_ts double")
+        .filter(F.col("v_ts").isNotNull())
+    )
+
+    # declarative reference: latest view at-or-before each purchase
+    ref = (
+        purchases.join(views, "user_id")
+        .filter(F.col("v_ts") <= F.col("ts_us"))
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("v_ts").alias("v_ts"))
+    )
+    got_rows = sorted((r.user_id, r.ts_us, int(r.v_ts)) for r in got.collect())
+    ref_rows = sorted((r.user_id, r.ts_us, int(r.v_ts)) for r in ref.collect())
+    assert got_rows == ref_rows

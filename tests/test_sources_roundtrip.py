@@ -172,3 +172,23 @@ def test_small_file_compaction(spark, tmp_path):
     b = b_df.agg(F.bit_xor(F.xxhash64(*b_df.columns)).alias("h")).collect()[0].h
     assert spark.read.parquet(dst).count() == n_rows
     assert a == b
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a long-lived lake accretes columns; old files must
+    stay readable (missing column → NULL) and new files must surface the
+    added column via mergeSchema — without rewriting 100 TB of history."""
+    base = str(tmp_path / "evolving")
+    v1 = load(spark, SMOKE_SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    v1.write.mode("overwrite").parquet(base + "/batch=1")
+    v2 = load(spark, SMOKE_SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", F.lit("eu-west").alias("region_tag")
+    )
+    v2.write.mode("overwrite").parquet(base + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert "region_tag" in merged.columns and "batch" in merged.columns
+    assert merged.count() == v1.count() * 2
+    # old rows carry NULL for the new column; new rows carry the value
+    nulls = merged.filter(F.col("region_tag").isNull()).count()
+    assert nulls == v1.count()
