@@ -229,3 +229,41 @@ def test_distribution_windows_share_sort(spark):
     plan = formatted_plan(_df(spark, "q_window_distribution"))
     assert plan.count("Exchange (") == 1
     assert plan.count("Sort (") == 1
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning: a selective dimension filter must
+    inject bloom_filter_agg (build side) + might_contain (probe side) so the
+    big fact scan drops non-joining rows BEFORE the shuffle — at 100 TB this
+    is the difference between shuffling the whole fact table and ~the
+    matching fraction. Thresholds here are forced because local testdata is
+    tiny; on a cluster the defaults trigger on real selectivity."""
+    from genesapi_cli_spark.io import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = "/root/testdata/sf0.001"
+        orders = load(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        li = load(spark, sf, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
