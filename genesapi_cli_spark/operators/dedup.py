@@ -515,3 +515,87 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sz_small.cast("bigint").alias("sz_small"),
         "containment_r",
     )
+
+
+# --- q_decontaminate --------------------------------------------------------
+
+_DECON_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS parts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, len(parts) - 6),
+                i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2], parts[i+3],
+                               parts[i+4], parts[i+5], parts[i+6]))) AS g
+  FROM t
+  WHERE len(parts) >= 7
+), bench AS (
+  SELECT DISTINCT g, doc_id AS bench_id FROM sh WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT DISTINCT s.doc_id, s.source
+  FROM sh s JOIN bench b ON s.g = b.g AND s.doc_id <> b.bench_id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN d.doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bench
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+GROUP BY d.source
+"""
+
+
+@register("q_decontaminate", oracle=_DECON_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any 7-gram
+    with a held-out evaluation set (here a deterministic doc_id%97 slice
+    standing in for the benchmark) — the leakage check every serious
+    pretraining pipeline runs (GPT-3 appendix C / PaLM style n-gram overlap).
+
+    Scale shape: the benchmark side is tiny by construction, so its distinct
+    shingle set BROADCASTS onto the corpus shingle stream — the 100 TB side
+    is never shuffled for the probe; per-doc dedup of hits and the final
+    per-source rollup shuffle only doc-level rows. Self-matches are excluded
+    so benchmark members report their own source's contamination honestly.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    parts = F.split(F.lower("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(parts) - 7),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(parts, i + k) for k in range(1, 8)]
+            ),
+        )
+    )
+    sh = docs.filter(F.size(parts) >= 7).select(
+        "doc_id", "source", F.explode(grams).alias("g")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("g").alias("bg"), F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    hits = (
+        sh.join(
+            F.broadcast(bench),
+            (F.col("g") == F.col("bg")) & (F.col("doc_id") != F.col("bench_id")),
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        d.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_contaminated"),
+            F.sum(F.when(F.col("doc_id") % 97 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bench"),
+        )
+    )

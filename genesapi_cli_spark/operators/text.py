@@ -827,3 +827,74 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("vocab_p50"),
     )
+
+
+# --- q_text_entropy ---------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, lang, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, lang, tok
+), ent AS (
+  SELECT doc_id, lang,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+              AS DOUBLE) AS s_clnc
+  FROM cnt GROUP BY doc_id, lang
+), h AS (
+  SELECT doc_id, lang, n,
+         FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+           - s_clnc / (CAST(n AS DOUBLE) * 1000000.0) AS entropy
+  FROM ent
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       FLOOR(MIN(entropy) * 10000 + 0.5) / 10000 AS min_entropy,
+       FLOOR(MAX(entropy) * 10000 + 0.5) / 10000 AS max_entropy,
+       CAST(SUM(CASE WHEN entropy < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
+FROM h
+GROUP BY lang
+"""
+
+
+@register("q_text_entropy", oracle=_ENTROPY_ORACLE)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the randomness
+    filter of corpus curation: near-zero entropy flags boilerplate/repeated
+    junk, abnormally high entropy flags encoded blobs or alphabet soup; both
+    ends get dropped before training.
+
+    H = ln(n) − Σc·ln(c)/n via exact integer arithmetic: ln(c) snapped to
+    integer micros (c has few distinct values — Zipf — so libm ulp drift
+    can't straddle a snap boundary), multiplied by the exact count, and
+    integer-summed; the closed form on top is identical double math in both
+    engines, so even the <3.0 low-entropy threshold compare is
+    deterministic. Plan: per-doc token hash-count → per-doc agg → per-lang
+    rollup, all map-side combined — one data shuffle on (doc,tok), then
+    shuffles only of shrinking aggregates.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    cnt = toks.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    lnc_micro = F.floor(F.log(F.col("c").cast("double")) * 1000000 + F.lit(0.5))
+    ent = cnt.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * lnc_micro).cast("double").alias("s_clnc"),
+    )
+    entropy = (
+        F.floor(F.log(F.col("n").cast("double")) * 1000000 + F.lit(0.5)) / 1000000.0
+        - F.col("s_clnc") / (F.col("n").cast("double") * 1000000.0)
+    )
+    h = ent.select("lang", entropy.alias("entropy"))
+    return h.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.floor(F.min("entropy") * 10000 + F.lit(0.5)) / 10000).alias("min_entropy"),
+        (F.floor(F.max("entropy") * 10000 + F.lit(0.5)) / 10000).alias("max_entropy"),
+        F.sum(F.when(F.col("entropy") < 3.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_entropy"),
+    )

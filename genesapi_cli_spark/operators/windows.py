@@ -542,3 +542,69 @@ def q_window_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_r"
         ),
     )
+
+
+# --- q_window_locf ----------------------------------------------------------
+
+_LOCF_ORACLE = """
+WITH gapped AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+  FROM events
+), filled AS (
+  SELECT user_id, event_id, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS v_filled
+  FROM gapped
+)
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(SUM(CASE WHEN v IS NULL AND v_filled IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_imputed,
+       CAST(SUM(CAST(COALESCE(v_filled, 0) AS DECIMAL(27,7))) AS DOUBLE) AS sum_filled
+FROM filled
+GROUP BY user_id
+"""
+
+
+@register("q_window_locf", oracle=_LOCF_ORACLE)
+def q_window_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation (forward fill): NULL gaps
+    in a per-entity time series take the latest preceding non-NULL value —
+    the standard repair for sensor dropouts / sparse snapshots before any
+    downstream aggregate (and the reference's '...'-token cleaning done
+    statefully over time instead of per cell).
+
+    Spark expresses it as last(col, ignorenulls=True) over an UNBOUNDED
+    PRECEDING running frame — one shuffle+sort per entity partition,
+    streaming frame evaluation (no buffering of the whole partition). A
+    leading-NULL row stays NULL (nothing to carry) — counted separately from
+    imputed rows. Values that survive are originals (2-dec), so the
+    decimal-cast checksum is tie-free.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    gapped = ev.select("user_id", "event_id", "ts_us", v.alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = gapped.select(
+        "user_id", "v", F.last("v", ignorenulls=True).over(w).alias("v_filled")
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("bigint").alias("n_missing"),
+        F.sum(
+            F.when(F.col("v").isNull() & F.col("v_filled").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_imputed"),
+        F.sum(F.coalesce("v_filled", F.lit(0)).cast("decimal(27,7)"))
+        .cast("double")
+        .alias("sum_filled"),
+    )
