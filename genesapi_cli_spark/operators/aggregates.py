@@ -824,3 +824,81 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.floor(F.max(F.abs("zv")) * 10000 + F.lit(0.5)) / 10000).alias("max_abs_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_skewkurt — higher-moment drift statistics
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS xc
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(xc) AS DOUBLE) AS s1,
+         CAST(SUM(xc * xc) AS DOUBLE) AS s2,
+         CAST(SUM(xc * xc * xc) AS DOUBLE) AS s3,
+         CAST(SUM(xc * xc * xc * xc) AS DOUBLE) AS s4
+  FROM c GROUP BY l_returnflag
+), mom AS (
+  SELECT l_returnflag, n,
+         s1 / n AS m1,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM m
+)
+SELECT l_returnflag,
+       n AS n_rows,
+       FLOOR(m1 / 100 * 10000 + 0.5) / 10000 AS mean_qty,
+       FLOOR(m3 / (m2 * SQRT(m2)) * 10000 + 0.5) / 10000 AS skewness,
+       FLOOR((m4 / (m2 * m2) - 3) * 10000 + 0.5) / 10000 AS excess_kurtosis
+FROM mom
+"""
+
+
+@register("q_agg_skewkurt", oracle=_SKEW_ORACLE)
+def q_agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness + excess kurtosis per group — the higher-moment drift profile
+    (a shifted tail or new outlier mass moves 3rd/4th moments long before the
+    mean). Spark's builtin skewness()/kurtosis() are streaming co-moments
+    (partition-order-dependent floats), so the same exact-cents discipline as
+    q_agg_corr applies: integer powers (qty-cents⁴ ≤ 6.3e14/row — fits a
+    long), decimal-exact sums, then one identical closed-form central-moment
+    expansion on both engines, floor-rounded for output. One hash aggregate,
+    map-side combined; scale factors cancel in the standardized moments.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    xc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+    c = li.select("l_returnflag", xc.alias("xc"))
+    x = F.col("xc")
+    dbl = lambda col: F.sum(col.cast("decimal(27,0)")).cast("double")  # noqa: E731
+    m = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dbl(x).alias("s1"),
+        dbl(x * x).alias("s2"),
+        dbl(x * x * x).alias("s3"),
+        dbl(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n - m1 * m1
+    m3 = F.col("s3") / n - 3 * m1 * (F.col("s2") / n) + 2 * m1 * m1 * m1
+    m4 = (
+        F.col("s4") / n
+        - 4 * m1 * (F.col("s3") / n)
+        + 6 * m1 * m1 * (F.col("s2") / n)
+        - 3 * m1 * m1 * m1 * m1
+    )
+    r4f = lambda col: F.floor(col * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return m.select(
+        "l_returnflag",
+        n.alias("n_rows"),
+        r4f(m1 / 100).alias("mean_qty"),
+        r4f(m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        r4f(m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
+    )

@@ -192,3 +192,30 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # old rows carry NULL for the new column; new rows carry the value
     nulls = merged.filter(F.col("region_tag").isNull()).count()
     assert nulls == v1.count()
+
+
+def test_binaryfile_source_ingests_raw_assets(spark, tmp_path):
+    """binaryFile source: raw asset files (images/audio stand-ins) ingest as
+    (path, modificationTime, length, content binary) rows — the entry point
+    of a multimodal pipeline BEFORE any decode stage. Glob filtering prunes
+    at listing time, so a 100 TB asset lake never lists non-matching files."""
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    payloads = {}
+    for i in range(6):
+        name = f"img_{i}.fakejpg" if i % 2 == 0 else f"clip_{i}.fakewav"
+        data = bytes([i] * (10 + i))
+        (assets / name).write_bytes(data)
+        payloads[name] = data
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.fakejpg")
+        .load(str(assets))
+    )
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 3  # glob pruned the .fakewav files
+    for r in rows:
+        name = r.path.rsplit("/", 1)[-1]
+        assert bytes(r.content) == payloads[name]
+        assert r.length == len(payloads[name])
