@@ -277,3 +277,67 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         assert got.select("event_id").distinct().count() == 200
     finally:
         q.stop()
+
+
+def test_foreachbatch_streaming_merge_into_lake(spark, tmp_path):
+    """foreachBatch: the streaming→lake upsert pattern. Each micro-batch
+    merges (keep-latest by event_id) into a parquet state table — the
+    mechanism for maintaining a continuously-updated serving copy when the
+    sink has no native streaming support. Must be idempotent per batch
+    (batch_id-keyed) and converge to exactly the batch-dedup result."""
+    ev = load(spark, SMOKE_SF_DIR, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value", "props"
+    ).limit(300)
+    src = str(tmp_path / "merge_src")
+    ev.repartition(3).write.mode("overwrite").json(src)
+
+    state_dir = str(tmp_path / "state")
+
+    COLS = ["event_id", "ts_us", "user_id", "event_type", "value", "props"]
+
+    def merge_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        batch_df = batch_df.select(*COLS)
+        import os as _os
+
+        if _os.path.exists(state_dir):
+            cur = s.read.parquet(state_dir)
+            merged = (
+                cur.unionByName(batch_df)
+                .groupBy("event_id")
+                .agg(
+                    F.max(F.struct("ts_us", "user_id", "event_type", "value", "props")).alias("r")
+                )
+                .select("event_id", "r.*")
+            )
+        else:
+            merged = batch_df.dropDuplicates(["event_id"])
+        # write-then-swap would be atomic on a real lake; local tmp is fine
+        merged.write.mode("overwrite").parquet(state_dir + ".next")
+        import shutil
+
+        if _os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        _os.rename(state_dir + ".next", state_dir)
+
+    stream = events_file_stream(spark, src)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = spark.read.parquet(state_dir)
+    assert final.count() == 300
+    assert final.select("event_id").distinct().count() == 300
+    # state content equals the batch answer for the same input
+    want = sorted(tuple(r) for r in ev.collect())
+    got = sorted(
+        tuple(r)
+        for r in final.select(
+            "event_id", "ts_us", "user_id", "event_type", "value", "props"
+        ).collect()
+    )
+    assert got == want
