@@ -202,3 +202,67 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frame_len").cast("long").alias("sum_frame_bytes"),
         F.sum("first_code").cast("long").alias("sum_first_codes"),
     )
+
+
+# --- q_multimodal_chunks ----------------------------------------------------
+
+_CHUNK_BYTES = 256
+
+_CHUNK_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS nb
+  FROM documents
+), idx AS (
+  SELECT doc_id, text, nb,
+         unnest(generate_series(0, CAST(CEIL(nb / {_CHUNK_BYTES}.0) AS BIGINT) - 1))
+           AS chunk_idx
+  FROM n
+)
+SELECT doc_id,
+       chunk_idx,
+       octet_length(encode(substring(text, CAST(chunk_idx * {_CHUNK_BYTES} + 1 AS BIGINT),
+                                     {_CHUNK_BYTES}))) AS n_bytes,
+       md5(substring(text, CAST(chunk_idx * {_CHUNK_BYTES} + 1 AS BIGINT),
+                     {_CHUNK_BYTES})) AS chunk_md5
+FROM idx
+"""
+
+
+@register("q_multimodal_chunks", oracle=_CHUNK_ORACLE)
+def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size binary chunking (256-byte windows, the audio/PCM framing
+    primitive): one payload row explodes into N chunk rows, each carrying a
+    content checksum — the byte-exact shape every downstream feature
+    extractor (spectrogram, codec probe, CDC chunk store) consumes.
+
+    The chunker is a row-exploding ``mapInPandas`` stage operating on raw
+    bytes (the real multimodal plumbing; a codec would slot in per chunk) —
+    Arrow-batched, payload column pruned everywhere else. The DuckDB oracle
+    mirrors it with string substring + md5, valid because the synthetic
+    corpus is pure ASCII (1 byte/char); the Spark path slices true UTF-8
+    bytes and would be unchanged for arbitrary binary. Chunk md5s make the
+    comparison content-exact, not just count-exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "n_bytes": [], "chunk_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, max(len(data), 1), _CHUNK_BYTES):
+                    chunk = data[i : i + _CHUNK_BYTES]
+                    if not chunk:
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i // _CHUNK_BYTES)
+                    out["n_bytes"].append(len(chunk))
+                    out["chunk_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        chunker, "doc_id long, chunk_idx long, n_bytes int, chunk_md5 string"
+    )

@@ -138,3 +138,69 @@ def test_hash_sample_deterministic_subset(spark, keys):
     first, second = pick(), pick()
     assert first == second
     assert first <= set(keys)
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=4000), min_size=1, max_size=60),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_invariants(spark, toks):
+    """Contiguous-fill packing: bin ids start at 0, are contiguous, each doc
+    lands in exactly one bin, and every bin boundary respects the running
+    total (bin_id == exclusive-prefix-sum div budget)."""
+    budget = 2048
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = df.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast("long"),
+    ).collect()
+
+    run = 0
+    expect_bins = []
+    for n in toks:
+        expect_bins.append(run // budget)
+        run += n
+    got_bins = [r.bin_id for r in sorted(packed, key=lambda r: r.doc_id)]
+    assert got_bins == expect_bins
+    # bins start at 0 and are non-decreasing in doc order; gaps appear only
+    # when a single doc exceeds the budget (it spans skipped bins)
+    assert got_bins[0] == 0
+    assert all(b2 >= b1 for b1, b2 in zip(got_bins, got_bins[1:]))
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10000),
+            st.integers(min_value=0, max_value=10000),
+        ),
+        min_size=4,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_preserves_rows_and_bounds(spark, pts):
+    """Z-value layout: bijective over rows (no dup/loss), z fits in the
+    interleaved bit budget, and equal points get equal z."""
+    from genesapi_cli_spark.sources.layout import BITS, with_zvalue
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    z = with_zvalue(df, ["x", "y"]).collect()
+    assert len(z) == len(pts)
+    zmax = 1 << (2 * BITS)
+    seen = {}
+    for r in z:
+        assert 0 <= r["__z"] < zmax
+        key = (r.x, r.y)
+        if key in seen:
+            assert seen[key] == r["__z"]
+        seen[key] = r["__z"]
