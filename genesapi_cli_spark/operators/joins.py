@@ -526,3 +526,89 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.coalesce("pri", F.lit("<null>")).alias("pri_key")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# --- q_join_asof_tolerance --------------------------------------------------
+
+_ASOF_TOL_US = 7 * 86400 * 1000000  # 7 days in epoch-µs
+
+_ASOF_TOL_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id,
+         epoch_us(ts) AS us,
+         event_id,
+         event_type = 'signup' AS is_signup
+  FROM events
+  WHERE event_type IN ('purchase', 'signup')
+), enriched AS (
+  SELECT user_id, us, event_id, is_signup,
+         LAST_VALUE(CASE WHEN is_signup THEN us END IGNORE NULLS) OVER w AS signup_us,
+         LAST_VALUE(CASE WHEN is_signup THEN event_id END IGNORE NULLS) OVER w
+           AS signup_event_id
+  FROM tagged
+  WINDOW w AS (
+    PARTITION BY user_id
+    ORDER BY us, is_signup DESC, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )
+)
+SELECT event_id,
+       user_id,
+       us AS purchase_us,
+       CASE WHEN us - signup_us <= {_ASOF_TOL_US} THEN signup_us END AS signup_us,
+       CASE WHEN us - signup_us <= {_ASOF_TOL_US} THEN signup_event_id END
+         AS signup_event_id,
+       (signup_us IS NOT NULL AND us - signup_us > {_ASOF_TOL_US}) AS stale_dropped
+FROM enriched
+WHERE NOT is_signup
+"""
+
+
+@register("q_join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas merge_asof semantics):
+    a purchase attributes to the latest prior signup only if it happened
+    within 7 days — older matches are dropped as stale, the realistic
+    attribution-window rule (and the guard against joining to a reference
+    row from a different era when keys are reused).
+
+    Same single-shuffle union+LOCF plan as q_join_asof — the tolerance is a
+    pure projection on top (integer µs comparison), so bounded staleness
+    costs nothing extra at any scale. `stale_dropped` makes the difference
+    auditable.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    tagged = ev.select(
+        "user_id",
+        F.col("ts_us").alias("us"),
+        "event_id",
+        (F.col("event_type") == "signup").alias("is_signup"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), F.col("is_signup").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.select(
+        "event_id",
+        "user_id",
+        "us",
+        "is_signup",
+        F.last(F.when(F.col("is_signup"), F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("raw_signup_us"),
+        F.last(F.when(F.col("is_signup"), F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("raw_signup_event_id"),
+    )
+    fresh = F.col("us") - F.col("raw_signup_us") <= _ASOF_TOL_US
+    return enriched.filter(~F.col("is_signup")).select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.when(fresh, F.col("raw_signup_us")).alias("signup_us"),
+        F.when(fresh, F.col("raw_signup_event_id")).alias("signup_event_id"),
+        (F.col("raw_signup_us").isNotNull() & ~fresh).alias("stale_dropped"),
+    )
