@@ -79,3 +79,59 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s)  # EXCEPT (distinct) — matches the oracle's EXCEPT
+
+
+# --- q_set_bag_ops ----------------------------------------------------------
+
+_BAG_ORACLE = """
+WITH a AS (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+), r AS (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+), diff AS (
+  SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM r
+), common AS (
+  SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM r
+)
+SELECT 'except_all' AS op,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS n_keys,
+       CAST(SUM(l_partkey) AS BIGINT) AS key_sum
+FROM diff
+UNION ALL
+SELECT 'intersect_all' AS op,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS n_keys,
+       CAST(SUM(l_partkey) AS BIGINT) AS key_sum
+FROM common
+"""
+
+
+@register("q_set_bag_ops", oracle=_BAG_ORACLE)
+def q_set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): duplicate
+    MULTIPLICITY survives — `except_all` keeps max(nA−nB, 0) copies and
+    `intersect_all` min(nA, nB), unlike the distinct variants
+    (q_set_except/q_set_intersect) which collapse to membership. This is the
+    semantics reconciliation diffs need: "how many occurrences are missing",
+    not "which keys".
+
+    Spark plans exceptAll/intersectAll as a tagged union + count aggregate +
+    replicate — one shuffle on the value, no join; multiplicities make both
+    engines' row counts exactly comparable.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+
+    def profile(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_keys"),
+            F.sum("l_partkey").cast("bigint").alias("key_sum"),
+        ).select("op", "n_rows", "n_keys", "key_sum")
+
+    return profile(a.exceptAll(r), "except_all").unionByName(
+        profile(a.intersectAll(r), "intersect_all")
+    )
