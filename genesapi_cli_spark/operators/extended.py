@@ -685,3 +685,56 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _WSAMPLE_K)
         .select("doc_id", "source", "n_chars", "rk")
     )
+
+
+# --- q_incremental_agg_merge ------------------------------------------------
+
+_INC_AGG_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+         AS total_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_incremental_agg_merge", oracle=_INC_AGG_ORACLE)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: yesterday's aggregate
+    STATE (count/sum/min/max per group) merges with today's DELTA partials
+    into the new state — never re-scanning history. The oracle is the full
+    recompute over base ∪ delta, proving the merge algebra is lossless;
+    at 100 TB this is the difference between an O(delta) nightly update and
+    an O(total) rescan (and it is exactly Spark's own partial-aggregation
+    contract, applied at the pipeline level: every column here is an
+    algebraic/commutative monoid — decomposable aggregates only; a median
+    would need the full data or a mergeable sketch like q_agg_sketch_merge).
+
+    Exact cents keep the merged sum bit-equal to the recompute regardless of
+    which partial it transited.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents.cast("decimal(27,0)")).alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+
+    # yesterday's state and today's delta (disjoint halves of the key space)
+    state = partial(orders.filter(F.col("o_orderkey") % 2 == 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % 2 == 1))
+
+    merged = state.unionByName(delta).groupBy("o_orderpriority").agg(
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        (F.sum("sum_cents").cast("double") / 100).alias("total_price"),
+        F.min("min_key").alias("min_key"),
+        F.max("max_key").alias("max_key"),
+    )
+    return merged
