@@ -612,3 +612,46 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("raw_signup_event_id")).alias("signup_event_id"),
         (F.col("raw_signup_us").isNotNull() & ~fresh).alias("stale_dropped"),
     )
+
+
+# --- q_affinity_pairs -------------------------------------------------------
+
+_AFFINITY_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, n_orders
+FROM pairs
+WHERE n_orders >= 2
+"""
+
+
+@register("q_affinity_pairs", oracle=_AFFINITY_ORACLE)
+def q_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs appearing together in
+    ≥2 orders — the self-join pair-generation family (recommendations,
+    co-citation, co-click graphs).
+
+    The join key is the basket id, so pair fan-out is Σ k_i² over basket
+    sizes — bounded when baskets are (TPC-H ~4-7 items), NOT O(n²). The
+    100 TB hazard is a whale basket (one order with 10⁵ items → 10¹⁰
+    pairs): the production guard is capping or sampling baskets above K
+    items before the self-join, the exact analogue of the dedup family's
+    stop-shingle cap. Distinct-items first so duplicate lineitems of the
+    same part don't inflate counts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.filter(F.col("n_orders") >= 2)

@@ -608,3 +608,57 @@ def q_window_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_filled"),
     )
+
+
+# --- q_window_streak --------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) - 1704067200000000) // 86400000000 AS day_idx
+  FROM events
+), grp AS (
+  SELECT user_id, day_idx,
+         day_idx - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_idx)
+           AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, COUNT(*) AS len
+  FROM grp GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+       COUNT(*) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM streaks
+GROUP BY user_id
+"""
+
+
+@register("q_window_streak", oracle=_STREAK_ORACLE)
+def q_window_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streak per user via
+    the row_number-difference trick (day_idx − rank is constant within each
+    unbroken run) — the engagement-streak / continuous-coverage query that
+    naïve approaches solve with per-user loops.
+
+    Everything is integer arithmetic on µs-derived day indices (no date
+    functions to disagree on). One shuffle on user_id feeds the ranking
+    window AND both stacked aggregations — islands are derived, grouped,
+    and rolled up without repartitioning.
+    """
+    ev = load(spark, sf_dir, "events")
+    day = ((F.col("ts_us") - 1704067200000000) / 86400000000).cast("long")
+    days = ev.select("user_id", day.alias("day_idx")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    grp = days.select(
+        "user_id",
+        "day_idx",
+        (F.col("day_idx") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+    )
