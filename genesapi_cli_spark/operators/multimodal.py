@@ -266,3 +266,66 @@ def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(
         chunker, "doc_id long, chunk_idx long, n_bytes int, chunk_md5 string"
     )
+
+
+# --- q_multimodal_resize ----------------------------------------------------
+
+_IMG_W, _IMG_H = 16, 8  # fake 16×8 single-channel "image" from doc bytes
+
+_RESIZE_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id, rpad(substring(text, 1, {_IMG_W * _IMG_H}), {_IMG_W * _IMG_H}, ' ') AS px
+  FROM documents
+)
+SELECT doc_id,
+       string_agg(substring(px, (2*r)*{_IMG_W} + 2*c + 1, 1), '' ORDER BY r, c)
+         AS resized,
+       CAST({_IMG_W // 2} AS INT) AS out_w,
+       CAST({_IMG_H // 2} AS INT) AS out_h
+FROM img,
+     LATERAL (SELECT unnest(generate_series(0, {_IMG_H // 2 - 1})) AS r),
+     LATERAL (SELECT unnest(generate_series(0, {_IMG_W // 2 - 1})) AS c)
+GROUP BY doc_id
+"""
+
+
+@register("q_multimodal_resize", oracle=_RESIZE_ORACLE)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage (2× stride downsample) over binary payloads: the
+    missing rung between decode (q_multimodal_decode) and feature rollup —
+    1 image row in, 1 smaller image row out, byte-exact.
+
+    The container has no image codecs, so the "image" is a deterministic
+    16×8 byte plane cut from the document (STUB — a real pipeline swaps the
+    body of ``resize`` for PIL/cv2; the Spark-side plumbing is the real
+    thing: Arrow-batched ``mapInPandas`` over a binary column with a typed
+    (payload, w, h) contract, payload pruned outside the stage). Nearest-
+    neighbor stride sampling keeps the oracle exact: DuckDB mirrors the
+    same index arithmetic with string ops (valid: ASCII corpus, 1 byte/px).
+    """
+    docs = load(spark, sf_dir, "documents")
+    n = _IMG_W * _IMG_H
+    assets = docs.select(
+        "doc_id",
+        F.encode(F.rpad(F.substring("text", 1, n), n, " "), "UTF-8").alias("payload"),
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "resized": [], "out_w": [], "out_h": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = bytes(payload)
+                small = bytes(
+                    px[(2 * r) * _IMG_W + 2 * c]
+                    for r in range(_IMG_H // 2)
+                    for c in range(_IMG_W // 2)
+                )
+                out["doc_id"].append(doc_id)
+                out["resized"].append(small.decode("ascii"))
+                out["out_w"].append(_IMG_W // 2)
+                out["out_h"].append(_IMG_H // 2)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        resize, "doc_id long, resized string, out_w int, out_h int"
+    )
