@@ -898,3 +898,79 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_low_entropy"),
     )
+
+
+# --- q_text_kl_drift --------------------------------------------------------
+
+_KL_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), sc AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok
+), gc AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS g FROM sc GROUP BY tok
+), ns AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY source
+), ng AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS ntot FROM gc
+), terms AS (
+  SELECT s.source,
+         (CAST(s.c AS DOUBLE) / ns.n)
+           * (FLOOR(LN((CAST(s.c AS DOUBLE) / ns.n)
+                       / (CAST(gc.g AS DOUBLE) / ng.ntot)) * 1000000 + 0.5)
+              / 1000000.0) AS t
+  FROM sc s
+  JOIN gc ON s.tok = gc.tok
+  JOIN ns ON s.source = ns.source
+  CROSS JOIN ng
+)
+SELECT source,
+       COUNT(*) AS n_vocab,
+       FLOOR(CAST(SUM(CAST(t AS DECIMAL(27,7))) AS DOUBLE) * 10000 + 0.5) / 10000
+         AS kl_vs_corpus
+FROM terms
+GROUP BY source
+"""
+
+
+@register("q_text_kl_drift", oracle=_KL_ORACLE)
+def q_text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix drift monitoring: KL divergence of each source's token
+    distribution against the whole-corpus distribution — the alarm that a
+    source's content shifted (new crawler behavior, a spam influx) before
+    it contaminates a training mix. KL(P_s‖G) = Σ p·ln(p/g); g>0 wherever
+    p>0 because the corpus contains the source.
+
+    Scale shape: one token count per (source, tok) — the only full-data
+    shuffle — then per-tok global counts derive FROM that aggregate
+    (no second scan), and the tiny global/source totals broadcast back
+    onto the vocab table. Parity: the ln of the exact-integer ratio is
+    snapped to micros; the p·lp products have irrational-denominator
+    rationals (never on the decimal half-grid), so the decimal-cast sum is
+    deterministic; final KL floor-rounded.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    gc = sc.groupBy("tok").agg(F.sum("c").cast("bigint").alias("g"))
+    ns = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    ng = gc.agg(F.sum("g").cast("bigint").alias("ntot"))
+    p = F.col("c").cast("double") / F.col("n")
+    g = F.col("g").cast("double") / F.col("ntot")
+    lp = F.floor(F.log(p / g) * 1000000 + F.lit(0.5)) / 1000000.0
+    terms = (
+        sc.join(gc, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ng))
+        .select("source", (p * lp).alias("t"))
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        (
+            F.floor(
+                F.sum(F.col("t").cast("decimal(27,7)")).cast("double") * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("kl_vs_corpus"),
+    )
