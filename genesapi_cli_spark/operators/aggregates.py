@@ -18,7 +18,7 @@ decimal moments so results are partition-order independent (see registry.DEC).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load
@@ -901,4 +901,78 @@ def q_agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4f(m1 / 100).alias("mean_qty"),
         r4f(m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         r4f(m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_concentration — top-decile share / inequality profile
+# ---------------------------------------------------------------------------
+
+_CONC_ORACLE = """
+WITH cust AS (
+  SELECT c_nationkey, o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+), ranked AS (
+  SELECT c_nationkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY cents DESC, o_custkey)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n_cust,
+         SUM(cents) OVER (PARTITION BY c_nationkey) AS total_cents
+  FROM cust
+)
+SELECT c_nationkey,
+       CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+       CAST(MAX(total_cents) AS DOUBLE) / 100 AS total_revenue,
+       FLOOR(CAST(SUM(CASE WHEN rk * 10 <= n_cust THEN cents ELSE 0 END) AS DOUBLE)
+             / MAX(total_cents) * 10000 + 0.5) / 10000 AS top_decile_share
+FROM ranked
+GROUP BY c_nationkey
+"""
+
+
+@register("q_agg_concentration", oracle=_CONC_ORACLE)
+def q_agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration profile: the revenue share of each nation's top-decile
+    customers — the inequality measure behind whale detection, source-quota
+    balancing (is 90% of a training source 10 domains?), and risk reports.
+
+    Per-entity totals (exact cents) → one ranking window per nation (rank,
+    group size, and group total share a single Sort) → integer cross-multiply
+    decile membership (rk·10 ≤ n, no float percentile) → exact share ratio,
+    floor-rounded once. Two shuffles total: entity agg, nation window.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    per_cust = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(cents.cast("decimal(27,0)")).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    wo = w.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    ranked = per_cust.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(wo).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n_cust"),
+        F.sum("cents").over(w).alias("total_cents"),
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        F.max("n_cust").cast("bigint").alias("n_customers"),
+        (F.max("total_cents").cast("double") / 100).alias("total_revenue"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("rk") * 10 <= F.col("n_cust"), F.col("cents")).otherwise(0))
+                .cast("double")
+                / F.max("total_cents")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("top_decile_share"),
     )

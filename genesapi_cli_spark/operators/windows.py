@@ -662,3 +662,54 @@ def q_window_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum("len").cast("bigint").alias("n_active_days"),
     )
+
+
+# --- q_events_transitions ---------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       FLOOR(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type) * 10000 + 0.5) / 10000
+         AS p_transition
+FROM pairs
+"""
+
+
+@register("q_events_transitions", oracle=_TRANSITIONS_ORACLE)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the behavioral fingerprint behind
+    session simulation, bot detection (impossible transitions), and
+    next-action features.
+
+    One shuffle on user_id for the LAG window, then the pair space is tiny
+    (|types|² = 25 rows) — the normalizing per-row window costs nothing.
+    Transition probabilities are exact integer ratios, floor-rounded.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.floor(F.col("n").cast("double") / total * 10000 + F.lit(0.5)) / 10000).alias(
+            "p_transition"
+        ),
+    )
