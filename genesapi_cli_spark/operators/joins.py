@@ -669,3 +669,77 @@ def q_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+# --- q_join_spatial ---------------------------------------------------------
+
+_SPATIAL_EPS_XC = 50   # ε_x = 0.50 in value-cents
+_SPATIAL_EPS_Y = 2     # ε_y = 2 user-id units
+
+_SPATIAL_ORACLE = f"""
+WITH pts AS (
+  SELECT event_id AS pid,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS xc,
+         user_id % 100 AS y
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.pid AS pid_a, b.pid AS pid_b,
+       ABS(a.xc - b.xc) AS dx_cents,
+       ABS(a.y - b.y) AS dy
+FROM pts a JOIN pts b
+  ON a.pid < b.pid
+ AND ABS(a.xc - b.xc) <= {_SPATIAL_EPS_XC}
+ AND ABS(a.y - b.y) <= {_SPATIAL_EPS_Y}
+"""
+
+
+@register("q_join_spatial", oracle=_SPATIAL_ORACLE)
+def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D proximity join (all point pairs within an L∞ ε-box): the spatial
+    family — geo near-matching, embedding-grid blocking, sensor
+    co-location — done the grid-bucket way, NOT as a quadratic theta join.
+
+    Each point lands in one ε-sized grid cell; side A explodes to its 3×3
+    neighbor cells, side B stays put, and the join is a plain EQUI join on
+    the cell id (hash-partitionable!) followed by the exact distance
+    filter. Candidate fan-out is bounded by cell occupancy — the oracle is
+    the honest quadratic inequality join, proving the grid finds exactly
+    the same pairs. Integer cents/ids keep every distance exact.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("xc"),
+        (F.col("user_id") % 100).alias("y"),
+    )
+    cell_x = F.floor(F.col("xc") / _SPATIAL_EPS_XC)
+    cell_y = F.floor(F.col("y") / _SPATIAL_EPS_Y)
+    b = pts.select(
+        F.col("pid").alias("pid_b"),
+        F.col("xc").alias("xc_b"),
+        F.col("y").alias("y_b"),
+        cell_x.alias("cx"),
+        cell_y.alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8), i -> struct(i div 3 - 1 AS ox, i % 3 - 1 AS oy)))"
+    )
+    a = pts.select(
+        F.col("pid").alias("pid_a"), F.col("xc").alias("xc_a"), F.col("y").alias("y_a"),
+        cell_x.alias("cxa"), cell_y.alias("cya"),
+    ).select("*", offsets.alias("o")).select(
+        "pid_a", "xc_a", "y_a",
+        (F.col("cxa") + F.col("o.ox")).alias("cx"),
+        (F.col("cya") + F.col("o.oy")).alias("cy"),
+    )
+    cand = a.join(b, ["cx", "cy"])
+    return cand.filter(
+        (F.col("pid_a") < F.col("pid_b"))
+        & (F.abs(F.col("xc_a") - F.col("xc_b")) <= _SPATIAL_EPS_XC)
+        & (F.abs(F.col("y_a") - F.col("y_b")) <= _SPATIAL_EPS_Y)
+    ).select(
+        "pid_a",
+        "pid_b",
+        F.abs(F.col("xc_a") - F.col("xc_b")).alias("dx_cents"),
+        F.abs(F.col("y_a") - F.col("y_b")).alias("dy"),
+    )

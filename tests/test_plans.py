@@ -267,3 +267,14 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_spatial_grid_join_is_equi(spark):
+    """The ε-box proximity join must plan as a HASH join on grid cells —
+    the whole point of bucketing; a BroadcastNestedLoopJoin would be the
+    quadratic plan the grid exists to avoid."""
+    plan = formatted_plan(_df(spark, "q_join_spatial"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "SortMergeJoin" in plan
+    )
