@@ -52,3 +52,44 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- q_profile_nulls --------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS col, COUNT(*) AS n, COUNT(*) - COUNT(o_orderkey) AS n_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority) FROM orders
+"""
+
+
+@register("q_profile_nulls", oracle=_PROFILE_ORACLE)
+def q_profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (count / nulls / distinct per column, long format):
+    the first query every pipeline runs against a new table, and the
+    recurring data-quality heartbeat afterwards.
+
+    Spark-first: ONE aggregate computes every per-column statistic in a
+    single scan (count + count(col) + countDistinct(col) per column ride
+    one Expand), then a stack() unpivots to long format — versus the
+    oracle's honest N-scan UNION. At 100 TB: one pass, not one per column.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    wide = orders.agg(*aggs)
+    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, n_null, n_distinct)", "n"
+    ).select("col", "n", "n_null", "n_distinct")
