@@ -238,18 +238,42 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_agg_approx_distinct — rows-only (HLL++ sketches differ across engines)
+# q_agg_approx_distinct — HLL++ estimate checked against exact bounds
 # ---------------------------------------------------------------------------
 
+_APPROX_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
 
-@register("q_agg_approx_distinct", oracle=None)
+
+@register("q_agg_approx_distinct", oracle=_APPROX_ORACLE)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct(user_id) per event_type (HLL++). Rows-only: the
-    sketch estimate is engine-specific by design. This is the scale path for
-    distinct counting at 100 TB — fixed-size sketch, single shuffle, mergeable."""
+    """approx_count_distinct(user_id) per event_type (HLL++) — the scale path
+    for distinct counting at 100 TB: fixed-size sketch, single shuffle,
+    mergeable. The raw estimate is engine-specific by design, so the oracle
+    checks the ESTIMATE'S CONTRACT instead of its value: the exact distinct
+    count hash-matches, and `approx_within_5pct` asserts |approx−exact| ≤
+    5%·exact (HLL++ rsd default 5%; Spark's sketch is deterministic for
+    fixed data, so the flag is stable) — upgrading this from a rows-only
+    check to a value-checked accuracy bound.
+    """
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.col("exact_users") * F.lit(0.05)
+    )
+    return agg.select(
+        "event_type", "exact_users", within.alias("approx_within_5pct"), "n"
     )
 
 
@@ -347,7 +371,18 @@ def q_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q_agg_sketch_merge", oracle=None)
+_SKETCH_ORACLE = """
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS merged_within_5pct,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q_agg_sketch_merge", oracle=_SKETCH_ORACLE)
 def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count rollup: per-day HLL sketches of user_id
     merged into per-month estimates (Apache DataSketches via hll_sketch_agg /
@@ -356,24 +391,38 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE 100 TB distinct-count pattern: exact COUNT(DISTINCT) re-shuffles raw
     keys at every rollup level, while sketches make every level above the
     first a byte-blob merge — the daily sketch table is a few KB/day and the
-    month/quarter/year cascade never touches facts again. Rows-only check:
-    DataSketches estimates are Spark-specific (DuckDB's approx sketch differs),
-    so no value oracle exists by construction; the companion exact query
-    q_agg_cascade covers value-level parity for the same shape.
+    month/quarter/year cascade never touches facts again. The DataSketches
+    estimate itself is Spark-specific, so the oracle checks the MERGE
+    CONTRACT: exact per-month distincts hash-match and `merged_within_5pct`
+    asserts the day→month sketch union lands within 5% of exact — the
+    property that makes the cascade trustworthy (vs rows-only before).
     """
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_ev"),
+        F.countDistinct("user_id").alias("n_exact_day"),
     )
-    return (
-        daily.groupBy(F.trunc("day", "month").alias("month"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.sum("n_ev").alias("n_events"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
-        .orderBy("month")
+    merged = daily.groupBy(F.trunc("day", "month").alias("month")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = (
+        ev.groupBy(F.trunc(F.to_date("ts"), "month").alias("month"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    j = merged.join(exact, "month")
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.col("exact_users") * F.lit(0.05)
+    )
+    return j.select(
+        F.col("month").cast("date").alias("month"),
+        "exact_users",
+        within.alias("merged_within_5pct"),
+        "n_events",
+        "n_days",
     )
 
 

@@ -609,3 +609,128 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_bench"),
         )
     )
+
+
+# --- q_dedup_minhash_portable -----------------------------------------------
+
+_PMH_SEEDS = 4   # 4 hash functions → 2 bands of 2 (LSH)
+
+_PMH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS parts, lower(text) AS lt
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(
+           CASE WHEN len(parts) >= 3
+                THEN list_transform(range(1, len(parts) - 1),
+                     i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2]))
+                ELSE [lt] END
+         ) AS g
+  FROM t
+), h AS (
+  SELECT doc_id, lang, seed,
+         MIN(('0x' || substr(sha256(CAST(seed AS VARCHAR) || ':' || g), 1, 8))::BIGINT)
+           AS mh
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, {_PMH_SEEDS - 1})) AS seed)
+  GROUP BY doc_id, lang, seed
+), sig AS (
+  SELECT doc_id, lang,
+         MAX(CASE WHEN seed = 0 THEN mh END) AS m0,
+         MAX(CASE WHEN seed = 1 THEN mh END) AS m1,
+         MAX(CASE WHEN seed = 2 THEN mh END) AS m2,
+         MAX(CASE WHEN seed = 3 THEN mh END) AS m3
+  FROM h GROUP BY doc_id, lang
+), bands AS (
+  SELECT doc_id, lang, 0 AS band, m0 AS k1, m1 AS k2 FROM sig
+  UNION ALL
+  SELECT doc_id, lang, 1 AS band, m2 AS k1, m3 AS k2 FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+ AND a.lang = b.lang AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register("q_dedup_minhash_portable", oracle=_PMH_ORACLE)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with PORTABLE hashes (sha256 prefixes): the same
+    signature→band→bucket-join pipeline as q_dedup_near_minhash, but every
+    hash is byte-identical across engines, so the ENTIRE LSH candidate set
+    is value-checked by the oracle — the strongest correctness statement in
+    the dedup family (the xxhash64 production variant stays for speed; this
+    one proves the algorithm).
+
+    Plan: shingle explode ×4 seeds (a projection, no extra shuffle) → one
+    (doc, seed) MIN aggregate → signature pivot → 2-band self-equi-join on
+    the banded minhash pair. All joins are hash joins on 16-byte keys;
+    band-bucket skew is the documented 100 TB watch item (cap bucket size).
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    parts = F.split(F.lower("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(parts) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(parts, i + 1),
+                F.element_at(parts, i + 2),
+                F.element_at(parts, i + 3),
+            ),
+        )
+    )
+    long_docs = docs.filter(F.size(parts) >= 3).select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    )
+    short_docs = docs.filter(F.size(parts) < 3).select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("g")
+    )
+    sh = long_docs.unionByName(short_docs)
+    seeded = sh.crossJoin(
+        F.broadcast(
+            docs.sparkSession.range(_PMH_SEEDS).select(F.col("id").cast("int").alias("seed"))
+        )
+    )
+    h32 = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("g")), 256), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    mh = seeded.groupBy("doc_id", "lang", "seed").agg(F.min(h32).alias("mh"))
+    sig = mh.groupBy("doc_id", "lang").agg(
+        *[
+            F.max(F.when(F.col("seed") == s, F.col("mh"))).alias(f"m{s}")
+            for s in range(_PMH_SEEDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "lang", F.lit(0).alias("band"), F.col("m0").alias("k1"), F.col("m1").alias("k2")
+    ).unionByName(
+        sig.select(
+            "doc_id", "lang", F.lit(1).alias("band"),
+            F.col("m2").alias("k1"), F.col("m3").alias("k2"),
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"), "band", "k1", "k2"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"), F.col("band").alias("band_b"),
+        F.col("k1").alias("k1b"), F.col("k2").alias("k2b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("k1") == F.col("k1b"))
+            & (F.col("k2") == F.col("k2b"))
+            & (F.col("la") == F.col("lb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
