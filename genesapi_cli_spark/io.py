@@ -37,24 +37,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table. ``events.ts`` arrives as LONG nanos (legacy conf); we
-    expose it as:
+    """Load one table. ``events.ts`` is normalized to THREE columns regardless
+    of the physical parquet layout:
 
-    - ``ts``     TIMESTAMP (µs precision, truncated — matches DuckDB's ns→µs cast)
+    - ``ts``     the original timestamp column (TIMESTAMP or TIMESTAMP_NTZ)
     - ``ts_us``  LONG epoch microseconds (exact integer arithmetic, no float)
-    - ``ts_ns``  LONG raw nanoseconds
+    - ``ts_ns``  LONG epoch nanoseconds
 
-    Integer ``div`` is mandatory: float /1000 on ~1.7e18 ns loses precision
-    (> 2^53). Verified against DuckDB's read of the same file.
+    Two physical layouts exist in the wild and we detect by schema, not conf:
+
+    1. ``timestamp[us]`` (current driver testdata) — Spark reads it as
+       TIMESTAMP_NTZ (no isAdjustedToUTC flag). With the session timezone
+       pinned to UTC, ``unix_micros(cast(ts as timestamp))`` yields the same
+       epoch-µs DuckDB's ``epoch_us(ts)`` yields on the same file.
+    2. ``int64`` raw nanos (legacy ``nanosAsLong`` layout) — integer ``div``
+       is mandatory: float /1000 on ~1.7e18 ns loses precision (> 2^53).
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_us", F.expr("ts_ns div 1000"))
-            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)"))
-        )
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts_us", F.expr("ts_ns div 1000"))
+                .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+            )
+        else:
+            df = df.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            ).withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
     return df
 
 

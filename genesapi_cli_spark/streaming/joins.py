@@ -54,7 +54,7 @@ def purchase_attribution(purchases: DataFrame, signups: DataFrame) -> DataFrame:
         "signup_id",
         F.col("p_user").alias("user_id"),
         "value",
-        F.col("p_ts").cast("long").alias("p_ts_s"),
+        F.unix_seconds(F.col("p_ts").cast("timestamp")).alias("p_ts_s"),
     )
 
 

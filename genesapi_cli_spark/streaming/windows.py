@@ -32,7 +32,7 @@ def tumbling_counts(ev: DataFrame) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.col("win.start").cast("long").alias("win_start_s"),
+            F.unix_seconds(F.col("win.start").cast("timestamp")).alias("win_start_s"),
             "event_type",
             "n",
         )
@@ -45,7 +45,7 @@ def sliding_counts(ev: DataFrame) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.col("win.start").cast("long").alias("win_start_s"),
+            F.unix_seconds(F.col("win.start").cast("timestamp")).alias("win_start_s"),
             "event_type",
             "n",
         )
