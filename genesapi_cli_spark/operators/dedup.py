@@ -164,30 +164,35 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     found via rarer shingles.
     """
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    parts = F.split(F.lower("text"), " ")
+    # Shingles are hashed IN-ROW to longs (never materialized as strings):
+    # `parts` is bound as a real column first so the HOF lambda reads an
+    # attribute (unbound, the interpreted HOF re-evaluates split() per
+    # element access — no CSE outside codegen; measured ~5× slower), and
+    # the 3-word tuple feeds xxhash64 directly — word tuples ↔ joined
+    # strings are bijective (words cannot contain the split delimiter).
+    # array_distinct keeps per-doc SET semantics without a dedup shuffle.
+    base = docs.select(
+        "doc_id", "lang", "text", F.split(F.lower("text"), " ").alias("parts")
+    )
+    p = F.col("parts")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(parts) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(parts, i + 1),
-                F.element_at(parts, i + 2),
-                F.element_at(parts, i + 3),
+            F.sequence(F.lit(1), F.size(p) - 2),
+            lambda i: F.xxhash64(
+                F.element_at(p, i), F.element_at(p, i + 1), F.element_at(p, i + 2)
             ),
         )
     )
-    long_docs = docs.filter(F.size(parts) >= 3).select(
+    long_docs = base.filter(F.size(p) >= 3).select(
         "doc_id", "lang", F.explode(grams).alias("g")
     )
-    short_docs = docs.filter(F.size(parts) < 3).select(
-        "doc_id", "lang", F.lower(F.col("text")).alias("g")
+    short_docs = base.filter(F.size(p) < 3).select(
+        "doc_id", "lang", F.xxhash64(F.lower(F.col("text"))).alias("g")
     )
-    # Join on xxhash64(shingle), not the ~25-char string: same pairs (the
-    # oracle gate would catch any collision), ~25%% less shuffle width and
-    # compare cost (measured) — and the scale-correct key for 100 TB.
-    sh = long_docs.unionByName(short_docs).select(
-        "doc_id", "lang", F.xxhash64("g").alias("g")
-    )
+    # Join on the 8-byte hash, not the ~25-char string: same pairs (the
+    # oracle gate would catch any collision), much less shuffle width and
+    # compare cost — and the scale-correct key for 100 TB.
+    sh = long_docs.unionByName(short_docs)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g")
     b = sh.select(
@@ -466,29 +471,30 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines.
     """
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    parts = F.split(F.lower("text"), " ")
+    # In-row hashed 4-gram set — bound `parts` + tuple-hash HOF, no string
+    # shingles, no dedup shuffle; see q_dedup_ngram_jaccard for rationale.
+    base = docs.select(
+        "doc_id", "lang", "text", F.split(F.lower("text"), " ").alias("parts")
+    )
+    p = F.col("parts")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(parts) - 4),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(parts, i + 1),
-                F.element_at(parts, i + 2),
-                F.element_at(parts, i + 3),
-                F.element_at(parts, i + 4),
+            F.sequence(F.lit(1), F.size(p) - 3),
+            lambda i: F.xxhash64(
+                F.element_at(p, i),
+                F.element_at(p, i + 1),
+                F.element_at(p, i + 2),
+                F.element_at(p, i + 3),
             ),
         )
     )
-    long_docs = docs.filter(F.size(parts) >= 4).select(
+    long_docs = base.filter(F.size(p) >= 4).select(
         "doc_id", "lang", F.explode(grams).alias("g")
     )
-    short_docs = docs.filter(F.size(parts) < 4).select(
-        "doc_id", "lang", F.lower(F.col("text")).alias("g")
+    short_docs = base.filter(F.size(p) < 4).select(
+        "doc_id", "lang", F.xxhash64(F.lower(F.col("text"))).alias("g")
     )
-    # hashed join key — see q_dedup_ngram_jaccard
-    sh = long_docs.unionByName(short_docs).select(
-        "doc_id", "lang", F.xxhash64("g").alias("g")
-    )
+    sh = long_docs.unionByName(short_docs)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g")
     b = sh.select(
@@ -567,21 +573,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is never shuffled for the probe; per-doc dedup of hits and the final
     per-source rollup shuffle only doc-level rows. Self-matches are excluded
     so benchmark members report their own source's contamination honestly.
+
+    Plan shape: positions are exploded FIRST and the 7-gram hash is a flat
+    projection, so the whole shingle stream stays inside one
+    WholeStageCodegen span. (The obvious alternative — building shingles
+    inside a ``transform`` HOF lambda — runs interpreted, with no common-
+    subexpression elimination, and measured ~7× slower.) Hashing the 7 words
+    as an xxhash64 tuple ≡ hashing the joined string: words cannot contain
+    the split delimiter, so the 7-tuple ↔ concat_ws bijection holds.
     """
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    parts = F.split(F.lower("text"), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(parts) - 7),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(parts, i + k) for k in range(1, 8)]
-            ),
-        )
-    )
-    sh = (
-        docs.filter(F.size(parts) >= 7)
-        .select("doc_id", "source", F.explode(grams).alias("g0"))
-        .select("doc_id", "source", F.xxhash64("g0").alias("g"))
+    t = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("parts")
+    ).filter(F.size("parts") >= 7)
+    sh = t.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.size("parts") - 6)).alias("i"),
+        "parts",
+    ).select(
+        "doc_id",
+        "source",
+        F.xxhash64(*[F.element_at("parts", F.col("i") + k) for k in range(7)]).alias(
+            "g"
+        ),
     )
     bench = (
         sh.filter(F.col("doc_id") % 97 == 0)
@@ -669,22 +684,28 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket skew is the documented 100 TB watch item (cap bucket size).
     """
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    parts = F.split(F.lower("text"), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(parts) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(parts, i + 1),
-                F.element_at(parts, i + 2),
-                F.element_at(parts, i + 3),
-            ),
-        )
+    # The string shingle IS required here (sha256 of "seed:gram" must match
+    # the oracle byte-for-byte), so positions are exploded FIRST and the
+    # concat_ws runs as a flat whole-stage-codegen projection instead of an
+    # interpreted HOF lambda. MIN is duplicate-insensitive, so the per-doc
+    # array_distinct the tuple-hash variants use is unnecessary here.
+    base = docs.select(
+        "doc_id", "lang", "text", F.split(F.lower("text"), " ").alias("parts")
     )
-    long_docs = docs.filter(F.size(parts) >= 3).select(
-        "doc_id", "lang", F.explode(grams).alias("g")
+    p = F.col("parts")
+    long_docs = base.filter(F.size(p) >= 3).select(
+        "doc_id",
+        "lang",
+        "parts",
+        F.explode(F.sequence(F.lit(1), F.size(p) - 2)).alias("i"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.concat_ws(
+            " ", *[F.element_at("parts", F.col("i") + k) for k in range(3)]
+        ).alias("g"),
     )
-    short_docs = docs.filter(F.size(parts) < 3).select(
+    short_docs = base.filter(F.size(p) < 3).select(
         "doc_id", "lang", F.lower(F.col("text")).alias("g")
     )
     sh = long_docs.unionByName(short_docs)

@@ -190,36 +190,30 @@ N_BANDS = 8  # 4 rows per band
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH over word 3-shingles.
 
-    Pipeline: shingle-hash each doc inline (each 3-word shingle hashed ONCE
-    with xxhash64 — longs explode, strings never do) → 32 per-seed min-hash
-    aggregates in ONE groupBy (input is already clustered by doc_id via
-    spread, so this shuffles zero extra times) → 8 band hashes →
+    Pipeline: explode shingle positions, hash each 3-word tuple ONCE with
+    xxhash64 in a flat whole-stage-codegen projection (longs flow, shingle
+    strings never materialize; an interpreted ``transform`` lambda here
+    measured ~5× slower — HOF lambdas don't codegen and get no CSE) → 32
+    per-seed min-hash aggregates in ONE groupBy (MIN is duplicate-
+    insensitive, so no per-doc distinct is needed) → 8 band hashes →
     bucket-local pair generation. Deterministic: xxhash64 with fixed
-    per-seed salts. Measured against a posexplode+window-lead variant: the
-    inline transform wins (the window costs an extra sort + shuffle that
-    dwarfs the interpreted-HOF overhead once the scan is spread across
-    cores). Rows-only check (no SQL oracle); determinism + golden-pair
-    behavior are pytest-verified (a one-word-changed near-dup pair must
-    collide).
+    per-seed salts. Rows-only check (no SQL oracle); determinism +
+    golden-pair behavior are pytest-verified (a one-word-changed near-dup
+    pair must collide).
     """
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    parts = F.split(F.lower("text"), " ")
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(0), F.size(parts) - 3),
-        lambda i: F.xxhash64(
-            F.concat_ws(
-                " ",
-                F.element_at(parts, i + 1),
-                F.element_at(parts, i + 2),
-                F.element_at(parts, i + 3),
-            )
+    base = docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("parts"))
+    p = F.col("parts")
+    long_docs = base.filter(F.size(p) >= 3).select(
+        "doc_id", "parts", F.explode(F.sequence(F.lit(1), F.size(p) - 2)).alias("i")
+    ).select(
+        "doc_id",
+        F.xxhash64(*[F.element_at("parts", F.col("i") + k) for k in range(3)]).alias(
+            "h"
         ),
     )
-    long_docs = docs.filter(F.size(parts) >= 3).select(
-        "doc_id", F.explode(shingle_hashes).alias("h")
-    )
     # docs shorter than 3 words fall back to hashing the whole raw text
-    short_docs = docs.filter(F.size(parts) < 3).select(
+    short_docs = base.filter(F.size(p) < 3).select(
         "doc_id", F.xxhash64("text").alias("h")
     )
     # per-seed values derive from the single shingle hash by re-hashing the
@@ -540,27 +534,28 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token array — the n-gram collocation step of corpus analysis /
     phrase-vocabulary mining for tokenizer training.
 
-    Pairing stays a per-row array op (no posexplode self-join, which would
-    shuffle the corpus twice on (doc_id, pos)); the only shuffle is the
-    count aggregation, with map-side partial counts doing most of the work.
-    Ties break on the bigram string so LIMIT is deterministic.
+    Positions explode first and the pair concat runs as a flat whole-stage-
+    codegen projection (an interpreted ``transform`` lambda doesn't codegen);
+    the only shuffle is the count aggregation, with map-side partial counts
+    doing most of the work. Ties break on the bigram string so LIMIT is
+    deterministic.
 
-    The token array is hoisted into its own projection: referenced 4× below,
-    so CollapseProject keeps it materialized once per row instead of
-    re-splitting the document per reference (~30× at sf0.1).
+    The token array is hoisted into its own projection: referenced by both
+    the explode bound and the pair lookup, so CollapseProject keeps it
+    materialized once per row instead of re-splitting the document per
+    reference (~30× at sf0.1).
     """
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(F.split(F.lower("text"), " ").alias("t"))
+    toks = docs.select(F.split(F.lower("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
     grams = toks.select(
-        F.explode(
-            F.expr(
-                """
-                CASE WHEN size(t) >= 2 THEN
-                  transform(sequence(0, size(t) - 2),
-                            i -> concat(t[i], ' ', t[i + 1]))
-                ELSE array() END
-                """
-            )
+        "t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i")
+    ).select(
+        F.concat(
+            F.element_at("t", F.col("i")),
+            F.lit(" "),
+            F.element_at("t", F.col("i") + 1),
         ).alias("bigram")
     )
     return (
@@ -617,12 +612,16 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.split(F.lower("text"), " ").alias("t")
     ).filter(F.size("t") >= 2)
+    # Positions explode first; the bigram group key is the xxhash64 of the
+    # word PAIR (flat codegen, no string build). Hashed keys group exactly
+    # like string keys — the tuple↔string map is 1:1 (words cannot contain
+    # the delimiter) — and count distributions are all the query reports.
     grams = toks.select(
+        "doc_id", "lang", "t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i")
+    ).select(
         "doc_id",
         "lang",
-        F.explode(
-            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
-        ).alias("g"),
+        F.xxhash64(F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)).alias("g"),
     )
     per_doc = (
         grams.groupBy("doc_id", "lang", "g")
