@@ -5,6 +5,7 @@ import genesapi_cli_spark.operators.aggregates  # noqa: F401
 import genesapi_cli_spark.operators.dedup  # noqa: F401
 import genesapi_cli_spark.operators.extended  # noqa: F401
 import genesapi_cli_spark.operators.filters  # noqa: F401
+import genesapi_cli_spark.operators.history  # noqa: F401
 import genesapi_cli_spark.operators.joins  # noqa: F401
 import genesapi_cli_spark.operators.multimodal  # noqa: F401
 import genesapi_cli_spark.operators.scans  # noqa: F401
@@ -12,5 +13,6 @@ import genesapi_cli_spark.operators.pivot  # noqa: F401
 import genesapi_cli_spark.operators.setops  # noqa: F401
 import genesapi_cli_spark.operators.similarity  # noqa: F401
 import genesapi_cli_spark.operators.text  # noqa: F401
+import genesapi_cli_spark.operators.timeseries  # noqa: F401
 import genesapi_cli_spark.operators.sorts  # noqa: F401
 import genesapi_cli_spark.operators.windows  # noqa: F401

@@ -1025,3 +1025,45 @@ def q_agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("top_decile_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_weighted — quantity-weighted average price
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_ORACLE = """
+SELECT l_returnflag,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * CAST(l_quantity AS BIGINT)) AS wsum_cents,
+       SUM(CAST(l_quantity AS BIGINT)) AS wtot,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS BIGINT)) * 100 AS DOUBLE) AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_agg_weighted", oracle=_WEIGHTED_ORACLE)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean (quantity-weighted average price per return flag) — the
+    VWAP / exposure-weighted-metric aggregate.
+
+    Parity engineering: price snaps to integer cents and quantity is already
+    integral, so the weighted numerator and denominator are EXACT int64 sums
+    (cents·qty ≤ ~10^7 per row — no overflow until ~10^12 rows per group;
+    the decimal(27,0) escalation is the documented relief valve). The mean
+    itself is ONE double division of identical integers — bit-exact across
+    engines. Single hash aggregate, map-side partials.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    wsum = F.sum(
+        (F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+        * F.col("l_quantity").cast("bigint")
+    )
+    wtot = F.sum(F.col("l_quantity").cast("bigint"))
+    return li.groupBy("l_returnflag").agg(
+        wsum.alias("wsum_cents"),
+        wtot.alias("wtot"),
+        (wsum.cast("double") / (wtot * 100).cast("double")).alias("wavg_price"),
+    )

@@ -1,0 +1,262 @@
+"""Time-series operators over the events stream: OHLC resampling, windowed
+exponential smoothing, rolling medians, and RFM cohort scoring.
+
+Reference analog: the reference's time axis handling (JAHR/STAG parsing and
+per-period fact aggregation, ``genesapi/util.py`` + ``serialize.py``
+upstream) generalized to the standard time-series toolkit a metrics pipeline
+runs over an event stream.
+
+Scale notes (100 TB): resampling is a plain hash aggregate on
+(series, bucket) — map-side partials do the heavy lifting and no sort is
+needed (min_by/max_by carry the ordering key into the agg buffer). The
+window operators shuffle once per entity key and stream within partitions;
+frames are ROWS-bounded so state is O(frame), not O(partition). All time
+arithmetic is integer epoch-µs; all money flows as integer cents until one
+final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import dec_sum, oracle_dec_sum, register
+
+#: integer cents snap for the 2-decimal `value` column — exact cross-engine.
+_CENTS = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+
+_DAY_US = 86_400_000_000
+
+# --- q_time_resample (OHLC bars) --------------------------------------------
+
+_RESAMPLE_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         epoch_us(ts) AS us, event_id, value
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_idx
+                            ORDER BY us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_idx
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, day_idx,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       {oracle_dec_sum('value', 'volume')}
+FROM r
+GROUP BY event_type, day_idx
+"""
+
+
+@register("q_time_resample", oracle=_RESAMPLE_ORACLE)
+def q_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to daily OHLC bars per event_type — the
+    canonical time-series resample (metrics rollups, candlestick feeds,
+    downsampled feature series).
+
+    Spark-first: ONE aggregate, one shuffle. open/close use min_by/max_by
+    with the (ts_us, event_id) struct as the total ordering key — the agg
+    buffer tracks the extreme key and its value, so no window pass and no
+    second shuffle. Physical note: the struct-keyed buffer is not mutable-
+    primitive, so Spark plans SortAggregate (in-partition sort by group key
+    on both sides of the exchange) instead of HashAggregate; partial
+    aggregation still runs map-side, so shuffle volume is identical — the
+    alternative (ROW_NUMBER windows, as the oracle does) would cost a FULL
+    extra shuffle+sort by (series, bucket, time) and is strictly worse at
+    100 TB. open/high/low/close are raw doubles copied from input rows (no
+    arithmetic → bit-exact); volume is a decimal sum.
+    """
+    ev = load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return (
+        ev.withColumn("day_idx", F.expr(f"ts_us div {_DAY_US}"))
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "volume"),
+        )
+    )
+
+
+# --- q_window_ewma ----------------------------------------------------------
+
+_EWMA_DEPTH = 8  # α = 1/2 over the trailing 8 events: weights 2^7 .. 2^0
+
+_EWMA_NUM = " + ".join(
+    f"COALESCE(LAG(cents, {k}) OVER w, 0) * {1 << (_EWMA_DEPTH - 1 - k)}"
+    for k in range(_EWMA_DEPTH)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN LAG(cents, {k}) OVER w IS NOT NULL THEN {1 << (_EWMA_DEPTH - 1 - k)} ELSE 0 END)"
+    for k in range(_EWMA_DEPTH)
+)
+
+_EWMA_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {_CENTS} AS cents
+  FROM events
+), s AS (
+  SELECT user_id, event_id, us,
+         {_EWMA_NUM} AS num,
+         {_EWMA_DEN} AS den
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, event_id, us, num, den,
+       CAST(num AS DOUBLE) / CAST(den * 100 AS DOUBLE) AS ewma
+FROM s
+"""
+
+
+@register("q_window_ewma", oracle=_EWMA_ORACLE)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exponential smoothing (EWMA, α=1/2, depth 8) of each user's
+    event values — the trend/denoise primitive of monitoring and feature
+    pipelines.
+
+    Parity engineering: α=1/2 makes every weight a power of two, so the
+    numerator (cents · 2^k) and denominator are EXACT integers — emitted
+    as columns — and the smoothed value is ONE double division of identical
+    integers on both engines: bit-exact, no float tolerance, no rounding.
+    A ROWS-bounded depth keeps window state O(8) per partition (the true
+    recursive EWMA is order-dependent float accumulation — not exactly
+    reproducible across engines, and its tail weights are < 0.4%% here).
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.col("ts_us").alias("us"), F.expr(_CENTS).alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    num = None
+    den = None
+    for k in range(_EWMA_DEPTH):
+        wt = 1 << (_EWMA_DEPTH - 1 - k)
+        lagc = F.lag("cents", k).over(w) if k else F.col("cents")
+        nterm = F.coalesce(lagc, F.lit(0)) * wt
+        dterm = F.when(lagc.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = nterm if num is None else num + nterm
+        den = dterm if den is None else den + dterm
+    return e.select(
+        "user_id",
+        "event_id",
+        "us",
+        num.alias("num"),
+        den.alias("den"),
+        (num.cast("double") / (den * 100).cast("double")).alias("ewma"),
+    )
+
+
+# --- q_window_rolling_median ------------------------------------------------
+
+_ROLLMED_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+)
+SELECT user_id, event_id, us,
+       FLOOR(median(value) OVER (
+         PARTITION BY user_id ORDER BY us, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) * 10000 + 0.5) / 10000 AS med_r4
+FROM e
+"""
+
+
+@register("q_window_rolling_median", oracle=_ROLLMED_ORACLE)
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-event rolling median per user — the robust (outlier-proof)
+    smoother monitoring pipelines prefer over rolling means.
+
+    Spark evaluates the exact ``percentile`` aggregate over a ROWS frame
+    (O(frame) state); DuckDB mirrors with windowed ``median``. Both engines
+    interpolate even-count medians as the midpoint of the two middle DOUBLEs;
+    input values are cent-quantized, so medians land on cent/half-cent
+    boundaries and the 4-decimal floor-snap is ulp-robust (the *1e4 product
+    sits next to an integer, never next to a rounding boundary).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    e = ev.select("user_id", "event_id", F.col("ts_us").alias("us"), "value")
+    med = F.expr("percentile(value, 0.5)").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "us",
+        (F.floor(med * 10000 + F.lit(0.5)) / 10000).alias("med_r4"),
+    )
+
+
+# --- q_events_rfm -----------------------------------------------------------
+
+_RFM_ORACLE = f"""
+WITH mx AS (
+  SELECT MAX(epoch_us(ts)) AS tmax FROM events
+), per_user AS (
+  SELECT user_id,
+         (tmax - MAX(epoch_us(ts))) // {_DAY_US} AS rec_days,
+         COUNT(*) AS freq,
+         SUM({_CENTS}) AS mon_cents
+  FROM events, mx
+  GROUP BY user_id, tmax
+)
+SELECT user_id, rec_days, freq, mon_cents,
+       NTILE(4) OVER (ORDER BY rec_days ASC, user_id) AS r_score,
+       NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f_score,
+       NTILE(4) OVER (ORDER BY mon_cents DESC, user_id) AS m_score
+FROM per_user
+"""
+
+
+@register("q_events_rfm", oracle=_RFM_ORACLE)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile scoring per user — the
+    classic behavioral segmentation rollup.
+
+    Plan: one hash aggregate per user (integer recency days + exact cents),
+    then three NTILE windows over the ~|users| aggregate — each ordering is
+    made total with a user_id tiebreak so quartile assignment is
+    deterministic on both engines. The reference-time max broadcasts back
+    as a 1-row aggregate inside the plan (no driver round-trip).
+    """
+    ev = load(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts_us").alias("tmax"))
+    per_user = (
+        ev.crossJoin(F.broadcast(tmax))
+        .groupBy("user_id", "tmax")
+        .agg(
+            F.max("ts_us").alias("umax"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.expr(_CENTS)).alias("mon_cents"),
+        )
+        .select(
+            "user_id",
+            F.expr(f"(tmax - umax) div {_DAY_US}").alias("rec_days"),
+            "freq",
+            "mon_cents",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "rec_days",
+        "freq",
+        "mon_cents",
+        F.ntile(4).over(Window.orderBy(F.asc("rec_days"), "user_id")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), "user_id")).alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("mon_cents"), "user_id"))
+        .alias("m_score"),
+    )
