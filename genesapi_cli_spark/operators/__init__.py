@@ -5,6 +5,7 @@ import genesapi_cli_spark.operators.aggregates  # noqa: F401
 import genesapi_cli_spark.operators.dedup  # noqa: F401
 import genesapi_cli_spark.operators.extended  # noqa: F401
 import genesapi_cli_spark.operators.filters  # noqa: F401
+import genesapi_cli_spark.operators.graph  # noqa: F401
 import genesapi_cli_spark.operators.history  # noqa: F401
 import genesapi_cli_spark.operators.joins  # noqa: F401
 import genesapi_cli_spark.operators.multimodal  # noqa: F401

@@ -1067,3 +1067,78 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         wtot.alias("wtot"),
         (wsum.cast("double") / (wtot * 100).cast("double")).alias("wavg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_weighted_median — quantity-weighted median price
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH per_price AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem
+  GROUP BY l_returnflag, price_cents
+), cum AS (
+  SELECT l_returnflag, price_cents, qty,
+         SUM(qty) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty,
+         SUM(qty) OVER (PARTITION BY l_returnflag) AS tot_qty
+  FROM per_price
+)
+SELECT l_returnflag,
+       MIN(price_cents) AS wmedian_cents,
+       MAX(tot_qty) AS tot_qty
+FROM cum
+WHERE 2 * cum_qty >= tot_qty
+GROUP BY l_returnflag
+"""
+
+
+@register("q_agg_weighted_median", oracle=_WMEDIAN_ORACLE)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted MEDIAN price per return flag (the robust sibling of
+    q_agg_weighted's weighted mean): the smallest price at which cumulative
+    quantity reaches half the total — the 50%-of-volume price point.
+
+    Parity: prices snap to integer cents, weights are integral quantities,
+    and the defining inequality 2·cum ≥ tot is pure integer comparison — no
+    interpolation, no floats anywhere, bit-exact across engines.
+
+    Scale shape: facts first collapse to one row per (group, price) — the
+    only full-data shuffle — then the cumulative window and the threshold
+    scan run over the collapsed distribution (|distinct prices| rows). This
+    is the exact-percentile-at-scale pattern when the value domain is
+    bounded (quantized prices), beating a global sort of raw facts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_price = (
+        li.groupBy(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = per_price.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("qty").over(w_cum).alias("cum_qty"),
+        F.sum("qty").over(w_all).alias("tot_qty"),
+    )
+    return (
+        cum.filter(2 * F.col("cum_qty") >= F.col("tot_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").alias("wmedian_cents"),
+            F.max("tot_qty").alias("tot_qty"),
+        )
+    )

@@ -973,3 +973,61 @@ def q_text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("kl_vs_corpus"),
     )
+
+
+# --- q_text_stopwords -------------------------------------------------------
+
+_STOPWORD_DF_RATIO = 0.6
+
+_STOPWORDS_ORACLE = f"""
+WITH n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+  )
+  WHERE LENGTH(term) > 0
+  GROUP BY term
+)
+SELECT term, df,
+       FLOOR(CAST(df AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS df_ratio
+FROM df, n
+WHERE CAST(df AS DOUBLE) > {_STOPWORD_DF_RATIO} * n_docs
+"""
+
+
+@register("q_text_stopwords", oracle=_STOPWORDS_ORACLE)
+def q_text_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword discovery: terms appearing in more than 60% of
+    documents — the data-derived stopword list tokenizer/quality pipelines
+    build instead of hard-coding one per language.
+
+    Plan: per-doc term SET via in-row array_distinct before the explode (so
+    df counting needs no DISTINCT shuffle over (doc, term) pairs), then one
+    hash count per term and a broadcast 1-row corpus count folded in as a
+    crossJoin — the 100 TB shape: one shuffle of distinct doc-term pairs,
+    nothing else.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = docs.select(
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), " "))
+        ).alias("term")
+    ).filter(F.length("term") > 0)
+    df = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df.crossJoin(F.broadcast(n))
+        .filter(F.col("df").cast("double") > _STOPWORD_DF_RATIO * F.col("n_docs"))
+        .select(
+            "term",
+            "df",
+            (
+                F.floor(
+                    F.col("df").cast("double") / F.col("n_docs") * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("df_ratio"),
+        )
+    )

@@ -260,3 +260,116 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("mon_cents"), "user_id"))
         .alias("m_score"),
     )
+
+
+# --- q_intervals_active -----------------------------------------------------
+
+_ACTIVE_ORACLE = """
+WITH iv AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE)) AS open_day,
+         date_diff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE)) AS close_day
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), deltas AS (
+  SELECT day_idx, SUM(delta) AS delta
+  FROM (
+    SELECT open_day AS day_idx, 1 AS delta FROM iv
+    UNION ALL
+    SELECT close_day AS day_idx, -1 AS delta FROM iv
+  )
+  GROUP BY day_idx
+)
+SELECT day_idx, delta,
+       SUM(delta) OVER (ORDER BY day_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+FROM deltas
+"""
+
+
+@register("q_intervals_active", oracle=_ACTIVE_ORACLE)
+def q_intervals_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting: how many shipments are in transit
+    (shipped, not yet received) on each day — the interval→delta→prefix-sum
+    pattern behind concurrency curves, active-session counts, and
+    inventory-in-flight metrics.
+
+    Scale shape: the NAIVE plan (join every interval to every day it covers)
+    fans out by interval length; the delta encoding emits exactly TWO rows
+    per interval (+1 open, −1 close), aggregates them per day (map-side
+    partials), and reconstructs the running count with one ordered prefix
+    sum over the ~|days| aggregate — fan-out O(1) per row regardless of
+    interval length. The single-partition final window is over post-agg
+    day rows only (thousands), never the raw facts. A line is "active"
+    (ordered, not yet shipped) during [order_day, ship_day).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    iv = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    epoch0 = F.lit("1992-01-01").cast("date")
+    opens = iv.select(
+        F.datediff(F.col("o_orderdate").cast("date"), epoch0).alias("day_idx"),
+        F.lit(1).alias("d"),
+    )
+    closes = iv.select(
+        F.datediff(F.col("l_shipdate").cast("date"), epoch0).alias("day_idx"),
+        F.lit(-1).alias("d"),
+    )
+    deltas = (
+        opens.unionAll(closes)
+        .groupBy("day_idx")
+        .agg(F.sum("d").cast("bigint").alias("delta"))
+    )
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "day_idx", "delta", F.sum("delta").over(w).alias("active")
+    )
+
+
+# --- q_window_drawdown ------------------------------------------------------
+
+_DRAWDOWN_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {_CENTS} AS cents FROM events
+)
+SELECT user_id, event_id, us, cents,
+       MAX(cents) OVER w AS runmax_cents,
+       MAX(cents) OVER w - cents AS dd_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("q_window_drawdown", oracle=_DRAWDOWN_ORACLE)
+def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running maximum and drawdown (distance below the historical peak) of
+    each user's value series — the degradation/regression monitor (equity
+    drawdown, throughput-below-peak alerts).
+
+    One window shuffle per user; the running MAX is streaming-evaluable
+    (O(1) state, no frame buffer), and everything is integer cents —
+    bit-exact across engines with zero float ops.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("us"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runmax = F.max("cents").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "us",
+        "cents",
+        runmax.alias("runmax_cents"),
+        (runmax - F.col("cents")).alias("dd_cents"),
+    )

@@ -713,3 +713,128 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+# --- q_share_of_total -------------------------------------------------------
+
+_SHARE_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, o.o_custkey
+)
+SELECT c_nationkey, o_custkey, cents,
+       SUM(cents) OVER (PARTITION BY c_nationkey) AS nation_cents,
+       CAST(cents AS DOUBLE)
+         / CAST(SUM(cents) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS share
+FROM per_cust
+"""
+
+
+@register("q_share_of_total", oracle=_SHARE_ORACLE)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each customer's share of their nation's total order
+    revenue — the contribution/market-share window every BI layer ships
+    (RATIO_TO_REPORT in warehouse dialects).
+
+    Plan: aggregate-early (orders shrink to one row per customer BEFORE any
+    window), then an unordered partition window adds the nation total with
+    no sort requirement. Revenue flows as exact integer cents; the share is
+    one double division of identical integers — bit-exact. At 100 TB the
+    window runs over the per-customer aggregate (~|customers| rows), never
+    the raw fact table.
+    """
+    orders, cust = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    per_cust = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    nation_cents = F.sum("cents").over(w)
+    return per_cust.select(
+        "c_nationkey",
+        "o_custkey",
+        "cents",
+        nation_cents.alias("nation_cents"),
+        (F.col("cents").cast("double") / nation_cents.cast("double")).alias("share"),
+    )
+
+
+# --- q_rank_movers ----------------------------------------------------------
+
+_MOVERS_MIN_JUMP = 3
+
+_MOVERS_ORACLE = f"""
+WITH rev AS (
+  SELECT p.p_brand,
+         date_diff('month', DATE '1992-01-01',
+                   date_trunc('month', CAST(l.l_shipdate AS DATE))) AS month_idx,
+         SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, month_idx
+), ranked AS (
+  SELECT p_brand, month_idx, cents,
+         RANK() OVER (PARTITION BY month_idx ORDER BY cents DESC, p_brand) AS rnk
+  FROM rev
+), moved AS (
+  SELECT p_brand, month_idx, rnk,
+         LAG(rnk) OVER (PARTITION BY p_brand ORDER BY month_idx) AS prev_rnk
+  FROM ranked
+)
+SELECT p_brand, month_idx, rnk, prev_rnk, prev_rnk - rnk AS jump
+FROM moved
+WHERE prev_rnk - rnk >= {_MOVERS_MIN_JUMP}
+"""
+
+
+@register("q_rank_movers", oracle=_MOVERS_ORACLE)
+def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank movers: brands whose within-month revenue rank improved by ≥3
+    positions versus the previous month — the trending/leaderboard-delta
+    analytic (top gainers, emerging categories).
+
+    Two windows over the per-(brand, month) aggregate: RANK within month
+    (tie-broken by brand for determinism), then LAG along each brand's
+    month series. Both windows and the LAG read the same tiny aggregate
+    (~|brands|·|months| rows) — the raw fact table shuffles exactly once,
+    into the aggregate. Exact integer cents throughout.
+    """
+    li, part = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    month_idx = F.months_between(
+        F.date_trunc("month", F.col("l_shipdate").cast("date")),
+        F.lit("1992-01-01").cast("date"),
+    ).cast("bigint")
+    rev = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", month_idx.alias("month_idx"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w_rank = Window.partitionBy("month_idx").orderBy(F.desc("cents"), "p_brand")
+    w_lag = Window.partitionBy("p_brand").orderBy("month_idx")
+    ranked = rev.select(
+        "p_brand", "month_idx", "cents", F.rank().over(w_rank).alias("rnk")
+    )
+    moved = ranked.select(
+        "p_brand",
+        "month_idx",
+        "rnk",
+        F.lag("rnk").over(w_lag).alias("prev_rnk"),
+    )
+    return moved.select(
+        "p_brand",
+        "month_idx",
+        "rnk",
+        "prev_rnk",
+        (F.col("prev_rnk") - F.col("rnk")).alias("jump"),
+    ).filter(F.col("jump") >= _MOVERS_MIN_JUMP)

@@ -148,3 +148,44 @@ def test_csv_source_dialect(spark):
     assert rows[4].name is None and rows[4].qty is None and rows[4].price == 0.99
     assert rows[5].qty is None and rows[5].price is None
     assert rows[6].qty is None and rows[6].price == 5.0  # PERMISSIVE: field-null
+
+
+def test_graph_triangle_counting_oriented(spark):
+    """A 4-clique has exactly 4 triangles; the oriented join must count each
+    once (no /6 correction, no double counting)."""
+    from genesapi_cli_spark.operators.graph import copurchase_edges
+    from pyspark.sql import functions as F
+
+    # two orders sharing the 4-clique {1,2,3,4} -> all 6 edges reach support 2
+    rows = [(o, p) for o in (10, 20) for p in (1, 2, 3, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    edges = copurchase_edges(li)
+    assert edges.count() == 6
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .count()
+    )
+    assert tri == 4
+
+
+def test_weighted_median_threshold_semantics(spark):
+    """Weighted median = smallest price where cumulative qty reaches half the
+    total: prices 1.00(x1), 2.00(x1), 3.00(x2) -> total 4, half 2, cum at
+    2.00 is 2 -> median 200 cents (not 300)."""
+    import os
+    import tempfile
+
+    from genesapi_cli_spark.registry import REGISTRY
+
+    rows = [("A", 1.00, 1), ("A", 2.00, 1), ("A", 3.00, 2)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        out = REGISTRY["q_agg_weighted_median"].fn(spark, d).collect()
+    assert len(out) == 1 and out[0].wmedian_cents == 200 and out[0].tot_qty == 4
