@@ -3,6 +3,7 @@ operator queries into :mod:`genesapi_cli_spark.registry`."""
 
 import genesapi_cli_spark.operators.aggregates  # noqa: F401
 import genesapi_cli_spark.operators.dedup  # noqa: F401
+import genesapi_cli_spark.operators.experiments  # noqa: F401
 import genesapi_cli_spark.operators.extended  # noqa: F401
 import genesapi_cli_spark.operators.filters  # noqa: F401
 import genesapi_cli_spark.operators.graph  # noqa: F401

@@ -1142,3 +1142,43 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot_qty").alias("tot_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_approx_quantile — accuracy contract for percentile_approx
+# ---------------------------------------------------------------------------
+
+_APPROXQ_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS p50_ok, TRUE AS p90_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_agg_approx_quantile", oracle=_APPROXQ_ORACLE)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for approximate quantiles (the q_agg_approx_distinct
+    pattern applied to percentile_approx): the KLL/GK-style sketch with
+    accuracy=1000 guarantees rank error ≤ 1/1000, so its p50/p90 estimates
+    MUST land inside the exact [p−0.05, p+0.05] quantile envelope. The
+    query emits the booleans; the oracle states them TRUE — a hash match is
+    a machine-checked accuracy certificate, which is how you oracle-test an
+    approximation whose internals no second engine reproduces.
+
+    Scale: percentile_approx is the 100 TB quantile path (mergeable sketch,
+    map-side partials, O(accuracy) state); the exact percentiles used as the
+    envelope here are the small-data verification harness.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "percentile_approx(value, 0.5, 1000) >= percentile(value, 0.45) AND "
+            "percentile_approx(value, 0.5, 1000) <= percentile(value, 0.55)"
+        ).alias("p50_ok"),
+        F.expr(
+            "percentile_approx(value, 0.9, 1000) >= percentile(value, 0.85) AND "
+            "percentile_approx(value, 0.9, 1000) <= percentile(value, 0.95)"
+        ).alias("p90_ok"),
+    )

@@ -1,0 +1,284 @@
+"""Experiment-analysis and robust-statistics operators: A/B proportion
+tests, MAD outlier profiling, and multi-touch attribution.
+
+Reference analog: the reference computes per-slice summary statistics for
+the GENESIS catalog (``genesapi/schema.py`` upstream); these operators are
+the inferential/diagnostic layer a production metrics pipeline adds on top
+of the same aggregates.
+
+Parity engineering (shared across the module): every statistic is derived
+from EXACT integer counts/cents first; the few float steps (division, sqrt)
+are correctly-rounded IEEE ops applied to identical integers in the same
+expression shape on both engines, so results are bit-identical and only
+snapped to 4 decimals for output hygiene.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import dec_sum, register
+
+_CENTS = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+
+# --- q_events_abtest --------------------------------------------------------
+
+_ABTEST_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         user_id % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END) AS converted
+  FROM events
+  GROUP BY user_id
+), arms AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+  FROM per_user
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       FLOOR((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+         * 10000 + 0.5) / 10000 AS z_r4
+FROM arms
+"""
+
+
+@register("q_events_abtest", oracle=_ABTEST_ORACLE)
+def q_events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between experiment arms (users split by
+    user_id parity): did arm A convert (≥1 high-value purchase, value>90 —
+    a threshold with real variance; plain 'any purchase' saturates at 100%
+    on this data and degenerates the pooled variance to zero) at a
+    different rate than arm B? The readout every experimentation platform computes.
+
+    Plan: one per-user aggregate (the only full shuffle), one 4-counter
+    rollup, then the closed-form pooled z-statistic as a projection. The
+    z formula runs the IDENTICAL sequence of correctly-rounded IEEE ops on
+    identical integers in both engines — bit-exact before the cosmetic
+    4-decimal snap.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    arms = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pp
+        * (1 - pp)
+        * (
+            F.lit(1).cast("double") / F.col("n_a")
+            + F.lit(1).cast("double") / F.col("n_b")
+        )
+    )
+    z = (pa - pb) / se
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        (F.floor(z * 10000 + F.lit(0.5)) / 10000).alias("z_r4"),
+    )
+
+
+# --- q_agg_outlier_mad ------------------------------------------------------
+
+#: half-cent-safe buffer: |v−med| steps and 3·mad steps are ≥ 0.0025 apart,
+#: so ±0.001 can never sit between an exact coincidence and its neighbor.
+_MAD_EPS = 0.001
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, MAX(med) AS med, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       FLOOR(MAX(m.med) * 10000 + 0.5) / 10000 AS med_r4,
+       FLOOR(MAX(m.mad) * 10000 + 0.5) / 10000 AS mad_r4,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad + {_MAD_EPS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@register("q_agg_outlier_mad", oracle=_MAD_ORACLE)
+def q_agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profiling via MAD (median absolute deviation): per
+    event_type, the median, the MAD, and how many values sit more than
+    3·MAD from the median — the robust alternative to z-scores that a
+    single corrupt batch cannot poison (median/MAD have a 50% breakdown
+    point; mean/stddev have 0%).
+
+    Plan: exact medians via two grouped percentile aggregates with the tiny
+    per-type medians BROADCAST back onto the stream both times — the fact
+    table never shuffles (same shape as q_events_anomaly). The outlier
+    threshold carries a half-cent-safe ε so an exact |dev| = 3·MAD
+    coincidence can never straddle a last-ulp difference.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.select("event_type", "adev")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.max("med") * 10000 + F.lit(0.5)) / 10000).alias("med_r4"),
+            (F.floor(F.max("mad") * 10000 + F.lit(0.5)) / 10000).alias("mad_r4"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad") + _MAD_EPS, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# --- q_attribution_linear ---------------------------------------------------
+
+_ATTR_WINDOW_DAYS = 7
+_ATTR_WINDOW_US = _ATTR_WINDOW_DAYS * 86_400_000_000
+
+_ATTR_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS p_us, {_CENTS} AS cents
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us
+  FROM events WHERE event_type IN ('view', 'click')
+), touched AS (
+  SELECT p.event_id, p.cents,
+         COUNT(*) AS k,
+         CAST(SUM(CASE WHEN t.event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view,
+         CAST(SUM(CASE WHEN t.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_click
+  FROM p JOIN t
+    ON p.user_id = t.user_id
+   AND t.t_us < p.p_us
+   AND t.t_us >= p.p_us - {_ATTR_WINDOW_US}
+  GROUP BY p.event_id, p.cents
+), credited AS (
+  SELECT CAST(cents AS DOUBLE) * n_view / k AS view_credit,
+         CAST(cents AS DOUBLE) * n_click / k AS click_credit
+  FROM touched
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM touched) AS n_attributed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) -
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM touched) AS n_direct,
+       (SELECT CAST(SUM(CAST(view_credit AS DECIMAL(27,7))) AS DOUBLE)
+        FROM credited) AS view_credit,
+       (SELECT CAST(SUM(CAST(click_credit AS DECIMAL(27,7))) AS DOUBLE)
+        FROM credited) AS click_credit
+"""
+
+
+@register("q_attribution_linear", oracle=_ATTR_ORACLE)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split equally
+    across the user's view/click touches in the trailing 7 days; purchases
+    with no touches are 'direct'. The credit-allocation operator of
+    marketing/conversion pipelines (and the same interval-join shape as
+    q_stream_join, with a credit fan-in on top).
+
+    Parity: per-purchase credit = cents · n_type / k is ONE double multiply
+    + divide of exact integers (bit-identical both engines); the corpus sum
+    of those doubles goes through the decimal-cast order-independent sum.
+    Scale: the interval join shuffles both sides once on user_id; the
+    credit rollup is a purchase-keyed aggregate (no global state).
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("p_us"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts_us").alias("t_us"),
+    )
+    touched = (
+        p.join(
+            t,
+            (F.col("user_id") == F.col("t_user"))
+            & (F.col("t_us") < F.col("p_us"))
+            & (F.col("t_us") >= F.col("p_us") - F.lit(_ATTR_WINDOW_US)),
+        )
+        .groupBy("event_id", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.when(F.col("touch_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_view"),
+            F.sum(F.when(F.col("touch_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_click"),
+        )
+    )
+    credited = touched.select(
+        (F.col("cents").cast("double") * F.col("n_view") / F.col("k")).alias(
+            "view_credit"
+        ),
+        (F.col("cents").cast("double") * F.col("n_click") / F.col("k")).alias(
+            "click_credit"
+        ),
+    )
+    n_attributed = touched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_attributed")
+    )
+    n_purchases = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
+    credit = credited.agg(
+        dec_sum("view_credit", "view_credit"),
+        dec_sum("click_credit", "click_credit"),
+    )
+    return (
+        n_attributed.crossJoin(F.broadcast(n_purchases))
+        .crossJoin(F.broadcast(credit))
+        .select(
+            "n_attributed",
+            (F.col("n_p") - F.col("n_attributed")).alias("n_direct"),
+            "view_credit",
+            "click_credit",
+        )
+    )

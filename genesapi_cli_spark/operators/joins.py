@@ -743,3 +743,59 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("xc_a") - F.col("xc_b")).alias("dx_cents"),
         F.abs(F.col("y_a") - F.col("y_b")).alias("dy"),
     )
+
+
+# --- q_join_fuzzy -----------------------------------------------------------
+
+_FUZZY_MAX_DIST = 3
+
+_FUZZY_ORACLE = f"""
+SELECT a.p_type,
+       levenshtein(a.p_name, b.p_name) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM part a JOIN part b
+  ON a.p_type = b.p_type AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+GROUP BY a.p_type, dist
+"""
+
+
+@register("q_join_fuzzy", oracle=_FUZZY_ORACLE)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) matching within blocks: near-identical part
+    names (Levenshtein ≤ 3) among parts of the same (type, size) — the
+    entity-resolution join behind catalog dedup and record linkage.
+
+    Scale shape: NEVER a global O(n²) — the equi-join on the blocking key
+    (type, size) is a hash join, and the quadratic edit-distance work is
+    confined inside blocks of ~n/|blocks| rows (the classic blocking
+    strategy; at 100 TB the blocking key graduates to phonetic/sorted-
+    neighborhood keys, same plan shape). The canonical a<b orientation
+    halves the pair space; both engines implement the identical unit-cost
+    Levenshtein, so the distance histogram is exact.
+    """
+    part = load(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+        "p_type",
+        "p_size",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+        F.col("p_type").alias("tb"),
+        F.col("p_size").alias("sb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("p_type") == F.col("tb"))
+        & (F.col("p_size") == F.col("sb"))
+        & (F.col("ka") < F.col("kb")),
+    ).select("p_type", F.levenshtein("na", "nb").alias("dist"))
+    return (
+        pairs.filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .groupBy("p_type", "dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
