@@ -16,5 +16,6 @@ import genesapi_cli_spark.operators.setops  # noqa: F401
 import genesapi_cli_spark.operators.similarity  # noqa: F401
 import genesapi_cli_spark.operators.text  # noqa: F401
 import genesapi_cli_spark.operators.timeseries  # noqa: F401
+import genesapi_cli_spark.operators.tpch  # noqa: F401
 import genesapi_cli_spark.operators.sorts  # noqa: F401
 import genesapi_cli_spark.operators.windows  # noqa: F401

@@ -1182,3 +1182,69 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile_approx(value, 0.9, 1000) <= percentile(value, 0.95)"
         ).alias("p90_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_gini — revenue concentration (Gini coefficient)
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY seg, o.o_custkey
+), ranked AS (
+  SELECT seg, cents,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, o_custkey) AS i
+  FROM per_cust
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(cents) AS tot_cents,
+       FLOOR((CAST(2 * SUM(i * cents) AS DOUBLE)
+              / (COUNT(*) * SUM(cents))
+              - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000
+         AS gini_r4
+FROM ranked
+GROUP BY seg
+"""
+
+
+@register("q_agg_gini", oracle=_GINI_ORACLE)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    inequality/concentration metric (0 = uniform, →1 = one whale) that
+    complements q_agg_concentration's top-decile share.
+
+    Uses the rank formulation G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over
+    ascending-sorted exact cents (ties broken by custkey — same order both
+    engines, and ties don't change the statistic's value beyond that fixed
+    order). Σ(i·xᵢ) stays < 2⁶³ up to ~10⁸ customers·10⁶-cent revenues; the
+    documented relief valve at 100 TB is the decimal cast. One shuffle to
+    the per-customer aggregate, one ranking window per segment, one rollup.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    per_cust = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "o_custkey")
+    ranked = per_cust.select("seg", "cents", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    gini = (
+        (2 * F.sum(F.col("i") * F.col("cents"))).cast("double")
+        / (n * F.sum("cents"))
+        - (n + 1).cast("double") / n
+    )
+    return ranked.groupBy("seg").agg(
+        n.cast("bigint").alias("n_customers"),
+        F.sum("cents").alias("tot_cents"),
+        (F.floor(gini * 10000 + F.lit(0.5)) / 10000).alias("gini_r4"),
+    )

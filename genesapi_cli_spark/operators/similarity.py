@@ -652,3 +652,132 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("v").cast("double").cast("decimal(27,7)")).cast("double")
          / F.count(F.lit(1))).alias("centroid_v"),
     )
+
+
+# --- q_sim_recall -----------------------------------------------------------
+
+_RECALL_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), exact_r AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY FLOOR(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm)
+                          * 10000 + 0.5) / 10000 DESC, c.vec_id
+         ) AS rn
+  FROM e q JOIN e c ON c.vec_id >= 10
+  WHERE q.vec_id < 10
+), exact3 AS (
+  SELECT qid, cand_id FROM exact_r WHERE rn <= 3
+), q8 AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(GREATEST(LEAST(floor(CAST(x AS DOUBLE) * 127 + 0.5), 127), -127)
+                     AS DOUBLE)) AS qv
+  FROM embeddings
+), quant_r AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(list_dot_product(q.qv, c.qv) AS BIGINT) DESC, c.vec_id
+         ) AS rn
+  FROM q8 q JOIN q8 c ON q.label = c.label AND c.vec_id >= 10
+  WHERE q.vec_id < 10
+), quant3 AS (
+  SELECT qid, cand_id FROM quant_r WHERE rn <= 3
+), hits AS (
+  SELECT a.qid FROM quant3 a JOIN exact3 b
+    ON a.qid = b.qid AND a.cand_id = b.cand_id
+)
+SELECT (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM exact3) AS n_queries,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+       FLOOR(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+             / (3 * (SELECT COUNT(DISTINCT qid) FROM exact3))
+             * 10000 + 0.5) / 10000 AS recall_r4
+"""
+
+
+@register("q_sim_recall", oracle=_RECALL_ORACLE)
+def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: recall@3 of the int8-quantized,
+    label-blocked retriever (q_sim_quantized) against exact full-precision
+    cosine top-3 over ALL candidates — the evaluation harness every ANN
+    deployment runs before trading accuracy for speed. Measures BOTH loss
+    sources at once: quantization error and blocking misses.
+
+    Plan: two top-3 pipelines (brute-force cosine with the rounded-rank
+    determinism convention; integer-dot quantized with label blocking),
+    an equi-join on (query, candidate) to count agreements, and one exact
+    integer division for the mean — bit-exact, no tolerance anywhere.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    e = e.select("vec_id", "label", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+    )
+    cos_r = F.floor(
+        dot_expr("qemb", "cemb") / (F.col("qnrm") * F.col("cnrm")) * 10000 + F.lit(0.5)
+    ) / 10000
+    w_exact = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(), "cand_id")
+    exact3 = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("qid", "cand_id", cos_r.alias("cos_r"))
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cand_id")
+    )
+    q8 = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "emb",
+            lambda x: F.greatest(
+                F.least(F.floor(x * 127 + 0.5), F.lit(127).cast("long")),
+                F.lit(-127).cast("long"),
+            ),
+        ).alias("qv"),
+    )
+    qq = q8.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "label", F.col("qv").alias("qa")
+    )
+    qc = q8.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "label", F.col("qv").alias("qb")
+    )
+    w_quant = Window.partitionBy("qid").orderBy(F.desc("qdot"), "cand_id")
+    quant3 = (
+        F.broadcast(qq)
+        .join(qc, "label")
+        .select("qid", "cand_id", dot_expr("qa", "qb").cast("long").alias("qdot"))
+        .withColumn("rn", F.row_number().over(w_quant))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cand_id")
+    )
+    hits = quant3.join(exact3, ["qid", "cand_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    nq = exact3.agg(F.countDistinct("qid").cast("bigint").alias("n_queries"))
+    return (
+        nq.crossJoin(F.broadcast(hits))
+        .select(
+            "n_queries",
+            "n_hits",
+            (
+                F.floor(
+                    F.col("n_hits").cast("double")
+                    / (3 * F.col("n_queries"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("recall_r4"),
+        )
+    )

@@ -373,3 +373,68 @@ def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         runmax.alias("runmax_cents"),
         (runmax - F.col("cents")).alias("dd_cents"),
     )
+
+
+# --- q_window_seasonality ---------------------------------------------------
+
+_SEASONALITY_ORACLE = f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // {_DAY_US}) % 7 AS dow,
+         {_CENTS} AS cents
+  FROM events
+), per_dow AS (
+  SELECT event_type, dow,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(cents) AS cents
+  FROM e GROUP BY event_type, dow
+), tot AS (
+  SELECT event_type,
+         SUM(n) AS tot_n, SUM(cents) AS tot_cents
+  FROM per_dow GROUP BY event_type
+)
+SELECT p.event_type, p.dow, p.n, p.cents,
+       FLOOR((CAST(p.cents AS DOUBLE) / p.n)
+             / (CAST(t.tot_cents AS DOUBLE) / t.tot_n) * 10000 + 0.5) / 10000
+         AS seasonal_idx
+FROM per_dow p JOIN tot t ON p.event_type = t.event_type
+"""
+
+
+@register("q_window_seasonality", oracle=_SEASONALITY_ORACLE)
+def q_window_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event_type: each weekday's mean
+    value relative to the series mean (seasonal index > 1 = above-trend
+    day) — the decomposition step behind anomaly baselines and
+    load forecasting.
+
+    Weekday = epoch-day mod 7, NOT the engines' dayofweek() (their
+    numbering conventions differ — SURVEY.md §5.3); integer cents
+    throughout, two divisions at the end on identical integers. The
+    seasonal index is computed from a per-(type,dow) aggregate joined to
+    its per-type rollup — both tiny; facts shuffle once.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (F.expr(f"ts_us div {_DAY_US}") % 7).alias("dow"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    per_dow = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("cents"),
+    )
+    tot = per_dow.groupBy("event_type").agg(
+        F.sum("n").alias("tot_n"), F.sum("cents").alias("tot_cents")
+    )
+    joined = per_dow.join(F.broadcast(tot), "event_type")
+    idx = (F.col("cents").cast("double") / F.col("n")) / (
+        F.col("tot_cents").cast("double") / F.col("tot_n")
+    )
+    return joined.select(
+        "event_type",
+        "dow",
+        "n",
+        "cents",
+        (F.floor(idx * 10000 + F.lit(0.5)) / 10000).alias("seasonal_idx"),
+    )

@@ -1,0 +1,210 @@
+"""Additional TPC-H-shaped reference queries (Q3, Q10, Q14, Q18 shapes,
+adapted to the testdata's column subset).
+
+The registry already carries Q1 (q_agg_pricing_summary — the flagship), Q5
+(q_join_multiway), and Q6 (q_filter_range); this module rounds out the
+classic decision-support shapes so a user of the reference's analytical
+surface finds the standard benchmark queries runnable as-is.
+
+Scale notes: each query is a single declarative plan — dims broadcast,
+facts shuffle once into the aggregate, TopK runs as TakeOrderedAndProject
+(no global sort materialization). Revenue sums go through the exact
+decimal cast (order-independent, see registry.dec_sum); output money/date
+columns are raw copies or deterministic casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from genesapi_cli_spark.registry import dec_sum, oracle_dec_sum, register
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+# --- Q3: shipping-priority candidates ---------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {oracle_dec_sum(_REV, 'revenue')},
+       CAST(o_orderdate AS DATE) AS o_date,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-15 00:00:00'
+GROUP BY l_orderkey, o_date, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q_tpch_q3", oracle=_Q3_ORACLE)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped high-revenue orders for one market
+    segment as of a cutoff date (o_shippriority is absent from the testdata;
+    o_orderpriority stands in). Customer prunes orders via broadcast; both
+    date predicates push to the scans; the TopK is TakeOrderedAndProject on
+    the deterministic (revenue, orderkey) key."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        cust.select("c_custkey")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(dec_sum(F.expr(_REV), "revenue"))
+        .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- Q10: returned-item reporting -------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {oracle_dec_sum(_REV, 'revenue')},
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q_tpch_q10", oracle=_Q10_ORACLE)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter. nation broadcasts onto the customer dim, the quarter predicate
+    prunes orders at the scan, and the return-flag predicate prunes
+    lineitem before the join."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dec_sum(F.expr(_REV), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- Q14: promotion effect --------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT CAST(100 AS DOUBLE)
+         * (CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST({_REV} AS DECIMAL(27,7)) ELSE 0 END) AS DOUBLE))
+         / (CAST(SUM(CAST({_REV} AS DECIMAL(27,7))) AS DOUBLE)) AS promo_revenue_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@register("q_tpch_q14", oracle=_Q14_ORACLE)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from PROMO-type parts. Part
+    broadcasts; the month predicate reaches the lineitem scan; both the
+    conditional and total revenue ride ONE aggregate as exact decimal sums,
+    and the percentage is a single double division — deterministic without
+    any rounding."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.expr(_REV).cast("decimal(27,7)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100).cast("double")
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# --- Q18: large-volume customers --------------------------------------------
+
+_Q18_QTY = 300
+
+_Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_date,
+       o_totalprice,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {_Q18_QTY}
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
+"""
+
+
+@register("q_tpch_q18", oracle=_Q18_ORACLE)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: whale orders (total quantity > 300) with their customers.
+    The IN-subquery plans as a semi-join against the pre-aggregated
+    order-quantity table; quantities are exact integer sums. At 100 TB the
+    HAVING aggregate and the outer join share the l_orderkey partitioning,
+    so AQE reuses the exchange instead of reshuffling."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+        .filter(F.col("sq") > _Q18_QTY)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(big, F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_totalprice",
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+    )
