@@ -1248,3 +1248,68 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("tot_cents"),
         (F.floor(gini * 10000 + F.lit(0.5)) / 10000).alias("gini_r4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_lorenz — cumulative revenue-share curve (Lorenz deciles)
+# ---------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+), deciled AS (
+  SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM per_cust
+), per_decile AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers, SUM(cents) AS cents
+  FROM deciled GROUP BY decile
+)
+SELECT decile, n_customers, cents,
+       SUM(cents) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+       FLOOR(CAST(SUM(cents) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(cents) OVER () AS DOUBLE) * 10000 + 0.5) / 10000
+         AS cum_share_r4
+FROM per_decile
+"""
+
+
+@register("q_agg_lorenz", oracle=_LORENZ_ORACLE)
+def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve deciles: customers sorted by revenue, bucketed into ten
+    equal-count groups, with each decile's cumulative share of total
+    revenue — the curve behind q_agg_gini's scalar (a 25%-revenue bottom
+    half reads straight off this output).
+
+    All integer cents until the final share division; NTILE ordering is
+    made total with the custkey tiebreak; the cumulative window runs over
+    exactly 10 post-aggregate rows. One full shuffle (per-customer agg) +
+    one ranking window over |customers| + constant-size rest.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    deciled = per_cust.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    per_decile = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").alias("cents"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = F.sum("cents").over(w_cum)
+    tot = F.sum("cents").over(w_all)
+    return per_decile.select(
+        "decile",
+        "n_customers",
+        "cents",
+        cum.alias("cum_cents"),
+        (F.floor(cum.cast("double") / tot.cast("double") * 10000 + F.lit(0.5)) / 10000).alias(
+            "cum_share_r4"
+        ),
+    )

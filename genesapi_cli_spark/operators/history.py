@@ -131,3 +131,87 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_to_us").isNull() | (F.col("f_us") < F.col("valid_to_us"))),
         "inner",
     ).select("event_id", "user_id", "f_us", "p_cents", "version", "v_cents")
+
+
+# --- q_snapshot_diff --------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH oldv AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 <> 7
+), newv AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           + CASE WHEN o_orderkey % 5 = 0
+                  THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 10
+                  ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % 10 <> 3
+), diff AS (
+  SELECT CASE WHEN o.k IS NULL THEN 'I'
+              WHEN n.k IS NULL THEN 'D'
+              ELSE 'U' END AS op,
+         COALESCE(o.cents, 0) AS old_cents,
+         COALESCE(n.cents, 0) AS new_cents
+  FROM oldv o FULL OUTER JOIN newv n ON o.k = n.k
+  WHERE o.k IS NULL OR n.k IS NULL OR o.cents <> n.cents
+)
+SELECT op,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(old_cents) AS sum_old_cents,
+       SUM(new_cents) AS sum_new_cents
+FROM diff
+GROUP BY op
+"""
+
+
+@register("q_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — derive a changelog (insert/update/delete rows) from
+    two table states. The INVERSE of q_cdc_apply (which replays a changelog
+    into a state): this is how a lake computes incremental downstream feeds
+    when the upstream only publishes full snapshots.
+
+    The two snapshots are deterministic transforms of the orders table (old
+    drops keys ≡7 mod 10; new drops keys ≡3 mod 10 and bumps prices of keys
+    ≡0 mod 5 by exactly cents÷10 — integer arithmetic, so the U-detection
+    compares exact int64s, never floats). Plan: one FULL OUTER join on the
+    key — at 100 TB co-partition both snapshots on the key (bucketed at
+    rest) and the diff is a zero-extra-shuffle zip; unchanged rows are
+    filtered before the rollup so the changelog aggregate only sees deltas.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    oldv = orders.filter(F.col("o_orderkey") % 10 != 7).select(
+        F.col("o_orderkey").alias("ko"), cents.alias("old_cents")
+    )
+    newv = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        F.col("o_orderkey").alias("kn"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 5 == 0, cents.cast("bigint") / F.lit(10))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        ).alias("new_cents"),
+    )
+    diff = (
+        oldv.join(newv, oldv.ko == newv.kn, "full")
+        .filter(
+            F.col("ko").isNull()
+            | F.col("kn").isNull()
+            | (F.col("old_cents") != F.col("new_cents"))
+        )
+        .select(
+            F.when(F.col("ko").isNull(), F.lit("I"))
+            .when(F.col("kn").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.coalesce("old_cents", F.lit(0)).alias("old_cents"),
+            F.coalesce("new_cents", F.lit(0)).alias("new_cents"),
+        )
+    )
+    return diff.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("old_cents").alias("sum_old_cents"),
+        F.sum("new_cents").alias("sum_new_cents"),
+    )

@@ -93,3 +93,95 @@ def q_profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack}) AS (col, n_null, n_distinct)", "n"
     ).select("col", "n", "n_null", "n_distinct")
+
+
+# --- q_quality_rules --------------------------------------------------------
+
+_QUALITY_ORACLE = """
+SELECT 'null_custkey' AS rule,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'discount_range',
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orphan_lineitems',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'dup_line_numbers',
+       (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM (
+          SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber
+        ) WHERE c > 1)
+UNION ALL
+SELECT 'negative_price',
+       CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+"""
+
+
+@register("q_quality_rules", oracle=_QUALITY_ORACLE)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based data-quality validation (the expectations/contract check a
+    pipeline runs before publishing a table): null keys, out-of-range
+    discounts, orphaned fact rows (referential integrity), duplicate
+    (order, linenumber) identities, and non-positive prices — one row per
+    rule with its violation count.
+
+    Plan shape: the three lineitem row-level rules fold into ONE scan's
+    aggregate; referential integrity is a left-anti join against the
+    (broadcastable) order-key set; the duplicate-identity rule reuses the
+    lineitem scan into a grouped count. At 100 TB each rule's count is a
+    map-side-combined aggregate — the expensive one is the anti-join, which
+    AQE plans as broadcast when the parent keyset fits.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(rule).alias("rule"), F.col("n_violations"))
+
+    null_cust = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations")
+    )
+    li_rowrules = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("discount_range"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("negative_price"),
+    )
+    orphans = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+    dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("n_violations"))
+    )
+    return (
+        one("null_custkey", null_cust)
+        .unionByName(
+            one(
+                "discount_range",
+                li_rowrules.select(F.col("discount_range").alias("n_violations")),
+            )
+        )
+        .unionByName(one("orphan_lineitems", orphans))
+        .unionByName(one("dup_line_numbers", dups))
+        .unionByName(
+            one(
+                "negative_price",
+                li_rowrules.select(F.col("negative_price").alias("n_violations")),
+            )
+        )
+    )

@@ -438,3 +438,66 @@ def q_window_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         (F.floor(idx * 10000 + F.lit(0.5)) / 10000).alias("seasonal_idx"),
     )
+
+
+# --- q_events_churn ---------------------------------------------------------
+
+_CHURN_IDLE_DAYS = 14
+
+_CHURN_ORACLE = f"""
+WITH mx AS (
+  SELECT MAX(epoch_us(ts)) AS tmax FROM events
+), per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) // ({_DAY_US} * 7) AS cohort_week,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events
+  GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN last_us < tmax - {_CHURN_IDLE_DAYS} * {_DAY_US}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       FLOOR(CAST(SUM(CASE WHEN last_us < tmax - {_CHURN_IDLE_DAYS} * {_DAY_US}
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 10000 + 0.5) / 10000 AS churn_rate_r4
+FROM per_user, mx
+GROUP BY cohort_week, tmax
+"""
+
+
+@register("q_events_churn", oracle=_CHURN_ORACLE)
+def q_events_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn by acquisition cohort: users grouped by first-seen week, churned
+    = no activity in the trailing 14 days of the observation window. The
+    retention counterpart of q_window_retention's matrix, collapsed to the
+    churn-rate readout a dashboard tracks per cohort.
+
+    One per-user aggregate (min/max epoch-µs, exact ints), the corpus max
+    folded in as a broadcast 1-row aggregate, then a tiny per-cohort rollup.
+    Facts shuffle once.
+    """
+    ev = load(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts_us").alias("tmax"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_us"), F.max("ts_us").alias("last_us"))
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.expr(f"first_us div ({_DAY_US} * 7)").alias("cohort_week"),
+            (
+                F.col("last_us") < F.col("tmax") - _CHURN_IDLE_DAYS * _DAY_US
+            ).cast("int").alias("churned"),
+        )
+    )
+    return per_user.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("churned").cast("bigint").alias("n_churned"),
+        (
+            F.floor(
+                F.sum("churned").cast("double") / F.count(F.lit(1)) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("churn_rate_r4"),
+    )

@@ -341,3 +341,29 @@ def test_foreachbatch_streaming_merge_into_lake(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: a streaming event source enriched against a static
+    (batch) dimension broadcast per micro-batch — the standard streaming
+    enrichment pattern (no state store involved; the static side is re-read
+    per batch, so a dim refresh is picked up between batches)."""
+    src = _write_event_files(spark, tmp_path, 2)
+    static_dim = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("segment")
+    )
+    stream = events_file_stream(spark, src).join(static_dim, "user_id").groupBy(
+        "segment"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = run_to_memory(stream, "t_enrich", output_mode="complete")
+    try:
+        got = _rows(spark.table("t_enrich"))
+        batch = (
+            load(spark, SMOKE_SF_DIR, "events")
+            .join(static_dim, "user_id")
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert got == _rows(batch)
+    finally:
+        q.stop()
