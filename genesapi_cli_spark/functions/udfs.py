@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf, udtf
 from pyspark.sql.types import StringType
 
-from genesapi_cli_spark.io import load
+from genesapi_cli_spark.io import load, spread
 from genesapi_cli_spark.registry import register
 
 # --- q_udf_python -----------------------------------------------------------
@@ -128,7 +128,9 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield k, int(v)
 
     spark.udtf.register("parse_props", ParseProps)
-    load(spark, sf_dir, "events").select("event_id", "props").createOrReplaceTempView(
+    # spread: the Python UDTF runs one worker per partition — a single-row-
+    # group local file would serialize the whole corpus through ONE worker.
+    spread(load(spark, sf_dir, "events")).select("event_id", "props").createOrReplaceTempView(
         "events_props"
     )
     return spark.sql(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load
+from genesapi_cli_spark.io import load, spread
 from genesapi_cli_spark.registry import DEC, dec_avg, dec_sum, oracle_dec_avg, oracle_dec_sum, register
 
 # ---------------------------------------------------------------------------
@@ -727,9 +727,10 @@ def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate scans+joins — the scan happens once at 100 TB. The filtered
     distinct rides the same Expand via a null-out projection. When distinct
     cardinality itself explodes, the documented relief valve is
-    approx_count_distinct (q_agg_approx_distinct).
+    approx_count_distinct (q_agg_approx_distinct). spread() parallelizes the
+    5-way Expand on local single-row-group files; no-op on pre-split inputs.
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = spread(load(spark, sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),

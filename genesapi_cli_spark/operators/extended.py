@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load
+from genesapi_cli_spark.io import load, spread
 from genesapi_cli_spark.registry import DEC, oracle_r4, r4, register
 
 # --- q_subquery_scalar ------------------------------------------------------
@@ -369,9 +369,10 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure column predicate: no TABLESAMPLE (engine/run dependent), no global
     state, pushes past the scan, and picks the SAME rows on every engine and
     partition layout. The per-stratum rate is one CASE expression, so adding
-    strata never adds passes over the data.
+    strata never adds passes over the data. spread() parallelizes the sha256
+    projection on local single-row-group files; no-op on pre-split inputs.
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = spread(load(spark, sf_dir, "lineitem"))
     h = F.conv(
         F.substring(
             F.sha2(

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load
+from genesapi_cli_spark.io import load, spread
 from genesapi_cli_spark.registry import dec_sum, oracle_dec_sum, register
 
 # --- q_join_inner -----------------------------------------------------------
@@ -643,9 +643,11 @@ def q_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs): the production guard is capping or sampling baskets above K
     items before the self-join, the exact analogue of the dedup family's
     stop-shingle cap. Distinct-items first so duplicate lineitems of the
-    same part don't inflate counts.
+    same part don't inflate counts. spread(l_orderkey) both parallelizes the
+    local single-row-group scan AND pre-partitions on the basket key, so the
+    collect_set aggregate needs no further shuffle.
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = spread(load(spark, sf_dir, "lineitem"), "l_orderkey")
     # In-row pair generation beats the orderkey self-join here (measured
     # 1.5s vs 1.8s warm, 2 shuffles vs 4): collect each basket once, emit
     # ordered pairs with a slice/transform HOF. The collect_set holds ONE

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load
+from genesapi_cli_spark.io import load, spread
 from genesapi_cli_spark.registry import dec_sum, oracle_dec_sum, register
 
 _SCAN_ORACLE = f"""
@@ -81,8 +81,10 @@ def q_profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scan (count + count(col) + countDistinct(col) per column ride
     one Expand), then a stack() unpivots to long format — versus the
     oracle's honest N-scan UNION. At 100 TB: one pass, not one per column.
+    spread() unlocks core parallelism for the ×(2·cols+1) Expand on the
+    local single-row-group files; it no-ops on pre-split cluster inputs.
     """
-    orders = load(spark, sf_dir, "orders")
+    orders = spread(load(spark, sf_dir, "orders"))
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:

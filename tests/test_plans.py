@@ -168,10 +168,13 @@ def test_skew_salted_join_is_shuffle_hash(spark):
 
 def test_stratified_sample_filter_before_agg(spark):
     """The hash predicate must evaluate scan-side (a Filter under the
-    partial agg), so sampled-out rows never reach the shuffle."""
+    partial agg), so sampled-out rows never reach the aggregate shuffle.
+    Two exchanges are expected: the spread() round-robin repartition that
+    parallelizes the single-row-group local scan, plus the aggregate — the
+    filter must sit between them, never after the agg exchange."""
     plan = formatted_plan(_df(spark, "q_sample_stratified"))
     assert "partial_count" in plan or "partial_sum" in plan
-    assert plan.count("Exchange (") == 1
+    assert plan.count("Exchange (") == 2
 
 
 def test_quantized_sim_is_broadcast_hash_join(spark):
