@@ -329,3 +329,42 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(
         resize, "doc_id long, resized string, out_w int, out_h int"
     )
+
+
+# --- q_multimodal_dedup -----------------------------------------------------
+
+_MM_DEDUP_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup
+FROM documents
+GROUP BY source
+"""
+
+
+@register("q_multimodal_dedup", oracle=_MM_DEDUP_ORACLE)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed BINARY asset dedup: md5 over the raw payload bytes,
+    duplicate accounting per source — the blob-store dedup step of a
+    multimodal ingest (identical images/audio uploaded twice collapse to one
+    stored object; the text twin is q_dedup_exact).
+
+    The digest is computed JVM-side on the binary column (no Python, no
+    decode); the aggregate is a two-phase distinct count keyed by a
+    uniformly distributed 128-bit digest — no skew by construction. At
+    100 TB this is the dedup key you'd persist next to the payload at
+    ingest so re-uploads short-circuit before ever writing bytes.
+    """
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    digest = F.md5(payload)
+    return (
+        docs.select("source", digest.alias("d"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.countDistinct("d").cast("bigint").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("d")).cast("bigint").alias("n_dup"),
+        )
+    )

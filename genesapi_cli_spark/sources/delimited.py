@@ -64,3 +64,105 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     it proves the parser dialect end to end, the same way the cube-text
     parser is fixture-proved."""
     return parse_csv_lines(spark)
+
+
+# --- q_source_jsonl ---------------------------------------------------------
+
+JSONL_LINES = (
+    '{"id": 1, "name": "alpha", "tags": [1, 2], "meta": {"lang": "en", "score": 0.5}}',
+    '{"id": 2, "name": "beta", "tags": [], "meta": {"lang": "de", "score": 1.25}}',
+    '{"id": 3, "name": null, "tags": [7], "meta": {"lang": null, "score": null}}',
+    '{"id": 4, "name": "delta"}',
+    '{"id": 5, "name": "epsilon", "tags": [3, 3, 9], "meta": {"lang": "en", "score": -2.0}}',
+)
+
+JSONL_SCHEMA = (
+    "id INT, name STRING, tags ARRAY<INT>, "
+    "meta STRUCT<lang: STRING, score: DOUBLE>"
+)
+
+
+def parse_jsonl_lines(spark: SparkSession, lines=JSONL_LINES) -> DataFrame:
+    """Parse JSONL lines into typed NESTED rows, then flatten: missing
+    fields → NULL, arrays keep order and multiplicity, struct fields
+    project as columns (the Dremel nested-columnar shape, PAPERS.md)."""
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    r = df.select(F.from_json("line", JSONL_SCHEMA).alias("r")).select("r.*")
+    return r.select(
+        "id",
+        "name",
+        F.size("tags").alias("n_tags"),
+        F.coalesce(
+            F.aggregate("tags", F.lit(0), lambda acc, x: acc + x), F.lit(0)
+        ).alias("tag_sum"),
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.score").alias("score"),
+    )
+
+
+_JSONL_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'alpha',   2,  3, 'en', 0.5),
+  (2, 'beta',    0,  0, 'de', 1.25),
+  (3, CAST(NULL AS VARCHAR), 1, 7, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+  (4, 'delta', CAST(NULL AS INT), 0, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+  (5, 'epsilon', 3, 15, 'en', -2.0)
+) AS t(id, name, n_tags, tag_sum, lang, score)
+"""
+
+
+@register("q_source_jsonl", oracle=_JSONL_ORACLE)
+def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (newline-delimited JSON) ingest semantics, oracle-proved:
+    nested struct and array fields against an explicit schema, missing
+    object → NULL struct (size() of a NULL array is NULL under ANSI mode —
+    asserted as-is), null leaves, and an
+    in-row array fold. The hand-written expected relation pins every rule;
+    on a lake the same schema goes to spark.read.json and parses per split."""
+    return parse_jsonl_lines(spark)
+
+
+# --- q_source_fixed_width ---------------------------------------------------
+
+#: columns: id[1:4] code[5:10] amount[11:18] (2 implied decimals) date[19:26]
+FIXED_LINES = (
+    "0001STAT0100012345_20240115",
+    "0002STAT0200000000_20240116",
+    "0003GEOX01-0003210_20240117",
+    "0004STAT01        _20240118",
+)
+
+
+def parse_fixed_width(spark: SparkSession, lines=FIXED_LINES) -> DataFrame:
+    """Fixed-width record parse: pure substring/trim/try_cast projection —
+    the GENESIS-era mainframe export shape, handled entirely in codegen
+    (no regex, no Python)."""
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    return df.select(
+        F.substring("line", 1, 4).cast("int").alias("rec_id"),
+        F.trim(F.substring("line", 5, 6)).alias("code"),
+        F.expr(
+            "try_cast(trim(substring(line, 11, 8)) AS BIGINT)"
+        ).alias("amount_cents"),
+        F.to_date(F.substring("line", 20, 8), "yyyyMMdd").alias("rec_date"),
+    )
+
+
+_FIXED_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'STAT01',  CAST(12345 AS BIGINT), DATE '2024-01-15'),
+  (2, 'STAT02',  CAST(0 AS BIGINT),     DATE '2024-01-16'),
+  (3, 'GEOX01',  CAST(-3210 AS BIGINT), DATE '2024-01-17'),
+  (4, 'STAT01',  CAST(NULL AS BIGINT),  DATE '2024-01-18')
+) AS t(rec_id, code, amount_cents, rec_date)
+"""
+
+
+@register("q_source_fixed_width", oracle=_FIXED_ORACLE)
+def q_source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (positional) record ingest, oracle-proved: substring
+    slicing, zero-padded and sign-prefixed numerics, blank→NULL via
+    try_cast, and yyyyMMdd date parsing — all codegen projections. The
+    statistical-office export lineage of the reference makes this dialect
+    first-class next to CSV/JSONL."""
+    return parse_fixed_width(spark)
