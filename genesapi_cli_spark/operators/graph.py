@@ -87,7 +87,14 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections (no join), then two hash aggregates. At 100 TB the edge list
     shuffles once on node; hubs are the documented skew risk.
     """
-    edges = copurchase_edges(load(spark, sf_dir, "lineitem"))
+    # The edge pipeline (basket collect + pair explode + support agg) feeds
+    # BOTH union branches; a lazy localCheckpoint materializes it once and
+    # the branches read the cached blocks (Catalyst does not dedupe repeated
+    # non-exchange subtrees). Same pattern as connected_components; at scale
+    # a derived edge table this hot would be persisted to the lake instead.
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=False
+    )
     nodes = edges.select(F.col("pa").alias("node")).unionAll(
         edges.select(F.col("pb").alias("node"))
     )
@@ -116,7 +123,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion (classic oriented node-iterator). Two hash joins on node keys,
     one global count.
     """
-    edges = copurchase_edges(load(spark, sf_dir, "lineitem"))
+    # One materialization of the edge pipeline for the four consumers
+    # (3 join branches + the edge count) — see q_graph_degree.
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=False
+    )
     e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
     e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
