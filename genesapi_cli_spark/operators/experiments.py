@@ -282,3 +282,57 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_credit",
         )
     )
+
+
+# --- q_feature_scale --------------------------------------------------------
+
+_FSCALE_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         MIN(value) AS vmin, MAX(value) AS vmax,
+         quantile_cont(value, 0.25) AS p25,
+         quantile_cont(value, 0.75) AS p75,
+         quantile_cont(value, 0.5)  AS p50
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       FLOOR((e.value - s.vmin) / (s.vmax - s.vmin) * 10000 + 0.5) / 10000
+         AS minmax_r4,
+       FLOOR((e.value - s.p50) / (s.p75 - s.p25) * 10000 + 0.5) / 10000
+         AS robust_r4
+FROM events e JOIN stats s ON e.event_type = s.event_type
+"""
+
+
+@register("q_feature_scale", oracle=_FSCALE_ORACLE)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling — min-max normalization to [0,1] and robust scaling
+    ((x − median) / IQR): the per-feature normalization step of every
+    training-data pipeline, with the robust variant immune to the outliers
+    that wreck min-max on heavy-tailed features.
+
+    Plan: one tiny per-type stats aggregate (min/max + exact percentiles)
+    BROADCAST back onto the stream — the fact table never shuffles (the
+    q_events_anomaly shape). Scaled values are identical-op IEEE arithmetic
+    on identical inputs across engines: the percentiles land on cent/
+    half-cent boundaries (exact copies or exact midpoints), subtraction and
+    division are correctly rounded, and the 4-decimal floor-snap is applied
+    on both sides.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    minmax = (F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin"))
+    robust = (F.col("value") - F.col("p50")) / (F.col("p75") - F.col("p25"))
+    return joined.select(
+        "event_id",
+        "event_type",
+        (F.floor(minmax * 10000 + F.lit(0.5)) / 10000).alias("minmax_r4"),
+        (F.floor(robust * 10000 + F.lit(0.5)) / 10000).alias("robust_r4"),
+    )
