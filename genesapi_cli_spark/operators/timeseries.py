@@ -501,3 +501,163 @@ def q_events_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("churn_rate_r4"),
     )
+
+
+# --- q_window_bollinger -----------------------------------------------------
+
+_BOLL_N = 20  # trailing frame length
+
+_BOLL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {_CENTS} AS cents FROM events
+), m AS (
+  SELECT user_id, event_id, us, cents,
+         SUM(cents)         OVER w AS s1,
+         SUM(cents * cents) OVER w AS s2,
+         COUNT(*)           OVER w AS n
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, us, cents, n,
+       FLOOR(CAST(s1 AS DOUBLE) / n * 10000 + 0.5) / 10000 AS mean_r4,
+       CASE WHEN n > 1 AND cents * n > s1 + 2 * SQRT(CAST(n AS DOUBLE)
+                 * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+            THEN 1 ELSE 0 END AS above_band
+FROM m
+"""
+
+
+@register("q_window_bollinger", oracle=_BOLL_ORACLE)
+def q_window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-style volatility bands: trailing-20 mean and an
+    upper-band breakout flag (value > mean + 2σ) per user series — the
+    adaptive-threshold alerting primitive (static thresholds misfire when
+    baseline volatility shifts).
+
+    Parity engineering: rolling stddev is NOT computed with the engines'
+    windowed stddev (Welford/segment-tree evaluation order differs across
+    engines) but reconstructed from integer power sums — SUM(cents) and
+    SUM(cents²) over the frame are EXACT int64 window sums on both engines
+    (cents² ≤ 2.5e9 × frame 20 ≪ 2⁵³), and the band comparison is the same
+    closed-form IEEE expression of those exact integers. The breakout test
+    multiplies through by n (cents·n > s1 + 2·√(...)) to avoid an extra
+    division.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.col("ts_us").alias("us"), F.expr(_CENTS).alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(_BOLL_N - 1), Window.currentRow)
+    )
+    s1 = F.sum("cents").over(w)
+    s2 = F.sum(F.col("cents") * F.col("cents")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    sd = F.sqrt(
+        n.cast("double")
+        * (s2.cast("double") - s1.cast("double") * s1 / n)
+        / (n - 1)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "us",
+        "cents",
+        n.alias("n"),
+        (F.floor(s1.cast("double") / n * 10000 + F.lit(0.5)) / 10000).alias("mean_r4"),
+        F.when((n > 1) & (F.col("cents") * n > s1 + 2 * sd), 1)
+        .otherwise(0)
+        .alias("above_band"),
+    )
+
+
+# --- q_events_paths ---------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+), flagged AS (
+  SELECT user_id, us, event_id, event_type,
+         CASE WHEN us - LAG(us) OVER w > 1800000000
+              OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT user_id, us, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), ranked AS (
+  SELECT user_id, sid, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+  FROM sess
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3
+  GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 15
+"""
+
+
+@register("q_events_paths", oracle=_PATHS_ORACLE)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: the first three event types of each 30-minute-gap
+    session, joined into a path string and ranked by frequency — the
+    clickstream path-analysis rollup (entry-flow dashboards, funnel
+    discovery).
+
+    Composition of proven pieces: gaps-and-islands sessionization (one
+    shuffle, shared sort serves the gap LAG, the session id running sum and
+    the in-session ROW_NUMBER), then an in-session top-3 truncation BEFORE
+    the path aggregate so the group state is O(3) per session, and a final
+    count. Ties in the top-15 break on the path string.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("user_id", F.col("ts_us").alias("us"), "event_id", "event_type")
+    w_seq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = F.when(
+        (F.col("us") - F.lag("us").over(w_seq) > 1_800_000_000)
+        | F.lag("us").over(w_seq).isNull(),
+        1,
+    ).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "us",
+        "event_id",
+        "event_type",
+        F.sum(new_s).over(w_seq.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    ranked = sess.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id", "sid").orderBy("us", "event_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(15)
+    )
