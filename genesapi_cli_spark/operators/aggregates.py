@@ -1314,3 +1314,63 @@ def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share_r4"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_heavy_hitters — frequent items above a support threshold
+# ---------------------------------------------------------------------------
+
+_HH_PCT = 4  # support threshold: > 4% of all lineitems
+
+_HH_ORACLE = f"""
+WITH tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lineitem
+), cnt AS (
+  SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+)
+SELECT p_brand, n, n_total,
+       FLOOR(CAST(n AS DOUBLE) / n_total * 10000 + 0.5) / 10000 AS share_r4
+FROM cnt, tot
+WHERE n * 100 > {_HH_PCT} * n_total
+"""
+
+
+@register("q_agg_heavy_hitters", oracle=_HH_ORACLE)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: brands carrying more than 4% of all lineitems —
+    the frequent-items profile that drives hot-key salting decisions
+    (q_join_skew_salted) and cache/denormalization choices. The brand level
+    keeps shares scale-stable (per-part shares dilute as the corpus grows;
+    a share threshold must target a bounded key domain).
+
+    The support predicate is pure integer cross-multiplication
+    (n·100 > 4·total), no float threshold. One broadcast-joined count
+    aggregate + a broadcast 1-row total. When the key domain itself
+    explodes, the documented sketch relief is count-min/space-saving with
+    this query as its verification harness (the q_agg_approx_* contract
+    pattern).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    tot = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    cnt = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * 100 > _HH_PCT * F.col("n_total"))
+        .select(
+            "p_brand",
+            "n",
+            "n_total",
+            (
+                F.floor(F.col("n").cast("double") / F.col("n_total") * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("share_r4"),
+        )
+    )

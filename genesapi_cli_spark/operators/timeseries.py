@@ -661,3 +661,147 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(15)
     )
+
+
+# --- q_window_autocorr ------------------------------------------------------
+
+_AUTOCORR_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, {_CENTS} AS c FROM events
+), lagged AS (
+  SELECT user_id, c,
+         LAG(c) OVER (PARTITION BY user_id ORDER BY us, event_id) AS cp
+  FROM e
+), pairs AS (
+  SELECT user_id, c, cp FROM lagged WHERE cp IS NOT NULL
+), moms AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(c) AS sx, SUM(cp) AS sy,
+         SUM(c * c) AS sxx, SUM(cp * cp) AS syy, SUM(c * cp) AS sxy
+  FROM pairs GROUP BY user_id
+)
+SELECT user_id, n,
+       FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 10000 + 0.5) / 10000 AS autocorr_r4
+FROM moms
+WHERE n > 1
+  AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+  AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+"""
+
+
+@register("q_window_autocorr", oracle=_AUTOCORR_ORACLE)
+def q_window_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series — the temporal-
+    dependence diagnostic (is the series trending/mean-reverting or noise?)
+    behind forecastability scoring and sampling-rate decisions.
+
+    Exact path: one LAG window pairs consecutive values, then the Pearson
+    co-moments over (x_t, x_{t-1}) accumulate as exact int64 sums of cents
+    products (≪ 2⁵³), and the correlation is one closed-form IEEE expression
+    of identical integers — bit-exact, degenerate (zero-variance) series
+    filtered by exact integer predicates. Same skeleton as q_agg_corr, one
+    window + one hash agg.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.col("ts_us").alias("us"), "event_id", F.expr(_CENTS).alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = e.select("user_id", "c", F.lag("c").over(w).alias("cp")).filter(
+        F.col("cp").isNotNull()
+    )
+    moms = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum("cp").alias("sy"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        F.sum(F.col("cp") * F.col("cp")).alias("syy"),
+        F.sum(F.col("c") * F.col("cp")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return (
+        moms.filter((F.col("n") > 1) & (vx > 0) & (vy > 0))
+        .select(
+            "user_id",
+            "n",
+            (F.floor(cov / F.sqrt(vx * vy) * 10000 + F.lit(0.5)) / 10000).alias(
+                "autocorr_r4"
+            ),
+        )
+    )
+
+
+# --- q_window_cusum ---------------------------------------------------------
+
+_CUSUM_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id, {_CENTS} AS c FROM events
+), mu AS (
+  SELECT event_type, SUM(c) AS tot, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type
+), dev AS (
+  -- deviation scaled by n so everything stays integer: n*c - tot
+  SELECT e.event_type, e.us, e.event_id,
+         CAST(m.n AS BIGINT) * e.c - m.tot AS d_scaled, m.n, m.tot
+  FROM e JOIN mu m ON e.event_type = m.event_type
+)
+SELECT event_type,
+       MAX(n) AS n,
+       MAX(cus) AS max_cusum_scaled,
+       MIN(cus) AS min_cusum_scaled
+FROM (
+  SELECT event_type, n,
+         SUM(d_scaled) OVER (PARTITION BY event_type ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cus
+  FROM dev
+)
+GROUP BY event_type
+"""
+
+
+@register("q_window_cusum", oracle=_CUSUM_ORACLE)
+def q_window_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection: the running sum of deviations from the series
+    mean, reduced to its per-series extremes — a drifting mean walks the
+    cumulative sum away from zero long before any single point trips a
+    threshold (the change-point screen of process monitoring).
+
+    Parity: the deviation is pre-scaled by n (n·x − Σx) so the running sum
+    is EXACT int64 arithmetic end to end — no float mean, no rounding,
+    bit-exact extremes. Worst magnitude ≈ n²·cents ≈ 1e14 at sf0.1 ≪ 2⁶³
+    (decimal escalation documented for extreme scale). One tiny per-series
+    mean aggregate broadcast back, one ordered window, one rollup.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", F.col("ts_us").alias("us"), "event_id", F.expr(_CENTS).alias("c")
+    )
+    mu = e.groupBy("event_type").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dev = e.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "us",
+        "event_id",
+        "n",
+        (F.col("n") * F.col("c") - F.col("tot")).alias("d_scaled"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cus = dev.select("event_type", "n", F.sum("d_scaled").over(w).alias("cus"))
+    return cus.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("cus").alias("max_cusum_scaled"),
+        F.min("cus").alias("min_cusum_scaled"),
+    )
