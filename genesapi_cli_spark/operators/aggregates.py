@@ -1374,3 +1374,58 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_r4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_benford — first-digit distribution screen
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d
+)
+SELECT digit,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       FLOOR(CAST(COUNT(*) AS DOUBLE) / MAX(n_total) * 10000 + 0.5) / 10000
+         AS share_r4
+FROM d, tot
+GROUP BY digit
+"""
+
+
+@register("q_agg_benford", oracle=_BENFORD_ORACLE)
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) distribution of order totals — the forensic
+    data-quality screen: fabricated or truncated monetary data drifts from
+    the log-uniform first-digit law, and a synthetic-uniform generator (like
+    this testdata) shows its own telltale signature. Output is the observed
+    digit histogram with exact shares; the expected-law comparison is a
+    driver-side lookup against log10(1+1/d).
+
+    One codegen projection (floor → string → first char) + one 9-group hash
+    aggregate with the total folded in as a broadcast 1-row count.
+    """
+    orders = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(digit.alias("digit"))
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.floor(
+                    F.count(F.lit(1)).cast("double") / F.max("n_total") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("share_r4"),
+        )
+    )

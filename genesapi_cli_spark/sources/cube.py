@@ -240,3 +240,73 @@ def parse_cube_file(spark: SparkSession, path: str) -> DataFrame:
     )
     layout = parse_header([r.value for r in header_rows])
     return parse_cube_lines(spark, body, layout)
+
+
+# --- cube-text WRITER (the serialize direction) ------------------------------
+
+
+def write_header_lines(layout: CubeLayout) -> list[str]:
+    """Reconstruct the K;/D; header records from a layout (driver-side —
+    headers are metadata, exactly like writing a Parquet footer). Inverse of
+    :func:`parse_header`: ``parse_header(write_header_lines(l))`` recovers
+    the same axes/time/measures."""
+    lines = [
+        "K;DQ;FACH-SCHL;GHH-ART;TS-GED;KTX;PROD-STAND",
+        f"D;DQ;{layout.cube};;N;;",
+        "K;DQA;NAME;RHF-BSR;RHF-ACHSE",
+    ]
+    for i, axis in enumerate(layout.axes, start=1):
+        lines.append(f"D;DQA;{axis};{i};{i}")
+    lines.append("K;DQZ;NAME;ZI-RHF-BSR")
+    lines.append(f"D;DQZ;{layout.time_axis};{len(layout.axes) + 1}")
+    lines.append("K;DQI;NAME;ME-NAME;DST;TYP")
+    for name, unit, vtype in layout.measures:
+        lines.append(f"D;DQI;{name};{unit};JAHRESSUMME;{vtype}")
+    lines.append("K;QEI;FACH-SCHL;FACH-SCHL;ZI-WERT;WERT;QUALITAET;GESPERRT")
+    return lines
+
+
+def write_cube_lines(facts: DataFrame, layout: CubeLayout) -> DataFrame:
+    """Serialize typed fact rows back to D;QEI body lines — the WRITE half
+    of the reference's pipeline (``genesapi/serialize.py`` upstream turns
+    facts into documents; this emits the cube interchange format itself, so
+    parse ∘ write ∘ parse is a fixed point — property-tested).
+
+    Spark-first: one groupBy per fact line (region, year, dims) re-gathers
+    the per-measure rows with a measure→(value, quality) map, then ONE
+    codegen concat_ws projection renders the record. NULL values render as
+    the GENESIS confidential token ``...`` with their quality flag
+    preserved; integral doubles render as integers (GANZ). At 100 TB this
+    is an ordinary aggregate + projection and the sink is ``df.write.text``.
+    """
+    n_axes = len(layout.axes)
+    dim_cols = [F.col("dims").getItem(a).alias(a) for a in layout.axes[1:n_axes]]
+    gathered = (
+        facts.select(
+            "region_id",
+            "year",
+            *dim_cols,
+            "measure",
+            "value",
+            "quality",
+        )
+        .groupBy("region_id", "year", *[a for a in layout.axes[1:n_axes]])
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("measure", F.struct("value", "quality")))
+            ).alias("m")
+        )
+    )
+    fields = [F.lit("D"), F.lit("QEI"), F.col("region_id")]
+    fields += [F.col(a) for a in layout.axes[1:n_axes]]
+    fields.append(F.col("year").cast("string"))
+    for name, _unit, _vtype in layout.measures:
+        v = F.col("m").getItem(name).getField("value")
+        q = F.col("m").getItem(name).getField("quality")
+        rendered = F.when(v.isNull(), F.lit("...")).otherwise(
+            F.when(
+                v == F.floor(v), v.cast("bigint").cast("string")
+            ).otherwise(F.replace(v.cast("string"), F.lit("."), F.lit(",")))
+        )
+        fields += [rendered, F.coalesce(q, F.lit("")), F.lit("")]
+    return gathered.select(F.concat_ws(";", *fields).alias("value"))

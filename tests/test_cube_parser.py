@@ -82,3 +82,43 @@ def test_genesis_region_rollup_golden(spark):
     assert (row.land, row.year, row.measure) == ("01", 2014, "BEVSTD")
     assert (row.n_facts, row.n_values, row.n_locked) == (4, 2, 2)
     assert row.total == 43520 + 45678
+
+
+def test_cube_write_parse_roundtrip(spark):
+    """parse -> write -> parse is a fixed point: the writer emits header +
+    body lines that re-parse to the exact same fact rows (confidential
+    tokens round-trip as NULL + preserved quality flag)."""
+    from genesapi_cli_spark.sources.cube import (
+        SAMPLE_CUBE_TEXT,
+        parse_cube_text,
+        parse_header,
+        write_cube_lines,
+        write_header_lines,
+    )
+
+    facts = parse_cube_text(spark, SAMPLE_CUBE_TEXT)
+    header = [
+        ln for ln in SAMPLE_CUBE_TEXT.strip().splitlines()
+        if not ln.startswith("D;QEI;")
+    ]
+    layout = parse_header(header)
+
+    header2 = write_header_lines(layout)
+    assert parse_header(header2).axes == layout.axes
+    assert parse_header(header2).measures == layout.measures
+    assert parse_header(header2).cube == layout.cube
+
+    body = write_cube_lines(facts, layout)
+    text2 = "\n".join(header2 + [r.value for r in body.collect()])
+    facts2 = parse_cube_text(spark, text2)
+
+    def key(r):
+        return (r.region_id, r.year, r.measure, tuple(sorted(r.dims.items())))
+
+    a = sorted(
+        ((key(r), r.value, r.quality) for r in facts.collect()), key=lambda t: t[0]
+    )
+    b = sorted(
+        ((key(r), r.value, r.quality) for r in facts2.collect()), key=lambda t: t[0]
+    )
+    assert a == b
