@@ -1034,9 +1034,9 @@ def q_agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WEIGHTED_ORACLE = """
 SELECT l_returnflag,
-       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
-           * CAST(l_quantity AS BIGINT)) AS wsum_cents,
-       SUM(CAST(l_quantity AS BIGINT)) AS wtot,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wtot,
        CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
                 * CAST(l_quantity AS BIGINT)) AS DOUBLE)
          / CAST(SUM(CAST(l_quantity AS BIGINT)) * 100 AS DOUBLE) AS wavg_price
@@ -1090,7 +1090,7 @@ WITH per_price AS (
 )
 SELECT l_returnflag,
        MIN(price_cents) AS wmedian_cents,
-       MAX(tot_qty) AS tot_qty
+       CAST(MAX(tot_qty) AS BIGINT) AS tot_qty
 FROM cum
 WHERE 2 * cum_qty >= tot_qty
 GROUP BY l_returnflag
@@ -1202,7 +1202,7 @@ WITH per_cust AS (
 )
 SELECT seg,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       SUM(cents) AS tot_cents,
+       CAST(SUM(cents) AS BIGINT) AS tot_cents,
        FLOOR((CAST(2 * SUM(i * cents) AS DOUBLE)
               / (COUNT(*) * SUM(cents))
               - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000
@@ -1264,12 +1264,14 @@ WITH per_cust AS (
   SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
   FROM per_cust
 ), per_decile AS (
-  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers, SUM(cents) AS cents
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS cents
   FROM deciled GROUP BY decile
 )
 SELECT decile, n_customers, cents,
-       SUM(cents) OVER (ORDER BY decile
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+       CAST(SUM(cents) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents,
        FLOOR(CAST(SUM(cents) OVER (ORDER BY decile
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              / CAST(SUM(cents) OVER () AS DOUBLE) * 10000 + 0.5) / 10000

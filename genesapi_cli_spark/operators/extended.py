@@ -111,8 +111,12 @@ SELECT l_returnflag, measure, value FROM (
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (the inverse of q_genesis_pivot, i.e. the EAV shape
     GENESIS facts natively have): per-returnflag measure columns melted to
-    (key, measure, value) rows via DataFrame.unpivot."""
-    li = load(spark, sf_dir, "lineitem")
+    (key, measure, value) rows via DataFrame.unpivot.
+
+    spread(): the local single-row-group parquet would otherwise run the
+    three decimal-sum partials on ONE core; one small shuffle parallelizes
+    the heavy aggregate (no-op on pre-split cluster inputs)."""
+    li = spread(load(spark, sf_dir, "lineitem"), "l_orderkey")
     wide = li.groupBy("l_returnflag").agg(
         F.sum(F.col("l_quantity").cast("decimal(27,7)")).cast("double").alias("sum_qty"),
         F.sum(F.col("l_extendedprice").cast("decimal(27,7)")).cast("double").alias("sum_price"),
@@ -266,7 +270,7 @@ WITH base AS (
 )
 SELECT o_orderstatus,
        COUNT(*) AS n_rows,
-       SUM(version) AS n_updated,
+       CAST(SUM(version) AS BIGINT) AS n_updated,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS total
 FROM merged WHERE rn = 1
 GROUP BY o_orderstatus

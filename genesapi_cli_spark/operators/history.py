@@ -158,8 +158,8 @@ WITH oldv AS (
 )
 SELECT op,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       SUM(old_cents) AS sum_old_cents,
-       SUM(new_cents) AS sum_new_cents
+       CAST(SUM(old_cents) AS BIGINT) AS sum_old_cents,
+       CAST(SUM(new_cents) AS BIGINT) AS sum_new_cents
 FROM diff
 GROUP BY op
 """
@@ -189,9 +189,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("kn"),
         (
             cents
-            + F.when(F.col("o_orderkey") % 5 == 0, cents.cast("bigint") / F.lit(10))
-            .otherwise(F.lit(0))
-            .cast("bigint")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) div 10"
+            ))
+            .otherwise(F.lit(0).cast("bigint"))
         ).alias("new_cents"),
     )
     diff = (

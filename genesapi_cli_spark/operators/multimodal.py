@@ -61,7 +61,7 @@ WITH assets AS (
 )
 SELECT lang, mime,
        COUNT(*) AS n_assets,
-       SUM(n_bytes) AS total_bytes,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        MIN(n_bytes) AS min_bytes,
        MAX(n_bytes) AS max_bytes,
        {oracle_dec_avg('feat', 'avg_feat')}

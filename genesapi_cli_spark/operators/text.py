@@ -180,26 +180,93 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q_dedup_near_minhash (rows-only) --------------------------------------
+# --- q_dedup_near_minhash ---------------------------------------------------
 
 N_HASHES = 32
 N_BANDS = 8  # 4 rows per band
 
+#: Universal-hash family for the 32 minhash functions: each shingle gets ONE
+#: sha256 (both engines byte-identical), two 32-bit hex prefixes become
+#: (h1, h2), and hash_j = (a_j*h1 + b_j*h2 + j) mod p with p = 2^31-1.
+#: a_j, b_j < 2^30 keep every product under 2^61 — no bigint overflow in
+#: Spark ANSI mode or DuckDB. This replaces the round-1/2 xxhash64 scheme:
+#: same plan shape, but every value is reproducible in the DuckDB oracle.
+_MH_P = 2147483647
+_MH_AB = [
+    (
+        ((j * 2654435761 + 1013904223) % (1 << 30)) | 1,
+        ((j * 1597334677 + 362437) % (1 << 30)) | 1,
+    )
+    for j in range(N_HASHES)
+]
+_PER_BAND = N_HASHES // N_BANDS
 
-@register("q_dedup_near_minhash", oracle=None)
+
+def near_minhash_oracle_ctes() -> str:
+    """Shared DuckDB CTE chain ending in ``pairs(doc_a, doc_b)`` — reused by
+    the q_dedup_clusters recursive-CTE oracle so both prove the SAME pair
+    relation."""
+    mins = ",\n         ".join(
+        f"MIN(({a} * h1 + {b} * h2 + {j}) % {_MH_P}) AS m{j}"
+        for j, (a, b) in enumerate(_MH_AB)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band,"
+        " ((m{i0} * 31 + m{i1}) * 31 + m{i2}) * 31 + m{i3} AS bkey FROM mins".format(
+            b=b,
+            i0=b * _PER_BAND,
+            i1=b * _PER_BAND + 1,
+            i2=b * _PER_BAND + 2,
+            i3=b * _PER_BAND + 3,
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS parts, lower(text) AS lt
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(
+           CASE WHEN len(parts) >= 3
+                THEN list_transform(range(1, len(parts) - 1),
+                     i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2]))
+                ELSE [lt] END
+         ) AS g
+  FROM t
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256(g), 1, 8))::BIGINT % {_MH_P} AS h1,
+         ('0x' || substr(sha256(g), 9, 8))::BIGINT % {_MH_P} AS h2
+  FROM sh
+), mins AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+), bands AS (
+{band_rows}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)"""
+
+
+_NEAR_MINHASH_ORACLE = f"WITH {near_minhash_oracle_ctes()}\nSELECT doc_a, doc_b FROM pairs"
+
+
+@register("q_dedup_near_minhash", oracle=_NEAR_MINHASH_ORACLE)
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH over word 3-shingles.
 
-    Pipeline: explode shingle positions, hash each 3-word tuple ONCE with
-    xxhash64 in a flat whole-stage-codegen projection (longs flow, shingle
-    strings never materialize; an interpreted ``transform`` lambda here
-    measured ~5× slower — HOF lambdas don't codegen and get no CSE) → 32
-    per-seed min-hash aggregates in ONE groupBy (MIN is duplicate-
-    insensitive, so no per-doc distinct is needed) → 8 band hashes →
-    bucket-local pair generation. Deterministic: xxhash64 with fixed
-    per-seed salts. Rows-only check (no SQL oracle); determinism +
-    golden-pair behavior are pytest-verified (a one-word-changed near-dup
-    pair must collide).
+    Pipeline: explode shingle positions into a flat whole-stage-codegen
+    projection, sha256 each 3-word shingle ONCE, derive all 32 minhash
+    values from the two 32-bit prefixes with a universal-hash family
+    (portable: the DuckDB oracle reproduces every value bit-for-bit) → 32
+    per-seed MIN aggregates in ONE groupBy (MIN is duplicate-insensitive,
+    so no per-doc distinct is needed) → 8 arithmetic band keys →
+    bucket-local pair generation. The ENTIRE candidate set is value-checked
+    by the oracle; golden-pair behavior (a one-word-changed near-dup pair
+    must collide) is additionally pytest-pinned.
     """
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     base = docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("parts"))
@@ -208,32 +275,44 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "parts", F.explode(F.sequence(F.lit(1), F.size(p) - 2)).alias("i")
     ).select(
         "doc_id",
-        F.xxhash64(*[F.element_at("parts", F.col("i") + k) for k in range(3)]).alias(
-            "h"
-        ),
+        F.concat_ws(
+            " ", *[F.element_at("parts", F.col("i") + k) for k in range(3)]
+        ).alias("g"),
     )
-    # docs shorter than 3 words fall back to hashing the whole raw text
+    # docs shorter than 3 words fall back to hashing the whole lowered text
     short_docs = base.filter(F.size(p) < 3).select(
-        "doc_id", F.xxhash64("text").alias("h")
+        "doc_id", F.lower(F.col("text")).alias("g")
     )
-    # per-seed values derive from the single shingle hash by re-hashing the
-    # fixed 8-byte long with a seed literal — constant work per seed and
-    # overflow-free under ANSI mode.
-    hashed = long_docs.unionByName(short_docs)
+    hx = F.sha2(F.col("g"), 256)
+    hashed = long_docs.unionByName(short_docs).select(
+        "doc_id",
+        (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % _MH_P).alias("h1"),
+        (F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % _MH_P).alias("h2"),
+    )
     sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"h{j}")
-            for j in range(N_HASHES)
+            F.min(
+                (F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2") + F.lit(j)) % _MH_P
+            ).alias(f"m{j}")
+            for j, (a, b) in enumerate(_MH_AB)
         ]
     )
-    per_band = N_HASHES // N_BANDS
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.hash(*[F.col(f"h{b * per_band + r}") for r in range(per_band)]).alias(
-                    "band_hash"
-                ),
+                (
+                    (
+                        (
+                            F.col(f"m{b * _PER_BAND}") * 31
+                            + F.col(f"m{b * _PER_BAND + 1}")
+                        )
+                        * 31
+                        + F.col(f"m{b * _PER_BAND + 2}")
+                    )
+                    * 31
+                    + F.col(f"m{b * _PER_BAND + 3}")
+                ).alias("band_hash"),
             )
             for b in range(N_BANDS)
         ]
@@ -414,9 +493,9 @@ WITH t AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(ws_tokens) AS sum_ws,
-       SUM(re_tokens) AS sum_re,
-       SUM(long_tokens) AS sum_long,
+       CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws,
+       CAST(SUM(re_tokens) AS BIGINT) AS sum_re,
+       CAST(SUM(long_tokens) AS BIGINT) AS sum_long,
        CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_ws
 FROM t
 GROUP BY lang

@@ -209,7 +209,7 @@ WITH mx AS (
   SELECT user_id,
          (tmax - MAX(epoch_us(ts))) // {_DAY_US} AS rec_days,
          COUNT(*) AS freq,
-         SUM({_CENTS}) AS mon_cents
+         CAST(SUM({_CENTS}) AS BIGINT) AS mon_cents
   FROM events, mx
   GROUP BY user_id, tmax
 )
@@ -270,7 +270,7 @@ WITH iv AS (
          date_diff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE)) AS close_day
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), deltas AS (
-  SELECT day_idx, SUM(delta) AS delta
+  SELECT day_idx, CAST(SUM(delta) AS BIGINT) AS delta
   FROM (
     SELECT open_day AS day_idx, 1 AS delta FROM iv
     UNION ALL
@@ -279,8 +279,9 @@ WITH iv AS (
   GROUP BY day_idx
 )
 SELECT day_idx, delta,
-       SUM(delta) OVER (ORDER BY day_idx
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+       CAST(SUM(delta) OVER (ORDER BY day_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS active
 FROM deltas
 """
 
@@ -386,7 +387,7 @@ WITH e AS (
 ), per_dow AS (
   SELECT event_type, dow,
          CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(cents) AS cents
+         CAST(SUM(cents) AS BIGINT) AS cents
   FROM e GROUP BY event_type, dow
 ), tot AS (
   SELECT event_type,
@@ -754,8 +755,8 @@ WITH e AS (
 )
 SELECT event_type,
        MAX(n) AS n,
-       MAX(cus) AS max_cusum_scaled,
-       MIN(cus) AS min_cusum_scaled
+       CAST(MAX(cus) AS BIGINT) AS max_cusum_scaled,
+       CAST(MIN(cus) AS BIGINT) AS min_cusum_scaled
 FROM (
   SELECT event_type, n,
          SUM(d_scaled) OVER (PARTITION BY event_type ORDER BY us, event_id

@@ -166,7 +166,7 @@ _Q18_ORACLE = f"""
 SELECT c_name, c_custkey, o_orderkey,
        CAST(o_orderdate AS DATE) AS o_date,
        o_totalprice,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey

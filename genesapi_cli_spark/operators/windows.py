@@ -720,12 +720,12 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARE_ORACLE = """
 WITH per_cust AS (
   SELECT c.c_nationkey, o.o_custkey,
-         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY c.c_nationkey, o.o_custkey
 )
 SELECT c_nationkey, o_custkey, cents,
-       SUM(cents) OVER (PARTITION BY c_nationkey) AS nation_cents,
+       CAST(SUM(cents) OVER (PARTITION BY c_nationkey) AS BIGINT) AS nation_cents,
        CAST(cents AS DOUBLE)
          / CAST(SUM(cents) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS share
 FROM per_cust

@@ -59,6 +59,63 @@ def _norm_cell(v):
     return f"s:{v}"
 
 
+# --- declared-type strictness ----------------------------------------------
+# The external driver hashes values type-sensitively: DuckDB HUGEINT
+# (SUM(BIGINT)'s default result type) vs Spark bigint hash-differ even though
+# fetchall() coerces both to Python int. Guard the whole class: map DECLARED
+# DuckDB result types and Spark schema types to a common kind and compare;
+# reject any oracle declaring HUGEINT/UHUGEINT/DECIMAL outright.
+
+_FORBIDDEN_DUCK = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def _duck_kind(typestr: str):
+    t = typestr.upper()
+    if t.endswith("[]"):
+        return "list"
+    if t.startswith(("STRUCT", "MAP", "UNION")):
+        return "complex"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "BLOB":
+        return "bytes"
+    return t.lower()
+
+
+def _spark_kind(dtype: str):
+    t = dtype.lower()
+    if t.startswith("array"):
+        return "list"
+    if t.startswith(("struct", "map")):
+        return "complex"
+    if t in ("tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "binary":
+        return "bytes"
+    return t
+
+
 def _kind(v):
     if v is None:
         return None
@@ -119,6 +176,7 @@ def check_query(spark, q: Query, sf_dir: str, con=None) -> CheckResult:
     try:
         cur = con.sql(q.oracle)
         ocols = list(cur.columns)
+        otypes = [str(t) for t in cur.types]
         orows = cur.fetchall()
     finally:
         if own_con:
@@ -128,6 +186,28 @@ def check_query(spark, q: Query, sf_dir: str, con=None) -> CheckResult:
     if sorted(scols) != sorted(ocols):
         res.ok = False
         res.errors.append(f"columns differ: spark={sorted(scols)} oracle={sorted(ocols)}")
+        return res
+
+    # DECLARED-type strictness: the driver's value hash sees DuckDB's declared
+    # result types, not the Python-coerced values fetchall() hands us.
+    for c, t in zip(ocols, otypes):
+        if any(f in t.upper() for f in _FORBIDDEN_DUCK):
+            res.ok = False
+            res.errors.append(
+                f"oracle column {c} declares forbidden DuckDB type {t} "
+                f"(wrap with CAST(... AS BIGINT/DOUBLE))"
+            )
+    sdtypes = dict(sdf.dtypes)
+    odtypes = dict(zip(ocols, otypes))
+    for c in scols:
+        skind, okind = _spark_kind(sdtypes[c]), _duck_kind(odtypes[c])
+        if skind != okind:
+            res.ok = False
+            res.errors.append(
+                f"column {c} declared-type kind differs: "
+                f"spark {sdtypes[c]} ({skind}) vs oracle {odtypes[c]} ({okind})"
+            )
+    if not res.ok:
         return res
     if len(srows) != len(orows):
         res.ok = False

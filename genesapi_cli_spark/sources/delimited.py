@@ -124,7 +124,7 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_source_fixed_width ---------------------------------------------------
 
-#: columns: id[1:4] code[5:10] amount[11:18] (2 implied decimals) date[19:26]
+#: columns: id[1:4] code[5:10] amount[11:18] (2 implied decimals) sep[19] date[20:27]
 FIXED_LINES = (
     "0001STAT0100012345_20240115",
     "0002STAT0200000000_20240116",
