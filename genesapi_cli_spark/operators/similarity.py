@@ -436,36 +436,27 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake, write the table partitioned by this bucket column and the probe
     join becomes partition pruning (read nprobe/K of the data).
     """
-    import math
-
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    e = e.select("vec_id", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm"))
+    # cache(): this normed scan feeds THREE arms (centroid broadcast,
+    # candidate assignment, query probe) — one materialization of the
+    # 64-term norm instead of three full scans.
+    e = e.select("vec_id", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm")).cache()
 
-    # Centroid "model state": 8 rows × 64 doubles, collected once. The plain
-    # left-to-right ||v||² accumulation matches SQRT(list_dot_product(v,v)).
-    cent_rows = sorted(
-        e.filter(F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)).collect(),
-        key=lambda r: r.vec_id,
-    )
-    cents = []
-    for r in cent_rows:
-        v = [float(x) for x in r.emb]
-        acc = 0.0
-        for x in v:
-            acc += x * x
-        cents.append((int(r.vec_id), v, math.sqrt(acc)))
-
-    # Broadcast 8-row centroid table: assignment is a broadcast nested-loop
-    # (×8 row inflation, narrow) then an argmax agg whose partials collapse
-    # map-side — the shuffle carries ~one row per vector. One shared 64-term
-    # dot expression stays comfortably inside whole-stage codegen. (Embedding
-    # the centroids as literals with a greatest()/CASE or array_max argmax
-    # blows the generated method past janino's limit → interpreted fallback,
-    # measured 10-100x slower.)
-    cent_df = spark.createDataFrame(
-        [(cid, v, cn) for cid, v, cn in cents], "c_id long, cemb0 array<double>, cnrm0 double"
+    # Centroid "model state": an 8-row broadcast SUBPLAN over the cached
+    # normed scan — no driver collect/round-trip; the broadcast exchange
+    # computes the filtered 8 rows in its own tiny job. Assignment is then a
+    # broadcast nested-loop (×8 row inflation, narrow) + an argmax agg whose
+    # partials collapse map-side — the shuffle carries ~one row per vector.
+    # One shared 64-term dot expression stays comfortably inside whole-stage
+    # codegen. (Embedding the centroids as LITERALS with a greatest()/CASE
+    # argmax blows the generated method past janino's limit → interpreted
+    # fallback, measured 10-100x slower.)
+    cent_df = e.filter(F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("cemb0"),
+        F.col("nrm").alias("cnrm0"),
     )
     assign = (
         e.filter(F.col("vec_id") >= 10)

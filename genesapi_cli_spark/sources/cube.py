@@ -154,20 +154,59 @@ D;QEI;01002;GESW;2014;-;x;
 """
 
 
-@register("q_source_cube_text", oracle=None)
+#: The sample cube is a fixed literal, so its parse is a deterministic
+#: relation — pinned as a VALUES oracle (same pattern as q_source_csv).
+#: The dims map serializes to JSON so the comparison stays on scalar types.
+_CUBE_TEXT_ORACLE = """
+SELECT * FROM (VALUES
+  ('01001', '12411', '12411BJ001', 2014, 'BEVSTD', CAST(43520 AS DOUBLE), 'e',
+   '{"GES":"GESM"}'),
+  ('01001', '12411', '12411BJ001', 2014, 'BEVSTD', CAST(45678 AS DOUBLE), 'e',
+   '{"GES":"GESW"}'),
+  ('01002', '12411', '12411BJ001', 2014, 'BEVSTD', CAST(NULL AS DOUBLE), 'g',
+   '{"GES":"GESM"}'),
+  ('01002', '12411', '12411BJ001', 2014, 'BEVSTD', CAST(NULL AS DOUBLE), 'x',
+   '{"GES":"GESW"}')
+) AS t(region_id, statistic, cube, year, measure, value, quality, dims_json)
+"""
+
+
+@register("q_source_cube_text", oracle=_CUBE_TEXT_ORACLE)
 def q_source_cube_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the embedded GENESIS-Quader sample into typed fact rows
-    (rows-only check; golden expectations in tests/test_cube_parser.py:
-    4 rows, confidential tokens → NULL + quality flag, GES codes in dims)."""
-    return parse_cube_text(spark, SAMPLE_CUBE_TEXT).orderBy("region_id", "dims.GES")
+    (VALUES oracle: 4 rows, confidential tokens → NULL + quality flag, GES
+    codes in dims; richer structural goldens in tests/test_cube_parser.py)."""
+    return (
+        parse_cube_text(spark, SAMPLE_CUBE_TEXT)
+        .select(
+            "region_id",
+            "statistic",
+            "cube",
+            "year",
+            "measure",
+            "value",
+            "quality",
+            F.to_json("dims").alias("dims_json"),
+        )
+        .orderBy("region_id", "dims_json")
+    )
 
 
-@register("q_genesis_schema", oracle=None)
+_SCHEMA_ORACLE = """
+SELECT * FROM (VALUES
+  ('12411', 'BEVSTD', CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+   2014, 2014, '{"GES":["GESM","GESW"]}')
+) AS t(statistic, measure, n_facts, n_values, n_regions, year_min, year_max,
+       dim_domains_json)
+"""
+
+
+@register("q_genesis_schema", oracle=_SCHEMA_ORACLE)
 def q_genesis_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog/schema build (``genesapi/schema.py`` upstream): aggregate the
     parsed facts into the per-(statistic, measure) metadata tree the GraphQL
     layer would expose — fact/region/year coverage plus the observed value
-    set of every dimension. Rows-only; golden-tested.
+    set of every dimension. Deterministic sample → VALUES oracle.
 
     Plan shape: explode the dims map once, then two small aggregations —
     exactly the metadata-derivation pass the reference runs across all cubes,
@@ -205,13 +244,21 @@ def q_genesis_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_genesis_region_rollup", oracle=None)
+_REGION_ROLLUP_ORACLE = """
+SELECT * FROM (VALUES
+  ('01', 2014, 'BEVSTD', CAST(4 AS BIGINT), CAST(2 AS BIGINT),
+   CAST(89198 AS DOUBLE), CAST(2 AS BIGINT))
+) AS t(land, year, measure, n_facts, n_values, total, n_locked)
+"""
+
+
+@register("q_genesis_region_rollup", oracle=_REGION_ROLLUP_ORACLE)
 def q_genesis_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AGS regional-hierarchy rollup: GENESIS region keys nest by prefix
     (2=Land, 5=Kreis, 8=Gemeinde), so aggregation up the hierarchy is a
     substring groupBy — no hierarchy table needed. Confidential (NULL)
     values stay excluded; n_locked counts them, preserving the reference's
-    quality-flag accounting. Rows-only; golden-tested."""
+    quality-flag accounting. Deterministic sample → VALUES oracle."""
     facts = parse_cube_text(spark, SAMPLE_CUBE_TEXT)
     return (
         facts.withColumn("land", F.substring("region_id", 1, 2))

@@ -68,11 +68,49 @@ def write_ndjson(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("maxRecordsPerFile", 1_000_000).json(path)
 
 
-@register("q_sink_ndjson", oracle=None)
+#: The oracle reconstructs Spark's to_json byte-for-byte in DuckDB string
+#: concatenation (field order = struct order, no whitespace, shortest-repr
+#: doubles — both engines print shortest round-trip form, and the data stays
+#: under Jackson's 1e7 scientific-notation switch), then compares doc length
+#: AND sha256 — a full-document equality proof, not just a row count.
+_NDJSON_ORACLE = """
+WITH items AS (
+  SELECT l_orderkey,
+         '[' || string_agg(
+           '{"l_linenumber":' || l_linenumber ||
+           ',"l_quantity":' || CAST(l_quantity AS VARCHAR) ||
+           ',"l_extendedprice":' || CAST(l_extendedprice AS VARCHAR) ||
+           ',"l_returnflag":"' || l_returnflag || '"}',
+           ',' ORDER BY l_linenumber, l_quantity, l_extendedprice, l_returnflag
+         ) || ']' AS items_json
+  FROM lineitem GROUP BY l_orderkey
+), docs AS (
+  SELECT o.o_orderkey,
+         '{"order_id":' || o.o_orderkey ||
+         ',"status":"' || o.o_orderstatus ||
+         '","total":' || CAST(o.o_totalprice AS VARCHAR) ||
+         ',"date":"' || strftime(o.o_orderdate, '%Y-%m-%d') ||
+         '","customer":{"id":' || c.c_custkey ||
+         ',"name":"' || c.c_name ||
+         '","segment":"' || c.c_mktsegment || '"}' ||
+         COALESCE(',"items":' || i.items_json, '') || '}' AS doc
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN items i ON o.o_orderkey = i.l_orderkey
+)
+SELECT o_orderkey,
+       CAST(LENGTH(doc) AS INTEGER) AS doc_len,
+       sha256(doc) AS fact_id
+FROM docs
+"""
+
+
+@register("q_sink_ndjson", oracle=_NDJSON_ORACLE)
 def q_sink_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize nested order documents; declared result is (key, doc length,
-    fact_id) — JSON key order is engine-specific, so the check is rows-only;
-    document structure is golden-tested in tests/test_ops_edge.py."""
+    fact_id) where fact_id = sha256 of the serialized document — the oracle
+    rebuilds the exact JSON in DuckDB, so this proves byte-identical docs;
+    document structure is also golden-tested in tests/test_ops_edge.py."""
     docs = order_documents(spark, sf_dir)
     return docs.select("o_orderkey", F.length("doc").alias("doc_len"), "fact_id")
 
