@@ -62,8 +62,15 @@ def cmd_serialize(args: argparse.Namespace) -> int:
         F.sha2(F.to_json(doc), 256).alias("fact_id"),
         F.to_json(doc).alias("doc"),
     )
-    docs.write.mode("overwrite").json(args.out_dir)
-    print(f"wrote {docs.count()} documents to {args.out_dir}")
+    # observe(): row count rides along the write job itself — no second
+    # full scan/serialize just to print a number.
+    from pyspark.sql import Observation
+
+    obs = Observation("ndjson_write")
+    docs.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").json(
+        args.out_dir
+    )
+    print(f"wrote {obs.get['n']} documents to {args.out_dir}")
     return 0
 
 

@@ -27,11 +27,55 @@ from genesapi_cli_spark.io import load
 from genesapi_cli_spark.registry import oracle_dec_avg, register
 
 
+try:  # feature-detect the real codec once at import; plans never branch on it
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # pragma: no cover - container has no PIL
+    _PIL_Image = None
+
+#: True when a real image codec is importable. The mapInPandas stages keep
+#: an identical output schema either way, so swapping the codec in changes
+#: zero plan shape — only the Python batch body.
+HAVE_IMAGE_CODEC = _PIL_Image is not None
+
+
 def decode_image(payload: bytes) -> "object":
-    """STUB — real image decode (PIL/libjpeg) is unavailable in this
-    environment. The mapInPandas plumbing around it is real; swap this body
-    for ``PIL.Image.open(io.BytesIO(payload))`` where codecs exist."""
-    raise NotImplementedError("image codecs not available in this environment")
+    """Real image decode when PIL is importable; otherwise raises — the
+    deterministic byte-level fallback in the batch stages keeps the pipeline
+    testable in codec-less containers."""
+    if _PIL_Image is None:
+        raise NotImplementedError("image codecs not available in this environment")
+    import io
+
+    return _PIL_Image.open(io.BytesIO(payload))
+
+
+def _codec_or_byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The decode stage with the REAL-codec branch wired in: when PIL is
+    available each payload is decoded and feat = pixel count; otherwise the
+    deterministic byte-level fallback below runs. Output schema is identical
+    either way (pytest-pinned), so the surrounding plan never changes."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len).astype("int64")
+        if HAVE_IMAGE_CODEC:
+            feats = []
+            for payload in pdf["payload"]:
+                try:
+                    img = decode_image(bytes(payload))
+                    feats.append(float(img.width * img.height))
+                except Exception:  # undecodable payload → byte-level fallback
+                    feats.append(float(len(payload) % 97) / 97.0)
+            feat = pd.Series(feats, dtype="float64")
+        else:
+            feat = (n_bytes % 97).astype("float64") / 97.0
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "mime": pdf["mime"],
+                "n_bytes": n_bytes,
+                "feat": feat,
+            }
+        )
 
 
 def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
