@@ -814,3 +814,143 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+# --- q_dedup_keep (apply cluster decisions to the corpus) --------------------
+
+
+def _dedup_keep_oracle() -> str:
+    """Reuses the recursive-CTE component labels: the drop set is every node
+    whose label differs from itself; the kept corpus is documents minus the
+    drop set, rolled up per language."""
+    from genesapi_cli_spark.operators.text import near_minhash_oracle_ctes
+
+    return f"""
+WITH RECURSIVE {near_minhash_oracle_ctes()},
+nodes AS (
+  SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.src AS node, reach.r FROM reach JOIN edges e ON reach.node = e.dst
+),
+labels AS (
+  SELECT node, MIN(r) AS label FROM reach GROUP BY node
+),
+drops AS (
+  SELECT node AS doc_id FROM labels WHERE node <> label
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(dr.doc_id) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+GROUP BY d.lang
+"""
+
+
+@register("q_dedup_keep", oracle=_dedup_keep_oracle())
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the dedup decision to the corpus: every cluster member except
+    its canonical keeper (min doc_id) goes on the drop list; the kept corpus
+    is an anti-join of documents against that list — the final step of a
+    production dedup pipeline (q_dedup_near_minhash finds pairs,
+    q_dedup_clusters resolves them to clusters, this materializes the kept
+    corpus). Reported per language: doc counts and surviving characters.
+
+    Scale shape: the drop list is |duplicates| rows — orders of magnitude
+    smaller than the corpus — so the anti-join broadcasts it; the corpus
+    itself is scanned once and never shuffled before the final small rollup.
+    The iterative labels come from connected_components (log-round pointer
+    doubling); everything downstream is one declarative plan.
+    """
+    from genesapi_cli_spark.operators.text import q_dedup_near_minhash
+
+    pairs = q_dedup_near_minhash(spark, sf_dir)
+    labels = connected_components(pairs)
+    drops = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents")
+    flagged = docs.join(
+        F.broadcast(drops.withColumn("dropped", F.lit(1))), "doc_id", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("dropped").cast("bigint").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.count("dropped")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("dropped").isNull(), F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+# --- q_corpus_mix (language-rebalancing sample) ------------------------------
+
+MIX_BP = 10_000  # keep-fraction resolution: basis points
+
+
+def _corpus_mix_oracle() -> str:
+    return f"""
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), target AS (
+  SELECT CAST(MIN(n) AS BIGINT) AS floor_n FROM per_lang
+), fracs AS (
+  SELECT p.lang, p.n, (t.floor_n * {MIX_BP}) // p.n AS keep_bp
+  FROM per_lang p CROSS JOIN target t
+), sampled AS (
+  SELECT d.lang, f.n, f.keep_bp,
+         CASE WHEN ('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {MIX_BP} < f.keep_bp
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN fracs f ON d.lang = f.lang
+)
+SELECT lang,
+       MAX(n) AS n_before,
+       MAX(keep_bp) AS keep_bp,
+       CAST(SUM(kept) AS BIGINT) AS n_kept
+FROM sampled
+GROUP BY lang
+"""
+
+
+@register("q_corpus_mix", oracle=_corpus_mix_oracle())
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sampler — the training-data "corpus mixing" step:
+    compute each language's share, derive a keep-fraction that downsamples
+    every language to the smallest one's size (uniform target mix), and
+    select survivors with a DETERMINISTIC content hash (sha256 of doc_id) —
+    reproducible across runs, engines, and partitionings, unlike rand().
+
+    Scale shape: the per-language histogram is a tiny aggregate broadcast
+    back onto the corpus; the keep decision is a stateless projection (scan
+    once, no shuffle of the corpus); keep fractions quantize to basis points
+    so the decision is pure integer arithmetic. Swap the uniform target for
+    any published sampling temperature by changing `fracs` only.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    target = per_lang.agg(F.min("n").cast("bigint").alias("floor_n"))
+    fracs = per_lang.crossJoin(F.broadcast(target)).select(
+        "lang", "n", F.expr(f"(floor_n * {MIX_BP}) div n").alias("keep_bp")
+    )
+    h = F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10).cast(
+        "long"
+    )
+    sampled = docs.join(F.broadcast(fracs), "lang").select(
+        "lang", "n", "keep_bp", F.when(h % MIX_BP < F.col("keep_bp"), 1).otherwise(0).alias("kept")
+    )
+    return sampled.groupBy("lang").agg(
+        F.max("n").alias("n_before"),
+        F.max("keep_bp").alias("keep_bp"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+    )

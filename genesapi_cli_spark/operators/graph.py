@@ -139,3 +139,102 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
     )
+
+
+# --- q_graph_pagerank -------------------------------------------------------
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000_000  # rank mass carried as scaled integers
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank in pure BIGINT arithmetic: rank mass
+    is scaled by 10^12 and every step uses integer floor division, so Spark
+    and DuckDB agree bit-for-bit (float summation order never enters)."""
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        prev = "r0" if k == 1 else f"r{k - 1}"
+        iters.append(f"""r{k} AS (
+  SELECT d.node,
+         (15 * ({PR_SCALE} // nn.n) + 85 * COALESCE(c.s, 0)) // 100 AS r
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.r // d2.degree) AS BIGINT) AS s
+    FROM sym e
+    JOIN {prev} p ON e.src = p.node
+    JOIN deg d2 ON d2.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = d.node
+)""")
+    chain = ",\n".join(iters)
+    return f"""{_EDGES_SQL}, sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+), deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
+), r0 AS (
+  SELECT d.node, CAST({PR_SCALE} // nn.n AS BIGINT) AS r FROM deg d CROSS JOIN nn
+),
+{chain}
+SELECT node, r AS rank_scaled FROM r{PR_ITERS}
+"""
+
+
+@register("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the (undirected, symmetrized)
+    co-purchase graph — the canonical "importance" metric next to degree and
+    triangles, and the repo's showcase that SHORT iterative algorithms can
+    stay fully declarative: 3 power iterations unroll into ONE Catalyst plan
+    (no driver loop, no checkpoint barrier — contrast connected_components,
+    which genuinely needs unbounded iteration).
+
+    Parity engineering: rank mass is a scaled BIGINT (×10^12) and every
+    damping/contribution step is integer floor division — deterministic and
+    engine-identical, with no float accumulation anywhere. The truncation
+    error vs real-valued PageRank is ≤ N·degree ulps of 10^-12 — irrelevant
+    for ranking use, and the price of a bit-exact differential oracle on an
+    iterative algorithm.
+
+    Scale shape: per iteration, one hash join rank⋈edges on src (edges
+    pre-partitioned once at scale), one map-side-combinable SUM by dst, one
+    broadcast of the single-row node count. Hub skew inherits q_graph_degree's
+    diagnostics; at 100 TB the 3 iterations are 3 shuffle rounds of the rank
+    table (8 bytes/node), NOT of the edge list.
+    """
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=False
+    )
+    sym = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    base = F.expr(f"{PR_SCALE} div n")
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "node", base.cast("bigint").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            sym.join(ranks, sym.src == ranks.node)
+            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
+            .select("dst", F.expr("r div degree").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        ranks = (
+            deg.crossJoin(F.broadcast(nn))
+            .join(contrib, F.col("node") == contrib.dst, "left")
+            .select(
+                "node",
+                F.expr(f"(15 * ({PR_SCALE} div n) + 85 * coalesce(s, 0L)) div 100")
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

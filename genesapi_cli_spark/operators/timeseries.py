@@ -806,3 +806,85 @@ def q_window_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cus").alias("max_cusum_scaled"),
         F.min("cus").alias("min_cusum_scaled"),
     )
+
+
+# --- q_window_slope (rolling regression) -------------------------------------
+
+_SLOPE_WIN = 7  # trailing rows per series
+
+
+_SLOPE_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+), s AS (
+  SELECT event_type, day_idx, cents,
+         CAST(COUNT(*)        OVER w AS BIGINT) AS n,
+         CAST(SUM(day_idx)    OVER w AS BIGINT) AS sx,
+         CAST(SUM(cents)      OVER w AS BIGINT) AS sy,
+         CAST(SUM(day_idx * cents)   OVER w AS BIGINT) AS sxy,
+         CAST(SUM(day_idx * day_idx) OVER w AS BIGINT) AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN {_SLOPE_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day_idx, cents, n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) * 10000 + 0.5) / 10000
+       END AS slope_r4
+FROM s
+"""
+
+
+@register("q_window_slope", oracle=_SLOPE_ORACLE)
+def q_window_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling linear-regression slope of daily revenue per event_type over a
+    trailing 7-row window — the trend detector behind "is this metric
+    rising" alerts, computed from closed-form least squares:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    Parity engineering: x (epoch day) and y (exact cents) are integers, so
+    all five window sums are EXACT bigint arithmetic; the slope itself is one
+    double division of identical integers, rounded r4 — bit-exact across
+    engines (a naive rolling regr_slope of doubles would be partition-order
+    dependent). Magnitudes: day_idx ~2·10⁴, daily cents ≲10⁹ → n·Σxy ≲ 10¹⁵,
+    far under 2⁶³.
+
+    Scale shape: facts collapse to one row per (series, day) first — the
+    only full-data shuffle — then the five sums ride ONE window pass over
+    the tiny daily table (same frame → one sort, one WindowExec).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-(_SLOPE_WIN - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("bigint")
+    sx = F.sum("day_idx").over(w).cast("bigint")
+    sy = F.sum("cents").over(w).cast("bigint")
+    sxy = F.sum(F.col("day_idx") * F.col("cents")).over(w).cast("bigint")
+    sxx = F.sum(F.col("day_idx") * F.col("day_idx")).over(w).cast("bigint")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    return daily.select(
+        "event_type",
+        "day_idx",
+        "cents",
+        n.alias("n"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.floor(num.cast("double") / den.cast("double") * 10000 + F.lit(0.5)) / 10000)
+        .alias("slope_r4"),
+    )

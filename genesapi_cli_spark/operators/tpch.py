@@ -1,5 +1,5 @@
-"""Additional TPC-H-shaped reference queries (Q3, Q10, Q14, Q18 shapes,
-adapted to the testdata's column subset).
+"""Additional TPC-H-shaped reference queries (Q3, Q4, Q7, Q10, Q14, Q18
+shapes, adapted to the testdata's column subset).
 
 The registry already carries Q1 (q_agg_pricing_summary — the flagship), Q5
 (q_join_multiway), and Q6 (q_filter_range); this module rounds out the
@@ -207,4 +207,112 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+    )
+
+
+# --- Q4: order-priority checking (EXISTS semi-join) --------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_tpch_q4", oracle=_Q4_ORACLE)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of one quarter's orders having at
+    least one line item shipped after the order date (the testdata carries
+    no commit/receipt dates, so the standard late-delivery predicate adapts
+    to l_shipdate > o_orderdate — same EXISTS decorrelation shape).
+
+    Plan: the quarter predicate prunes orders at the scan; EXISTS becomes a
+    LEFT SEMI hash join on orderkey (no fact duplication, no distinct); one
+    5-group aggregate. At 100 TB the semi join is the whole cost — both
+    sides shuffle on orderkey once, and the build side carries two columns.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+# --- Q7: volume shipping between two nations ---------------------------------
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS INTEGER) AS l_year,
+       {oracle_dec_sum(_REV.replace('l_', 'l.l_'), 'revenue')}
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q_tpch_q7", oracle=_Q7_ORACLE)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by ship year —
+    the classic "national account" join (supplier's nation on one side of
+    every line item, customer's nation on the other).
+
+    Plan: both nation dims broadcast; supplier and customer broadcast after
+    their nation filters (each keeps ~1/25 of rows); the only repartition
+    joins are lineitem⋈orders. The OR-of-two-pairs predicate evaluates
+    post-join on the two broadcast nation names — Catalyst pushes the
+    individual nation memberships into the dim scans.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = ("NATION_3", "NATION_7")
+    n1 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("nk1")
+    ).select("s_suppkey", "supp_nation")
+    cust = load(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("nk2")
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
