@@ -1431,3 +1431,124 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_r4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_countmin — Count-Min sketch with an exact-count certificate
+# ---------------------------------------------------------------------------
+
+CMS_W = 64   # counters per row
+CMS_D = 4    # independent hash rows
+_CMS_PROBE_MOD = 149  # deterministic probe-key subset: custkey % 149 == 7
+
+
+def _cms_hash_sql(j: int, key: str) -> str:
+    return (
+        f"('0x' || substr(sha256({j} || ':' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {CMS_W}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH hashed AS (
+  SELECT o_custkey, j,
+         CASE j {' '.join(f"WHEN {j} THEN {_cms_hash_sql(j, 'o_custkey')}" for j in range(CMS_D))}
+         END AS bucket
+  FROM orders, LATERAL (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j)
+), counters AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM hashed GROUP BY j, bucket
+), probes AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM orders WHERE o_custkey % {_CMS_PROBE_MOD} = 7
+  GROUP BY o_custkey
+), probe_buckets AS (
+  SELECT p.o_custkey, p.exact_n, j,
+         CASE j {' '.join(f"WHEN {j} THEN {_cms_hash_sql(j, 'p.o_custkey')}" for j in range(CMS_D))}
+         END AS bucket
+  FROM probes p, LATERAL (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j)
+)
+SELECT pb.o_custkey, pb.exact_n,
+       CAST(MIN(c.c) AS BIGINT) AS cms_est,
+       CAST(MIN(c.c) - pb.exact_n AS BIGINT) AS overcount
+FROM probe_buckets pb JOIN counters c ON pb.j = c.j AND pb.bucket = c.bucket
+GROUP BY pb.o_custkey, pb.exact_n
+"""
+
+
+@register("q_agg_countmin", oracle=_CMS_ORACLE)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows × w=64 counters) over order counts per
+    customer, with an exact-count CERTIFICATE: every probe key reports its
+    true count next to the sketch estimate, so the CMS guarantee
+    (est ≥ exact, overcount bounded by collisions) is checkable row by row —
+    the same pattern as q_sim_recall's ANN certificate.
+
+    Portable by construction: the d hash functions are sha256 prefixes of
+    "j:key" (byte-identical in DuckDB), so the oracle rebuilds the ENTIRE
+    sketch, not just the estimates. Plan shape: one ×4 in-row explode of the
+    key column (a projection, no join), ONE groupBy to the 256-cell counter
+    table (map-side partials collapse hard: output is ≤ d·w rows regardless
+    of input size — this is why CMS works at 100 TB), then a broadcast join
+    of probes against the tiny counter table and a MIN rollup. The sketch
+    table is mergeable across partitions/streams by cell-wise addition —
+    the distributed-sketch property q_agg_sketch_merge proves for HLL.
+    """
+    orders = load(spark, sf_dir, "orders")
+
+    def h(j: int, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat(F.lit(f"{j}:"), key.cast("string")), 256), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    key = F.col("o_custkey")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), h(j, key).alias("bucket"))
+                for j in range(CMS_D)
+            ]
+        )
+    ).alias("r")
+    counters = (
+        orders.select(rows)
+        .select("r.j", "r.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    probes = (
+        orders.filter(key % _CMS_PROBE_MOD == 7)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    )
+    pk = F.col("o_custkey")
+    probe_buckets = probes.select(
+        "o_custkey",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), h(j, pk).alias("bucket"))
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("r"),
+    ).select("o_custkey", "exact_n", "r.j", "r.bucket")
+    return (
+        probe_buckets.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("o_custkey", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+        .select(
+            "o_custkey",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
+    )

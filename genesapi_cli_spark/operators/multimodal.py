@@ -7,11 +7,12 @@ Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages: each Python batch sees a bounded slice of rows, the
 payload bytes cross Py4J exactly once via Arrow, and everything upstream and
 downstream of the UDF stays JVM-side (pruning, partitioning, joins). Real
-codec libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-codec call itself is stubbed (``decode_image`` raises NotImplementedError;
-the query path uses a deterministic byte-level feature) — the Spark-side
-plumbing (schema, Arrow batch shape, UDF signature, partition behavior) is
-real and oracle-checked.
+codec libraries are feature-detected at import (``HAVE_IMAGE_CODEC``): with
+PIL installed the decode stage runs the real codec body; in this codec-less
+container it falls back to a deterministic byte-level feature with an
+IDENTICAL output schema (pytest-pinned, tests/test_multimodal_codec.py).
+Either way the Spark-side plumbing (schema, Arrow batch shape, UDF
+signature, partition behavior) is real and oracle-checked.
 """
 
 from __future__ import annotations
@@ -411,4 +412,89 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("d").cast("bigint").alias("n_unique"),
             (F.count(F.lit(1)) - F.countDistinct("d")).cast("bigint").alias("n_dup"),
         )
+    )
+
+
+# --- q_multimodal_audio_energy -----------------------------------------------
+
+AUDIO_FRAME = 64  # samples (bytes) per analysis frame
+AUDIO_BIAS = 100  # center the unsigned byte samples near zero
+
+
+def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Framewise audio-energy stage: interpret the binary payload as unsigned
+    8-bit PCM, window into fixed frames, and emit per-frame integer energy
+    Σ(sample−bias)² — the exact numpy batch shape a real feature extractor
+    (MFCC/mel filterbank) uses, with the DSP call replaced by arithmetic the
+    DuckDB oracle reproduces from character codes. 1→N row explosion in
+    Arrow, vectorized via np.add.reduceat (no per-sample Python loop)."""
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_frame, out_n, out_energy = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            if a.size == 0:
+                continue
+            s = (a - AUDIO_BIAS) ** 2
+            starts = np.arange(0, a.size, AUDIO_FRAME)
+            energies = np.add.reduceat(s, starts)
+            sizes = np.diff(np.append(starts, a.size))
+            out_doc.extend([doc_id] * len(starts))
+            out_frame.extend(range(len(starts)))
+            out_n.extend(sizes.tolist())
+            out_energy.extend(energies.tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_frame, dtype="int64"),
+                "n_samples": pd.Series(out_n, dtype="int64"),
+                "energy_q": pd.Series(out_energy, dtype="int64"),
+            }
+        )
+
+
+_AUDIO_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), f AS (
+  SELECT doc_id, text, n,
+         unnest(range(0, (n + {AUDIO_FRAME - 1}) // {AUDIO_FRAME})) AS frame_idx
+  FROM d WHERE n > 0
+)
+SELECT doc_id, frame_idx,
+       CAST(LEAST((frame_idx + 1) * {AUDIO_FRAME}, n)
+            - frame_idx * {AUDIO_FRAME} AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(
+           range(frame_idx * {AUDIO_FRAME} + 1,
+                 LEAST((frame_idx + 1) * {AUDIO_FRAME}, n) + 1),
+           i -> (unicode(substr(text, CAST(i AS INT), 1)) - {AUDIO_BIAS})
+              * (unicode(substr(text, CAST(i AS INT), 1)) - {AUDIO_BIAS})
+       )) AS BIGINT) AS energy_q
+FROM f
+"""
+
+
+@register("q_multimodal_audio_energy", oracle=_AUDIO_ORACLE)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framewise energy over binary 'audio' payloads — the third modality's
+    plumbing next to image decode and video frame-sampling: payload bytes →
+    numpy int64 samples → fixed 64-sample frames → per-frame integer energy,
+    all inside ONE Arrow-batched mapInPandas with a data-dependent output
+    cardinality (frames per asset), vectorized with np.add.reduceat.
+
+    Parity: the corpus is ASCII, so byte values equal character codes and
+    the oracle recomputes every frame energy from substr/unicode — integer
+    arithmetic end to end, no float tolerance. At 100 TB the stage
+    parallelizes per input split; Arrow batch size bounds resident payload
+    bytes, and downstream consumers see a narrow (doc, frame, energy) table
+    that never carries the payload column past the UDF.
+    """
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.filter(F.length("text") > 0).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return assets.mapInPandas(
+        _audio_energy,
+        schema="doc_id long, frame_idx long, n_samples long, energy_q long",
     )

@@ -888,3 +888,107 @@ def q_window_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(num.cast("double") / den.cast("double") * 10000 + F.lit(0.5)) / 10000)
         .alias("slope_r4"),
     )
+
+
+# --- q_window_hampel (rolling median/MAD outlier screen) ---------------------
+
+_HAMPEL_WIN = 7       # trailing rows per series
+_HAMPEL_K_BP = 44478  # 3 · 1.4826 (the Hampel constant) in basis points
+
+
+_HAMPEL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+), arrs AS (
+  SELECT event_type, day_idx, cents,
+         list_sort(list(cents) OVER (
+           PARTITION BY event_type ORDER BY day_idx
+           ROWS BETWEEN {_HAMPEL_WIN - 1} PRECEDING AND CURRENT ROW)) AS arr
+  FROM daily
+), med AS (
+  SELECT event_type, day_idx, cents, arr, len(arr) AS k,
+         arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS m2
+  FROM arrs
+), mad AS (
+  SELECT event_type, day_idx, cents, k, m2,
+         list_sort(list_transform(arr, v -> abs(2 * v - m2))) AS sdev
+  FROM med
+)
+SELECT event_type, day_idx, cents, CAST(k AS BIGINT) AS k,
+       CAST(m2 AS BIGINT) AS med2,
+       CAST(sdev[(k + 1) // 2] + sdev[k // 2 + 1] AS BIGINT) AS mad4,
+       abs(2 * cents - m2) * 20000
+         > {_HAMPEL_K_BP} * (sdev[(k + 1) // 2] + sdev[k // 2 + 1]) AS is_outlier
+FROM mad
+"""
+
+
+@register("q_window_hampel", oracle=_HAMPEL_ORACLE)
+def q_window_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over daily revenue per event_type: flag days whose value
+    deviates from the trailing 7-day rolling MEDIAN by more than
+    3·1.4826·MAD — the robust outlier screen that survives the spikes a
+    z-score screen (q_events_anomaly) gets dragged by.
+
+    Spark-first trick: a windowed exact median-of-medians needs NO self-join
+    — collect_list over the ROWS-bounded frame yields a ≤7-element array,
+    and median, per-member absolute deviations, and the MAD all come from
+    in-row sort_array/transform projections. ONE window pass, O(frame)
+    state, fully codegen'd array ops.
+
+    Parity engineering: doubled medians (m2 = 2·median) and quadrupled MADs
+    (mad4 = 4·MAD) keep every quantity integer — even-count medians land on
+    halves, so ×2/×4 clears the fractions — and the Hampel threshold
+    compares scaled integers (basis points), so the boolean is bit-exact
+    across engines with zero float ops anywhere.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+            F.expr(_CENTS).alias("c"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-(_HAMPEL_WIN - 1), 0)
+    )
+    arrs = daily.select(
+        "event_type",
+        "day_idx",
+        "cents",
+        F.sort_array(F.collect_list("cents").over(w)).alias("arr"),
+    )
+    k = F.size("arr")
+    m2 = F.element_at("arr", ((k + 1) / 2).cast("int")) + F.element_at(
+        "arr", (k / 2).cast("int") + 1
+    )
+    med = arrs.select(
+        "event_type", "day_idx", "cents", "arr", k.alias("k"), m2.alias("m2")
+    )
+    sdev = F.sort_array(
+        F.transform(F.col("arr"), lambda v: F.abs(2 * v - F.col("m2")))
+    )
+    mad = med.select(
+        "event_type", "day_idx", "cents", "k", "m2", sdev.alias("sdev")
+    )
+    mad4 = F.element_at("sdev", ((F.col("k") + 1) / 2).cast("int")) + F.element_at(
+        "sdev", (F.col("k") / 2).cast("int") + 1
+    )
+    return mad.select(
+        "event_type",
+        "day_idx",
+        "cents",
+        F.col("k").cast("bigint").alias("k"),
+        F.col("m2").cast("bigint").alias("med2"),
+        mad4.cast("bigint").alias("mad4"),
+        (F.abs(2 * F.col("cents") - F.col("m2")) * 20000 > _HAMPEL_K_BP * mad4).alias(
+            "is_outlier"
+        ),
+    )
