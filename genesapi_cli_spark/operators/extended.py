@@ -743,3 +743,54 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_key").alias("max_key"),
     )
     return merged
+
+
+# --- q_train_test_split ------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT lang, n_chars,
+           ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+    FROM documents
+  )
+)
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM s GROUP BY lang, split
+"""
+
+
+@register("q_train_test_split", oracle=_SPLIT_ORACLE)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the corpus — the
+    dataset-versioning primitive of a training pipeline: membership is a
+    pure function of the document id (sha256 mod 100), so the split is
+    reproducible across runs, engines, partitionings, AND incremental
+    appends (new docs land in a split without reshuffling old ones — the
+    property a rand()-based split fundamentally lacks). Disjointness and
+    exhaustiveness hold by construction (one CASE over one hash).
+
+    Plan: a stateless projection + one small rollup per (lang, split) —
+    the corpus is scanned once and never shuffled before the aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )

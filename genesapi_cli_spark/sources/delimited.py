@@ -166,3 +166,67 @@ def q_source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistical-office export lineage of the reference makes this dialect
     first-class next to CSV/JSONL."""
     return parse_fixed_width(spark)
+
+
+# --- q_source_xml -----------------------------------------------------------
+
+#: GENESIS-style XML fact records (Destatis also publishes table exports as
+#: XML): attributes + child elements, a missing element, a nested block, and
+#: a malformed number — the same edge coverage as the CSV/JSONL fixtures.
+XML_RECORDS = (
+    '<fact code="12411" year="2014"><region>01001</region>'
+    "<value>43520</value><quality>e</quality></fact>",
+    '<fact code="12411" year="2014"><region>01002</region>'
+    "<quality>x</quality></fact>",
+    '<fact code="12411" year="2015"><region>01001</region>'
+    "<value>44100.5</value><quality>e</quality>"
+    "<meta><source>census</source></meta></fact>",
+    '<fact code="12411" year="bad"><region>01003</region>'
+    "<value>not-a-number</value><quality>g</quality></fact>",
+)
+
+XML_SCHEMA = (
+    "_code STRING, _year INT, region STRING, value DOUBLE, quality STRING, "
+    "meta STRUCT<source: STRING>"
+)
+
+
+def parse_xml_records(spark: SparkSession, records=XML_RECORDS) -> DataFrame:
+    """Parse XML fact records with Spark 4's native from_xml: attributes map
+    via the ``_`` prefix convention, missing elements → NULL, malformed
+    numerics → NULL (PERMISSIVE), nested blocks project as struct fields.
+    At lake scale the same schema feeds ``spark.read.format("xml")`` with a
+    rowTag and parses per split — this fixture pins the value semantics."""
+    df = spark.createDataFrame([(r,) for r in records], "x string")
+    r = df.select(F.from_xml("x", XML_SCHEMA).alias("r")).select("r.*")
+    return r.select(
+        F.col("_code").alias("code"),
+        F.col("_year").alias("year"),
+        "region",
+        "value",
+        "quality",
+        F.col("meta.source").alias("meta_source"),
+    )
+
+
+_XML_ORACLE = """
+SELECT * FROM (VALUES
+  ('12411', 2014, '01001', CAST(43520 AS DOUBLE), 'e', CAST(NULL AS VARCHAR)),
+  ('12411', 2014, '01002', CAST(NULL AS DOUBLE), 'x', CAST(NULL AS VARCHAR)),
+  ('12411', 2015, '01001', CAST(44100.5 AS DOUBLE), 'e', 'census'),
+  (CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+) AS t(code, year, region, value, quality, meta_source)
+"""
+
+
+@register("q_source_xml", oracle=_XML_ORACLE)
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest semantics, oracle-proved against the hand-written expected
+    relation: attribute extraction, missing element → NULL, nested struct
+    projection — the XML twin of q_source_csv / q_source_jsonl. Pinned
+    dialect difference vs CSV: from_xml under PERMISSIVE nulls the WHOLE
+    record when a typed attribute is malformed (year="bad" → all-NULL row),
+    where from_csv nulls only the offending field — the fixture asserts
+    that asymmetry so it can never silently change under a Spark upgrade."""
+    return parse_xml_records(spark)
