@@ -336,3 +336,70 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(minmax * 10000 + F.lit(0.5)) / 10000).alias("minmax_r4"),
         (F.floor(robust * 10000 + F.lit(0.5)) / 10000).alias("robust_r4"),
     )
+
+
+# --- q_events_wilson (Wilson score interval per arm) -------------------------
+
+#: shared numeric text for the Wilson 95% lower bound — the SAME expression
+#: string feeds Spark (F.expr) and DuckDB so the IEEE evaluation trees are
+#: identical and the result is bit-exact before the r4 snap.
+_WILSON_LB = (
+    "((p + (1.96 * 1.96) / (2 * n) - 1.96 * "
+    "SQRT((p * (1 - p) + (1.96 * 1.96) / (4 * n)) / n)) "
+    "/ (1 + (1.96 * 1.96) / n))"
+)
+
+_WILSON_ORACLE = f"""
+WITH arms AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM events GROUP BY event_type
+), rates AS (
+  SELECT event_type, n_events, n_hits,
+         CAST(n_hits AS DOUBLE) / n_events AS p,
+         CAST(n_events AS DOUBLE) AS n
+  FROM arms
+)
+SELECT event_type, n_events, n_hits,
+       FLOOR(p * 10000 + 0.5) / 10000 AS p_r4,
+       FLOOR({_WILSON_LB} * 10000 + 0.5) / 10000 AS wilson_lb_r4
+FROM rates
+"""
+
+
+@register("q_events_wilson", oracle=_WILSON_ORACLE)
+def q_events_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score-interval lower bound of the high-value-event rate
+    per event_type — the ranking statistic that orders arms by "how good is
+    this rate given how much evidence we have" (small-n arms shrink toward
+    0.5 instead of winning on a lucky 2/2), the standard fix for sorting by
+    raw proportion; complements q_events_abtest's two-arm z-test.
+
+    Parity engineering: counts are exact bigints; p is one double division;
+    the Wilson closed form is evaluated from ONE shared expression string on
+    both engines (identical IEEE tree, correctly-rounded SQRT), then snapped
+    r4. Scale shape: a single map-side-combined hash aggregate over the fact
+    table; the closed form is a projection over the tiny per-arm table.
+    """
+    ev = load(spark, sf_dir, "events")
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    rates = arms.select(
+        "event_type",
+        "n_events",
+        "n_hits",
+        F.expr("CAST(n_hits AS DOUBLE) / n_events").alias("p"),
+        F.expr("CAST(n_events AS DOUBLE)").alias("n"),
+    )
+    return rates.select(
+        "event_type",
+        "n_events",
+        "n_hits",
+        F.expr("FLOOR(p * 10000 + 0.5) / 10000").alias("p_r4"),
+        F.expr(f"FLOOR({_WILSON_LB} * 10000 + 0.5) / 10000").alias("wilson_lb_r4"),
+    )

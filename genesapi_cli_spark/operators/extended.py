@@ -794,3 +794,65 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+# --- q_skyline (Pareto frontier / skyline query) ----------------------------
+
+_SKYLINE_ORACLE = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT a.p_partkey, a.price_cents, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size < a.p_size)
+)
+"""
+
+
+@register("q_skyline", oracle=_SKYLINE_ORACLE)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts minimizing (price, size): a
+    part survives iff no other part is ≤ on both dimensions and < on at
+    least one — the "best tradeoff" query behind product/plan pickers.
+
+    Differential value: the oracle is the textbook QUADRATIC NOT EXISTS
+    formulation; the Spark plan is the linear sweep — so the hash match
+    proves the sweep's dominance algebra (ties on both axes survive, ties
+    on one axis dominated by the strictly-better row) exactly.
+
+    Scale shape: facts collapse to one row per distinct price first (one
+    hash-agg shuffle keyed on price — map-side combine does the heavy
+    lifting), the strict-predecessor running minimum runs over DISTINCT
+    PRICES only (a tiny single-partition window, bounded by price
+    cardinality, NOT row count), and survivors re-join the base as a
+    broadcast (the frontier of an n-row set is tiny in practice). No
+    O(n²) stage anywhere at any scale.
+    """
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    per_price = p.groupBy("price_cents").agg(F.min("p_size").alias("min_size"))
+    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    frontier_prices = (
+        per_price.withColumn("prior_min", F.min("min_size").over(w))
+        .filter(F.col("prior_min").isNull() | (F.col("min_size") < F.col("prior_min")))
+        .select(
+            F.col("price_cents").alias("f_price_cents"),
+            F.col("min_size").alias("f_min_size"),
+        )
+    )
+    return p.join(
+        F.broadcast(frontier_prices),
+        on=(F.col("price_cents") == F.col("f_price_cents"))
+        & (F.col("p_size") == F.col("f_min_size")),
+    ).select("p_partkey", "price_cents", "p_size")

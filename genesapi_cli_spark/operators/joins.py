@@ -801,3 +801,127 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "dist")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --- q_join_bloom (portable Bloom-filter semi-join prefilter) ---------------
+
+_BLOOM_BITS = 4096      # m: filter width in bits
+_BLOOM_WORDS = 128      # m / 32 — 32-bit words keep every value positive
+_BLOOM_K = 3            # hash probes per key
+_BLOOM_MIN_PRICE = 490_000  # build side: customers with a whale order
+
+
+_BLOOM_ORACLE = f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > {_BLOOM_MIN_PRICE}
+), positions AS (
+  SELECT o_custkey, seed,
+         ('0x' || substr(sha256(seed || ':' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_BITS} AS pos
+  FROM members, (SELECT unnest(range(0, {_BLOOM_K})) AS seed) s(seed)
+), words AS (
+  SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << (pos % 32)) AS word
+  FROM positions GROUP BY word_idx
+), cust_probes AS (
+  SELECT c_custkey, s.seed,
+         ('0x' || substr(sha256(s.seed || ':' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_BITS} AS pos
+  FROM customer, (SELECT unnest(range(0, {_BLOOM_K})) AS seed) s
+), cust_hits AS (
+  SELECT c_custkey,
+         MIN(CASE WHEN (COALESCE(w.word, 0) >> (pos % 32)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS all_hit
+  FROM cust_probes LEFT JOIN words w ON w.word_idx = pos // 32
+  GROUP BY c_custkey
+)
+SELECT h.c_custkey,
+       h.all_hit = 1 AS bloom_hit,
+       m.o_custkey IS NOT NULL AS is_member,
+       (h.all_hit = 1) OR (m.o_custkey IS NULL) AS no_false_negative
+FROM cust_hits h LEFT JOIN members m ON m.o_custkey = h.c_custkey
+"""
+
+
+@register("q_join_bloom", oracle=_BLOOM_ORACLE)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter with a PORTABLE filter and a
+    no-false-negative CERTIFICATE: the distinct whale-order custkeys build a
+    {_BLOOM_BITS}-bit / k={_BLOOM_K} Bloom filter (sha256-prefix positions, so
+    Spark and DuckDB build bit-identical words), every customer row is tested
+    against it, and the output carries (bloom_hit, is_member,
+    no_false_negative) per customer — hash-matching proves the Bloom
+    guarantee row by row: every true member hits, and the (expected) handful
+    of false positives is identical on both engines because the hashes are.
+
+    Scale shape: this is THE pattern for semi-joining a 100 TB probe side
+    against a selective build side without shuffling the probe. The filter
+    is a bit_or aggregate over (word_idx) — mergeable monoid state, built
+    map-side, {_BLOOM_WORDS} words total — and ships to the probe side as a
+    broadcast ≤{_BLOOM_WORDS}-row table; probing is a broadcast join + bit
+    test, so the big table is never exchanged. (Spark's own runtime bloom
+    pushdown does this invisibly for plain joins; this operator makes the
+    filter explicit, portable, and certifiable.) The exact-membership arm
+    exists only for the certificate — production drops it.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_totalprice") > _BLOOM_MIN_PRICE)
+        .select("o_custkey")
+        .distinct()
+    )
+    seeds = F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))
+    positions = members.select(
+        "o_custkey", F.explode(seeds).alias("seed")
+    ).select(
+        "o_custkey",
+        F.expr(
+            f"CAST(CONV(SUBSTRING(SHA2(CONCAT(CAST(seed AS STRING), ':', "
+            f"CAST(o_custkey AS STRING)), 256), 1, 8), 16, 10) AS BIGINT) "
+            f"% {_BLOOM_BITS}"
+        ).alias("pos"),
+    )
+    words = positions.groupBy(
+        F.expr("pos div 32").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        ).alias("word")
+    )
+    cust_probes = cust.select(
+        "c_custkey", F.explode(seeds).alias("seed")
+    ).select(
+        "c_custkey",
+        F.expr(
+            f"CAST(CONV(SUBSTRING(SHA2(CONCAT(CAST(seed AS STRING), ':', "
+            f"CAST(c_custkey AS STRING)), 256), 1, 8), 16, 10) AS BIGINT) "
+            f"% {_BLOOM_BITS}"
+        ).alias("pos"),
+    )
+    cust_hits = (
+        cust_probes.join(
+            F.broadcast(words),
+            F.expr("pos div 32") == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.expr(
+                "CASE WHEN shiftright(COALESCE(word, CAST(0 AS BIGINT)), "
+                "CAST(pos % 32 AS INT)) & 1 = 1 THEN 1 ELSE 0 END"
+            ).alias("hit"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("hit").alias("all_hit"))
+    )
+    mem_flag = members.select(F.col("o_custkey").alias("m_key"))
+    return cust_hits.join(
+        F.broadcast(mem_flag), F.col("c_custkey") == F.col("m_key"), "left"
+    ).select(
+        "c_custkey",
+        (F.col("all_hit") == 1).alias("bloom_hit"),
+        F.col("m_key").isNotNull().alias("is_member"),
+        ((F.col("all_hit") == 1) | F.col("m_key").isNull()).alias(
+            "no_false_negative"
+        ),
+    )

@@ -1110,3 +1110,58 @@ def q_text_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("df_ratio"),
         )
     )
+
+
+# --- q_text_chunk_overlap (sliding-window RAG chunking) ----------------------
+
+_CHUNK_LEN = 200   # chars per chunk
+_CHUNK_STRIDE = 150  # stride => 50-char overlap between neighbors
+
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id,
+       CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, s + 1, {_CHUNK_LEN})) AS BIGINT) AS chunk_len,
+       md5(substr(text, s + 1, {_CHUNK_LEN})) AS chunk_md5
+FROM documents, UNNEST(range(0, length(text), {_CHUNK_STRIDE})) AS t(s)
+WHERE length(text) > 0
+"""
+
+
+@register("q_text_chunk_overlap", oracle=_CHUNK_ORACLE)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap — the retrieval/RAG prep
+    step next to q_pack_sequences' training-side packing: every document is
+    cut into {_CHUNK_LEN}-char chunks on a {_CHUNK_STRIDE}-char stride, so
+    neighboring chunks share {_CHUNK_LEN - _CHUNK_STRIDE} chars and no
+    boundary sentence is ever lost to a hard cut. Chunks are identified by
+    (doc_id, chunk_idx) and content-addressed by md5, so a downstream
+    embedding pipeline can dedup/re-embed incrementally.
+
+    Parity: chunk boundaries are pure integer arithmetic on the SAME text
+    bytes; md5 of each substring is engine-portable; the final ragged chunk
+    is whatever substr() returns past the end on both engines.
+
+    Scale shape: a NARROW 1→⌈len/stride⌉ explode (sequence + posexplode) —
+    no shuffle, no join, no UDF; substring+md5 stay in whole-stage codegen.
+    At 100 TB this is embarrassingly parallel and chunk rows can be written
+    straight out partitioned by md5 prefix for downstream dedup locality.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    starts = F.sequence(
+        F.lit(0), F.length("text") - 1, F.lit(_CHUNK_STRIDE)
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.explode(starts).alias("s")
+    )
+    chunk = F.substring(
+        F.col("text"), F.col("s") + 1, _CHUNK_LEN
+    )
+    return exploded.select(
+        "doc_id",
+        F.expr(f"CAST(s div {_CHUNK_STRIDE} AS BIGINT)").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("chunk_start"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

@@ -992,3 +992,120 @@ def q_window_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+# --- q_window_mann_kendall (robust trend: MK S statistic + Theil-Sen) --------
+
+_MK_WIN = 7  # trailing rows per series
+
+
+_MK_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+), r AS (
+  SELECT event_type, day_idx, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+  FROM daily
+), pairs AS (
+  SELECT j.event_type, j.day_idx, j.cents,
+         CASE WHEN b.cents > a.cents THEN 1
+              WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn,
+         CAST(b.cents - a.cents AS DOUBLE) / (b.day_idx - a.day_idx) AS slope
+  FROM r j
+  JOIN r a ON a.event_type = j.event_type
+          AND a.rn BETWEEN j.rn - {_MK_WIN - 1} AND j.rn - 1
+  JOIN r b ON b.event_type = j.event_type
+          AND b.rn BETWEEN a.rn + 1 AND j.rn
+), sel AS (
+  SELECT event_type, day_idx, cents,
+         CAST(SUM(sgn) AS BIGINT) AS s_mk,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         list_sort(list(slope)) AS sl
+  FROM pairs GROUP BY event_type, day_idx, cents
+)
+SELECT event_type, day_idx, cents, s_mk, n_pairs,
+       FLOOR((sl[(n_pairs + 1) // 2] + sl[n_pairs // 2 + 1]) / 2 * 10000 + 0.5)
+         / 10000 AS ts_slope_r4
+FROM sel
+"""
+
+
+@register("q_window_mann_kendall", oracle=_MK_ORACLE)
+def q_window_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (S statistic) + Theil-Sen slope estimator over
+    a trailing {_MK_WIN}-row window of daily revenue per event_type — the
+    nonparametric companion to q_window_slope's least squares: S counts
+    concordant minus discordant pairs (monotone-trend evidence immune to
+    outliers), and the Theil-Sen slope is the MEDIAN of all pairwise slopes
+    (a single spiked day cannot drag it the way it drags OLS).
+
+    Parity engineering: the pairwise machinery is exact — sgn() compares
+    exact bigint cents, each pairwise slope is ONE double division of exact
+    integers, and the median picks (sorts + middle-two average) identically
+    on both engines; output snapped r4. Rows whose window holds fewer than
+    2 points have no pairs and are dropped on both sides.
+
+    Scale shape / differential value: Spark builds the O(w²)=21 pairs per
+    row INSIDE one window pass — collect_list over a ROWS frame, then pure
+    codegen array HOFs (transform×slice → flatten) with no extra shuffle or
+    join — while the oracle derives the same pairs as a quadratic triple
+    self-join. One (series) shuffle total; per-row state is O(w), so the
+    same plan streams at 100 TB where the oracle's self-join would not.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+            F.expr(_CENTS).alias("c"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-(_MK_WIN - 1), 0)
+    )
+    arrs = daily.select(
+        "event_type",
+        "day_idx",
+        "cents",
+        F.collect_list(F.struct("day_idx", "cents")).over(w).alias("arr"),
+    ).filter(F.size("arr") >= 2)
+    # all i<j pairs of the frame-ordered window array, as codegen HOFs
+    sgns = F.expr(
+        "flatten(transform(arr, (a, i) -> "
+        "transform(slice(arr, i + 2, size(arr)), b -> "
+        "CASE WHEN b.cents > a.cents THEN 1 "
+        "WHEN b.cents < a.cents THEN -1 ELSE 0 END)))"
+    )
+    slopes = F.expr(
+        "array_sort(flatten(transform(arr, (a, i) -> "
+        "transform(slice(arr, i + 2, size(arr)), b -> "
+        "CAST(b.cents - a.cents AS DOUBLE) / (b.day_idx - a.day_idx)))))"
+    )
+    paired = arrs.select(
+        "event_type",
+        "day_idx",
+        "cents",
+        F.aggregate(sgns, F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias(
+            "s_mk"
+        ),
+        sgns.alias("_sgns"),
+        slopes.alias("_sl"),
+    ).withColumn("n_pairs", F.size("_sgns").cast("bigint"))
+    mid_hi = F.element_at("_sl", ((F.col("n_pairs") + 1) / 2).cast("int"))
+    mid_lo = F.element_at("_sl", (F.col("n_pairs") / 2).cast("int") + 1)
+    return paired.select(
+        "event_type",
+        "day_idx",
+        "cents",
+        "s_mk",
+        "n_pairs",
+        (F.floor((mid_hi + mid_lo) / 2 * 10000 + F.lit(0.5)) / 10000).alias(
+            "ts_slope_r4"
+        ),
+    )

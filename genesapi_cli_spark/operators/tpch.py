@@ -316,3 +316,54 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+# --- Q16: parts/supplier relationship --------------------------------------
+
+_Q16_ORACLE = """
+WITH bad_supp AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM bad_supp)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q_tpch_q16", oracle=_Q16_ORACLE)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can furnish each
+    surviving (brand, type, size) combination, excluding one brand, one type
+    family, and blacklisted suppliers (the testdata carries no supplier
+    comment, so "customer complaints" adapts to a negative account balance
+    — same NOT IN anti-join decorrelation shape).
+
+    Scale shape: part predicates (brand<>, NOT LIKE, size IN) all push to
+    the part scan; the pruned part dim broadcasts into lineitem; the tiny
+    blacklist decorrelates to a broadcast null-aware anti-join (never a
+    shuffle); the distinct-supplier count is the only fact shuffle, keyed
+    on (brand, type, size) with partial distinct map-side.
+    """
+    supp_bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(supp_bad.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
