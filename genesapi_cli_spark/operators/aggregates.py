@@ -1552,3 +1552,137 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
         )
     )
+
+
+# --- q_agg_hll_portable (from-scratch HyperLogLog, register-exact) ----------
+
+_HLL_M = 256   # 2^8 buckets
+_HLL_W = 24    # rho bits (32-bit hash minus 8 bucket bits)
+
+#: HLL raw-estimate text shared verbatim by Spark and DuckDB: alpha_m·m²/Z.
+#: decimal literals type as DECIMAL on both engines but under DIFFERENT
+#: precision rules — cast to DOUBLE before any arithmetic touches them.
+_HLL_EST = (
+    f"(CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / {_HLL_M}))"
+    f" * {_HLL_M} * {_HLL_M} / sum_inv"
+)
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT l_returnflag,
+         ('0x' || substr(sha256(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h32
+  FROM lineitem
+), pos AS (
+  SELECT l_returnflag, h32 % {_HLL_M} AS bucket, h32 // {_HLL_M} AS suffix
+  FROM h
+), rho AS (
+  SELECT l_returnflag, bucket,
+         CASE WHEN suffix = 0 THEN {_HLL_W + 1}
+              ELSE instr(lpad(bin(suffix), {_HLL_W}, '0'), '1') END AS r
+  FROM pos
+), regs AS (
+  SELECT l_returnflag, bucket, MAX(r) AS r
+  FROM rho GROUP BY l_returnflag, bucket
+), summ AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_regs,
+         CAST(SUM(r) AS BIGINT) AS reg_sum,
+         CAST(SUM(r * (bucket + 1)) AS BIGINT) AS reg_check,
+         SUM(CAST(1 AS DOUBLE) / (1::BIGINT << r)) AS sum_present
+  FROM regs GROUP BY l_returnflag
+), ex AS (
+  SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+  FROM lineitem GROUP BY l_returnflag
+), est AS (
+  SELECT s.l_returnflag, e.n_exact, s.reg_sum, s.reg_check,
+         CAST({_HLL_M} - s.n_regs AS BIGINT) AS v_zeros,
+         ({_HLL_M} - s.n_regs) + s.sum_present AS sum_inv
+  FROM summ s JOIN ex e USING (l_returnflag)
+)
+SELECT l_returnflag, n_exact, v_zeros, reg_sum, reg_check,
+       FLOOR({_HLL_EST} * 10000 + 0.5) / 10000 AS est_r4,
+       CASE WHEN v_zeros > 0
+            THEN FLOOR({_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / v_zeros)
+                   * 10000 + 0.5) / 10000
+            ELSE NULL END AS lc_r4
+FROM est
+"""
+
+
+@register("q_agg_hll_portable", oracle=_HLL_ORACLE)
+def q_agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch PORTABLE HyperLogLog (m={_HLL_M} buckets, sha256-prefix
+    hashing) estimating distinct parts per returnflag, proved register-exact:
+    the oracle rebuilds the IDENTICAL register array in DuckDB, and the
+    output hash-matches register checksums (sum and position-weighted sum),
+    the zero-register count, the raw alpha·m²/Z estimate, AND the
+    linear-counting fallback next to the exact distinct count — a sketch
+    whose every internal is certified, not just eyeballed (companion to
+    q_agg_approx_distinct, which certifies Spark's built-in HLL++ only by
+    its error envelope).
+
+    Parity engineering: rho (leading-zero rank) is integer string work on
+    the same 24-bit suffix; Z sums 2⁻ʳ terms — exact powers of two over a
+    common denominator, so double addition is EXACT and order-independent
+    (no dec_sum needed); the estimate text is one shared string.
+
+    Scale shape: registers are a (group, bucket) MAX — a mergeable monoid
+    built map-side with at most group×{_HLL_M} rows ever shuffled,
+    duplicates collapsing before exchange (no distinct pass over the fact
+    table, unlike the exact arm which exists only as the certificate).
+    This is the mergeable-sketch pattern: per-partition register partials
+    union by pairwise MAX, the same way production HLL unions shards.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    pos = li.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(CONV(SUBSTRING(SHA2(CAST(l_partkey AS STRING), 256), 1, 8), "
+            "16, 10) AS BIGINT)"
+        ).alias("h32"),
+    ).select(
+        "l_returnflag",
+        (F.col("h32") % _HLL_M).alias("bucket"),
+        F.expr(f"h32 div {_HLL_M}").alias("suffix"),
+    )
+    rho = pos.select(
+        "l_returnflag",
+        "bucket",
+        F.expr(
+            f"CASE WHEN suffix = 0 THEN {_HLL_W + 1} "
+            f"ELSE instr(lpad(bin(suffix), {_HLL_W}, '0'), '1') END"
+        ).alias("r"),
+    )
+    regs = rho.groupBy("l_returnflag", "bucket").agg(F.max("r").alias("r"))
+    summ = regs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum("r").cast("bigint").alias("reg_sum"),
+        F.sum(F.col("r") * (F.col("bucket") + 1)).cast("bigint").alias("reg_check"),
+        F.sum(
+            F.expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))")
+        ).alias("sum_present"),
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("n_exact")
+    )
+    est = summ.join(F.broadcast(ex), "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
+        "reg_sum",
+        "reg_check",
+        (F.lit(_HLL_M) - F.col("n_regs")).cast("bigint").alias("v_zeros"),
+        ((F.lit(_HLL_M) - F.col("n_regs")) + F.col("sum_present")).alias("sum_inv"),
+    )
+    return est.select(
+        "l_returnflag",
+        "n_exact",
+        "v_zeros",
+        "reg_sum",
+        "reg_check",
+        F.expr(f"FLOOR({_HLL_EST} * 10000 + 0.5) / 10000").alias("est_r4"),
+        F.expr(
+            f"CASE WHEN v_zeros > 0 "
+            f"THEN FLOOR({_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / v_zeros) "
+            f"* 10000 + 0.5) / 10000 ELSE NULL END"
+        ).alias("lc_r4"),
+    )

@@ -856,3 +856,50 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=(F.col("price_cents") == F.col("f_price_cents"))
         & (F.col("p_size") == F.col("f_min_size")),
     ).select("p_partkey", "price_cents", "p_size")
+
+
+# --- q_sql_not_in_null (tri-valued NOT IN semantics certificate) ------------
+
+#: the certificate body — one shared SQL text run by BOTH engines (Spark on
+#: temp views, DuckDB on its parquet views), pinning the dialect corner that
+#: silently empties queries in production: NOT IN against a set containing
+#: a single NULL is never TRUE for any row.
+_NOT_IN_SQL = """
+WITH build AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS k
+  FROM orders WHERE o_totalprice > 450000
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_build,
+  CAST((SELECT COUNT(*) FROM build WHERE k IS NULL) AS BIGINT) AS n_build_null,
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey IN (SELECT k FROM build)) AS BIGINT) AS n_in,
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM build)) AS BIGINT) AS n_not_in,
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM build WHERE k IS NOT NULL))
+       AS BIGINT) AS n_not_in_nonnull
+"""
+
+
+@register("q_sql_not_in_null", oracle=_NOT_IN_SQL)
+def q_sql_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-valued NOT IN certificate: the build set deliberately contains
+    NULL keys, and the output proves BOTH engines agree that (a) IN ignores
+    the NULLs (matches still found), (b) NOT IN against a NULL-bearing set
+    is empty — every row's predicate is UNKNOWN, the classic silent
+    production bug — and (c) stripping NULLs restores the expected
+    complement. One row, five counters, the SAME SQL text on both engines
+    (Spark over temp views ≡ DuckDB over parquet views), so this pins the
+    engine dialect itself, not a DataFrame translation of it.
+
+    Scale shape: Spark plans NOT IN as a null-aware anti join
+    (BroadcastNestedLoopJoin when the build side broadcasts) — correct but
+    the expensive shape at scale; the docstring-level guidance this query
+    encodes is "write NOT EXISTS (or strip NULLs explicitly) so the
+    planner can use a plain anti hash join". The certificate keeps the
+    build side tiny so the BNLJ is broadcast-bounded.
+    """
+    for t in ("orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_NOT_IN_SQL)

@@ -1165,3 +1165,125 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).cast("bigint").alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
     )
+
+
+# --- q_text_bigram_lm (conditional bigram LM with add-one smoothing) ---------
+
+_BIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, tok, i FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(lower(text), ' ')) AS tok,
+           unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS i
+    FROM documents
+  )
+), bi AS (
+  SELECT doc_id, lang,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
+         tok AS w2
+  FROM toks
+  QUALIFY w1 IS NOT NULL
+), c2 AS (
+  SELECT lang, w1, w2, COUNT(*) AS c FROM bi GROUP BY lang, w1, w2
+), c1 AS (
+  SELECT lang, w1, CAST(SUM(c) AS BIGINT) AS ctx FROM c2 GROUP BY lang, w1
+), vocab AS (
+  SELECT lang, CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM c2 GROUP BY lang
+), logp AS (
+  SELECT c2.lang, c2.w1, c2.w2,
+         FLOOR(LN((CAST(c2.c AS DOUBLE) + 1) / (c1.ctx + vocab.v)) * 1000000 + 0.5)
+           / 1000000 AS lp
+  FROM c2 JOIN c1 USING (lang, w1) JOIN vocab USING (lang)
+), scored AS (
+  SELECT b.doc_id, b.lang,
+         COUNT(*) AS n_bi,
+         CAST(SUM(CAST(l.lp AS DECIMAL(27,7))) AS DOUBLE) AS sum_lp
+  FROM bi b JOIN logp l ON b.lang = l.lang AND b.w1 = l.w1 AND b.w2 = l.w2
+  GROUP BY b.doc_id, b.lang
+)
+SELECT s.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(v.v) AS vocab_v,
+       CAST(MIN(n_bi) AS BIGINT) AS min_bi,
+       FLOOR(MIN(sum_lp / n_bi) * 10000 + 0.5) / 10000 AS worst_avg_lp,
+       FLOOR(MAX(sum_lp / n_bi) * 10000 + 0.5) / 10000 AS best_avg_lp
+FROM scored s JOIN vocab v USING (lang)
+GROUP BY s.lang
+"""
+
+
+@register("q_text_bigram_lm", oracle=_BIGRAM_LM_ORACLE)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram language model with add-one smoothing, trained on
+    the corpus and scoring every document by mean bigram log-probability —
+    the next rung above q_text_unigram_lm (context-aware fluency: "the the"
+    scores badly under a bigram model no matter how frequent 'the' is).
+
+    Differential construction: Spark builds bigrams NARROWLY — arrays_zip of
+    the token array against its own 1-shifted slice, exploded in place, no
+    window and no extra shuffle — while the oracle derives the same pairs
+    via LAG over an ordinal window; the hash match proves the zip algebra.
+    Probabilities are (c₂+1)/(c₁+V) per lang, ln micro-snapped BEFORE the
+    decimal-cast sum (registry parity convention).
+
+    Scale shape: TRAIN is one (lang,w1,w2) hash agg; c₁ and V derive from
+    c₂ (never rescan facts); SCORE joins the log-prob table back on the
+    bigram key — a shuffle join on purpose (bigram vocab outgrows broadcast
+    at corpus scale, unlike the unigram table) — then one per-doc agg.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    arr = docs.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("l")
+    ).filter(F.size("l") >= 2)
+    bi = arr.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("l"), 1, F.size("l") - 1).alias("w1"),
+                F.expr("slice(l, 2, size(l) - 1)").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bi.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("lang", "w1").agg(F.sum("c").cast("bigint").alias("ctx"))
+    vocab = c2.groupBy("lang").agg(
+        F.count_distinct("w2").cast("bigint").alias("v")
+    )
+    logp = (
+        c2.join(c1, ["lang", "w1"])
+        .join(F.broadcast(vocab), "lang")
+        .select(
+            "lang",
+            "w1",
+            "w2",
+            (
+                F.floor(
+                    F.log((F.col("c").cast("double") + 1) / (F.col("ctx") + F.col("v")))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("lp"),
+        )
+    )
+    scored = (
+        bi.join(logp, ["lang", "w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bi"),
+            F.sum(F.col("lp").cast("decimal(27,7)")).cast("double").alias("sum_lp"),
+        )
+    )
+    avg = F.col("sum_lp") / F.col("n_bi")
+    return (
+        scored.join(F.broadcast(vocab), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("v").alias("vocab_v"),
+            F.min("n_bi").cast("bigint").alias("min_bi"),
+            (F.floor(F.min(avg) * 10000 + F.lit(0.5)) / 10000).alias("worst_avg_lp"),
+            (F.floor(F.max(avg) * 10000 + F.lit(0.5)) / 10000).alias("best_avg_lp"),
+        )
+    )
