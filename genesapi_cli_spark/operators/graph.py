@@ -216,13 +216,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     base = F.expr(f"{PR_SCALE} div n")
+    # degree rides INSIDE the rank table so each iteration is ONE join on the
+    # edge list + one aggregate — not a second degree join per round.
     ranks = deg.crossJoin(F.broadcast(nn)).select(
-        "node", base.cast("bigint").alias("r")
+        "node", "degree", base.cast("bigint").alias("r")
     )
     for _ in range(PR_ITERS):
         contrib = (
             sym.join(ranks, sym.src == ranks.node)
-            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
             .select("dst", F.expr("r div degree").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("bigint").alias("s"))
@@ -232,6 +233,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(contrib, F.col("node") == contrib.dst, "left")
             .select(
                 "node",
+                "degree",
                 F.expr(f"(15 * ({PR_SCALE} div n) + 85 * coalesce(s, 0L)) div 100")
                 .cast("bigint")
                 .alias("r"),
