@@ -403,3 +403,87 @@ def q_events_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("FLOOR(p * 10000 + 0.5) / 10000").alias("p_r4"),
         F.expr(f"FLOOR({_WILSON_LB} * 10000 + 0.5) / 10000").alias("wilson_lb_r4"),
     )
+
+
+# --- q_events_ttest_welch (Welch two-sample t on event values) ---------------
+
+#: Welch t and degrees of freedom from exact per-arm (n, Σc, Σc²) — ONE
+#: shared expression text so both engines build identical IEEE trees.
+#: se2_x = sample variance / n, from integer sums: (n·S2 − S1²) / (n·(n−1)·n)
+_WELCH_SE2_A = "(CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE) / (n_a * (n_a - 1)) / n_a)"
+_WELCH_SE2_B = "(CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE) / (n_b * (n_b - 1)) / n_b)"
+_WELCH_T = (
+    f"((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b) "
+    f"/ SQRT({_WELCH_SE2_A} + {_WELCH_SE2_B}))"
+)
+_WELCH_DF = (
+    f"(({_WELCH_SE2_A} + {_WELCH_SE2_B}) * ({_WELCH_SE2_A} + {_WELCH_SE2_B}) "
+    f"/ ({_WELCH_SE2_A} * {_WELCH_SE2_A} / (n_a - 1) "
+    f" + {_WELCH_SE2_B} * {_WELCH_SE2_B} / (n_b - 1)))"
+)
+
+_WELCH_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id % 2 AS arm, {_CENTS} AS c FROM events
+  WHERE event_type = 'purchase'
+), arms AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s1_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS s1_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS s2_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS s2_b
+  FROM tagged
+)
+SELECT n_a, n_b, s1_a, s1_b,
+       FLOOR({_WELCH_T} * 10000 + 0.5) / 10000 AS t_r4,
+       FLOOR({_WELCH_DF} * 10000 + 0.5) / 10000 AS df_r4
+FROM arms
+"""
+
+
+@register("q_events_ttest_welch", oracle=_WELCH_ORACLE)
+def q_events_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on purchase VALUES between
+    the two user arms — the mean-difference companion to q_events_abtest's
+    proportion z-test (the pair every experimentation platform ships), with
+    Welch-Satterthwaite degrees of freedom so unequal arm variances don't
+    inflate false positives the way Student's pooled t does.
+
+    Parity engineering: each arm reduces to exact integer (n, Σc, Σc²) in
+    ONE conditional aggregate pass; variances, t, and df are closed forms
+    evaluated from a single shared expression text (identical IEEE trees,
+    correctly-rounded SQRT), snapped r4. Magnitudes: c ≲ 10⁴ cents, n ≲ 10⁵
+    at sf0.01 → Σc² ≲ 10¹³, far under 2⁶³ even at 10⁶× the rows.
+
+    Scale shape: one map-side-combined hash aggregate over the fact scan
+    (the filter pushes down); the statistics are a 1-row projection.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    tagged = ev.select(
+        (F.col("user_id") % 2).alias("arm"), F.expr(_CENTS).alias("c")
+    )
+    arms = tagged.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s1_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s1_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c") * F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s2_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c") * F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s2_b"),
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "s1_a",
+        "s1_b",
+        F.expr(f"FLOOR({_WELCH_T} * 10000 + 0.5) / 10000").alias("t_r4"),
+        F.expr(f"FLOOR({_WELCH_DF} * 10000 + 0.5) / 10000").alias("df_r4"),
+    )

@@ -925,3 +925,86 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_negative"
         ),
     )
+
+
+# --- q_join_interval_overlap (interval × interval overlap self-join) --------
+
+_IV_DAY_US = 86_400_000_000
+
+_IV_OVERLAP_ORACLE = f"""
+WITH iv AS (
+  SELECT o.o_orderkey AS k, o.o_custkey AS c,
+         epoch_us(o.o_orderdate) // {_IV_DAY_US} AS s,
+         MAX(epoch_us(l.l_shipdate) // {_IV_DAY_US}) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_custkey, s
+), pairs AS (
+  SELECT a.c,
+         least(a.e, b.e) - greatest(a.s, b.s) + 1 AS ov_days
+  FROM iv a JOIN iv b
+    ON a.c = b.c AND a.k < b.k AND a.s <= b.e AND b.s <= a.e
+)
+SELECT c AS o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs,
+       CAST(SUM(ov_days) AS BIGINT) AS sum_overlap_days,
+       CAST(MAX(ov_days) AS BIGINT) AS max_overlap_days
+FROM pairs GROUP BY c
+"""
+
+
+@register("q_join_interval_overlap", oracle=_IV_OVERLAP_ORACLE)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP self-join: pairs of the same customer's
+    order-fulfillment windows [orderdate, last shipdate] that overlap in
+    time — "how often does this customer have concurrent open orders", the
+    two-sided interval join that completes the temporal-join family
+    (q_join_range = point-in-interval, q_join_pit = as-of versioned,
+    q_intervals_active = global concurrency curve).
+
+    Scale shape: the customer key is the natural BLOCKING key — the join is
+    a plain equi hash join on c with the overlap condition as a residual
+    predicate, so the quadratic work is confined to each customer's own
+    order count (bounded fan-out), exactly like q_join_fuzzy's (type,size)
+    blocks; no theta join, no BroadcastNestedLoop anywhere in the plan.
+    When no such key exists, the q_join_spatial grid-bucket rewrite applies
+    to the time axis instead. Interval endpoints are exact epoch days; the
+    fulfillment window itself is one (orderkey) hash agg over lineitem.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    iv = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("c"),
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_IV_DAY_US}"
+            ).alias("s"),
+        )
+        .agg(
+            F.max(
+                F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_IV_DAY_US}")
+            ).alias("e")
+        )
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c") == F.col("b.c"))
+        & (F.col("a.k") < F.col("b.k"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    ).select(
+        F.col("a.c").alias("c"),
+        (
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+            + 1
+        ).alias("ov_days"),
+    )
+    return pairs.groupBy(F.col("c").alias("o_custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs"),
+        F.sum("ov_days").cast("bigint").alias("sum_overlap_days"),
+        F.max("ov_days").cast("bigint").alias("max_overlap_days"),
+    )

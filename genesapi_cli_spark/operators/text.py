@@ -1287,3 +1287,75 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.max(avg) * 10000 + F.lit(0.5)) / 10000).alias("best_avg_lp"),
         )
     )
+
+
+# --- q_feature_hashing (hashing-trick bag-of-words vectors) ------------------
+
+_FH_DIM = 64  # hashed vector dimensionality
+
+
+_FH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256('i:' || tok), 1, 8))::BIGINT % {_FH_DIM} AS idx,
+         CASE WHEN ('0x' || substr(sha256('s:' || tok), 1, 8))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+), cells AS (
+  SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS v
+  FROM hashed GROUP BY doc_id, idx
+)
+SELECT doc_id,
+       CAST(COUNT(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS nnz,
+       CAST(SUM(ABS(v)) AS BIGINT) AS l1,
+       CAST(SUM(v * v) AS BIGINT) AS sq_norm,
+       CAST(SUM(v * (idx + 1)) AS BIGINT) AS checksum
+FROM cells GROUP BY doc_id
+"""
+
+
+@register("q_feature_hashing", oracle=_FH_ORACLE)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick (feature-hashing) bag-of-words vectors per document —
+    the stateless vectorizer of large-scale text ML: token → dimension by
+    hash, ± sign by a second hash (Weinberger et al.'s signed variant, which
+    keeps collisions unbiased), NO vocabulary to build, broadcast, or keep
+    consistent across engines/batches. Output certifies each doc's vector by
+    exact integer invariants (nnz, L1, squared norm, position-weighted
+    checksum), so the hash-match proves every cell of every vector.
+
+    Parity: sha256-prefix hashes are byte-identical on both engines (the
+    q_dedup_minhash_portable convention); every statistic is exact bigint.
+
+    Scale shape: one narrow explode, one (doc, dim) hash agg with map-side
+    partials (≤{_FH_DIM} cells per doc regardless of doc length), one per-doc
+    rollup riding the same doc_id partitioning. Nothing global — unlike
+    tf-idf there is no corpus-wide DF table, which is the point of the
+    hashing trick at 100 TB.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            f"CAST(CONV(SUBSTRING(SHA2(CONCAT('i:', tok), 256), 1, 8), 16, 10) "
+            f"AS BIGINT) % {_FH_DIM}"
+        ).alias("idx"),
+        F.expr(
+            "CASE WHEN CAST(CONV(SUBSTRING(SHA2(CONCAT('s:', tok), 256), 1, 8), "
+            "16, 10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    cells = hashed.groupBy("doc_id", "idx").agg(
+        F.sum("sgn").cast("bigint").alias("v")
+    )
+    return cells.groupBy("doc_id").agg(
+        F.count(F.when(F.col("v") != 0, 1)).cast("bigint").alias("nnz"),
+        F.sum(F.abs("v")).cast("bigint").alias("l1"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sq_norm"),
+        F.sum(F.col("v") * (F.col("idx") + 1)).cast("bigint").alias("checksum"),
+    )
