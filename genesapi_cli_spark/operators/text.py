@@ -1359,3 +1359,72 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sq_norm"),
         F.sum(F.col("v") * (F.col("idx") + 1)).cast("bigint").alias("checksum"),
     )
+
+
+# --- q_text_sentence_dedup (C4-style cross-doc sentence dedup) ---------------
+
+_SENT_DEDUP_ORACLE = """
+WITH sents AS (
+  SELECT doc_id, trim(s) AS sent
+  FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s FROM documents)
+  WHERE length(trim(s)) > 0
+), hashes AS (
+  SELECT doc_id, md5(sent) AS h FROM sents
+), freq AS (
+  SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM hashes GROUP BY h
+), scored AS (
+  SELECT ha.doc_id,
+         COUNT(*) AS n_sents,
+         SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM hashes ha JOIN freq f USING (h)
+  GROUP BY ha.doc_id
+)
+SELECT doc_id, CAST(n_sents AS BIGINT) AS n_sents, CAST(n_dup AS BIGINT) AS n_dup,
+       FLOOR(CAST(n_dup AS DOUBLE) / n_sents * 10000 + 0.5) / 10000 AS dup_share_r4
+FROM scored
+"""
+
+
+@register("q_text_sentence_dedup", oracle=_SENT_DEDUP_ORACLE)
+def q_text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SENTENCE dedup screen — the C4 preprocessing step that
+    removes boilerplate at sub-document granularity (page footers, cookie
+    banners, license blurbs repeat across pages whose documents are NOT
+    near-duplicates, so doc-level MinHash never sees them): every document
+    reports how many of its sentences also occur verbatim in at least one
+    OTHER document (the synthetic corpus has none — every doc reporting
+    n_dup=0 is itself the assertion the oracle hash-checks).
+
+    Scale shape: sentences hash to md5 (JVM codegen), the frequency table is
+    one (hash) aggregate counting DISTINCT docs (map-side partial distinct),
+    and scoring joins it back on the hash — the same train/score join shape
+    as the LM queries. At 100 TB add a stop-sentence cap (drop hashes in >K
+    docs before the join) — the same whale guard as the shingle family.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    sents = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\\.")).alias("s")
+    ).select("doc_id", F.trim("s").alias("sent")).filter(F.length("sent") > 0)
+    hashes = sents.select("doc_id", F.md5("sent").alias("h"))
+    freq = hashes.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    scored = (
+        hashes.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sents"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_sents",
+        "n_dup",
+        F.expr(
+            "FLOOR(CAST(n_dup AS DOUBLE) / n_sents * 10000 + 0.5) / 10000"
+        ).alias("dup_share_r4"),
+    )

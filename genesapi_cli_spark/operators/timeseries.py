@@ -1109,3 +1109,74 @@ def q_window_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_slope_r4"
         ),
     )
+
+
+# --- q_window_snaive_backtest (seasonal-naive forecast + error backtest) -----
+
+_SNAIVE_LAG = 7  # seasonal period in rows (daily data, weekly season)
+
+
+_SNAIVE_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+), fc AS (
+  SELECT event_type, day_idx, cents,
+         lag(cents, {_SNAIVE_LAG}) OVER (
+           PARTITION BY event_type ORDER BY day_idx) AS yhat
+  FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(yhat) AS BIGINT) AS n_forecasts,
+       CAST(SUM(ABS(cents - yhat)) AS BIGINT) AS sum_abs_err,
+       CAST(MAX(ABS(cents - yhat)) AS BIGINT) AS max_abs_err,
+       FLOOR(CAST(SUM(ABS(cents - yhat)) AS DOUBLE) / SUM(ABS(cents))
+             * 10000 + 0.5) / 10000 AS wape_r4
+FROM fc
+WHERE yhat IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("q_window_snaive_backtest", oracle=_SNAIVE_ORACLE)
+def q_window_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue with the
+    value {_SNAIVE_LAG} rows earlier (same weekday last week) and score the
+    forecaster per series with MAE components and WAPE — the baseline every
+    real forecasting pipeline must beat, and the backtest harness shape
+    (lag-as-forecast → residual aggregate) that fancier models reuse.
+
+    Parity: residuals are exact bigint cents; WAPE is one double division of
+    exact integer sums, snapped r4. Warmup rows (first {_SNAIVE_LAG} per
+    series) have no forecast and drop on both sides.
+
+    Scale shape: facts collapse to the daily table (one shuffle), the lag is
+    one ROWS window on the tiny series table, and the scorecard is a
+    map-side-combinable aggregate — same single-window discipline as the
+    rest of the timeseries family.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+            F.expr(_CENTS).alias("c"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    fc = daily.withColumn("yhat", F.lag("cents", _SNAIVE_LAG).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    err = F.abs(F.col("cents") - F.col("yhat"))
+    return fc.groupBy("event_type").agg(
+        F.count("yhat").cast("bigint").alias("n_forecasts"),
+        F.sum(err).cast("bigint").alias("sum_abs_err"),
+        F.max(err).cast("bigint").alias("max_abs_err"),
+        F.expr(
+            "FLOOR(CAST(SUM(ABS(cents - yhat)) AS DOUBLE) / SUM(ABS(cents)) "
+            "* 10000 + 0.5) / 10000"
+        ).alias("wape_r4"),
+    )

@@ -367,3 +367,65 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
+
+
+# --- Q2: minimum-cost supplier per part -------------------------------------
+
+_Q2_ORACLE = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM lineitem
+)
+SELECT p.p_partkey, p.p_brand, o.l_suppkey, s.s_name, o.price_cents
+FROM part p
+JOIN offers o ON o.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+WHERE p.p_size <= 5 AND p.p_type LIKE 'SMALL%'
+  AND o.price_cents = (
+    SELECT MIN(o2.price_cents) FROM offers o2 WHERE o2.l_partkey = p.p_partkey
+  )
+"""
+
+
+@register("q_tpch_q2", oracle=_Q2_ORACLE)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a size/type slice, the supplier(s)
+    offering it at the minimum observed price (the testdata has no partsupp
+    cost table, so the offer book is lineitem's exact price cents). The
+    oracle keeps Q2's textbook CORRELATED-MIN subquery; the Spark side is
+    the decorrelated form every planner rewrites it to — a per-part MIN
+    aggregate joined back on (partkey, price) — so the hash match proves
+    the decorrelation equivalence including ties (two suppliers at the
+    same minimum both survive, exactly as the subquery form keeps them).
+
+    Scale shape: part predicates push to the scan and the pruned part dim
+    broadcasts; the offer book aggregates map-side per partkey; the
+    join-back is an equi join on (partkey, cents) — no per-row subquery
+    execution anywhere.
+    """
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 5) & F.col("p_type").startswith("SMALL")
+    )
+    offers = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "price_cents"
+        ),
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    best = offers.groupBy("l_partkey").agg(
+        F.min("price_cents").alias("best_cents")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.l_partkey == best.l_partkey)
+            & (offers.price_cents == best.best_cents),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("p_partkey", "p_brand", "l_suppkey", "s_name", "price_cents")
+    )
