@@ -1686,3 +1686,60 @@ def q_agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"* 10000 + 0.5) / 10000 ELSE NULL END"
         ).alias("lc_r4"),
     )
+
+
+# --- q_agg_log2_histogram (power-of-two / HDR-style histogram) ---------------
+
+_LOG2_HIST_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT o_orderstatus,
+         CAST(length(bin(cents)) AS BIGINT) AS bucket,
+         cents
+  FROM c
+)
+SELECT o_orderstatus, bucket,
+       CAST(1::BIGINT << (bucket - 1) AS BIGINT) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM b GROUP BY o_orderstatus, bucket
+"""
+
+
+@register("q_agg_log2_histogram", oracle=_LOG2_HIST_ORACLE)
+def q_agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (HDR-histogram-style) value histogram of order totals per
+    status: bucket k holds values in [2^(k-1), 2^k) — constant relative
+    error at every magnitude with a FIXED tiny bucket count (≤64), the
+    log-scale shape latency/money distributions need where q_agg_histogram's
+    equi-width buckets collapse the long tail into one bar.
+
+    Parity: the bucket index is the value's binary bit length — pure integer
+    string work (length(bin(x))), no log() float anywhere, so bucket edges
+    can never disagree by an ulp between engines; per-bucket min/max prove
+    the containment [2^(k-1), 2^k) row by row.
+
+    Scale shape: one map-side-combined hash aggregate; ≤64 buckets per group
+    regardless of input size makes this the mergeable fixed-state histogram
+    of the sketch family (merge = add counts, min/max of extrema).
+    """
+    c = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    b = c.select(
+        "o_orderstatus",
+        F.length(F.bin("cents")).cast("bigint").alias("bucket"),
+        "cents",
+    )
+    return b.groupBy("o_orderstatus", "bucket").agg(
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT)) AS BIGINT)")
+        .alias("bucket_lo"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )

@@ -240,3 +240,88 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+# --- q_graph_jaccard (neighbor-overlap node similarity) ----------------------
+
+_JACCARD_MIN_BP = 2000  # keep pairs with Jaccard >= 0.20 (basis points)
+
+_JACCARD_ORACLE = f"""{_EDGES_SQL}, sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+), deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src
+), wedges AS (
+  SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst
+)
+SELECT w.u, w.v, w.inter, du.degree AS deg_u, dv.degree AS deg_v,
+       FLOOR(CAST(w.inter AS DOUBLE)
+             / (du.degree + dv.degree - w.inter) * 10000 + 0.5) / 10000
+         AS jaccard_r4
+FROM wedges w
+JOIN deg du ON du.node = w.u
+JOIN deg dv ON dv.node = w.v
+WHERE w.inter * 10000 >= {_JACCARD_MIN_BP} * (du.degree + dv.degree - w.inter)
+"""
+
+
+@register("q_graph_jaccard", oracle=_JACCARD_ORACLE)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-overlap (Jaccard) node similarity over the co-purchase
+    graph: products whose neighbor SETS agree ≥20% — "customers who bought
+    X's companions also bought Y's" — the item-item collaborative-filtering
+    primitive, next to degree (volume), triangles (cohesion), and PageRank
+    (importance).
+
+    Parity: common-neighbor counts come from the same oriented wedge join
+    as q_graph_triangles; the similarity filter is an exact
+    integer cross-multiplied predicate (no float compare decides
+    membership), and the reported Jaccard is one double division snapped r4.
+
+    Scale shape: wedges are an equi self-join on the shared neighbor — the
+    quadratic work is per-node fan-out (Σ deg²), the known hub-skew cost
+    the degree query diagnoses; production caps hub degree before wedging
+    (drop nodes with degree > K, exactly like stop-shingles). Degrees join
+    back by node key; no cartesian anywhere.
+    """
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=False
+    )
+    sym = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    a = sym.alias("a")
+    b = sym.alias("b")
+    wedges = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    union_size = F.col("deg_u") + F.col("deg_v") - F.col("inter")
+    return (
+        wedges.join(du, "u")
+        .join(dv, "v")
+        .filter(F.col("inter") * 10000 >= _JACCARD_MIN_BP * union_size)
+        .select(
+            "u",
+            "v",
+            "inter",
+            "deg_u",
+            "deg_v",
+            (
+                F.floor(F.col("inter").cast("double") / union_size * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("jaccard_r4"),
+        )
+    )

@@ -1180,3 +1180,95 @@ def q_window_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 10000 + 0.5) / 10000"
         ).alias("wape_r4"),
     )
+
+
+# --- q_cohort_ltv (cumulative revenue by acquisition cohort age) -------------
+
+_WEEK_US = 7 * _DAY_US
+
+
+_LTV_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id, MIN(epoch_us(ts) // {_WEEK_US}) AS cohort_week
+  FROM events GROUP BY user_id
+), rev AS (
+  SELECT e.user_id, f.cohort_week,
+         (epoch_us(e.ts) // {_WEEK_US}) - f.cohort_week AS age_weeks,
+         {_CENTS} AS c
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.event_type = 'purchase'
+), cw AS (
+  SELECT cohort_week, age_weeks,
+         CAST(SUM(c) AS BIGINT) AS week_cents
+  FROM rev GROUP BY cohort_week, age_weeks
+), sized AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY cohort_week
+)
+SELECT c.cohort_week, c.age_weeks, s.cohort_users, c.week_cents,
+       CAST(SUM(c.week_cents) OVER (
+         PARTITION BY c.cohort_week ORDER BY c.age_weeks) AS BIGINT)
+         AS cum_cents,
+       FLOOR(CAST(SUM(c.week_cents) OVER (
+         PARTITION BY c.cohort_week ORDER BY c.age_weeks) AS DOUBLE)
+         / s.cohort_users * 10000 + 0.5) / 10000 AS ltv_per_user_r4
+FROM cw c JOIN sized s USING (cohort_week)
+"""
+
+
+@register("q_cohort_ltv", oracle=_LTV_ORACLE)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value by acquisition cohort: users cohort by
+    first-seen week, purchase revenue buckets by cohort age, and a running
+    sum yields the LTV curve per cohort (the money companion to
+    q_window_retention's count matrix — the pair of charts every growth
+    team reads together).
+
+    Parity: cohorting and ages are integer epoch-week arithmetic; revenue
+    is exact cents; the per-user LTV is one double division snapped r4.
+
+    Scale shape: first-seen is one per-user MIN (map-side); the cohort tag
+    joins back on user_id (at 100 TB both sides hash-partition by user —
+    the natural key); weekly buckets collapse to a tiny (cohort, age)
+    table before the cumulative window, so the running sum never touches
+    fact-level rows. Cohort sizes ride a broadcast join.
+    """
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.expr(f"MIN(ts_us div {_WEEK_US})").alias("cohort_week")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.expr(f"ts_us div {_WEEK_US}") - F.col("cohort_week")).alias(
+                "age_weeks"
+            ),
+            F.expr(_CENTS).alias("c"),
+        )
+    )
+    cw = rev.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("c").cast("bigint").alias("week_cents")
+    )
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    cum = F.sum("week_cents").over(w).cast("bigint")
+    return (
+        cw.join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            "week_cents",
+            cum.alias("cum_cents"),
+            (
+                F.floor(
+                    cum.cast("double") / F.col("cohort_users") * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("ltv_per_user_r4"),
+        )
+    )
