@@ -1743,3 +1743,90 @@ def q_agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("bigint").alias("min_cents"),
         F.max("cents").cast("bigint").alias("max_cents"),
     )
+
+
+# --- q_agg_bridge (two-period revenue bridge / waterfall decomposition) ------
+
+_BRIDGE_Y0 = 1996
+_BRIDGE_Y1 = 1997
+
+_BRIDGE_ORACLE = f"""
+WITH tagged AS (
+  SELECT p.p_brand,
+         CASE WHEN year(l.l_shipdate) = {_BRIDGE_Y0} THEN 0 ELSE 1 END AS period,
+         CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE year(l.l_shipdate) IN ({_BRIDGE_Y0}, {_BRIDGE_Y1})
+), per_brand AS (
+  SELECT p_brand,
+         CAST(SUM(CASE WHEN period = 0 THEN cents ELSE 0 END) AS BIGINT) AS y0_cents,
+         CAST(SUM(CASE WHEN period = 1 THEN cents ELSE 0 END) AS BIGINT) AS y1_cents
+  FROM tagged GROUP BY p_brand
+), tot AS (
+  SELECT CAST(SUM(y1_cents - y0_cents) AS BIGINT) AS total_delta FROM per_brand
+)
+SELECT b.p_brand, b.y0_cents, b.y1_cents,
+       CAST(b.y1_cents - b.y0_cents AS BIGINT) AS delta_cents,
+       t.total_delta,
+       FLOOR(CAST(b.y1_cents - b.y0_cents AS DOUBLE) / t.total_delta
+             * 10000 + 0.5) / 10000 AS share_r4,
+       CAST(RANK() OVER (ORDER BY ABS(b.y1_cents - b.y0_cents) DESC, b.p_brand)
+            AS BIGINT) AS mover_rank
+FROM per_brand b CROSS JOIN tot t
+"""
+
+
+@register("q_agg_bridge", oracle=_BRIDGE_ORACLE)
+def q_agg_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period revenue BRIDGE (waterfall): the {_BRIDGE_Y0}→{_BRIDGE_Y1}
+    total revenue change decomposed into per-brand contributions that sum
+    exactly to the total delta — the "what moved the number" chart of every
+    business review, with movers ranked by absolute contribution
+    (complements q_rank_movers' rank jumps with the money decomposition).
+
+    Parity: both period sums come from ONE conditional aggregate pass over
+    exact cents; the decomposition identity Σ delta = total is integer-exact
+    by construction, not approximately true; shares are one double division
+    snapped r4; the mover rank is tie-broken by brand.
+
+    Scale shape: the year predicate pushes to the scan, part broadcasts,
+    and the whole bridge is one (brand) hash aggregate + a single-row
+    broadcast total + a 25-row window — fact rows are touched once.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(_BRIDGE_Y0, _BRIDGE_Y1)
+    )
+    part = load(spark, sf_dir, "part")
+    tagged = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.when(F.year("l_shipdate") == _BRIDGE_Y0, 0).otherwise(1).alias("period"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    per_brand = tagged.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("y0_cents"),
+        F.sum(F.when(F.col("period") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("y1_cents"),
+    )
+    tot = per_brand.agg(
+        F.sum(F.col("y1_cents") - F.col("y0_cents")).cast("bigint").alias("total_delta")
+    )
+    delta = F.col("y1_cents") - F.col("y0_cents")
+    w = Window.orderBy(F.abs(delta).desc(), F.col("p_brand"))
+    return (
+        per_brand.crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand",
+            "y0_cents",
+            "y1_cents",
+            delta.cast("bigint").alias("delta_cents"),
+            "total_delta",
+            (
+                F.floor(delta.cast("double") / F.col("total_delta") * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("share_r4"),
+            F.rank().over(w).cast("bigint").alias("mover_rank"),
+        )
+    )

@@ -1272,3 +1272,200 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user_r4"),
         )
     )
+
+
+# --- q_events_interarrival (inter-event gap distribution per type) -----------
+
+_IA_ORACLE = """
+WITH ordered AS (
+  SELECT event_type, user_id, epoch_us(ts) AS t_us, event_id
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         t_us - lag(t_us) OVER (
+           PARTITION BY event_type, user_id ORDER BY t_us, event_id) AS gap_us
+  FROM ordered
+  QUALIFY gap_us IS NOT NULL
+), arr AS (
+  SELECT event_type, list_sort(list(gap_us)) AS g, CAST(COUNT(*) AS BIGINT) AS n
+  FROM gaps GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(g[1] AS BIGINT) AS min_gap_us,
+       CAST(g[(n + 1) // 2] + g[n // 2 + 1] AS BIGINT) AS med2_gap_us,
+       CAST(g[(n * 9 + 9) // 10] AS BIGINT) AS p90_gap_us,
+       CAST(g[n] AS BIGINT) AS max_gap_us
+FROM arr
+"""
+
+
+@register("q_events_interarrival", oracle=_IA_ORACLE)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type: the time between each
+    user's consecutive events of a type, summarized by exact order
+    statistics (min / median×2 / p90 ceil-rank / max in integer µs) — the
+    metric behind session-timeout tuning (q_window_sessionize's 30-min gap
+    is exactly a quantile of THIS distribution) and arrival-process QA.
+
+    Parity: gaps are exact integer µs from LAG with a tie-broken ordering
+    (ts, event_id); quantiles are exact RANK SELECTIONS — the median is
+    reported as the middle-two SUM (no /2, stays integer) and p90 as the
+    ceil-rank element, so no interpolation arithmetic exists to disagree.
+    The oracle materializes each type's sorted gap list; Spark selects the
+    same ranks with row_number over the sorted gap stream.
+
+    Scale shape: one (type, user) window for the LAG, one (type) sort for
+    the ranking window — rank selection streams (no per-group list is ever
+    materialized engine-side, unlike the oracle's list_sort), then a
+    5-rows-per-group conditional aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        ev.select("event_type", "user_id", "ts_us", "event_id")
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us", "user_id", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    hit = ranked.filter(
+        (F.col("rn") == 1)
+        | (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("n div 2 + 1"))
+        | (F.col("rn") == F.expr("(n * 9 + 9) div 10"))
+        | (F.col("rn") == F.col("n"))
+    )
+    return hit.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn") == 1, F.col("gap_us")))
+        .cast("bigint")
+        .alias("min_gap_us"),
+        (
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_us")))
+            + F.max(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("gap_us")))
+        )
+        .cast("bigint")
+        .alias("med2_gap_us"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 9 + 9) div 10"), F.col("gap_us")))
+        .cast("bigint")
+        .alias("p90_gap_us"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("gap_us")))
+        .cast("bigint")
+        .alias("max_gap_us"),
+    )
+
+
+# --- q_window_rolling_corr (rolling cross-series correlation) ----------------
+
+_RC_WIN = 14  # trailing rows (aligned days)
+
+#: shared closed-form text: Pearson r from exact integer window sums.
+_RC_CORR = (
+    "(CAST(n * sxy - sx * sy AS DOUBLE) "
+    "/ (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) "
+    " * SQRT(CAST(n * syy - sy * sy AS DOUBLE))))"
+)
+
+_RC_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+  GROUP BY event_type, day_idx
+), aligned AS (
+  SELECT p.day_idx, p.cents AS x, v.cents AS y
+  FROM daily p JOIN daily v
+    ON p.day_idx = v.day_idx
+   AND p.event_type = 'purchase' AND v.event_type = 'view'
+), sums AS (
+  SELECT day_idx, x, y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+  FROM aligned
+  WINDOW w AS (ORDER BY day_idx ROWS BETWEEN {_RC_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day_idx, x, y, n,
+       FLOOR({_RC_CORR} * 10000 + 0.5) / 10000 AS corr_r4
+FROM sums
+WHERE n >= 3 AND n * sxx > sx * sx AND n * syy > sy * sy
+"""
+
+
+@register("q_window_rolling_corr", oracle=_RC_ORACLE)
+def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {_RC_WIN}-day Pearson correlation between the purchase and
+    view revenue series — the co-movement monitor behind "did engagement
+    decouple from sales this week" alerts, and the cross-SERIES window the
+    single-series family (q_window_autocorr correlates a series with its
+    own lag) doesn't cover.
+
+    Parity: the two series align by exact epoch day (inner join), the five
+    rolling sums are exact bigint windows over one shared frame, and the
+    Pearson closed form is a single shared expression text (identical IEEE
+    trees, correctly-rounded SQRT), snapped r4; degenerate windows (either
+    series constant, n<3) are excluded by exact INTEGER predicates, never
+    by a float epsilon. Magnitudes: at this data's ≲10⁷ daily cents the
+    window products stay ≲10¹⁶, far under 2⁶³; if daily cents ever neared
+    10⁹ (where 14·c² ≈ 1.4·10¹⁹ crowds 9.2·10¹⁸), rescale to whole
+    currency units before the window — the overflow margin is documented,
+    not assumed.
+
+    Scale shape: facts collapse to the daily table (one shuffle); the join
+    aligns two 60-row series; all five sums ride ONE window frame (one
+    sort, one WindowExec). The global day ordering is a single partition
+    BY DESIGN — the aligned series is one row per day, tiny at any corpus
+    scale.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+            F.expr(_CENTS).alias("c"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        "day_idx", F.col("cents").alias("x")
+    )
+    v = daily.filter(F.col("event_type") == "view").select(
+        F.col("day_idx").alias("v_day"), F.col("cents").alias("y")
+    )
+    aligned = p.join(v, p.day_idx == v.v_day).select("day_idx", "x", "y")
+    w = Window.orderBy("day_idx").rowsBetween(-(_RC_WIN - 1), 0)
+    sums = aligned.select(
+        "day_idx",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    return sums.filter(
+        (F.col("n") >= 3)
+        & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+    ).select(
+        "day_idx",
+        "x",
+        "y",
+        "n",
+        F.expr(f"FLOOR({_RC_CORR} * 10000 + 0.5) / 10000").alias("corr_r4"),
+    )
