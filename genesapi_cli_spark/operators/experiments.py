@@ -487,3 +487,85 @@ def q_events_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"FLOOR({_WELCH_T} * 10000 + 0.5) / 10000").alias("t_r4"),
         F.expr(f"FLOOR({_WELCH_DF} * 10000 + 0.5) / 10000").alias("df_r4"),
     )
+
+
+# --- q_events_power_mde (A/B test power / minimum detectable effect) ---------
+
+#: z quantiles for alpha=0.05 two-sided and 80% power — fixed literals, cast
+#: to DOUBLE before arithmetic on BOTH engines (decimal-literal typing rules
+#: differ; see q_agg_hll_portable).
+_MDE = (
+    "((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) "
+    "* SQRT(2 * p * (1 - p) / n_arm))"
+)
+
+_POWER_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(converted) AS BIGINT) AS n_conv
+  FROM per_user
+), rates AS (
+  SELECT n_users, n_a, n_conv,
+         CAST(n_conv AS DOUBLE) / n_users AS p,
+         CAST(n_a AS DOUBLE) AS n_arm
+  FROM arms
+)
+SELECT n_users, n_a, n_conv,
+       FLOOR(p * 10000 + 0.5) / 10000 AS base_rate_r4,
+       FLOOR({_MDE} * 10000 + 0.5) / 10000 AS mde_abs_r4,
+       FLOOR({_MDE} / p * 10000 + 0.5) / 10000 AS mde_rel_r4
+FROM rates
+"""
+
+
+@register("q_events_power_mde", oracle=_POWER_ORACLE)
+def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER planning: given the observed base conversion rate and
+    per-arm sample size, the minimum detectable effect (absolute and
+    relative) at alpha=0.05 / 80% power — the pre-registration number every
+    experiment review asks for, derived from the same per-user conversion
+    relation q_events_abtest tests after the fact (design → q_events_power_mde,
+    analysis → q_events_abtest / q_events_ttest_welch, ranking →
+    q_events_wilson: the full experimentation lifecycle).
+
+    Parity: counts are exact bigints from one per-user aggregate; the MDE
+    closed form is a shared expression text with z-quantile literals cast to
+    DOUBLE before arithmetic, snapped r4. Scale shape: one per-user hash agg
+    (map-side partials) and a 1-row projection.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    rates = arms.select(
+        "n_users",
+        "n_a",
+        "n_conv",
+        F.expr("CAST(n_conv AS DOUBLE) / n_users").alias("p"),
+        F.expr("CAST(n_a AS DOUBLE)").alias("n_arm"),
+    )
+    return rates.select(
+        "n_users",
+        "n_a",
+        "n_conv",
+        F.expr("FLOOR(p * 10000 + 0.5) / 10000").alias("base_rate_r4"),
+        F.expr(f"FLOOR({_MDE} * 10000 + 0.5) / 10000").alias("mde_abs_r4"),
+        F.expr(f"FLOOR({_MDE} / p * 10000 + 0.5) / 10000").alias("mde_rel_r4"),
+    )

@@ -903,3 +903,93 @@ def q_sql_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_NOT_IN_SQL)
+
+
+# --- q_abc_classification (ABC inventory / revenue classification) ----------
+
+_ABC_A_BP = 8000   # A: first 80% of cumulative revenue
+_ABC_B_BP = 9500   # B: next 15%
+
+
+_ABC_ORACLE = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS BIGINT)
+           AS cum_cents,
+         CAST(SUM(cents) OVER () AS BIGINT) AS tot_cents
+  FROM rev
+), classed AS (
+  SELECT l_partkey, cents, cum_cents, tot_cents,
+         CASE WHEN cum_cents * 10000 <= {_ABC_A_BP} * tot_cents THEN 'A'
+              WHEN cum_cents * 10000 <= {_ABC_B_BP} * tot_cents THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS class_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       FLOOR(CAST(SUM(cents) AS DOUBLE) / MIN(tot_cents) * 10000 + 0.5) / 10000
+         AS revenue_share_r4
+FROM classed GROUP BY abc_class
+"""
+
+
+@register("q_abc_classification", oracle=_ABC_ORACLE)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, classed A/B/C
+    at the 80%/95% cumulative-share cuts — the warehouse-ops standard for
+    "which 20% of SKUs carry 80% of the business" (the operational cousin
+    of q_agg_concentration's decile shares and q_agg_lorenz's curve).
+
+    Parity: class boundaries are exact INTEGER cross-multiplied predicates
+    on cumulative cents (cum·10⁴ ≤ bp·total — no float share ever decides a
+    class), with a tie-broken ranking (cents DESC, partkey); only the
+    reported share is a snapped double.
+
+    Scale shape: one (partkey) hash agg collapses the facts; the cumulative
+    window runs over the part-level table ordered by revenue — a single
+    range-partitioned sort at scale (Spark plans a global Sort + running
+    window; ~10⁵-10⁷ parts, not fact rows); the final class rollup is a
+    3-row aggregate.
+    """
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w_cum = Window.orderBy(F.col("cents").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w_cum).cast("bigint").alias("cum_cents"),
+        F.sum("cents").over(w_all).cast("bigint").alias("tot_cents"),
+    )
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(
+            F.col("cum_cents") * 10000 <= _ABC_A_BP * F.col("tot_cents"), "A"
+        )
+        .when(F.col("cum_cents") * 10000 <= _ABC_B_BP * F.col("tot_cents"), "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("class_cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.expr(
+            "FLOOR(CAST(SUM(cents) AS DOUBLE) / MIN(tot_cents) * 10000 + 0.5) / 10000"
+        ).alias("revenue_share_r4"),
+    )

@@ -1008,3 +1008,89 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ov_days").cast("bigint").alias("sum_overlap_days"),
         F.max("ov_days").cast("bigint").alias("max_overlap_days"),
     )
+
+
+# --- q_join_asof_nearest (nearest-in-time as-of, either direction) ----------
+
+_ASOF_NEAREST_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'purchase'
+), s AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'signup'
+), cand AS (
+  SELECT p.event_id, p.user_id, p.us, s.us AS s_us,
+         ABS(p.us - s.us) AS dist_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id ORDER BY ABS(p.us - s.us), s.us) AS rn
+  FROM p JOIN s ON s.user_id = p.user_id
+)
+SELECT event_id, user_id, us,
+       CAST(s_us AS BIGINT) AS matched_us,
+       CAST(dist_us AS BIGINT) AS dist_us
+FROM cand WHERE rn = 1
+"""
+
+
+@register("q_join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join (pandas merge_asof direction='nearest'):
+    each purchase matched to the CLOSEST signup of the same user in either
+    direction, ties to the earlier signup — completing the as-of family
+    (backward `q_join_asof`, bounded `q_join_asof_tolerance`, versioned
+    `q_join_pit`).
+
+    Scale formulation vs oracle: the oracle is the quadratic-per-user
+    argmin pair join; Spark is the union + ONE user shuffle + TWO frames
+    over one sorted pass — a backward last(ignorenulls) (previous signup,
+    signups sorting before purchases at equal µs so dist-0 matches land
+    there) and a forward first(ignorenulls) (next strictly-later signup) —
+    then a pure projection picks the closer side (tie → earlier = the
+    backward candidate). O(n log n) per user, streaming-evaluable frames,
+    no pair blowup at 100 TB.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("us"),
+        (F.col("event_type") == "signup").alias("is_signup"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), F.col("is_signup").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), F.col("is_signup").desc(), F.col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sig_us = F.when(F.col("is_signup"), F.col("us"))
+    enriched = tagged.select(
+        "event_id",
+        "user_id",
+        "us",
+        "is_signup",
+        F.last(sig_us, ignorenulls=True).over(w_back).alias("prev_us"),
+        F.first(sig_us, ignorenulls=True).over(w_fwd).alias("next_us"),
+    ).filter(~F.col("is_signup"))
+    d_prev = F.col("us") - F.col("prev_us")
+    d_next = F.col("next_us") - F.col("us")
+    matched = F.when(
+        F.col("prev_us").isNotNull()
+        & (F.col("next_us").isNull() | (d_prev <= d_next)),
+        F.col("prev_us"),
+    ).otherwise(F.col("next_us"))
+    return enriched.filter(
+        F.col("prev_us").isNotNull() | F.col("next_us").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "us",
+        matched.cast("bigint").alias("matched_us"),
+        F.abs(F.col("us") - matched).cast("bigint").alias("dist_us"),
+    )
