@@ -728,26 +728,12 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
-@register("q_dedup_minhash_portable", oracle=_PMH_ORACLE)
-def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding with PORTABLE hashes (sha256 prefixes): the same
-    signature→band→bucket-join pipeline as q_dedup_near_minhash, but every
-    hash is byte-identical across engines, so the ENTIRE LSH candidate set
-    is value-checked by the oracle — the strongest correctness statement in
-    the dedup family (the xxhash64 production variant stays for speed; this
-    one proves the algorithm).
-
-    Plan: shingle explode ×4 seeds (a projection, no extra shuffle) → one
-    (doc, seed) MIN aggregate → signature pivot → 2-band self-equi-join on
-    the banded minhash pair. All joins are hash joins on 16-byte keys;
-    band-bucket skew is the documented 100 TB watch item (cap bucket size).
-    """
-    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    # The string shingle IS required here (sha256 of "seed:gram" must match
-    # the oracle byte-for-byte), so positions are exploded FIRST and the
-    # concat_ws runs as a flat whole-stage-codegen projection instead of an
-    # interpreted HOF lambda. MIN is duplicate-insensitive, so the per-doc
-    # array_distinct the tuple-hash variants use is unnecessary here.
+def portable_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, band, k1, k2) LSH band table with sha256-PORTABLE
+    minhashes — the shared signature pipeline of q_dedup_minhash_portable
+    and q_dedup_incremental. Positions explode FIRST so concat_ws runs as a
+    flat codegen projection (not an interpreted HOF lambda); MIN is
+    duplicate-insensitive so no per-doc distinct pass is needed."""
     base = docs.select(
         "doc_id", "lang", "text", F.split(F.lower("text"), " ").alias("parts")
     )
@@ -787,7 +773,7 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_PMH_SEEDS)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id", "lang", F.lit(0).alias("band"), F.col("m0").alias("k1"), F.col("m1").alias("k2")
     ).unionByName(
         sig.select(
@@ -795,6 +781,26 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m2").alias("k1"), F.col("m3").alias("k2"),
         )
     )
+
+
+@register("q_dedup_minhash_portable", oracle=_PMH_ORACLE)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with PORTABLE hashes (sha256 prefixes): the same
+    signature→band→bucket-join pipeline as q_dedup_near_minhash, but every
+    hash is byte-identical across engines, so the ENTIRE LSH candidate set
+    is value-checked by the oracle — the strongest correctness statement in
+    the dedup family (the xxhash64 production variant stays for speed; this
+    one proves the algorithm).
+
+    Plan: shingle explode ×4 seeds (a projection, no extra shuffle) → one
+    (doc, seed) MIN aggregate → signature pivot → 2-band self-equi-join on
+    the banded minhash pair. All joins are hash joins on 16-byte keys;
+    band-bucket skew is the documented 100 TB watch item (cap bucket size).
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    # The string shingle IS required here (sha256 of "seed:gram" must match
+    # the oracle byte-for-byte) — see portable_bands for the codegen notes.
+    bands = portable_bands(docs)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"), "band", "k1", "k2"
     )
@@ -953,4 +959,109 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_before"),
         F.max("keep_bp").alias("keep_bp"),
         F.sum("kept").cast("bigint").alias("n_kept"),
+    )
+
+
+# --- q_dedup_incremental (new-batch vs corpus ingest dedup) ------------------
+
+_INC_MOD = 10  # doc_id % 10 == 0 → the incoming batch; rest = standing corpus
+
+_INC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS parts, lower(text) AS lt
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(
+           CASE WHEN len(parts) >= 3
+                THEN list_transform(range(1, len(parts) - 1),
+                     i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2]))
+                ELSE [lt] END
+         ) AS g
+  FROM t
+), h AS (
+  SELECT doc_id, lang, seed,
+         MIN(('0x' || substr(sha256(CAST(seed AS VARCHAR) || ':' || g), 1, 8))::BIGINT)
+           AS mh
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, 3)) AS seed)
+  GROUP BY doc_id, lang, seed
+), sig AS (
+  SELECT doc_id, lang,
+         MAX(CASE WHEN seed = 0 THEN mh END) AS m0,
+         MAX(CASE WHEN seed = 1 THEN mh END) AS m1,
+         MAX(CASE WHEN seed = 2 THEN mh END) AS m2,
+         MAX(CASE WHEN seed = 3 THEN mh END) AS m3
+  FROM h GROUP BY doc_id, lang
+), bands AS (
+  SELECT doc_id, lang, 0 AS band, m0 AS k1, m1 AS k2 FROM sig
+  UNION ALL
+  SELECT doc_id, lang, 1 AS band, m2 AS k1, m3 AS k2 FROM sig
+), flagged AS (
+  SELECT DISTINCT n.doc_id
+  FROM bands n JOIN bands c
+    ON n.band = c.band AND n.k1 = c.k1 AND n.k2 = c.k2 AND n.lang = c.lang
+   AND n.doc_id % {_INC_MOD} = 0 AND c.doc_id % {_INC_MOD} <> 0
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ingested
+FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+WHERE d.doc_id % {_INC_MOD} = 0
+GROUP BY d.lang
+"""
+
+
+@register("q_dedup_incremental", oracle=_INC_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest dedup: an incoming batch (deterministic doc_id
+    slice) screened against the standing corpus via the portable MinHash
+    LSH bands — the shape a production pipeline actually runs every day
+    (small new batch vs 100 TB corpus), where re-running the full
+    self-join dedup (q_dedup_minhash_portable) would be absurd.
+
+    Scale shape — the asymmetry IS the operator: the batch's band table is
+    tiny, so it BROADCASTS onto the corpus band stream and the corpus is
+    never shuffled for candidate generation (same direction discipline as
+    q_decontaminate); in a persisted lake the corpus band table is a
+    precomputed index partitioned by band key, and this query prunes to
+    matching partitions. Flagged batch docs drop; the rest ingest.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    bands = portable_bands(docs)
+    new_bands = bands.filter(F.col("doc_id") % _INC_MOD == 0).select(
+        F.col("doc_id").alias("n_id"),
+        F.col("lang").alias("n_lang"),
+        F.col("band").alias("n_band"),
+        F.col("k1").alias("n_k1"),
+        F.col("k2").alias("n_k2"),
+    )
+    corpus_bands = bands.filter(F.col("doc_id") % _INC_MOD != 0)
+    flagged = (
+        corpus_bands.join(
+            F.broadcast(new_bands),
+            (F.col("band") == F.col("n_band"))
+            & (F.col("k1") == F.col("n_k1"))
+            & (F.col("k2") == F.col("n_k2"))
+            & (F.col("lang") == F.col("n_lang")),
+        )
+        .select(F.col("n_id").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    new_docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _INC_MOD == 0
+    )
+    return (
+        new_docs.join(F.broadcast(flagged), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_flagged"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ingested"),
+        )
     )

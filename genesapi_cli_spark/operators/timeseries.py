@@ -1469,3 +1469,74 @@ def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(f"FLOOR({_RC_CORR} * 10000 + 0.5) / 10000").alias("corr_r4"),
     )
+
+
+# --- q_events_active_users (DAU / WAU / stickiness) --------------------------
+
+_AU_WIN = 7  # WAU window in days
+
+
+_AU_ORACLE = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day_idx FROM events
+), dau AS (
+  SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS dau FROM user_days GROUP BY day_idx
+), support AS (
+  SELECT user_id, day_idx + d.d AS day_idx
+  FROM user_days, (SELECT unnest(range(0, {_AU_WIN})) AS d) d
+), wau AS (
+  SELECT day_idx, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM support GROUP BY day_idx
+), grid AS (
+  SELECT d.day_idx, d.dau, w.wau FROM dau d JOIN wau w USING (day_idx)
+)
+SELECT day_idx, dau, wau,
+       FLOOR(CAST(dau AS DOUBLE) / wau * 10000 + 0.5) / 10000
+         AS stickiness_r4
+FROM grid
+"""
+
+
+@register("q_events_active_users", oracle=_AU_ORACLE)
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness per day — the growth dashboard's first row.
+    WAU(d) counts distinct users active in (d-{_AU_WIN - 1} … d]; stickiness
+    = DAU/WAU (how much of the weekly audience shows up daily).
+
+    Scale formulation: sliding DISTINCT counts don't decompose (a user
+    active twice in the window must count once), so instead of a windowed
+    distinct — which Spark can't stream — each (user, day) activity row is
+    EXPANDED to the {_AU_WIN} window-end days it supports (a narrow ×{_AU_WIN}
+    fan-out, no shuffle) and WAU becomes a plain per-day distinct aggregate
+    with map-side partial distinct. This is the standard exact rewrite; at
+    extreme scale swap the distinct for the mergeable HLL registers of
+    q_agg_hll_portable and the fan-out stays the only cost. Days at the
+    corpus edge (no DAU that day) drop via the grid join on both sides.
+
+    Parity: day arithmetic is exact epoch-day integers; stickiness is one
+    double division snapped r4.
+    """
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.expr(f"ts_us div {_DAY_US}").alias("day_idx")
+    ).distinct()
+    dau = user_days.groupBy("day_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    support = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + (_AU_WIN - 1))
+        ).alias("day_idx"),
+    )
+    wau = support.groupBy("day_idx").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day_idx").select(
+        "day_idx",
+        "dau",
+        "wau",
+        F.expr("FLOOR(CAST(dau AS DOUBLE) / wau * 10000 + 0.5) / 10000").alias(
+            "stickiness_r4"
+        ),
+    )

@@ -429,3 +429,57 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
         .select("p_partkey", "p_brand", "l_suppkey", "s_name", "price_cents")
     )
+
+
+# --- Q19: disjunctive predicate revenue --------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {oracle_dec_sum(_REV, 'revenue')}, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register("q_tpch_q19", oracle=_Q19_ORACLE)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under three OR'd brand/size/
+    quantity clause groups) — the benchmark's disjunctive-predicate stress:
+    a naive planner evaluates the whole OR after the join; a good one
+    derives the IMPLIED single-table predicates (brand ∈ {{...}} onto part,
+    quantity ≤ 30 onto lineitem) and pushes them below the join so both
+    scans prune before any row pairs up. Spark's
+    ConstantFolding+PushDownPredicates derive exactly those; the pruned
+    part side then broadcasts.
+
+    Parity: the revenue is the registry's exact decimal sum; quantity
+    bounds are whole numbers compared against the raw double column
+    identically on both engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    return joined.filter(cond).agg(
+        dec_sum(F.expr(_REV), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
