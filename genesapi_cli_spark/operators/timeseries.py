@@ -1540,3 +1540,89 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness_r4"
         ),
     )
+
+
+# --- q_orders_ship_latency (order→first-ship latency SLA percentiles) --------
+
+_SL_ORACLE = f"""
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         (MIN(epoch_us(l.l_shipdate)) - epoch_us(o.o_orderdate)) // {_DAY_US}
+           AS days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+), arr AS (
+  SELECT o_orderpriority, list_sort(list(days)) AS g,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lat GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       CAST(g[(n + 1) // 2] + g[n // 2 + 1] AS BIGINT) AS med2_days,
+       CAST(g[(n * 9 + 9) // 10] AS BIGINT) AS p90_days,
+       CAST(g[(n * 99 + 99) // 100] AS BIGINT) AS p99_days,
+       CAST(g[n] AS BIGINT) AS max_days
+FROM arr
+"""
+
+
+@register("q_orders_ship_latency", oracle=_SL_ORACLE)
+def q_orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→first-shipment latency SLA percentiles per priority class —
+    the fulfillment scorecard (does URGENT actually ship faster, and what
+    does the p99 tail look like): exact median×2 / p90 / p99 ceil-rank /
+    max in whole days.
+
+    Parity & shape: latency is exact integer epoch-day arithmetic from one
+    per-order MIN aggregate; quantiles are exact RANK SELECTIONS via a
+    ranking window over the per-order latency table (the streaming shape —
+    no engine-side per-group list, unlike the oracle's list_sort pick),
+    then a 4-ranks-per-group conditional aggregate. Same machinery as
+    q_events_interarrival pointed at an operational SLA.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.expr(
+                f"(unix_micros(CAST(first_ship AS TIMESTAMP)) "
+                f"- unix_micros(CAST(o_orderdate AS TIMESTAMP))) div {_DAY_US}"
+            ).alias("days"),
+        )
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("days")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = lat.select(
+        "o_orderpriority",
+        "days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    hit = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("n div 2 + 1"))
+        | (F.col("rn") == F.expr("(n * 9 + 9) div 10"))
+        | (F.col("rn") == F.expr("(n * 99 + 99) div 100"))
+        | (F.col("rn") == F.col("n"))
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("days")))
+            + F.max(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("days")))
+        )
+        .cast("bigint")
+        .alias("med2_days"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 9 + 9) div 10"), F.col("days")))
+        .cast("bigint")
+        .alias("p90_days"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 99 + 99) div 100"), F.col("days")))
+        .cast("bigint")
+        .alias("p99_days"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("days")))
+        .cast("bigint")
+        .alias("max_days"),
+    )

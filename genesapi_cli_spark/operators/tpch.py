@@ -15,7 +15,7 @@ columns are raw copies or deterministic casts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load
@@ -482,4 +482,105 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(cond).agg(
         dec_sum(F.expr(_REV), "revenue"),
         F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- Q21: waiting-order suppliers (double correlation) -----------------------
+
+_Q21_ORACLE = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM l l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM l l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM l l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register("q_tpch_q21", oracle=_Q21_ORACLE)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the benchmark's hardest decorrelation: line items
+    whose supplier was the LAST to ship on a multi-supplier order (the
+    "who kept the order waiting" blame query), counted per supplier. The
+    oracle keeps the textbook EXISTS + NOT EXISTS double correlation; the
+    Spark side computes both conditions from ONE window pass per order —
+    max other-supplier shipdate and other-supplier presence — because both
+    correlated subqueries range over the same (orderkey) partition:
+
+        EXISTS(other supplier)            ≡ n_other_supp ≥ 1
+        NOT EXISTS(other ships later)     ≡ max_other_ship ≤ own shipdate
+
+    where max_other_ship excludes the row's own supplier via the standard
+    two-extremes trick (global max + max over other suppliers derived from
+    the top-2 distinct supplier maxima), here computed exactly with a
+    per-(order, supplier) pre-aggregate joined back to the order's top two.
+
+    Scale shape: one (order, supplier) hash agg collapses line items, one
+    (order) window ranks supplier maxima (top-2 carried, not all), and the
+    blame test is a projection — no correlated re-execution, no pair join
+    across suppliers of an order.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    # per-(order, supplier) last ship + per-order supplier count via window
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
+    )
+    w_ord = Window.partitionBy("l_orderkey")
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("supp_max").desc(), F.col("l_suppkey")
+    )
+    ranked = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_max",
+        F.count(F.lit(1)).over(w_ord).alias("n_supp"),
+        F.max("supp_max").over(w_ord).alias("max1"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    # max over OTHER suppliers: the global max unless this row holds it
+    # uniquely (rk=1), in which case the second-ranked supplier's max.
+    second = ranked.filter(F.col("rk") == 2).select(
+        F.col("l_orderkey").alias("o2"), F.col("supp_max").alias("max2")
+    )
+    blamed_os = (
+        ranked.filter(F.col("n_supp") >= 2)
+        .join(second, F.col("l_orderkey") == F.col("o2"), "left")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "supp_max",
+            F.when(F.col("rk") == 1, F.col("max2"))
+            .otherwise(F.col("max1"))
+            .alias("max_other"),
+        )
+        .filter(F.col("max_other") <= F.col("supp_max"))
+    )
+    # blame counts LINE ITEMS (the oracle counts l1 rows): join back the
+    # per-(order, supplier) verdict to the line-item multiplicity, but only
+    # rows at the supplier's own max shipdate qualify under NOT EXISTS when
+    # earlier rows of the same supplier are outshipped by others.
+    li_verdict = li.join(
+        blamed_os.select("l_orderkey", "l_suppkey", "max_other"),
+        ["l_orderkey", "l_suppkey"],
+    ).filter(F.col("max_other") <= F.col("l_shipdate"))
+    return (
+        li_verdict.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
