@@ -569,3 +569,83 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"FLOOR({_MDE} * 10000 + 0.5) / 10000").alias("mde_abs_r4"),
         F.expr(f"FLOOR({_MDE} / p * 10000 + 0.5) / 10000").alias("mde_rel_r4"),
     )
+
+
+# --- q_bootstrap_poisson (deterministic Poisson bootstrap of a mean) ---------
+
+_BOOT_R = 10  # bootstrap replicates
+
+#: deterministic per-(row, replicate) weight with Poisson(1)-like pmf over
+#: {{0,1,2,3}} (p = 12/32, 12/32, 6/32, 2/32), derived from a portable
+#: sha256 hash — every engine draws the SAME bootstrap samples.
+_BOOT_W = (
+    "CASE WHEN hb < 12 THEN 0 WHEN hb < 24 THEN 1 WHEN hb < 30 THEN 2 ELSE 3 END"
+)
+
+_BOOT_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, {_CENTS} AS c FROM events WHERE event_type = 'purchase'
+), rep AS (
+  SELECT b.event_id, b.c, r.r,
+         ('0x' || substr(sha256(r.r || ':' || CAST(b.event_id AS VARCHAR)), 1, 8))::BIGINT
+           % 32 AS hb
+  FROM base b, (SELECT unnest(range(0, {_BOOT_R})) AS r) r
+), reps AS (
+  SELECT r,
+         CAST(SUM(({_BOOT_W}) * c) AS BIGINT) AS wsum,
+         CAST(SUM({_BOOT_W}) AS BIGINT) AS wn
+  FROM rep GROUP BY r
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+       CAST(MIN(wn) AS BIGINT) AS min_wn,
+       FLOOR(MIN(CAST(wsum AS DOUBLE) / wn) * 10000 + 0.5) / 10000 AS lo_mean_r4,
+       FLOOR(MAX(CAST(wsum AS DOUBLE) / wn) * 10000 + 0.5) / 10000 AS hi_mean_r4,
+       CAST(SUM(wsum) AS BIGINT) AS tot_wsum
+FROM reps
+"""
+
+
+@register("q_bootstrap_poisson", oracle=_BOOT_ORACLE)
+def q_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean purchase value — the distributed
+    bootstrap: instead of resampling n rows WITH replacement (which needs
+    global coordination), every row independently draws a replicate weight
+    from a Poisson(1)-like pmf, giving each of the {_BOOT_R} replicates a
+    valid bootstrap sample in ONE streaming pass. Here the draw is a
+    DETERMINISTIC sha256 hash of (replicate, event_id), so the "random"
+    resamples are engine-portable and the whole procedure is certifiable:
+    the replicate mean envelope (min/max over replicates) is the CI sketch.
+
+    Scale shape: a narrow ×{_BOOT_R} fan-out (no shuffle) then one
+    {_BOOT_R}-group hash aggregate with map-side partials — the bootstrap
+    of a 100 TB mean costs {_BOOT_R} weighted sums, not {_BOOT_R} shuffles.
+    Parity: weights and weighted sums are exact integers; each replicate
+    mean is one double division, min/max over replicates picked exactly.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = ev.select("event_id", F.expr(_CENTS).alias("c"))
+    rep = base.select(
+        "event_id",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    ).select(
+        "c",
+        "r",
+        F.expr(
+            "CAST(CONV(SUBSTRING(SHA2(CONCAT(CAST(r AS STRING), ':', "
+            "CAST(event_id AS STRING)), 256), 1, 8), 16, 10) AS BIGINT) % 32"
+        ).alias("hb"),
+    )
+    w = F.expr(_BOOT_W)
+    reps = rep.groupBy("r").agg(
+        F.sum(w * F.col("c")).cast("bigint").alias("wsum"),
+        F.sum(w).cast("bigint").alias("wn"),
+    )
+    mean = F.col("wsum").cast("double") / F.col("wn")
+    return reps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        F.min("wn").cast("bigint").alias("min_wn"),
+        (F.floor(F.min(mean) * 10000 + F.lit(0.5)) / 10000).alias("lo_mean_r4"),
+        (F.floor(F.max(mean) * 10000 + F.lit(0.5)) / 10000).alias("hi_mean_r4"),
+        F.sum("wsum").cast("bigint").alias("tot_wsum"),
+    )

@@ -187,3 +187,74 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- q_quality_freshness (cross-table freshness / staleness audit) -----------
+
+_FRESH_DAY_US = 86_400_000_000
+
+_FRESH_ORACLE = f"""
+WITH per_table AS (
+  SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_us
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         CAST(MAX(epoch_us(l_shipdate)) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+         CAST(MAX(epoch_us(ts)) AS BIGINT)
+  FROM events
+), anchor AS (
+  SELECT CAST(MAX(max_us) AS BIGINT) AS global_max FROM per_table
+)
+SELECT p.tbl, p.n_rows, p.max_us,
+       CAST((a.global_max - p.max_us) // {_FRESH_DAY_US} AS BIGINT)
+         AS staleness_days
+FROM per_table p CROSS JOIN anchor a
+"""
+
+
+@register("q_quality_freshness", oracle=_FRESH_ORACLE)
+def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table freshness audit: each time-bearing table's row count and
+    latest timestamp, plus its staleness in whole days behind the freshest
+    table — the "is the pipeline still loading" monitor that pages before
+    any business metric silently flatlines (companion to q_profile_nulls'
+    column-level and q_quality_rules' row-level checks: table-level is the
+    third tier of a data-quality stack).
+
+    Scale shape: one MAX/COUNT aggregate per table — map-side partials, a
+    3-row union, a single-row broadcast anchor. On a partitioned lake the
+    MAX(date) reads partition metadata, not data.
+    """
+    orders = load(spark, sf_dir, "orders").agg(
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max(F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+        .cast("bigint")
+        .alias("max_us"),
+    )
+    lineitem = load(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem").alias("tbl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max(F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"))
+        .cast("bigint")
+        .alias("max_us"),
+    )
+    events = load(spark, sf_dir, "events").agg(
+        F.lit("events").alias("tbl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("ts_us").cast("bigint").alias("max_us"),
+    )
+    per_table = orders.unionByName(lineitem).unionByName(events)
+    anchor = per_table.agg(F.max("max_us").cast("bigint").alias("global_max"))
+    return per_table.crossJoin(F.broadcast(anchor)).select(
+        "tbl",
+        "n_rows",
+        "max_us",
+        F.expr(f"CAST((global_max - max_us) div {_FRESH_DAY_US} AS BIGINT)").alias(
+            "staleness_days"
+        ),
+    )
