@@ -576,7 +576,7 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOOT_R = 10  # bootstrap replicates
 
 #: deterministic per-(row, replicate) weight with Poisson(1)-like pmf over
-#: {{0,1,2,3}} (p = 12/32, 12/32, 6/32, 2/32), derived from a portable
+#: {0,1,2,3} (p = 12/32, 12/32, 6/32, 2/32), derived from a portable
 #: sha256 hash — every engine draws the SAME bootstrap samples.
 _BOOT_W = (
     "CASE WHEN hb < 12 THEN 0 WHEN hb < 24 THEN 1 WHEN hb < 30 THEN 2 ELSE 3 END"
