@@ -1065,3 +1065,74 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_ingested"),
         )
     )
+
+
+# --- q_corpus_temperature (temperature-scaled language sampling weights) -----
+
+_TEMP_ALPHA_TEXT = "CAST(0.7 AS DOUBLE)"  # the mT5/XLM-R alpha
+
+_TEMP_ORACLE = f"""
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM per_lang
+), w AS (
+  SELECT p.lang, p.n, t.total,
+         CAST(FLOOR(EXP({_TEMP_ALPHA_TEXT}
+               * (FLOOR(LN(CAST(p.n AS DOUBLE) / t.total) * 1000000 + 0.5)
+                  / 1000000)) * 1000000 + 0.5) AS BIGINT) AS w_micros
+  FROM per_lang p CROSS JOIN tot t
+), wt AS (
+  SELECT CAST(SUM(w_micros) AS BIGINT) AS w_total FROM w
+)
+SELECT w.lang, w.n, w.w_micros,
+       FLOOR(CAST(w.n AS DOUBLE) / w.total * 10000 + 0.5) / 10000
+         AS raw_share_r4,
+       FLOOR(CAST(w.w_micros AS DOUBLE) / wt.w_total * 10000 + 0.5) / 10000
+         AS temp_share_r4
+FROM w CROSS JOIN wt
+"""
+
+
+@register("q_corpus_temperature", oracle=_TEMP_ORACLE)
+def q_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (α=0.7) — the
+    multilingual pretraining mix recipe (mT5 / XLM-R): sampling share
+    p_i^α / Σ p_j^α UPWEIGHTS low-resource languages without flattening
+    the mix entirely (α=1 reproduces raw shares, α=0 the uniform target
+    q_corpus_mix implements; this is the dial between them).
+
+    Parity engineering: p^α = exp(α·ln p) with ln micro-snapped BEFORE the
+    multiply and the weight itself snapped to integer micros — from there
+    the renormalized shares are exact-integer ratios divided once and
+    snapped r4 (same libm discipline as q_agg_decay / q_text_unigram_lm).
+
+    Scale shape: one per-lang count (map-side), two single-row broadcast
+    totals, a |langs|-row projection — the decision table a downstream
+    weighted sampler (q_sample_weighted's A-Res machinery) consumes.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = per_lang.agg(F.sum("n").cast("bigint").alias("total"))
+    w = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "total",
+        F.expr(
+            f"CAST(FLOOR(EXP({_TEMP_ALPHA_TEXT} "
+            f"* (FLOOR(LN(CAST(n AS DOUBLE) / total) * 1000000 + 0.5) "
+            f"/ 1000000)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("w_micros"),
+    )
+    wt = w.agg(F.sum("w_micros").cast("bigint").alias("w_total"))
+    return w.crossJoin(F.broadcast(wt)).select(
+        "lang",
+        "n",
+        "w_micros",
+        F.expr("FLOOR(CAST(n AS DOUBLE) / total * 10000 + 0.5) / 10000").alias(
+            "raw_share_r4"
+        ),
+        F.expr(
+            "FLOOR(CAST(w_micros AS DOUBLE) / w_total * 10000 + 0.5) / 10000"
+        ).alias("temp_share_r4"),
+    )

@@ -772,3 +772,110 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_r4"),
         )
     )
+
+
+# --- q_sim_mips (maximum inner product search + augmentation certificate) ----
+
+_MIPS_K = 3
+
+_MIPS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, emb AS cemb FROM e WHERE vec_id >= 10
+), m AS (
+  SELECT MAX(nrm) AS big_m FROM e WHERE vec_id >= 10
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qemb, cemb) AS ip,
+         list_dot_product(qemb, cemb) / (qnrm * m.big_m) AS aug_cos
+  FROM q CROSS JOIN c CROSS JOIN m
+), ranked AS (
+  SELECT query_id, neighbor_id, ip, aug_cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, neighbor_id) AS mips_rank,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY aug_cos DESC, neighbor_id) AS aug_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       FLOOR(ip * 10000 + 0.5) / 10000 AS ip_r4,
+       FLOOR(aug_cos * 10000 + 0.5) / 10000 AS aug_cos_r4,
+       CAST(mips_rank AS BIGINT) AS mips_rank,
+       mips_rank = aug_rank AS ranks_agree
+FROM ranked WHERE mips_rank <= {_MIPS_K}
+"""
+
+
+@register("q_sim_mips", oracle=_MIPS_ORACLE)
+def q_sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum Inner Product Search (MIPS) top-{_MIPS_K} with the
+    norm-augmentation REDUCTION certificate (Shrivastava & Li): appending
+    √(M²−‖x‖²) to each base vector (M = max base norm) turns inner-product
+    ranking into cosine ranking — the trick that lets cosine-only ANN
+    indexes (LSH buckets, IVF lists: q_sim_ann_lsh / q_sim_ivf) serve
+    recommendation-style MIPS queries. The output carries BOTH ranks per
+    candidate and `ranks_agree`, hash-proving the reduction row by row:
+    aug_cos = ip / (‖q‖·M) is a strictly monotone per-query transform of
+    ip, so the orders must coincide exactly.
+
+    Parity: both scores are the same left-to-right dot fold both engines
+    share; RANKING uses the raw doubles (bit-identical, ties broken by id)
+    and only the reported scores are r4-snapped. M is one exact double MAX.
+
+    Scale shape: the query side broadcasts over the base scan exactly like
+    q_sim_cosine_topk (the exact arm is the small-side verification
+    harness); at index scale the same reduction feeds the bucketed ANN
+    paths, which is the point of certifying it.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    e = e.select("vec_id", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb")
+    )
+    m = e.filter(F.col("vec_id") >= 10).agg(F.max("nrm").alias("big_m"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_expr("qemb", "cemb").alias("ip"),
+            (dot_expr("qemb", "cemb") / (F.col("qnrm") * F.col("big_m"))).alias(
+                "aug_cos"
+            ),
+        )
+    )
+    w_mips = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id")
+    )
+    w_aug = Window.partitionBy("query_id").orderBy(
+        F.col("aug_cos").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "ip",
+        "aug_cos",
+        F.row_number().over(w_mips).alias("mips_rank"),
+        F.row_number().over(w_aug).alias("aug_rank"),
+    )
+    return ranked.filter(F.col("mips_rank") <= _MIPS_K).select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(F.col("ip") * 10000 + F.lit(0.5)) / 10000).alias("ip_r4"),
+        (F.floor(F.col("aug_cos") * 10000 + F.lit(0.5)) / 10000).alias("aug_cos_r4"),
+        F.col("mips_rank").cast("bigint").alias("mips_rank"),
+        (F.col("mips_rank") == F.col("aug_rank")).alias("ranks_agree"),
+    )
