@@ -15,7 +15,7 @@ snapped to 4 decimals for output hygiene.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load
@@ -649,3 +649,254 @@ def q_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.max(mean) * 10000 + F.lit(0.5)) / 10000).alias("hi_mean_r4"),
         F.sum("wsum").cast("bigint").alias("tot_wsum"),
     )
+
+
+# --- q_docs_chisq (chi-square independence of lang × source) -----------------
+
+_CHISQ_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+), rows_t AS (
+  SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY lang
+), cols_t AS (
+  SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY source
+), n_t AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs
+), cells AS (
+  SELECT rows_t.lang, cols_t.source, rows_t.r, cols_t.c, n_t.n,
+         COALESCE(obs.o, 0) AS o
+  FROM rows_t CROSS JOIN cols_t CROSS JOIN n_t
+  LEFT JOIN obs ON obs.lang = rows_t.lang AND obs.source = cols_t.source
+), contrib AS (
+  SELECT CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE) / (r * c * n) AS t
+  FROM cells
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
+       (SELECT CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT)
+        FROM cells) AS dof,
+       FLOOR(CAST(SUM(CAST(t AS DECIMAL(27,7))) AS DOUBLE) * 10000 + 0.5) / 10000
+         AS chi2_r4
+FROM contrib
+"""
+
+
+@register("q_docs_chisq", oracle=_CHISQ_ORACLE)
+def q_docs_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document language
+    and source — the standard "is my corpus mix balanced across crawls"
+    diagnostic before training-data mixing.
+
+    Parity engineering: the full contingency table INCLUDES structurally
+    empty cells (row×column cross join, observed counts left-joined in) —
+    dropping zero cells understates chi². Each cell's contribution uses
+    the all-integer numerator (o·N − r·c)² over the integer denominator
+    r·c·N (exact bigints at this table's magnitudes), one double division
+    per cell, and the cell sum goes through the exact-decimal cast so it
+    is partition-order independent. dof = (|langs|−1)(|sources|−1).
+
+    Scale shape: one hash aggregate over the fact table; everything after
+    operates on the ~100-row contingency table (broadcast joins). At
+    100 TB the fact scan dominates and nothing else grows."""
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rows_t = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_t = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
+    n_t = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    cells = (
+        rows_t.crossJoin(F.broadcast(cols_t))
+        .crossJoin(F.broadcast(n_t))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "r",
+            "c",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0).cast("bigint")).alias("o"),
+        )
+    )
+    contrib = cells.select(
+        F.expr(
+            "CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE) / (r * c * n)"
+        ).alias("t"),
+        "lang",
+        "source",
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            (F.count_distinct(F.col("lang")) - 1)
+            * (F.count_distinct(F.col("source")) - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        (
+            F.floor(
+                F.sum(F.col("t").cast("decimal(27,7)")).cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("chi2_r4"),
+    )
+
+
+# --- q_events_ks (exact two-sample Kolmogorov-Smirnov) -----------------------
+
+_KS_ORACLE = """
+WITH pts AS (
+  SELECT value AS v,
+         CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS db
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY value
+), cum AS (
+  SELECT CAST(SUM(da) OVER (ORDER BY v) AS BIGINT) AS ca,
+         CAST(SUM(db) OVER (ORDER BY v) AS BIGINT) AS cb
+  FROM pts
+), tot AS (
+  SELECT MAX(ca) AS na, MAX(cb) AS nb FROM cum
+)
+SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST(MAX(ABS(ca * nb - cb * na)) AS BIGINT) AS d_num,
+       FLOOR(CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE) / (na * nb) * 10000 + 0.5)
+         / 10000 AS d_r4
+FROM cum CROSS JOIN tot
+GROUP BY na, nb
+"""
+
+
+@register("q_events_ks", oracle=_KS_ORACLE)
+def q_events_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the `value`
+    distributions of two event types — the distribution-drift test that
+    needs no binning choice (unlike a chi-square over buckets).
+
+    Parity engineering: the supremum is computed over the merged support
+    as MAX|ca·Nb − cb·Na| in exact integers (the float D = sup|F_a−F_b|
+    follows by ONE double division), so there is no accumulated-float
+    ECDF anywhere and ties in `v` collapse into one support point on both
+    engines identically.
+
+    Scale shape: one hash aggregate collapses the fact to its distinct
+    value support, then one global ordered window computes both running
+    counts in a single sort. The support is bounded by value cardinality
+    (≪ row count); if the support itself were huge, the same math
+    partitions by value range with per-range offsets (documented, not
+    needed here)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pts = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("da"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("db"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        F.sum("da").over(w).cast("bigint").alias("ca"),
+        F.sum("db").over(w).cast("bigint").alias("cb"),
+    )
+    tot = cum.agg(F.max("ca").alias("na"), F.max("cb").alias("nb"))
+    return (
+        cum.join(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+            .cast("bigint")
+            .alias("d_num"),
+            (
+                F.floor(
+                    F.max(
+                        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+                    ).cast("double")
+                    / (F.col("na") * F.col("nb"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("d_r4"),
+        )
+        .select(
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            "d_num",
+            "d_r4",
+        )
+    )
+
+
+# --- q_agg_linreg (grouped OLS via exact sufficient statistics) --------------
+
+#: OLS closed forms over the double-cast exact sums — ONE shared text so
+#: both engines build identical IEEE trees. sxy etc. are decimal-exact sums
+#: cast to double (bigint products would overflow at 100 TB row counts).
+_LR_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+_LR_ICEPT = f"((sy - {_LR_SLOPE} * sx) / n)"
+_LR_R2 = (
+    "((n * sxy - sx * sy) * (n * sxy - sx * sy) "
+    "/ ((n * sxx - sx * sx) * (n * syy - sy * sy)))"
+)
+
+_LINREG_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,7))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       FLOOR({_LR_SLOPE} * 10000 + 0.5) / 10000 AS slope_r4,
+       FLOOR({_LR_ICEPT} * 10000 + 0.5) / 10000 AS intercept_r4,
+       FLOOR({_LR_R2} * 10000 + 0.5) / 10000 AS r2_r4
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+@register("q_agg_linreg", oracle=_LINREG_ORACLE)
+def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity per return
+    flag) from one-pass sufficient statistics — the REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2 family expressed as a single hash aggregate.
+
+    Parity engineering: the six sufficient statistics are exact decimal
+    sums (order-independent; bigint products of squared prices would
+    overflow at 100 TB row counts, decimals don't), cast to double once,
+    and all three closed forms evaluate from ONE shared expression text.
+
+    Scale shape: a single map-side-combined aggregate — the whole
+    regression is 6 numbers per group, the textbook mergeable-state
+    pattern (same family as q_agg_corr / q_window_rolling_corr)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(27,7)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,7)")).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(27,7)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(27,7)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(27,7)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(f"FLOOR({_LR_SLOPE} * 10000 + 0.5) / 10000").alias("slope_r4"),
+        F.expr(f"FLOOR({_LR_ICEPT} * 10000 + 0.5) / 10000").alias("intercept_r4"),
+        F.expr(f"FLOOR({_LR_R2} * 10000 + 0.5) / 10000").alias("r2_r4"),
+    ).orderBy("l_returnflag")

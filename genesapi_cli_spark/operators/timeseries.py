@@ -1626,3 +1626,93 @@ def q_orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_days"),
     )
+
+
+# --- q_window_rsi ------------------------------------------------------------
+
+_RSI_N = 14  # trailing frame length (days with activity)
+
+_RSI_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY day_idx
+), delta AS (
+  SELECT day_idx, cents,
+         cents - LAG(cents) OVER (ORDER BY day_idx) AS d
+  FROM daily
+), gl AS (
+  SELECT day_idx,
+         CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END)
+              OVER w AS BIGINT) AS sum_gain,
+         CAST(SUM(CASE WHEN d < 0 THEN -d ELSE 0 END)
+              OVER w AS BIGINT) AS sum_loss,
+         COUNT(d) OVER w AS n_d
+  FROM delta
+  WINDOW w AS (ORDER BY day_idx
+               ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day_idx, sum_gain, sum_loss,
+       FLOOR(CAST(100 * sum_gain AS DOUBLE) / (sum_gain + sum_loss) * 10000 + 0.5)
+         / 10000 AS rsi_r4
+FROM gl
+WHERE n_d = {_RSI_N} AND sum_gain + sum_loss > 0
+"""
+
+
+@register("q_window_rsi", oracle=_RSI_ORACLE)
+def q_window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI (relative strength index, simple-average variant)
+    over the daily purchase-revenue series — the bounded momentum
+    oscillator (RSI = 100·gain/(gain+loss) over the trailing frame, the
+    algebraic identity for 100 − 100/(1+RS)).
+
+    Parity engineering: daily revenue is exact integer cents; day index is
+    integer µs floor-division (no timezone/date rendering); deltas, gains
+    and losses stay bigint through the window sums, and the only float op
+    is the final shared division before the r4 snap. Rows with fewer than
+    14 trailing deltas, or an all-flat frame, are excluded on both sides.
+
+    Scale shape: the fact collapses to one row per day in a map-side
+    combined aggregate, so the single ordered window runs over a tiny
+    series (range-partitionable by coarse time blocks with frame overlap
+    if the series itself were huge)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("day_idx")
+    ).agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("cents"))
+    w_lag = Window.orderBy("day_idx")
+    delta = daily.select(
+        "day_idx",
+        (F.col("cents") - F.lag("cents").over(w_lag)).alias("d"),
+    )
+    w = Window.orderBy("day_idx").rowsBetween(-(_RSI_N - 1), Window.currentRow)
+    gl = delta.select(
+        "day_idx",
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("sum_gain"),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("sum_loss"),
+        F.count("d").over(w).alias("n_d"),
+    )
+    return gl.filter(
+        (F.col("n_d") == _RSI_N) & (F.col("sum_gain") + F.col("sum_loss") > 0)
+    ).select(
+        "day_idx",
+        "sum_gain",
+        "sum_loss",
+        (
+            F.floor(
+                (F.lit(100) * F.col("sum_gain")).cast("double")
+                / (F.col("sum_gain") + F.col("sum_loss"))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("rsi_r4"),
+    )

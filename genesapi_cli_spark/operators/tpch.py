@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load
-from genesapi_cli_spark.registry import dec_sum, oracle_dec_sum, register
+from genesapi_cli_spark.registry import DEC, dec_sum, oracle_dec_sum, register
 
 _REV = "l_extendedprice * (1 - l_discount)"
 
@@ -583,4 +583,486 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+# --- Q8: national market share ----------------------------------------------
+
+_Q8_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                     THEN CAST({_REV} AS DECIMAL(27,7))
+                     ELSE CAST(0 AS DECIMAL(27,7)) END) AS DOUBLE)
+         / CAST(SUM(CAST({_REV} AS DECIMAL(27,7))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part     ON p_partkey  = l_partkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey  = o_custkey
+JOIN (SELECT s_suppkey, n_name AS supp_nation
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey) s
+     ON s.s_suppkey = l_suppkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region    ON r_regionkey = cn.n_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q_tpch_q8", oracle=_Q8_ORACLE)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue sold into
+    EUROPE-region customers, per order year. Classic market-share CASE
+    ratio: both the conditional numerator and the denominator are exact
+    decimal sums folded into ONE hash aggregate over the joined fact, then
+    a single double division — no second pass, no join of two aggregates.
+
+    Scale shape: part/supplier/customer-nation/region dims all broadcast;
+    the fact shuffles once on o_year (7 groups → map-side combine does
+    nearly all the work). The p_type predicate prunes the part build side
+    before broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_nat = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_eur = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    rev = F.expr(_REV).cast(DEC)
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust_eur), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp_nat), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                        F.lit(0).cast(DEC)
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- Q9: product-type profit ------------------------------------------------
+
+_PROFIT = (
+    "l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity"
+)
+
+_Q9_ORACLE = f"""
+SELECT supp_nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {oracle_dec_sum(_PROFIT, 'sum_profit')}
+FROM lineitem
+JOIN part   ON p_partkey  = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN (SELECT s_suppkey, n_name AS supp_nation
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey) s
+     ON s.s_suppkey = l_suppkey
+WHERE p_name LIKE '%green%' OR p_name LIKE '%red%'
+GROUP BY supp_nation, o_year
+ORDER BY supp_nation, o_year
+"""
+
+
+@register("q_tpch_q9", oracle=_Q9_ORACLE)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for
+    color-named parts. The testdata has no partsupp, so supply cost is the
+    standard retail-margin proxy (60% of p_retailprice per unit) — the
+    plan shape (LIKE-filtered part dim, 4-way star join, two-level group)
+    is what Q9 exercises, and the profit expression is identical IEEE
+    arithmetic on both engines before the exact decimal sum.
+
+    Scale shape: LIKE prunes part to ~25% before broadcast; one shuffle on
+    (supp_nation, o_year) ≈ 175 groups."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%green%") | F.col("p_name").like("%red%")
+    )
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    supp_nat = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp_nat), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(dec_sum(F.expr(_PROFIT), "sum_profit"))
+        .orderBy("supp_nation", "o_year")
+    )
+
+
+# --- Q11: important stock ----------------------------------------------------
+
+_Q11_FRACTION = "0.0008"
+
+_Q11_ORACLE = f"""
+WITH pv AS (
+  SELECT l_partkey, {oracle_dec_sum('l_extendedprice', 'part_value')}
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM pv
+WHERE part_value > {_Q11_FRACTION} * (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) FROM lineitem)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("q_tpch_q11", oracle=_Q11_ORACLE)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total traded value exceeds a fixed
+    fraction of the corpus-wide value (the testdata has no partsupp, so
+    lineitem extendedprice stands in for supplycost*availqty — the shape
+    under test is the group-agg + scalar-subquery-threshold HAVING).
+
+    Scale shape: the global total is DERIVED from the per-part aggregate
+    (one fact scan, one shuffle) and broadcast back as a 1-row literal —
+    not a second scan of the fact, which is what a naive translation of
+    the scalar subquery would do. Both sides sum exact decimals, and the
+    threshold comparison is double*double on identical values."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pv = li.groupBy("l_partkey").agg(dec_sum("l_extendedprice", "part_value_dec"))
+    # total from the per-part aggregate: re-sum the exact decimal partials
+    total = pv.agg(
+        F.sum(F.col("part_value_dec").cast(DEC)).cast("double").alias("total_value")
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .filter(
+            F.col("part_value_dec")
+            > F.lit(0.0008) * F.col("total_value")
+        )
+        .select("l_partkey", F.col("part_value_dec").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# --- Q12: shipping-priority classes ------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY ship_class
+ORDER BY ship_class
+"""
+
+
+@register("q_tpch_q12", oracle=_Q12_ORACLE)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority line counts per shipping
+    class for one ship year (the testdata has no l_shipmode; l_returnflag
+    is the 3-value class column standing in). The CASE pivot folds both
+    counts into one hash aggregate; the year predicate prunes the lineitem
+    scan before the join; 3 output groups mean map-side combine collapses
+    virtually all rows before the single shuffle."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+# --- Q13: customer order-count distribution -----------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q_tpch_q13", oracle=_Q13_ORACLE)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the customer order-count histogram — a LEFT join with an
+    extra non-equi predicate (so customers keep count 0), a per-customer
+    COUNT of the non-null side, then a second aggregate over the counts.
+    COUNT(o_orderkey) counts only matched rows, exactly the SQL semantics.
+
+    Scale shape: two shuffles by construction (c_custkey, then c_count);
+    the second input is one row per customer, already tiny. The filter on
+    orders is pushed to its scan even though it sits in the LEFT join's ON
+    clause."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- Q15: top supplier --------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {oracle_dec_sum(_REV, 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q_tpch_q15", oracle=_Q15_ORACLE)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with the maximum quarterly revenue — the
+    classic view-reuse query. The revenue "view" is computed ONCE; its max
+    comes from re-aggregating the tiny per-supplier result (100 rows), not
+    a second fact scan, and joins back as a broadcast 1-row equality.
+    Revenue values compare exactly because both arms reuse the same
+    decimal-summed doubles."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(F.expr(_REV), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q17: small-quantity-order revenue ----------------------------------------
+
+_Q17_ORACLE = """
+WITH avg_qty AS (
+  SELECT l_partkey AS ap_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS part_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem
+JOIN part    ON p_partkey = l_partkey
+JOIN avg_qty ON ap_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size <= 10
+  AND l_quantity < 0.5 * part_avg
+"""
+
+
+@register("q_tpch_q17", oracle=_Q17_ORACLE)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue that would vanish without small-quantity orders.
+    The correlated AVG-per-part subquery decorrelates into a per-part
+    pre-aggregate joined back to the fact — Spark expresses exactly that
+    plan. The average is the order-independent exact-decimal-sum /
+    count division, so the `l_quantity < 0.5 * avg` cut falls identically
+    on both engines.
+
+    Scale shape: the per-part aggregate shuffles once on l_partkey and the
+    back-join reuses that partitioning; the brand/size filter prunes part
+    to a broadcast."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "part_avg"
+        )
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("ap_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("part_avg"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+        )
+    )
+
+
+# --- Q20: potential part promotion --------------------------------------------
+
+_Q20_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'hot%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 400
+)
+ORDER BY s_suppkey
+"""
+
+
+@register("q_tpch_q20", oracle=_Q20_ORACLE)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved a promotable volume of
+    hot-named parts in one year (no partsupp in the testdata, so shipped
+    quantity stands in for availqty — preserving the nested
+    filter→aggregate→HAVING→semi-join pipeline that makes Q20 a planning
+    benchmark). Quantities sum as exact integers; the semi-join build side
+    is the ~dozens-row HAVING survivor set, broadcast."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("hot%"))
+    supplier = load(spark, sf_dir, "supplier")
+    movers = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q22: global sales opportunity --------------------------------------------
+
+_Q22_CODES = "('11', '13', '17', '19', '22', '25', '31')"
+
+_Q22_ORACLE = f"""
+WITH pos_avg AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer
+  WHERE c_acctbal > 0.0 AND substring(c_name, 17, 2) IN {_Q22_CODES}
+)
+SELECT substring(c_name, 17, 2) AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {oracle_dec_sum('c_acctbal', 'totacctbal')}
+FROM customer, pos_avg
+WHERE substring(c_name, 17, 2) IN {_Q22_CODES}
+  AND c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@register("q_tpch_q22", oracle=_Q22_ORACLE)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-dormant customers by "country code" (the
+    testdata has no c_phone; the last-two digits of c_name stand in;
+    "dormant" means no order since 1999 — every testdata customer has
+    SOME order, so the unrestricted NOT EXISTS would be vacuous).
+    Three classic pieces in one plan: a scalar AVG subquery over a
+    filtered slice, a NOT EXISTS anti-join against orders, and a final
+    rollup per code.
+
+    Scale shape: the scalar average derives from the same filtered
+    customer slice (computed once, broadcast as one row); the anti-join
+    build side is orders' distinct custkeys. The average is the exact
+    decimal-sum / count division so the `>` cut matches DuckDB exactly."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.substring("c_name", 17, 2).isin("11", "13", "17", "19", "22", "25", "31")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    pos_avg = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        cust.join(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "anti")
+        .groupBy(F.substring("c_name", 17, 2).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            dec_sum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("cntrycode")
     )
