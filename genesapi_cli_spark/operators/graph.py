@@ -325,3 +325,85 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_r4"),
         )
     )
+
+
+# --- q_graph_kcore -----------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+_KCORE_ORACLE = f"""{_EDGES_SQL}, e0 AS (
+  SELECT pa, pb FROM edges
+), k1 AS (
+  SELECT node FROM (SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0)
+  GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+), e1 AS (
+  SELECT pa, pb FROM e0
+  WHERE pa IN (SELECT node FROM k1) AND pb IN (SELECT node FROM k1)
+), k2 AS (
+  SELECT node FROM (SELECT pa AS node FROM e1 UNION ALL SELECT pb FROM e1)
+  GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+), e2 AS (
+  SELECT pa, pb FROM e1
+  WHERE pa IN (SELECT node FROM k2) AND pb IN (SELECT node FROM k2)
+), k3 AS (
+  SELECT node FROM (SELECT pa AS node FROM e2 UNION ALL SELECT pb FROM e2)
+  GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+), e3 AS (
+  SELECT pa, pb FROM e2
+  WHERE pa IN (SELECT node FROM k3) AND pb IN (SELECT node FROM k3)
+)
+SELECT * FROM (
+  SELECT 1 AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_nodes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges
+  UNION ALL
+  SELECT 2, (SELECT COUNT(*) FROM k2), (SELECT COUNT(*) FROM e2)
+  UNION ALL
+  SELECT 3, (SELECT COUNT(*) FROM k3), (SELECT COUNT(*) FROM e3)
+)
+ORDER BY round
+"""
+
+
+@register("q_graph_kcore", oracle=_KCORE_ORACLE)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling of the co-purchase graph: iteratively drop nodes with
+    degree < 2 and their incident edges, reporting surviving node/edge
+    counts after each of 3 peel rounds — the standard "remove the dangling
+    fringe before community detection" preprocessing, and the per-round
+    trace shows convergence (the testdata graph stabilizes by round 3).
+
+    Scale shape: the rounds are UNROLLED into one declarative plan — a
+    fixed round budget, no driver-synchronized `.count()` loop (the same
+    design rule as the log-round connected components). Each round is one
+    degree aggregate + two semi-joins on the surviving node set; the edge
+    list is checkpointed once at the start so the peel rounds reread cached
+    blocks instead of regenerating baskets."""
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=False
+    )
+    per_round = []
+    e = edges
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("pa").alias("node"))
+            .unionAll(e.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= _KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "pa"), "pa", "semi")
+            .join(keep.withColumnRenamed("node", "pb"), "pb", "semi")
+            .select("pa", "pb")
+            .localCheckpoint(eager=False)
+        )
+        per_round.append(
+            keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .crossJoin(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+            .select(F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+    out = per_round[0]
+    for df in per_round[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("round")

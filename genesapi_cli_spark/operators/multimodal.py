@@ -498,3 +498,124 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         _audio_energy,
         schema="doc_id long, frame_idx long, n_samples long, energy_q long",
     )
+
+
+# --- q_multimodal_ahash ------------------------------------------------------
+
+_AHASH_BYTES = 240  # 60 blocks × 4 bytes/block → a 60-bit hash (63-bit safe)
+_AHASH_MAXDIST = 6  # report pairs within this hamming distance
+
+_AHASH_ORACLE = f"""
+WITH padded AS (
+  SELECT doc_id, rpad(substring(text, 1, {_AHASH_BYTES}), {_AHASH_BYTES}, ' ') AS p
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0,60), b -> list_sum(list_transform(range(1,5),
+            i -> ascii(substring(p, b*4+i, 1))))) AS blocks
+  FROM padded
+), tot AS (
+  SELECT doc_id, blocks, list_sum(blocks) AS total FROM sig
+), h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0,60),
+            j -> CASE WHEN blocks[j+1]*60 > total
+                      THEN (CAST(1 AS BIGINT)<<j) ELSE 0 END)) AS BIGINT) AS h60
+  FROM tot
+), bands AS (
+  SELECT doc_id, h60, b AS band_idx, (h60 >> (15*b)) & 32767 AS band_val
+  FROM h, UNNEST(range(0,4)) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h60 AS ha, b.h60 AS hb
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                            AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {_AHASH_MAXDIST}
+"""
+
+
+@register("q_multimodal_ahash", oracle=_AHASH_ORACLE)
+def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection for binary assets via a 60-bit
+    average-hash (aHash): the payload's leading 240 bytes split into 60
+    blocks, bit_j = (block_j mean > global mean), then banded LSH over four
+    15-bit bands so candidate generation is an EQUI-join on band values —
+    never an all-pairs hamming scan — and only candidates sharing a band
+    pay the bit_count(xor) verification. The pigeonhole bound makes recall
+    exact for hamming ≤ 3 (a pair within 3 bit flips MUST agree on one of
+    4 bands); pairs in (3, 6] are best-effort, the standard pHash-pipeline
+    trade (tighten by adding bands at write time, not by widening scans).
+
+    The "image" is the documents payload byte-viewed (same ASCII-grid
+    convention as q_multimodal_resize — 1 byte/px, codec-less container);
+    with a real codec the hash would be computed over decoded 8×8
+    downsampled luma in the same mapInPandas slot, leaving this ENTIRE
+    candidate/verify plan unchanged.
+
+    Scale shape: hash construction is one in-row projection (JVM HOFs over
+    a 60-element array); the LSH join shuffles (band_idx, band_val) keys
+    only — payloads never move; verification touches two 8-byte ints per
+    candidate."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.rpad(F.substring("text", 1, _AHASH_BYTES), _AHASH_BYTES, " ").alias("p"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0,59), b -> aggregate(transform(sequence(1,4), "
+            "i -> ascii(substring(p, b*4+i, 1))), 0, (a,x) -> a + x))"
+        ).alias("blocks"),
+    ).select(
+        "doc_id",
+        "blocks",
+        F.expr("aggregate(blocks, 0, (a,x) -> a+x)").alias("total"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(sequence(0,59), "
+            "j -> IF(element_at(blocks, j+1)*60 > total, "
+            "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (a,x) -> a+x)"
+        ).alias("h60"),
+    )
+    # Barrier: without it CollapseProject inlines the 240-call block
+    # expression into every one of the 60 bit lambdas (and again into
+    # `total`), a ~15k-node expression tree that takes minutes to codegen
+    # and evaluate. The hash table is one long per doc — materialize it.
+    h = h.localCheckpoint(eager=False)
+    bands = h.select(
+        "doc_id",
+        "h60",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "h60",
+        "band_idx",
+        F.expr("shiftright(h60, 15*band_idx) & 32767").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h60").alias("ha"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h60").alias("hb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"),
+    ).filter(F.col("hamming") <= _AHASH_MAXDIST)

@@ -1428,3 +1428,95 @@ def q_text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FLOOR(CAST(n_dup AS DOUBLE) / n_sents * 10000 + 0.5) / 10000"
         ).alias("dup_share_r4"),
     )
+
+
+# --- q_text_filter_funnel ----------------------------------------------------
+
+_FUNNEL_STAGES = """
+WITH m AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+), staged AS (
+  SELECT doc_id,
+         CASE
+           WHEN n_chars < 100 THEN '1_too_short'
+           WHEN n_chars > 450 THEN '2_too_long'
+           WHEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens < 4.0
+             OR CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens > 10.0
+             THEN '3_word_len'
+           WHEN n_distinct * 10 < n_tokens * 4 THEN '4_low_diversity'
+           ELSE '5_kept'
+         END AS stage
+  FROM m
+)
+"""
+
+_FUNNEL_ORACLE = f"""
+{_FUNNEL_STAGES}
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       FLOOR(CAST(COUNT(*) * 100 AS DOUBLE)
+             / (SELECT COUNT(*) FROM staged) * 10000 + 0.5) / 10000 AS pct_r4
+FROM staged
+GROUP BY stage
+ORDER BY stage
+"""
+
+
+@register("q_text_filter_funnel", oracle=_FUNNEL_ORACLE)
+def q_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-filter drop accounting: every document is attributed to the
+    FIRST quality rule that rejects it (length floor, length cap, mean
+    word length band, type-token diversity floor) or to the survivor
+    bucket — the per-rule loss report every pre-training filter pipeline
+    ships with, because "we kept 62%" is useless without knowing which
+    rule ate the other 38%.
+
+    Parity engineering: every rule is integer arithmetic except the mean
+    word length band (one double division built identically on both
+    engines); the diversity floor is the integer cross-multiplication
+    n_distinct/n_tokens < 0.4 ≡ 10·n_distinct < 4·n_tokens. Percentages
+    divide two exact counts, the denominator DERIVED from the same staged
+    relation (not a second scan) and broadcast.
+
+    Scale shape: one projection pass + a 5-group hash aggregate; at
+    100 TB this is scan-bound, which is the point of running all rules in
+    a single CASE rather than one pass per rule."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = F.split(F.col("text"), " ")
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_wlen = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    staged = docs.select(
+        F.when(n_chars < 100, "1_too_short")
+        .when(n_chars > 450, "2_too_long")
+        .when((mean_wlen < 4.0) | (mean_wlen > 10.0), "3_word_len")
+        .when(n_distinct * 10 < n_tokens * 4, "4_low_diversity")
+        .otherwise("5_kept")
+        .alias("stage")
+    )
+    counts = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "stage",
+            "n_docs",
+            (
+                F.floor(
+                    (F.col("n_docs") * 100).cast("double")
+                    / F.col("n_total")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("pct_r4"),
+        )
+        .orderBy("stage")
+    )
