@@ -1136,3 +1136,205 @@ def q_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FLOOR(CAST(w_micros AS DOUBLE) / w_total * 10000 + 0.5) / 10000"
         ).alias("temp_share_r4"),
     )
+
+
+# --- q_dedup_eval ------------------------------------------------------------
+
+_EVAL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS parts, lower(text) AS lt
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(
+           CASE WHEN len(parts) >= 3
+                THEN list_transform(range(1, len(parts) - 1),
+                     i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2]))
+                ELSE [lt] END
+         ) AS g
+  FROM t
+), sz AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b
+    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), pairs AS (
+  SELECT doc_a, doc_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE n_inter * 5 > sa.sz + sb.sz - n_inter
+), h AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(sha256(CAST(seed AS VARCHAR) || ':' || g), 1, 8))::BIGINT)
+           AS mh
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, {_PMH_SEEDS - 1})) AS seed)
+  GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id,
+         MAX(CASE WHEN seed = 0 THEN mh END) AS m0,
+         MAX(CASE WHEN seed = 1 THEN mh END) AS m1,
+         MAX(CASE WHEN seed = 2 THEN mh END) AS m2,
+         MAX(CASE WHEN seed = 3 THEN mh END) AS m3
+  FROM h GROUP BY doc_id
+), scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) AS j_exact,
+         (CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END
+        + CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END
+        + CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END
+        + CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) / 4.0 AS j_est
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       FLOOR(CAST(SUM(CAST(ABS(j_est - j_exact) AS DECIMAL(27,7))) AS DOUBLE)
+             / COUNT(*) * 10000 + 0.5) / 10000 AS mae_r4,
+       FLOOR(CAST(SUM(CAST(j_est - j_exact AS DECIMAL(27,7))) AS DOUBLE)
+             / COUNT(*) * 10000 + 0.5) / 10000 AS bias_r4
+FROM scored
+"""
+
+
+@register("q_dedup_eval", oracle=_EVAL_ORACLE)
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-accuracy certificate for the MinHash dedup ladder: over
+    the exact-Jaccard ground-truth pairs (same-lang, shared-shingle,
+    J > 0.2), compare the 4-seed portable-minhash signature agreement
+    against exact 3-gram Jaccard and report MAE and signed bias — the
+    audit that tells you whether your LSH stage's τ threshold is actually
+    calibrated before you delete a few billion documents with it.
+    E[agreement] = J per MinHash theory; the 4-seed estimator is coarse
+    (granularity 0.25), which is exactly what the MAE quantifies.
+
+    Parity engineering: the same sha256-portable minhash as
+    q_dedup_minhash_portable (dedup.py:688); exact J is one double
+    division of integers; the J > 0.2 gate is integer cross-multiplied;
+    per-pair errors cross the final aggregate as exact decimals.
+
+    Scale shape: ground truth confines quadratic work to shared-shingle
+    blocks (the q_dedup_ngram_jaccard plan); signatures attach by two
+    doc-keyed joins; the verdict is a 1-row aggregate. At 100 TB this runs
+    on a SAMPLE of blocks — the certificate's cost model, not its shape,
+    changes."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select(
+        "doc_id", "lang", "text", F.split(F.lower("text"), " ").alias("parts")
+    )
+    p = F.col("parts")
+    long_docs = base.filter(F.size(p) >= 3).select(
+        "doc_id",
+        "lang",
+        "parts",
+        F.explode(F.sequence(F.lit(1), F.size(p) - 2)).alias("i"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.concat_ws(
+            " ", *[F.element_at("parts", F.col("i") + k) for k in range(3)]
+        ).alias("g"),
+    )
+    short_docs = base.filter(F.size(p) < 3).select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("g")
+    )
+    sh = long_docs.unionByName(short_docs).distinct().localCheckpoint(eager=False)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g")
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("g").alias("gb"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("g") == F.col("gb"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    pairs = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            F.col("n_inter") * 5 > F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+        )
+    )
+    seeded = sh.crossJoin(
+        F.broadcast(
+            docs.sparkSession.range(_PMH_SEEDS).select(
+                F.col("id").cast("int").alias("seed")
+            )
+        )
+    )
+    h32 = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("g")), 256
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    mh = seeded.groupBy("doc_id", "seed").agg(F.min(h32).alias("mh"))
+    sig = mh.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("seed") == s, F.col("mh"))).alias(f"m{s}")
+            for s in range(_PMH_SEEDS)
+        ]
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{s}").alias(f"a{s}") for s in range(_PMH_SEEDS)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{s}").alias(f"b{s}") for s in range(_PMH_SEEDS)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_PMH_SEEDS)
+    )
+    scored = (
+        pairs.join(F.broadcast(sig_a), "doc_a")
+        .join(F.broadcast(sig_b), "doc_b")
+        .select(
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("j_exact"),
+            (agree / F.lit(4.0)).alias("j_est"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (
+            F.floor(
+                F.sum(F.abs(F.col("j_est") - F.col("j_exact")).cast("decimal(27,7)"))
+                .cast("double")
+                / F.count(F.lit(1))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("mae_r4"),
+        (
+            F.floor(
+                F.sum((F.col("j_est") - F.col("j_exact")).cast("decimal(27,7)"))
+                .cast("double")
+                / F.count(F.lit(1))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("bias_r4"),
+    )

@@ -900,3 +900,194 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"FLOOR({_LR_ICEPT} * 10000 + 0.5) / 10000").alias("intercept_r4"),
         F.expr(f"FLOOR({_LR_R2} * 10000 + 0.5) / 10000").alias("r2_r4"),
     ).orderBy("l_returnflag")
+
+
+# --- q_events_cuped (CUPED variance-reduced A/B means) -----------------------
+
+#: θ and the adjusted mean from double-cast exact sums — ONE shared text.
+_CUPED_THETA = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-07-01 00:00:00'
+                        AND event_type = 'click' THEN {_CENTS} ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-07-01 00:00:00'
+                        AND event_type = 'purchase' THEN {_CENTS} ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), pooled AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(27,7))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(27,7))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(27,7))) AS DOUBLE) AS sxy
+  FROM per_user
+), arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE) AS asx,
+         CAST(SUM(CAST(y AS DECIMAL(27,7))) AS DOUBLE) AS asy
+  FROM per_user GROUP BY arm
+)
+SELECT arm, n_users,
+       FLOOR(asy / n_users * 10000 + 0.5) / 10000 AS mean_y_r4,
+       FLOOR((asy / n_users - {_CUPED_THETA} * (asx / n_users - sx / n))
+             * 10000 + 0.5) / 10000 AS mean_y_cuped_r4,
+       FLOOR({_CUPED_THETA} * 10000 + 0.5) / 10000 AS theta_r4
+FROM arms CROSS JOIN pooled
+ORDER BY arm
+"""
+
+
+@register("q_events_cuped", oracle=_CUPED_ORACLE)
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B outcome means: pre-period click
+    spend is the covariate X, post-period purchase spend the outcome Y,
+    θ = cov(X,Y)/var(X) fitted on the POOLED population (the standard
+    unbiased choice), and each arm reports mean(Y) alongside the adjusted
+    mean(Y) − θ·(mean(X_arm) − mean(X_pooled)) — the estimator that makes
+    experiments read out days earlier at the same power.
+
+    Parity engineering: X and Y are exact per-user integer cents built in
+    ONE conditional pass over events; pooled moments are decimal-exact
+    sums (bigint x² would overflow at 100 TB user counts) cast to double
+    once; θ and both means evaluate from shared expression text.
+
+    Scale shape: one user-keyed aggregate over the fact, then a 2-row arm
+    aggregate and a 1-row pooled aggregate (derived from the same
+    per-user relation, broadcast back). Nothing after the first shuffle
+    grows with data."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-07-01 00:00:00").cast("timestamp_ntz")
+    cents = F.expr(_CENTS)
+    per_user = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.sum(
+            F.when((F.col("ts") < cutoff) & (F.col("event_type") == "click"), cents)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.col("ts") >= cutoff) & (F.col("event_type") == "purchase"), cents
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(27,7)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(27,7)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(27,7)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(27,7)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("x").cast("decimal(27,7)")).cast("double").alias("asx"),
+        F.sum(F.col("y").cast("decimal(27,7)")).cast("double").alias("asy"),
+    )
+    return (
+        arms.join(F.broadcast(pooled))
+        .select(
+            "arm",
+            "n_users",
+            F.expr("FLOOR(asy / n_users * 10000 + 0.5) / 10000").alias("mean_y_r4"),
+            F.expr(
+                f"FLOOR((asy / n_users - {_CUPED_THETA} * (asx / n_users - sx / n))"
+                " * 10000 + 0.5) / 10000"
+            ).alias("mean_y_cuped_r4"),
+            F.expr(f"FLOOR({_CUPED_THETA} * 10000 + 0.5) / 10000").alias("theta_r4"),
+        )
+        .orderBy("arm")
+    )
+
+
+# --- q_docs_mutual_info (lang × source mutual information) -------------------
+
+_MI_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+), rows_t AS (
+  SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY lang
+), cols_t AS (
+  SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY source
+), n_t AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs
+), terms AS (
+  SELECT (CAST(o AS DOUBLE) / n)
+           * (FLOOR(LN(CAST(o AS DOUBLE) * n / (r * c)) * 1000000 + 0.5)
+              / 1000000.0) AS t
+  FROM obs
+  JOIN rows_t USING (lang)
+  JOIN cols_t USING (source)
+  CROSS JOIN n_t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       FLOOR(CAST(SUM(CAST(t AS DECIMAL(27,7))) AS DOUBLE) * 10000 + 0.5) / 10000
+         AS mi_nats_r4
+FROM terms
+"""
+
+
+@register("q_docs_mutual_info", oracle=_MI_ORACLE)
+def q_docs_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats over the corpus — the
+    companion to q_docs_chisq that answers "HOW MUCH does knowing the
+    source tell you about the language" on an interpretable scale (0 =
+    independent, min(H(lang), H(source)) = fully determined); the
+    dependence screen feature stores run between every categorical pair.
+
+    Parity engineering: only observed cells contribute (o·ln(...) → 0 as
+    o → 0, so zero cells add nothing — unlike chi-square); the log
+    argument o·N/(r·c) is one double built from exact integers, ln is
+    micro-snapped before the multiply (the module's libm-drift guard),
+    and the term sum crosses partitions as exact decimals.
+
+    Scale shape: identical to q_docs_chisq — one fact aggregate, then
+    broadcast joins over the tiny contingency relation."""
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rows_t = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_t = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
+    n_t = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    terms = (
+        obs.join(F.broadcast(rows_t), "lang")
+        .join(F.broadcast(cols_t), "source")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            (
+                (F.col("o").cast("double") / F.col("n"))
+                * (
+                    F.floor(
+                        F.log(
+                            F.col("o").cast("double")
+                            * F.col("n")
+                            / (F.col("r") * F.col("c"))
+                        )
+                        * 1000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000.0
+                )
+            ).alias("t")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            F.floor(
+                F.sum(F.col("t").cast("decimal(27,7)")).cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("mi_nats_r4"),
+    )

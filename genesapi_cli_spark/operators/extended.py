@@ -993,3 +993,65 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FLOOR(CAST(SUM(cents) AS DOUBLE) / MIN(tot_cents) * 10000 + 0.5) / 10000"
         ).alias("revenue_share_r4"),
     )
+
+
+# --- q_sample_balanced -------------------------------------------------------
+
+_BALANCED_ORACLE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), floor_n AS (
+  SELECT MIN(n) AS min_n FROM counts
+), ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS keep_checksum
+FROM ranked CROSS JOIN floor_n
+WHERE rk <= min_n
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("q_sample_balanced", oracle=_BALANCED_ORACLE)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents, chosen by a deterministic hash ranking (NOT
+    head-of-table order, which correlates with crawl time) — the standard
+    rebalance step before training a classifier on skewed labels. The
+    per-lang keep-set is certified by its doc_id checksum, so the oracle
+    proves WHICH rows were kept, not just how many.
+
+    Parity engineering: the rank key is the sha256 hex string of the
+    doc_id (portable across engines, lexicographic on both), tie-broken
+    by doc_id; the class floor derives from the same relation and joins
+    back as one broadcast row.
+
+    Scale shape: one count aggregate + one per-class window sort. The
+    window partitions by class, so skew follows class skew — for a
+    whale class, rank-then-filter is replaced at scale by a two-pass
+    threshold-on-hash (sample the hash distribution, cut at the
+    min_n-th quantile) without changing semantics materially; the
+    deterministic variant here is the certifiable one."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    floor_n = counts.agg(F.min("n").alias("min_n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), "doc_id"
+    )
+    ranked = docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.join(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("min_n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("keep_checksum"),
+        )
+        .orderBy("lang")
+    )
