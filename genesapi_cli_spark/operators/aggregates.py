@@ -1830,3 +1830,67 @@ def q_agg_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).cast("bigint").alias("mover_rank"),
         )
     )
+
+
+# --- q_agg_means (Pythagorean mean family) -----------------------------------
+
+_MEANS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         CAST(SUM(CAST(FLOOR(LN(l_quantity) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s_lnq_micro,
+         CAST(SUM(CAST(1.0 / l_quantity AS DECIMAL(27,7))) AS DOUBLE) AS s_inv
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       FLOOR(CAST(sq AS DOUBLE) / n * 10000 + 0.5) / 10000 AS amean_r4,
+       FLOOR((CAST(FLOOR(EXP(CAST(s_lnq_micro AS DOUBLE) / n / 1000000.0)
+                    * 1000000 + 0.5) AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 AS gmean_r4,
+       FLOOR(CAST(n AS DOUBLE) / s_inv * 10000 + 0.5) / 10000 AS hmean_r4
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+@register("q_agg_means", oracle=_MEANS_ORACLE)
+def q_agg_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean mean family per group — arithmetic, geometric, and
+    harmonic means of line quantities — in ONE single-pass aggregate (the
+    AM for level, the GM for multiplicative/ratio data, the HM for rate
+    averaging; AM ≥ GM ≥ HM is the sanity invariant).
+
+    Parity engineering: AM divides an exact integer sum; GM sums
+    micro-snapped ln() as exact bigints (quantity has ≤50 distinct values,
+    so libm ulp drift cannot straddle a snap boundary) and micro-snaps the
+    final exp(); HM's Σ(1/q) crosses partitions as exact decimals of
+    identical per-row doubles. All three means come from the same hash
+    aggregate — one scan, one shuffle of 6 numbers per group."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sq"),
+        F.sum(
+            F.floor(F.log(F.col("l_quantity")) * 1000000 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s_lnq_micro"),
+        F.sum((F.lit(1.0) / F.col("l_quantity")).cast("decimal(27,7)"))
+        .cast("double")
+        .alias("s_inv"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.expr("FLOOR(CAST(sq AS DOUBLE) / n * 10000 + 0.5) / 10000").alias(
+            "amean_r4"
+        ),
+        F.expr(
+            "FLOOR((CAST(FLOOR(EXP(CAST(s_lnq_micro AS DOUBLE) / n / 1000000.0)"
+            " * 1000000 + 0.5) AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000"
+        ).alias("gmean_r4"),
+        F.expr("FLOOR(CAST(n AS DOUBLE) / s_inv * 10000 + 0.5) / 10000").alias(
+            "hmean_r4"
+        ),
+    ).orderBy("l_returnflag")

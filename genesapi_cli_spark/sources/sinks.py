@@ -12,6 +12,8 @@ sink in streaming mode (streaming/runtime.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -146,3 +148,102 @@ def bulk_sink(df: DataFrame, send_batch, batch_size: int = 500) -> int:
 
     df.foreachPartition(_per_partition)
     return acc.value
+
+
+# --- q_source_orc ------------------------------------------------------------
+
+_ORC_PATH = "/tmp/genesapi_spark/orc_roundtrip"
+
+_ORC_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q_source_orc", oracle=_ORC_ORACLE)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip proof: lineitem's core columns are written to ORC
+    (Spark's second first-class columnar format — zlib by default here,
+    predicate pushdown and column pruning work the same as parquet) and
+    read BACK, and the declared result aggregates the read-back copy. The
+    oracle aggregates the original parquet — hash-matching proves the
+    write→read cycle preserved every row and value exactly.
+
+    Scale shape: the write is maxRecordsPerFile-capped like every lake
+    sink here; the read-back aggregate is one map-side-combined pass. The
+    exact-cents sum makes value fidelity (not just row count) part of the
+    certificate."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_quantity",
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    path = f"{_ORC_PATH}_{os.path.basename(sf_dir.rstrip('/'))}"
+    li.write.mode("overwrite").option("maxRecordsPerFile", 1_000_000).orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("l_orderkey").cast("bigint").alias("min_key"),
+            F.max("l_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q_sink_partitioned ------------------------------------------------------
+
+_PART_PATH = "/tmp/genesapi_spark/partitioned_docs"
+
+_PART_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q_sink_partitioned", oracle=_PART_ORACLE)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake write + partition-pruned read-back: documents
+    are written `partitionBy(lang)` (the layout that turns every
+    lang-filtered scan into a directory prune), then read back with a
+    `lang = 'en'` predicate and aggregated per source. The oracle computes
+    the same slice from the original table, proving the partitioned cycle
+    lost nothing and the partition column round-trips through directory
+    encoding.
+
+    Scale shape: at 100 TB partitioning by a low-cardinality column like
+    lang is exactly right (5-50 directories, each internally splittable);
+    the read-back plan shows PartitionFilters: [isnotnull(lang), (lang =
+    en)] with only the en/ directory listed — the pruning this layout
+    exists for (pytest pins the single-partition read)."""
+    docs = load(spark, sf_dir, "documents")
+    path = f"{_PART_PATH}_{os.path.basename(sf_dir.rstrip('/'))}"
+    docs.write.mode("overwrite").partitionBy("lang").option(
+        "maxRecordsPerFile", 1_000_000
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
