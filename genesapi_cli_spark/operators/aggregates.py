@@ -1894,3 +1894,80 @@ def q_agg_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hmean_r4"
         ),
     ).orderBy("l_returnflag")
+
+
+# --- q_agg_trimmed (10% two-sided trimmed mean) ------------------------------
+
+_TRIM_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM c
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100 * 10000 + 0.5) / 10000
+         AS trimmed_mean_r4
+FROM ranked
+WHERE rk * 10 > n AND (n - rk) * 10 >= n
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q_agg_trimmed", oracle=_TRIM_ORACLE)
+def q_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of line prices per return flag — the
+    outlier-robust location estimate that (unlike the median) still uses
+    80% of the data, and (unlike MAD clipping) needs no scale parameter.
+
+    Parity engineering: trim boundaries are pure integer rank arithmetic
+    (rk·10 > n drops the bottom decile, (n−rk)·10 ≥ n the top) over exact
+    integer cents; ties across the cut are interchangeable equal values,
+    so row_number's arbitrary tie order cannot change the kept multiset.
+    The mean is one exact integer sum and one division.
+
+    Scale shape: one per-group window sort (rank + count share the
+    Exchange), then a map-side-combined aggregate riding the same
+    partitioning. For a whale group the exact rank pass is replaced by
+    approx-quantile cut values at scale — the engine carries both idioms
+    (see q_agg_approx_quantile's certificate)."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = c.select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rk") * 10 > F.col("n"))
+            & ((F.col("n") - F.col("rk")) * 10 >= F.col("n"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            (
+                F.floor(
+                    F.sum("cents").cast("double")
+                    / F.count(F.lit(1))
+                    / 100
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("trimmed_mean_r4"),
+        )
+        .orderBy("l_returnflag")
+    )

