@@ -357,3 +357,42 @@ def write_cube_lines(facts: DataFrame, layout: CubeLayout) -> DataFrame:
         )
         fields += [rendered, F.coalesce(q, F.lit("")), F.lit("")]
     return gathered.select(F.concat_ws(";", *fields).alias("value"))
+
+
+@register("q_source_cube_ds", oracle=_CUBE_TEXT_ORACLE)
+def q_source_cube_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same cube relation through the Spark 4 PYTHON DATASOURCE mount
+    (`spark.read.format("genesapi_cube").load(path)`,
+    sources/cube_datasource.py) — proved equivalent to the JVM parse path
+    by sharing q_source_cube_text's VALUES oracle verbatim. The sample
+    cube is materialized to a file because a DataSource reads storage, not
+    literals; executors parse their own files (one InputPartition per cube
+    file), the driver only lists paths."""
+    import os
+
+    from genesapi_cli_spark.sources.cube_datasource import CubeTextDataSource
+
+    try:
+        spark.dataSource.register(CubeTextDataSource)
+    except Exception:
+        pass  # already registered in this session
+    d = "/tmp/genesapi_spark/cube_ds"
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "sample.cube")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(SAMPLE_CUBE_TEXT)
+    return (
+        spark.read.format("genesapi_cube")
+        .load(path)
+        .select(
+            "region_id",
+            "statistic",
+            "cube",
+            "year",
+            "measure",
+            "value",
+            "quality",
+            F.to_json("dims").alias("dims_json"),
+        )
+        .orderBy("region_id", "dims_json")
+    )

@@ -122,3 +122,30 @@ def test_cube_write_parse_roundtrip(spark):
         ((key(r), r.value, r.quality) for r in facts2.collect()), key=lambda t: t[0]
     )
     assert a == b
+
+
+def test_python_datasource_matches_jvm_parse(spark, tmp_path):
+    """The Spark 4 Python DataSource mount and the JVM split/element_at
+    parse produce the SAME relation — including across multiple files
+    (one InputPartition each)."""
+    from genesapi_cli_spark.sources.cube import SAMPLE_CUBE_TEXT, parse_cube_text
+    from genesapi_cli_spark.sources.cube_datasource import CubeTextDataSource
+
+    try:
+        spark.dataSource.register(CubeTextDataSource)
+    except Exception:
+        pass
+    # two copies of the sample cube → 2 partitions, 8 rows
+    for name in ("a.cube", "b.cube"):
+        (tmp_path / name).write_text(SAMPLE_CUBE_TEXT, encoding="utf-8")
+    ds = spark.read.format("genesapi_cube").load(str(tmp_path))
+    assert ds.rdd.getNumPartitions() == 2
+    jvm = parse_cube_text(spark, SAMPLE_CUBE_TEXT)
+
+    def key(r):
+        return (r.region_id, r.year, r.measure, tuple(sorted(r.dims.items())),
+                r.value, r.quality, r.statistic, r.cube)
+
+    got = sorted(key(r) for r in ds.collect())
+    want = sorted(key(r) for r in jvm.collect()) * 2
+    assert got == sorted(want)
