@@ -1105,3 +1105,237 @@ def q_docs_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("mi_nats_r4"),
     )
+
+
+# --- q_events_ratio_ci (delta-method CI for a ratio metric) ------------------
+
+#: var(R) ≈ (var_n + R²·var_d − 2·R·cov) / (n·mean_d²) — the delta method on
+#: per-user (numerator, denominator); ONE shared text both engines.
+_RATIO_R = "(CAST(sy AS DOUBLE) / sx)"
+_RATIO_VAR = (
+    f"(((syy - sy * sy / n) + {_RATIO_R} * {_RATIO_R} * (sxx - sx * sx / n) "
+    f"- 2 * {_RATIO_R} * (sxy - sx * sy / n)) / (n - 1)) "
+    f"/ (n * (sx / n) * (sx / n))"
+)
+
+_RATIO_CI_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS} ELSE 0 END)
+              AS BIGINT) AS y,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT arm,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(27,7))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(27,7))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM per_user WHERE x > 0 GROUP BY arm
+)
+SELECT arm, CAST(n AS BIGINT) AS n_users,
+       FLOOR({_RATIO_R} * 10000 + 0.5) / 10000 AS ratio_r4,
+       FLOOR(({_RATIO_R} - 1.96 * SQRT({_RATIO_VAR})) * 10000 + 0.5) / 10000
+         AS ci_lo_r4,
+       FLOOR(({_RATIO_R} + 1.96 * SQRT({_RATIO_VAR})) * 10000 + 0.5) / 10000
+         AS ci_hi_r4
+FROM s
+ORDER BY arm
+"""
+
+
+@register("q_events_ratio_ci", oracle=_RATIO_CI_ORACLE)
+def q_events_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method 95% CI for a RATIO metric (purchase cents per view) —
+    the metric family where naive per-event averaging is wrong because the
+    randomization unit (user) differs from the analysis unit (event): the
+    ratio of per-user sums with its linearization variance is the standard
+    correct estimator (Deng et al.'s ratio-metric methodology).
+
+    Parity engineering: per-user numerators/denominators are exact
+    integers from one conditional pass; arm-level moments are exact
+    decimal sums (DECIMAL(38,0) for the bigint products) cast to double
+    once; R, var(R) and both bounds evaluate from ONE shared text.
+
+    Scale shape: user-keyed aggregate → 2-row arm aggregate; identical to
+    the other experiment readouts, nothing grows past the first shuffle."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.expr(_CENTS)
+    per_user = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    s = (
+        per_user.filter(F.col("x") > 0)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("x").cast("decimal(27,7)")).cast("double").alias("sx"),
+            F.sum(F.col("y").cast("decimal(27,7)")).cast("double").alias("sy"),
+            F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).cast("double").alias("sxx"),
+            F.sum(F.expr("CAST(x * y AS DECIMAL(38,0))")).cast("double").alias("sxy"),
+            F.sum(F.expr("CAST(y * y AS DECIMAL(38,0))")).cast("double").alias("syy"),
+        )
+    )
+    return s.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.expr(f"FLOOR({_RATIO_R} * 10000 + 0.5) / 10000").alias("ratio_r4"),
+        F.expr(
+            f"FLOOR(({_RATIO_R} - 1.96 * SQRT({_RATIO_VAR})) * 10000 + 0.5) / 10000"
+        ).alias("ci_lo_r4"),
+        F.expr(
+            f"FLOOR(({_RATIO_R} + 1.96 * SQRT({_RATIO_VAR})) * 10000 + 0.5) / 10000"
+        ).alias("ci_hi_r4"),
+    ).orderBy("arm")
+
+
+# --- q_events_did (difference-in-differences) --------------------------------
+
+_DID_ORACLE = f"""
+WITH cell AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN ts >= TIMESTAMP '2024-07-01 00:00:00' THEN 1 ELSE 0 END
+           AS post,
+         {_CENTS} AS cents
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT arm, post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sc
+  FROM cell GROUP BY arm, post
+), m AS (
+  SELECT
+    MAX(CASE WHEN arm = 1 AND post = 1 THEN CAST(sc AS DOUBLE) / n END) AS t_post,
+    MAX(CASE WHEN arm = 1 AND post = 0 THEN CAST(sc AS DOUBLE) / n END) AS t_pre,
+    MAX(CASE WHEN arm = 0 AND post = 1 THEN CAST(sc AS DOUBLE) / n END) AS c_post,
+    MAX(CASE WHEN arm = 0 AND post = 0 THEN CAST(sc AS DOUBLE) / n END) AS c_pre,
+    CAST(SUM(n) AS BIGINT) AS n_events
+  FROM s
+)
+SELECT n_events,
+       FLOOR((t_post - t_pre) * 10000 + 0.5) / 10000 AS treat_delta_r4,
+       FLOOR((c_post - c_pre) * 10000 + 0.5) / 10000 AS control_delta_r4,
+       FLOOR(((t_post - t_pre) - (c_post - c_pre)) * 10000 + 0.5) / 10000
+         AS did_r4
+FROM m
+"""
+
+
+@register("q_events_did", oracle=_DID_ORACLE)
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: mean purchase value by
+    (arm × pre/post) cell, each arm's post−pre delta, and the DiD estimate
+    (treatment delta minus control delta) — the workhorse causal estimate
+    when treatment launched at a known time and a concurrent control
+    exists; the control delta nets out the secular trend a naive
+    before/after comparison would absorb.
+
+    Parity engineering: four exact integer (count, cents) cells from ONE
+    conditional aggregate; the four means and three differences are
+    identical IEEE ops on both engines, r4-snapped.
+
+    Scale shape: a 4-group map-side-combined aggregate over the fact, then
+    arithmetic on 4 rows — the cheapest causal readout there is."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cutoff = F.lit("2024-07-01 00:00:00").cast("timestamp_ntz")
+    s = ev.groupBy(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("ts") >= cutoff, 1).otherwise(0).alias("post"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr(_CENTS)).cast("bigint").alias("sc"),
+    )
+    mean = F.col("sc").cast("double") / F.col("n")
+    m = s.agg(
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 1), mean)).alias(
+            "t_post"
+        ),
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 0), mean)).alias(
+            "t_pre"
+        ),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 1), mean)).alias(
+            "c_post"
+        ),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 0), mean)).alias(
+            "c_pre"
+        ),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    return m.select(
+        "n_events",
+        F.expr("FLOOR((t_post - t_pre) * 10000 + 0.5) / 10000").alias(
+            "treat_delta_r4"
+        ),
+        F.expr("FLOOR((c_post - c_pre) * 10000 + 0.5) / 10000").alias(
+            "control_delta_r4"
+        ),
+        F.expr(
+            "FLOOR(((t_post - t_pre) - (c_post - c_pre)) * 10000 + 0.5) / 10000"
+        ).alias("did_r4"),
+    )
+
+
+# --- q_events_srm (sample-ratio-mismatch guardrail) --------------------------
+
+_SRM_ORACLE = """
+WITH arms AS (
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT n_a, n_b,
+       FLOOR(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+             * 10000 + 0.5) / 10000 AS chi2_r4,
+       CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841
+            THEN 1 ELSE 0 END AS srm_flag
+FROM arms
+"""
+
+
+@register("q_events_srm", oracle=_SRM_ORACLE)
+def q_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for a 50/50 split: the 1-dof
+    chi-square against equal allocation — for expected halves it reduces
+    to (n_a − n_b)²/(n_a + n_b) exactly — with the 0.05 trigger flag. SRM
+    is the first thing checked before ANY experiment readout is believed:
+    a mismatch means assignment, logging, or filtering is biased and every
+    downstream metric is suspect.
+
+    Parity engineering: the unit count is per-USER (one distinct pass),
+    the statistic is integer arithmetic with one division, and the trigger
+    compares against the χ²₁ 95% critical value as a literal.
+
+    Scale shape: one distinct-user aggregate (two-phase, no skew on a
+    uniform id), then arithmetic on one row."""
+    ev = load(spark, sf_dir, "events")
+    arms = (
+        ev.select("user_id")
+        .distinct()
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    chi2 = F.expr("CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)")
+    return arms.select(
+        "n_a",
+        "n_b",
+        F.floor(chi2 * 10000 + F.lit(0.5)).cast("double").alias("_t"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_flag"),
+    ).select(
+        "n_a",
+        "n_b",
+        (F.col("_t") / 10000).alias("chi2_r4"),
+        "srm_flag",
+    )

@@ -367,3 +367,54 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         assert got == _rows(batch)
     finally:
         q.stop()
+
+
+def test_python_streaming_datasource_replays_events(spark, tmp_path):
+    """The Spark 4 Python STREAMING data source (events_replay) delivers the
+    whole events table in deterministic micro-batches: the streamed
+    aggregate equals the batch aggregate, and more than one micro-batch
+    actually ran (batch_rows < table size)."""
+    from genesapi_cli_spark.streaming.pysource import EventsReplayDataSource
+
+    try:
+        spark.dataSource.register(EventsReplayDataSource)
+    except Exception:
+        pass
+    path = "/root/testdata/sf0.001/events.parquet"
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", path)
+        .option("batch_rows", "200")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_replay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "replay_ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = (
+            spark.table("t_replay")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias("c"),
+            )
+        )
+        want = (
+            spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias("c"),
+            )
+        )
+        assert _rows(got) == _rows(want)
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        assert n_batches >= 2, f"expected multiple micro-batches, got {n_batches}"
+    finally:
+        q.stop()
