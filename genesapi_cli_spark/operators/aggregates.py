@@ -1841,14 +1841,16 @@ WITH s AS (
          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
          CAST(SUM(CAST(FLOOR(LN(l_quantity) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
            AS s_lnq_micro,
-         CAST(SUM(CAST(1.0 / l_quantity AS DECIMAL(27,7))) AS DOUBLE) AS s_inv
+         CAST(SUM(CAST(CAST(1000000 AS DOUBLE) / l_quantity AS DECIMAL(27,7)))
+              AS DOUBLE) AS s_inv_micro
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
        FLOOR(CAST(sq AS DOUBLE) / n * 10000 + 0.5) / 10000 AS amean_r4,
        FLOOR((CAST(FLOOR(EXP(CAST(s_lnq_micro AS DOUBLE) / n / 1000000.0)
                     * 1000000 + 0.5) AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 AS gmean_r4,
-       FLOOR(CAST(n AS DOUBLE) / s_inv * 10000 + 0.5) / 10000 AS hmean_r4
+       FLOOR(CAST(n AS DOUBLE) * 1000000 / s_inv_micro * 10000 + 0.5) / 10000
+         AS hmean_r4
 FROM s
 ORDER BY l_returnflag
 """
@@ -1864,8 +1866,9 @@ def q_agg_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity engineering: AM divides an exact integer sum; GM sums
     micro-snapped ln() as exact bigints (quantity has ≤50 distinct values,
     so libm ulp drift cannot straddle a snap boundary) and micro-snaps the
-    final exp(); HM's Σ(1/q) crosses partitions as exact decimals of
-    identical per-row doubles. All three means come from the same hash
+    final exp(); HM sums MICRO-SCALED reciprocals (10⁶/q) as 7-place decimals —
+    plain 1/q at scale-7 loses relative precision for large q — so the
+    stored summands carry 13 significant digits at q ≤ 10⁶. All three means come from the same hash
     aggregate — one scan, one shuffle of 6 numbers per group."""
     li = load(spark, sf_dir, "lineitem")
     s = li.groupBy("l_returnflag").agg(
@@ -1876,9 +1879,9 @@ def q_agg_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("s_lnq_micro"),
-        F.sum((F.lit(1.0) / F.col("l_quantity")).cast("decimal(27,7)"))
+        F.sum((F.lit(1000000.0) / F.col("l_quantity")).cast("decimal(27,7)"))
         .cast("double")
-        .alias("s_inv"),
+        .alias("s_inv_micro"),
     )
     return s.select(
         "l_returnflag",
@@ -1890,9 +1893,9 @@ def q_agg_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FLOOR((CAST(FLOOR(EXP(CAST(s_lnq_micro AS DOUBLE) / n / 1000000.0)"
             " * 1000000 + 0.5) AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000"
         ).alias("gmean_r4"),
-        F.expr("FLOOR(CAST(n AS DOUBLE) / s_inv * 10000 + 0.5) / 10000").alias(
-            "hmean_r4"
-        ),
+        F.expr(
+            "FLOOR(CAST(n AS DOUBLE) * 1000000 / s_inv_micro * 10000 + 0.5) / 10000"
+        ).alias("hmean_r4"),
     ).orderBy("l_returnflag")
 
 

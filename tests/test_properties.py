@@ -204,3 +204,102 @@ def test_zorder_preserves_rows_and_bounds(spark, pts):
         if key in seen:
             assert seen[key] == r["__z"]
         seen[key] = r["__z"]
+
+
+@given(vals=st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=20))
+@_slow
+def test_pythagorean_mean_ordering(spark, vals):
+    """AM ≥ GM ≥ HM on any positive sample (equality iff all equal) — the
+    invariant behind q_agg_means, checked on the same expressions."""
+    df = spark.createDataFrame([(v,) for v in vals], "q int")
+    row = df.agg(
+        (F.sum(F.col("q").cast("bigint")).cast("double") / F.count(F.lit(1))).alias("am"),
+        F.expr(
+            "EXP(CAST(SUM(CAST(FLOOR(LN(q) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+            " / COUNT(*) / 1000000.0)"
+        ).alias("gm"),
+        (
+            F.count(F.lit(1)).cast("double") * 1000000.0
+            / F.sum((F.lit(1000000.0) / F.col("q")).cast("decimal(27,7)")).cast("double")
+        ).alias("hm"),
+    ).collect()[0]
+    # the micro-snapped ln leaves RELATIVE slack: exp(ln(x) ± 5e-7) scales
+    # the mean by (1 ± 5e-7), so tolerance must scale with magnitude.
+    rel = 2e-6 * row.am + 1e-9
+    assert row.am + rel >= row.gm >= row.hm - rel
+    if len(set(vals)) == 1:
+        assert abs(row.am - row.hm) < 1e-5 * row.am + 1e-9
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=10**6), min_size=10, max_size=40))
+@_slow
+def test_trimmed_mean_within_bounds_and_trim_count(spark, vals):
+    """The 10% trimmed mean lies within [min, max], and the trim drops
+    exactly floor(n/10) rows per side (q_agg_trimmed's rank-band rule)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    w = Window.orderBy("cents")
+    ranked = df.select(
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rk") * 10 > F.col("n")) & ((F.col("n") - F.col("rk")) * 10 >= F.col("n"))
+    )
+    import math
+
+    n = len(vals)
+    # rank-band rule: bottom drops floor(n/10), top drops ceil(n/10)
+    assert kept.count() == n - (n // 10) - math.ceil(n / 10)
+    if kept.count():
+        row = kept.agg(F.avg("cents").alias("m")).collect()[0]
+        assert min(vals) <= row.m <= max(vals)
+
+
+@given(
+    a=st.lists(st.floats(min_value=0, max_value=10, allow_nan=False), min_size=1, max_size=15),
+    b=st.lists(st.floats(min_value=0, max_value=10, allow_nan=False), min_size=1, max_size=15),
+)
+@_slow
+def test_ks_distance_bounds(spark, a, b):
+    """The integer cross-multiplied KS distance is in [0, 1]; 0 iff the two
+    samples are identical multisets (q_events_ks's statistic)."""
+    from pyspark.sql import Window
+
+    rows = [(float(v), 1, 0) for v in a] + [(float(v), 0, 1) for v in b]
+    df = spark.createDataFrame(rows, "v double, da int, db int")
+    pts = df.groupBy("v").agg(F.sum("da").alias("da"), F.sum("db").alias("db"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        F.sum("da").over(w).alias("ca"), F.sum("db").over(w).alias("cb")
+    )
+    na, nb = len(a), len(b)
+    d_num = cum.agg(
+        F.max(F.abs(F.col("ca") * nb - F.col("cb") * na)).alias("d")
+    ).collect()[0].d
+    assert 0 <= d_num <= na * nb
+    if sorted(a) == sorted(b):
+        assert d_num == 0
+
+
+@given(docs=st.lists(st.tuples(st.sampled_from(["de", "en", "fr"]), st.integers(0, 10**6)),
+                     min_size=3, max_size=30))
+@_slow
+def test_balanced_sample_exact_floor(spark, docs):
+    """Every class keeps exactly min-class-count rows under the sha256 rank
+    rule (q_sample_balanced)."""
+    from collections import Counter
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, lang) for i, (lang, _) in enumerate(docs)], "doc_id long, lang string"
+    )
+    floor_n = min(Counter(lang for lang, _ in docs).values())
+    w = Window.partitionBy("lang").orderBy(F.sha2(F.col("doc_id").cast("string"), 256), "doc_id")
+    kept = df.select("lang", F.row_number().over(w).alias("rk")).filter(
+        F.col("rk") <= floor_n
+    )
+    per_lang = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == floor_n for n in per_lang.values())
