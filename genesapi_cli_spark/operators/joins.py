@@ -1094,3 +1094,78 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.cast("bigint").alias("matched_us"),
         F.abs(F.col("us") - matched).cast("bigint").alias("dist_us"),
     )
+
+
+# --- q_spatial_hotspots ------------------------------------------------------
+
+_HOT_CELL_XC = 50  # cell width in value-cents (same grid as q_join_spatial)
+_HOT_CELL_Y = 2    # cell height in user-id units
+
+_HOTSPOT_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(FLOOR(FLOOR(value * 100 + 0.5) / {_HOT_CELL_XC}) AS BIGINT) AS cx,
+         CAST(FLOOR((user_id % 100) / {_HOT_CELL_Y}) AS BIGINT) AS cy
+  FROM events WHERE event_type = 'purchase'
+), cells AS (
+  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY cx, cy
+), neighbors AS (
+  SELECT c.cx, c.cy, c.n,
+         CAST(SUM(o.n) AS BIGINT) AS smoothed
+  FROM cells c
+  JOIN cells o ON ABS(o.cx - c.cx) <= 1 AND ABS(o.cy - c.cy) <= 1
+  GROUP BY c.cx, c.cy, c.n
+)
+SELECT cx, cy, n, smoothed
+FROM neighbors
+ORDER BY smoothed DESC, cx, cy
+LIMIT 10
+"""
+
+
+@register("q_spatial_hotspots", oracle=_HOTSPOT_ORACLE)
+def q_spatial_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density hotspot detection: quantize points to cells, count per
+    cell, smooth each cell with its 3×3 neighborhood sum (the box-kernel
+    density that stops single-cell noise from winning), and report the
+    top-10 hotspots — the spatial aggregation companion to
+    q_join_spatial's pair join, and the same shape as geohash heat tiles.
+
+    Plan: the neighborhood sum is NOT a 9-way self-join of the raw points —
+    points collapse to cells FIRST (one hash agg), then the cell table
+    (tiny relative to points) explodes ×9 neighbor offsets and equi-joins
+    itself on the offset cell id, hash-partitionable like everything else.
+    The oracle keeps the honest ABS-inequality join to prove the offset
+    rewrite exact. Counts are integers end to end; the top-10 is
+    TakeOrderedAndProject on the deterministic (smoothed, cx, cy) key.
+
+    At 100 TB: the raw→cell aggregate is map-side combined (cell count ≪
+    point count); the ×9 explode grows only the CELL table. Whale cells
+    are data skew made visible — exactly what the hotspot report is for."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    pts = ev.select(
+        F.floor(F.floor(F.col("value") * 100 + F.lit(0.5)) / _HOT_CELL_XC)
+        .cast("bigint")
+        .alias("cx"),
+        F.floor((F.col("user_id") % 100) / _HOT_CELL_Y).cast("bigint").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # explode each cell to the 9 neighbor slots it contributes to, then one
+    # equi-join-free re-aggregation on the slot id
+    contrib = cells.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 8), i -> "
+                "struct(cx + i div 3 - 1 AS tx, cy + i % 3 - 1 AS ty))"
+            )
+        ).alias("t"),
+        "n",
+    ).select(F.col("t.tx").alias("cx"), F.col("t.ty").alias("cy"), "n")
+    smoothed = contrib.groupBy("cx", "cy").agg(
+        F.sum("n").cast("bigint").alias("smoothed")
+    )
+    return (
+        cells.join(smoothed, ["cx", "cy"])
+        .select("cx", "cy", "n", "smoothed")
+        .orderBy(F.desc("smoothed"), "cx", "cy")
+        .limit(10)
+    )

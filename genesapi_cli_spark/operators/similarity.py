@@ -879,3 +879,153 @@ def q_sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mips_rank").cast("bigint").alias("mips_rank"),
         (F.col("mips_rank") == F.col("aug_rank")).alias("ranks_agree"),
     )
+
+
+# --- q_sim_rerank (two-stage retrieval funnel certificate) -------------------
+
+def _rerank_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, emb, nrm, ({_bucket_sql('emb')}) AS bucket FROM e
+), q AS (
+  SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, bucket FROM bucketed
+  WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS cand_id, emb AS cemb, nrm AS cnrm, bucket FROM bucketed
+  WHERE vec_id >= 10
+), cand AS (
+  SELECT qid, cand_id, qemb, qnrm, cemb, cnrm FROM q JOIN c USING (bucket)
+), rerank AS (
+  SELECT qid, cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY FLOOR(list_dot_product(qemb, cemb) / (qnrm * cnrm)
+                          * 10000 + 0.5) / 10000 DESC, cand_id
+         ) AS rn
+  FROM cand
+), stage2 AS (
+  SELECT qid, cand_id FROM rerank WHERE rn <= 3
+), exact_r AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY FLOOR(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm)
+                          * 10000 + 0.5) / 10000 DESC, c.vec_id
+         ) AS rn
+  FROM e q JOIN e c ON c.vec_id >= 10
+  WHERE q.vec_id < 10
+), exact3 AS (
+  SELECT qid, cand_id FROM exact_r WHERE rn <= 3
+), hits AS (
+  SELECT s.qid FROM stage2 s JOIN exact3 x
+    ON s.qid = x.qid AND s.cand_id = x.cand_id
+), n_corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM c
+)
+SELECT (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) FROM exact3) AS n_queries,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT nc FROM n_corpus) AS n_corpus,
+       FLOOR(CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
+             / ((SELECT COUNT(DISTINCT qid) FROM exact3) * (SELECT nc FROM n_corpus))
+             * 10000 + 0.5) / 10000 AS scan_frac_r4,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+       FLOOR(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+             / (3 * (SELECT COUNT(DISTINCT qid) FROM exact3))
+             * 10000 + 0.5) / 10000 AS recall_r4
+"""
+
+
+@register("q_sim_rerank", oracle=_rerank_oracle())
+def q_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval funnel certificate: stage 1 generates candidates
+    by LSH bucket equality (cheap integer compare, the 100 TB filter),
+    stage 2 re-ranks ONLY those candidates with exact full-precision cosine
+    — and the certificate reports BOTH sides of the trade on one row:
+    scan_frac (candidates scored / full scan) and recall@3 vs brute force.
+    This is the evaluation every retrieval deployment publishes: "we score
+    X% of the corpus and keep Y% of the true top-k".
+
+    Plan: the bucket equi-join replaces the cross join for candidate
+    generation; the rerank window runs per query over its candidate set
+    only; the brute-force arm exists purely as the certificate's ground
+    truth (at 100 TB it runs on a sampled query set, same shape). All
+    ranks use the rounded-cosine determinism convention; counts are exact
+    integers."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    e = e.select(
+        "vec_id", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm"),
+        _bucket_expr("emb").alias("bucket"),
+    ).localCheckpoint(eager=False)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+        "bucket",
+    )
+    cand = F.broadcast(q).join(c, "bucket").localCheckpoint(eager=False)
+    cos_r = (
+        F.floor(
+            dot_expr("qemb", "cemb") / (F.col("qnrm") * F.col("cnrm")) * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(), "cand_id")
+    stage2 = (
+        cand.select("qid", "cand_id", cos_r.alias("cos_r"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cand_id")
+    )
+    qx = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
+    )
+    cx = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+    )
+    exact3 = (
+        F.broadcast(qx)
+        .crossJoin(cx)
+        .select("qid", "cand_id", cos_r.alias("cos_r"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cand_id")
+    )
+    n_q = exact3.agg(F.count_distinct("qid").cast("bigint").alias("n_queries"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_corp = cx.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    n_hit = (
+        stage2.join(exact3, ["qid", "cand_id"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        n_q.crossJoin(n_cand)
+        .crossJoin(n_corp)
+        .crossJoin(n_hit)
+        .select(
+            "n_queries",
+            "n_candidates",
+            "n_corpus",
+            F.expr(
+                "FLOOR(CAST(n_candidates AS DOUBLE) / (n_queries * n_corpus)"
+                " * 10000 + 0.5) / 10000"
+            ).alias("scan_frac_r4"),
+            "n_hits",
+            F.expr(
+                "FLOOR(CAST(n_hits AS DOUBLE) / (3 * n_queries) * 10000 + 0.5)"
+                " / 10000"
+            ).alias("recall_r4"),
+        )
+    )
