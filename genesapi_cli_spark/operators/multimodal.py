@@ -630,3 +630,119 @@ def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"),
     ).filter(F.col("hamming") <= _AHASH_MAXDIST)
+
+
+# --- q_multimodal_align ------------------------------------------------------
+
+_VID_STRIDE_US = 40_000   # 25 fps video frames
+_AUD_STRIDE_US = 23_200   # ~43 fps audio frames (1024 samples @ 44.1 kHz)
+
+_ALIGN_ORACLE = f"""
+WITH assets AS (
+  SELECT doc_id, lang,
+         GREATEST(n_chars // 32, 1) AS n_v,
+         GREATEST(n_chars // 16, 1) AS n_a
+  FROM documents
+), video AS (
+  SELECT doc_id, lang, v * {_VID_STRIDE_US} AS tv
+  FROM assets, UNNEST(range(0, n_v)) AS t(v)
+), audio AS (
+  SELECT doc_id, a * {_AUD_STRIDE_US} AS ta
+  FROM assets, UNNEST(range(0, n_a)) AS t(a)
+), nearest AS (
+  SELECT v.doc_id, v.lang, v.tv,
+         MIN(ABS(v.tv - a.ta)) AS offset_us
+  FROM video v JOIN audio a ON a.doc_id = v.doc_id
+  GROUP BY v.doc_id, v.lang, v.tv
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_video_frames,
+       CAST(SUM(offset_us) AS BIGINT) AS sum_offset_us,
+       CAST(MAX(offset_us) AS BIGINT) AS max_offset_us
+FROM nearest
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("q_multimodal_align", oracle=_ALIGN_ORACLE)
+def q_multimodal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video frame alignment: every video frame (25 fps) finds its
+    nearest audio frame (1024-sample hops at 44.1 kHz) within the same
+    asset, and the per-language rollup reports total/max alignment offset
+    — the A/V sync audit a multimodal ingest runs before clipping training
+    segments, because the two streams tick at incommensurate rates and
+    drift accumulates. Frame counts derive from the payload length (same
+    codec-less convention as the other multimodal stages; a real demuxer
+    would emit true timestamps into the SAME relation).
+
+    Plan: the nearest-neighbor is the UNION + one-ordered-window as-of
+    idiom (q_join_asof_nearest) — audio and video frames interleave in one
+    per-doc time sort, each video row reads the last audio time behind it
+    and the first ahead, min of the two gaps. The oracle keeps the honest
+    quadratic per-doc argmin join. Integer µs end to end.
+
+    At 100 TB: one window partitioned by asset, frames never leave their
+    doc partition — no cross-asset shuffle at all; the quadratic oracle
+    arm is test-only."""
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(F.expr("n_chars div 32"), F.lit(1)).alias("n_v"),
+        F.greatest(F.expr("n_chars div 16"), F.lit(1)).alias("n_a"),
+    )
+    video = assets.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.col("n_v") - 1)).alias("v"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("v") * _VID_STRIDE_US).alias("t"),
+        F.lit(0).alias("is_audio"),
+    )
+    audio = assets.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.col("n_a") - 1)).alias("a"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("a") * _AUD_STRIDE_US).alias("t"),
+        F.lit(1).alias("is_audio"),
+    )
+    merged = video.unionByName(audio)
+    # audio rows sort before video at equal timestamps so a coincident
+    # frame yields offset 0 through the "previous audio" arm.
+    order = Window.partitionBy("doc_id").orderBy("t", F.desc("is_audio"))
+    w_prev = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    at = F.when(F.col("is_audio") == 1, F.col("t"))
+    scored = merged.select(
+        "doc_id",
+        "lang",
+        "t",
+        "is_audio",
+        F.last(at, ignorenulls=True).over(w_prev).alias("prev_a"),
+        F.first(at, ignorenulls=True).over(w_next).alias("next_a"),
+    )
+    nearest = scored.filter(F.col("is_audio") == 0).select(
+        "doc_id",
+        "lang",
+        F.least(
+            F.coalesce(F.col("t") - F.col("prev_a"), F.lit(2**62)),
+            F.coalesce(F.col("next_a") - F.col("t"), F.lit(2**62)),
+        ).alias("offset_us"),
+    )
+    return (
+        nearest.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_video_frames"),
+            F.sum("offset_us").cast("bigint").alias("sum_offset_us"),
+            F.max("offset_us").cast("bigint").alias("max_offset_us"),
+        )
+        .orderBy("lang")
+    )

@@ -258,3 +258,75 @@ def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "staleness_days"
         ),
     )
+
+
+# --- q_privacy_kanon ---------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH qi AS (
+  SELECT c_mktsegment AS segment,
+         n_name AS nation,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_custkey
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+), grp AS (
+  SELECT segment, nation, bal_band, CAST(COUNT(*) AS BIGINT) AS grp_size
+  FROM qi GROUP BY segment, nation, bal_band
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN grp_size < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(SUM(CASE WHEN grp_size < {_KANON_K} THEN grp_size ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(MIN(grp_size) AS BIGINT) AS min_group
+FROM grp
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("q_privacy_kanon", oracle=_KANON_ORACLE)
+def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (segment, nation,
+    account-balance band): a release is k-anonymous when every QI group
+    holds ≥ k individuals; this reports, per segment, how many groups fall
+    below k=5 and how many rows they expose — the table a data-governance
+    review wants BEFORE an analytics extract ships, because "we dropped
+    names" is not anonymization when the QI combination is unique.
+
+    Plan: one hash aggregate to QI groups, one rollup over the group
+    table; banding the continuous column (floor to $1000) is the standard
+    generalization step that makes k-anonymity achievable at all. All
+    counts integer-exact.
+
+    At 100 TB the QI aggregate is the only data-sized step (map-side
+    combined, low cardinality); suppression/generalization decisions then
+    operate on the group table alone."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    qi = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    grp = qi.groupBy("segment", "nation", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_size")
+    )
+    small = F.col("grp_size") < _KANON_K
+    return (
+        grp.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(small, 1).otherwise(0)).cast("bigint").alias("n_small_groups"),
+            F.sum(F.when(small, F.col("grp_size")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+            F.min("grp_size").cast("bigint").alias("min_group"),
+        )
+        .orderBy("segment")
+    )
