@@ -1813,3 +1813,105 @@ def q_window_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# --- q_window_stl ------------------------------------------------------------
+
+_STL_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY day_idx
+), trend AS (
+  SELECT day_idx, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS tr_sum,
+         COUNT(*) OVER w AS tr_n
+  FROM daily
+  WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detr AS (
+  SELECT day_idx, cents, tr_sum, tr_n,
+         day_idx % 7 AS dow,
+         cents * tr_n - tr_sum AS resid_scaled
+  FROM trend WHERE tr_n = 7
+), seas AS (
+  SELECT dow,
+         CAST(SUM(resid_scaled) AS BIGINT) AS s_sum,
+         CAST(COUNT(*) AS BIGINT) AS s_n
+  FROM detr GROUP BY dow
+)
+SELECT d.dow,
+       s.s_n AS n_days,
+       FLOOR(CAST(s.s_sum AS DOUBLE) / s.s_n / 7 / 100 * 10000 + 0.5) / 10000
+         AS seasonal_r4,
+       CAST(SUM(CASE WHEN ABS(CAST(d.resid_scaled AS DOUBLE) / 7
+                              - CAST(s.s_sum AS DOUBLE) / s.s_n / 7) > 100000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM detr d JOIN seas s USING (dow)
+GROUP BY d.dow, s.s_n, s.s_sum
+ORDER BY d.dow
+"""
+
+
+@register("q_window_stl", oracle=_STL_ORACLE)
+def q_window_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of the daily revenue series: trend = centered
+    7-day moving average, seasonal = mean detrended value per day-of-week,
+    anomaly = |detrended − seasonal| beyond $1000 — trend/seasonal/residual
+    split in two windowed passes, the decomposition every metrics stack
+    runs before alerting on raw values (a Sunday dip is seasonality, not an
+    incident).
+
+    Parity engineering: the centered average is kept as the exact integer
+    pair (sum, count) and the detrended value as the cross-multiplied
+    integer cents·n − sum (no division until output), so seasonal means
+    and the anomaly cut both evaluate from exact integers; edge days
+    without a full 7-day window are excluded on both sides (tr_n = 7).
+
+    Scale shape: one day-level aggregate collapses the fact table, then
+    one ordered window and a 7-group rollup — the window runs over the
+    tiny daily series (range-partitionable with frame overlap if it were
+    not)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("day_idx")
+    ).agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("cents"))
+    w = Window.orderBy("day_idx").rowsBetween(-3, 3)
+    trend = daily.select(
+        "day_idx",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("tr_sum"),
+        F.count(F.lit(1)).over(w).alias("tr_n"),
+    )
+    detr = trend.filter(F.col("tr_n") == 7).select(
+        "day_idx",
+        (F.col("day_idx") % 7).alias("dow"),
+        (F.col("cents") * F.col("tr_n") - F.col("tr_sum")).alias("resid_scaled"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.sum("resid_scaled").cast("bigint").alias("s_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("s_n"),
+    )
+    joined = detr.join(F.broadcast(seas), "dow")
+    anom = (
+        F.abs(
+            F.col("resid_scaled").cast("double") / 7
+            - F.col("s_sum").cast("double") / F.col("s_n") / 7
+        )
+        > 100000
+    )
+    return (
+        joined.groupBy("dow", "s_n", "s_sum")
+        .agg(
+            F.sum(F.when(anom, 1).otherwise(0)).cast("bigint").alias("n_anomalies")
+        )
+        .select(
+            "dow",
+            F.col("s_n").alias("n_days"),
+            F.expr(
+                "FLOOR(CAST(s_sum AS DOUBLE) / s_n / 7 / 100 * 10000 + 0.5) / 10000"
+            ).alias("seasonal_r4"),
+            "n_anomalies",
+        )
+        .orderBy("dow")
+    )

@@ -247,3 +247,47 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q_schema_evolution ------------------------------------------------------
+
+_EVOLVE_PATH = "/tmp/genesapi_spark/schema_evolution"
+
+_EVOLVE_ORACLE = """
+SELECT * FROM (VALUES
+  (1, CAST(10 AS BIGINT), CAST(NULL AS VARCHAR)),
+  (2, CAST(20 AS BIGINT), CAST(NULL AS VARCHAR)),
+  (3, CAST(30 AS BIGINT), 'x'),
+  (4, CAST(40 AS BIGINT), 'y')
+) AS t(id, v, tag)
+"""
+
+
+@register("q_schema_evolution", oracle=_EVOLVE_ORACLE)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema-evolution certificate: generation 1 writes (id, v),
+    generation 2 adds a `tag` column, and a `mergeSchema` read returns the
+    UNION schema with NULLs backfilled for the old files — the append-only
+    lake evolution path (no history rewrite, no migration job). The VALUES
+    oracle pins the exact merged relation, proving both the schema union
+    and the NULL semantics; the richer multi-generation proof lives in
+    tests/test_layout.py.
+
+    At 100 TB this is the only sane way to add a column: new files carry
+    it, old files stay untouched, and readers that don't select `tag`
+    never pay for the merge (schema pruning)."""
+    import os
+
+    base = f"{_EVOLVE_PATH}_{os.path.basename(sf_dir.rstrip('/'))}"
+    spark.createDataFrame([(1, 10), (2, 20)], "id int, v bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/gen=1")
+    spark.createDataFrame(
+        [(3, 30, "x"), (4, 40, "y")], "id int, v bigint, tag string"
+    ).write.mode("overwrite").parquet(f"{base}/gen=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/gen=1", f"{base}/gen=2")
+        .select("id", "v", "tag")
+        .orderBy("id")
+    )
