@@ -1489,3 +1489,114 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n2") - F.col("n3")).alias("n_out"),
     )
     return row1.unionByName(row2).unionByName(row3).orderBy("stage")
+
+
+# --- q_dedup_threshold_sweep -------------------------------------------------
+
+_SWEEP_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS parts, lower(text) AS lt
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(
+           CASE WHEN len(parts) >= 3
+                THEN list_transform(range(1, len(parts) - 1),
+                     i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2]))
+                ELSE [lt] END
+         ) AS g
+  FROM t
+), sz AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), pairs AS (
+  SELECT ni, sa.sz + sb.sz - ni AS un
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN ni * 5 > un * 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tau20,
+       CAST(SUM(CASE WHEN ni * 5 > un * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tau40,
+       CAST(SUM(CASE WHEN ni * 5 > un * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tau60,
+       CAST(SUM(CASE WHEN ni * 5 > un * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_tau80
+FROM pairs
+"""
+
+
+@register("q_dedup_threshold_sweep", oracle=_SWEEP_ORACLE)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity sweep: exact 3-gram Jaccard candidate
+    pairs counted at four τ cut-offs (0.2/0.4/0.6/0.8) in ONE pass — the
+    "how aggressive is each setting" curve you consult before fixing the
+    production τ, because the candidate count is the number of documents
+    you are about to delete and nobody wants to learn the elbow's location
+    AFTER the delete.
+
+    Parity engineering: every cut is the integer cross-multiplication
+    5·|A∩B| > k·|A∪B| (k = 1..4 ⇔ τ = 0.2k) — four conditional sums in one
+    aggregate over the same pair relation, no floats at all.
+
+    Scale shape: identical to q_dedup_ngram_jaccard's shingle equi-join
+    (quadratic work confined to shared-shingle blocks), then a single
+    5-counter global aggregate — the sweep costs the SAME as one
+    threshold, which is the point of folding it into conditional sums."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select(
+        "doc_id", "lang", "text", F.split(F.lower("text"), " ").alias("parts")
+    )
+    p = F.col("parts")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(p) - 2),
+            lambda i: F.xxhash64(
+                F.element_at(p, i), F.element_at(p, i + 1), F.element_at(p, i + 2)
+            ),
+        )
+    )
+    long_docs = base.filter(F.size(p) >= 3).select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    )
+    short_docs = base.filter(F.size(p) < 3).select(
+        "doc_id", "lang", F.xxhash64(F.lower(F.col("text"))).alias("g")
+    )
+    sh = long_docs.unionByName(short_docs)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"), "g")
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"), F.col("g").alias("gb")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("g") == F.col("gb"))
+            & (F.col("la") == F.col("lb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    pairs = (
+        inter.join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))),
+            "doc_b",
+        )
+        .select("ni", (F.col("sza") + F.col("szb") - F.col("ni")).alias("un"))
+    )
+    cut = lambda k: F.sum(
+        F.when(F.col("ni") * 5 > F.col("un") * k, 1).otherwise(0)
+    ).cast("bigint")
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        cut(1).alias("n_tau20"),
+        cut(2).alias("n_tau40"),
+        cut(3).alias("n_tau60"),
+        cut(4).alias("n_tau80"),
+    )

@@ -330,3 +330,106 @@ def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- q_quality_fk ------------------------------------------------------------
+
+_FK_ORACLE = """
+SELECT * FROM (
+  SELECT 'orders.custkey->customer' AS fk_edge,
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+           AS n_orphans,
+         CAST((SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+           AS n_childless_parents
+  UNION ALL
+  SELECT 'lineitem.orderkey->orders',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)),
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey))
+  UNION ALL
+  SELECT 'lineitem.partkey->part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey)),
+         (SELECT COUNT(*) FROM part p
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_partkey = p.p_partkey))
+  UNION ALL
+  SELECT 'lineitem.suppkey->supplier',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey)),
+         (SELECT COUNT(*) FROM supplier s
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_suppkey = s.s_suppkey))
+)
+ORDER BY fk_edge
+"""
+
+
+@register("q_quality_fk", oracle=_FK_ORACLE)
+def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's four FK edges:
+    orphaned child rows (FK with no parent — corruption) and childless
+    parents (dead dimension rows — usually fine, sometimes stale) per
+    edge — the first report a warehouse health check produces, and the
+    prerequisite for trusting every join in this registry.
+
+    Plan: each direction is an ANTI join (never NOT IN — see
+    q_sql_not_in_null for why) counting survivors; parent key sets
+    broadcast where small. Four edges = one declarative plan of eight
+    anti-join aggregates unioned into the audit table.
+
+    At 100 TB: each anti join shuffles the child once on the FK (or
+    broadcasts the parent keyset); the audit is embarrassingly
+    edge-parallel."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+
+    def edge(name, child, ckey, parent, pkey):
+        n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        orphans = child.join(
+            parent, F.col(ckey) == F.col(pkey), "anti"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        childless = parent.join(
+            child, F.col(pkey) == F.col(ckey), "anti"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_childless_parents"))
+        return (
+            n_child.crossJoin(orphans)
+            .crossJoin(childless)
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+                "n_childless_parents",
+            )
+        )
+
+    rows = [
+        edge("orders.custkey->customer", orders.select("o_custkey"), "o_custkey",
+             customer.select("c_custkey"), "c_custkey"),
+        edge("lineitem.orderkey->orders", li.select("l_orderkey"), "l_orderkey",
+             orders.select("o_orderkey"), "o_orderkey"),
+        edge("lineitem.partkey->part", li.select("l_partkey"), "l_partkey",
+             part.select("p_partkey"), "p_partkey"),
+        edge("lineitem.suppkey->supplier", li.select("l_suppkey"), "l_suppkey",
+             supplier.select("s_suppkey"), "s_suppkey"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk_edge")

@@ -1915,3 +1915,102 @@ def q_window_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# --- q_events_survival -------------------------------------------------------
+
+_SURV_ORACLE = f"""
+WITH life AS (
+  SELECT user_id,
+         epoch_us(MIN(ts)) // 86400000000 AS d0,
+         epoch_us(MAX(ts)) // 86400000000 AS d1
+  FROM events GROUP BY user_id
+), spans AS (
+  SELECT user_id, CAST((d1 - d0) // 7 AS BIGINT) AS weeks FROM life
+), at_risk AS (
+  SELECT w.week,
+         CAST(SUM(CASE WHEN s.weeks >= w.week THEN 1 ELSE 0 END) AS BIGINT) AS n_risk,
+         CAST(SUM(CASE WHEN s.weeks = w.week THEN 1 ELSE 0 END) AS BIGINT) AS n_die
+  FROM (SELECT unnest(range(0, 8)) AS week) w
+  CROSS JOIN spans s
+  GROUP BY w.week
+), hazard AS (
+  SELECT week, n_risk, n_die,
+         FLOOR(LN(CAST(n_risk - n_die AS DOUBLE) / n_risk) * 1000000 + 0.5)
+           AS lnsurv_micro
+  FROM at_risk WHERE n_risk > n_die
+)
+SELECT week, n_risk, n_die,
+       FLOOR(EXP(CAST(SUM(lnsurv_micro)
+                      OVER (ORDER BY week ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / 1000000.0) * 10000 + 0.5) / 10000 AS survival_r4
+FROM hazard
+ORDER BY week
+"""
+
+
+@register("q_events_survival", oracle=_SURV_ORACLE)
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style survival curve over user lifetimes (weeks from
+    first to last activity): for each week, the at-risk and churned counts
+    and the cumulative survival probability S(w) = Π (1 − d_i/n_i) — the
+    retention curve read every subscription/engagement review starts with,
+    computed from event history alone.
+
+    Parity engineering: the product becomes a SUM of micro-snapped
+    ln(1 − d/n) terms inside one cumulative window, exp'd once at output —
+    the module's standard libm-drift guard (each ln argument is a ratio of
+    exact integers, each term snapped to 1e-6 BEFORE accumulation; weeks
+    where everyone at risk churns — S hits exactly 0 — are excluded on
+    both sides, the curve is reported up to extinction). The
+    8-week grid is a literal sequence on both engines.
+
+    Scale shape: one user-keyed aggregate collapses the fact table;
+    the week grid fan-out is 8 rows per user folded immediately into an
+    8-group aggregate (map-side combined); the cumulative window runs over
+    8 rows."""
+    ev = load(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        (F.min("ts_us") / F.lit(86400000000)).cast("long").alias("d0"),
+        (F.max("ts_us") / F.lit(86400000000)).cast("long").alias("d1"),
+    )
+    spans = life.select(
+        F.expr("CAST((d1 - d0) div 7 AS BIGINT)").alias("weeks")
+    )
+    grid = spans.select(
+        "weeks", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("week")
+    )
+    at_risk = grid.groupBy("week").agg(
+        F.sum(F.when(F.col("weeks") >= F.col("week"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_risk"),
+        F.sum(F.when(F.col("weeks") == F.col("week"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_die"),
+    )
+    hazard = at_risk.filter(F.col("n_risk") > F.col("n_die")).select(
+        "week",
+        "n_risk",
+        "n_die",
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("n_die")).cast("double") / F.col("n_risk")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).alias("lnsurv_micro"),
+    )
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    return hazard.select(
+        "week",
+        "n_risk",
+        "n_die",
+        (
+            F.floor(
+                F.exp(F.sum("lnsurv_micro").over(w).cast("double") / 1000000.0)
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("survival_r4"),
+    ).orderBy("week")
