@@ -1106,3 +1106,84 @@ def q_sql_intdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates where DuckDB rounds/floors."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_INTDIV_SQL)
+
+
+# --- q_abc_xyz (demand-variability classification) ---------------------------
+
+_XYZ_ORACLE = """
+WITH monthly AS (
+  SELECT l_partkey,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS ym,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_partkey, ym
+), stats AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         CAST(SUM(q * q) AS BIGINT) AS s2
+  FROM monthly GROUP BY l_partkey
+), classed AS (
+  SELECT l_partkey, n_months,
+         CASE
+           WHEN n_months < 3 THEN 'Z'
+           WHEN (s2 * n_months - s1 * s1) * 4 < s1 * s1 THEN 'X'
+           WHEN (s2 * n_months - s1 * s1) * 1 < s1 * s1 THEN 'Y'
+           ELSE 'Z'
+         END AS xyz_class
+  FROM stats
+)
+SELECT xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(n_months) AS BIGINT) AS total_part_months
+FROM classed
+GROUP BY xyz_class
+ORDER BY xyz_class
+"""
+
+
+@register("q_abc_xyz", oracle=_XYZ_ORACLE)
+def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (the companion axis to
+    q_abc_classification's value-concentration ABC): per part, the
+    coefficient of variation of monthly demand sorts parts into X (steady,
+    CV < 0.5), Y (fluctuating, CV < 1) and Z (erratic or too sparse) — the
+    ABC×XYZ matrix is how inventory planners pick forecasting models and
+    safety stock per segment.
+
+    Parity engineering: the CV cuts are fully integer cross-multiplied —
+    CV² < c ⇔ (n·Σq² − (Σq)²)·(1/c) < (Σq)² with c ∈ {1/4, 1} — population
+    variance over exact integer monthly sums, so no float exists anywhere
+    in the classification. Months are integer year·12+month keys.
+
+    Scale shape: two chained hash aggregates (part-month, then part), both
+    map-side combined, then a 3-group rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("ym"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    stats = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+    )
+    var_num = F.col("s2") * F.col("n_months") - F.col("s1") * F.col("s1")
+    mean_sq = F.col("s1") * F.col("s1")
+    classed = stats.select(
+        "n_months",
+        F.when(F.col("n_months") < 3, "Z")
+        .when(var_num * 4 < mean_sq, "X")
+        .when(var_num * 1 < mean_sq, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        classed.groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("n_months").cast("bigint").alias("total_part_months"),
+        )
+        .orderBy("xyz_class")
+    )

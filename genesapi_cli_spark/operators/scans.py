@@ -433,3 +433,89 @@ def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("fk_edge")
+
+
+# --- q_quality_uniqueness ----------------------------------------------------
+
+_UNIQ_ORACLE = """
+SELECT * FROM (
+  SELECT 'customer.c_custkey' AS key_claim,
+         CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows,
+         CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT)
+           AS n_distinct,
+         CAST((SELECT COUNT(*) FROM customer)
+              - (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT)
+           AS n_violations
+  UNION ALL
+  SELECT 'orders.o_orderkey',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+         (SELECT COUNT(*) FROM orders)
+           - (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+  UNION ALL
+  SELECT 'lineitem.(orderkey,linenumber)',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+                                FROM lineitem)),
+         (SELECT COUNT(*) FROM lineitem)
+           - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+                                    FROM lineitem))
+  UNION ALL
+  SELECT 'events.event_id',
+         (SELECT COUNT(*) FROM events),
+         (SELECT COUNT(DISTINCT event_id) FROM events),
+         (SELECT COUNT(*) FROM events)
+           - (SELECT COUNT(DISTINCT event_id) FROM events)
+  UNION ALL
+  SELECT 'documents.doc_id',
+         (SELECT COUNT(*) FROM documents),
+         (SELECT COUNT(DISTINCT doc_id) FROM documents),
+         (SELECT COUNT(*) FROM documents)
+           - (SELECT COUNT(DISTINCT doc_id) FROM documents)
+)
+ORDER BY key_claim
+"""
+
+
+@register("q_quality_uniqueness", oracle=_UNIQ_ORACLE)
+def q_quality_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: for every claimed key (single-column
+    and the composite lineitem key), row count vs distinct count and the
+    violation count — the OTHER half of warehouse constraint checking next
+    to q_quality_fk (parquet enforces neither, so both audits run in the
+    pipeline, not the storage layer).
+
+    Plan: one two-phase distinct aggregate per claimed key, unioned into
+    the audit table; the composite key distinct is a hash of both columns,
+    never a concatenated string.
+
+    At 100 TB: each distinct is the standard partial-aggregate expand —
+    uniform keys by construction, no skew; audits are table-parallel."""
+    tables = {
+        "customer.c_custkey": (load(spark, sf_dir, "customer"), ["c_custkey"]),
+        "orders.o_orderkey": (load(spark, sf_dir, "orders"), ["o_orderkey"]),
+        "lineitem.(orderkey,linenumber)": (
+            load(spark, sf_dir, "lineitem"),
+            ["l_orderkey", "l_linenumber"],
+        ),
+        "events.event_id": (load(spark, sf_dir, "events"), ["event_id"]),
+        "documents.doc_id": (load(spark, sf_dir, "documents"), ["doc_id"]),
+    }
+    rows = []
+    for claim, (df, keys) in tables.items():
+        agg = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(*[F.col(k) for k in keys])
+            .cast("bigint")
+            .alias("n_distinct"),
+        ).select(
+            F.lit(claim).alias("key_claim"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).cast("bigint").alias("n_violations"),
+        )
+        rows.append(agg)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("key_claim")

@@ -1520,3 +1520,84 @@ def q_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# --- q_text_ttr_curve --------------------------------------------------------
+
+_TTR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id % 10 AS bucket, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), first_seen AS (
+  SELECT tok, CAST(MIN(bucket) AS BIGINT) AS b0 FROM toks GROUP BY tok
+), per_bucket AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY bucket
+), new_types AS (
+  SELECT b0 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_seen GROUP BY b0
+)
+SELECT p.bucket,
+       CAST(SUM(p2.n_tokens) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(nt.n_new, 0)) AS BIGINT) AS cum_types,
+       FLOOR(CAST(SUM(COALESCE(nt.n_new, 0)) AS DOUBLE)
+             / SUM(p2.n_tokens) * 10000 + 0.5) / 10000 AS ttr_r4
+FROM per_bucket p
+JOIN per_bucket p2 ON p2.bucket <= p.bucket
+LEFT JOIN new_types nt ON nt.bucket = p2.bucket
+GROUP BY p.bucket
+ORDER BY p.bucket
+"""
+
+
+@register("q_text_ttr_curve", oracle=_TTR_ORACLE)
+def q_text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: cumulative distinct types vs
+    cumulative tokens over 10 corpus slices, with the declining type-token
+    ratio — how curation teams answer "is more data still buying new
+    vocabulary, or just repetition" (complements q_vocab_coverage's Zipf
+    head sizing with the growth-over-volume view).
+
+    Parity engineering (the scale trick IS the correctness trick):
+    cumulative distinct is NOT a windowed COUNT(DISTINCT) — each type
+    contributes at its FIRST bucket (MIN(bucket) per token, one hash agg),
+    and the curve is a running sum of new-type counts over 10 rows. Exact
+    integers until the final ratio.
+
+    Scale shape: one (bucket, token) shuffle + one token-keyed min — the
+    same two-aggregate shape as q_text_kl_drift; the cumulative join runs
+    over 10×10 rows."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        (F.col("doc_id") % 10).alias("bucket"),
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+    first_seen = toks.groupBy("tok").agg(
+        F.min("bucket").cast("bigint").alias("b0")
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    new_types = first_seen.groupBy(F.col("b0").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    slices = per_bucket.join(F.broadcast(new_types), "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("n_new", F.lit(0).cast("bigint")).alias("n_new"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return slices.select(
+        "bucket",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_types"),
+    ).select(
+        "bucket",
+        "cum_tokens",
+        "cum_types",
+        (
+            F.floor(
+                F.col("cum_types").cast("double") / F.col("cum_tokens") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("ttr_r4"),
+    ).orderBy("bucket")
