@@ -1187,3 +1187,44 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("xyz_class")
     )
+
+
+# --- q_sql_aggregate_nulls (NULL-semantics aggregate certificate) ------------
+
+#: shared certificate SQL — run verbatim by BOTH engines (Spark temp views ≡
+#: DuckDB parquet views). Pins the NULL rules every aggregate pipeline
+#: silently depends on: aggregates IGNORE NULLs (not treat-as-zero),
+#: all-NULL groups yield NULL sums but 0 counts, COUNT(col) ≠ COUNT(*),
+#: and AVG divides by the NON-NULL count only.
+_AGG_NULLS_SQL = """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 100 < 10
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(p) AS BIGINT) AS n_nonnull,
+  CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(SUM(CAST(FLOOR(p * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+  FLOOR(CAST(SUM(CAST(FLOOR(p * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        / COUNT(p) * 10000 + 0.5) / 10000 AS avg_nonnull_r4,
+  CAST((SELECT SUM(CAST(1 AS BIGINT)) FROM v WHERE FALSE) AS BIGINT)
+    AS sum_empty,
+  CAST((SELECT COUNT(*) FROM v WHERE FALSE) AS BIGINT) AS count_empty
+FROM v
+"""
+
+
+@register("q_sql_aggregate_nulls", oracle=_AGG_NULLS_SQL)
+def q_sql_aggregate_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate NULL-semantics certificate (companion to q_sql_not_in_null
+    and q_sql_intdiv): ONE shared SQL text proves both engines agree that
+    aggregates skip NULLs rather than nulling out or zero-filling —
+    COUNT(col) counts non-NULLs while COUNT(*) counts rows, SUM over the
+    filtered-empty relation is NULL (not 0) while COUNT over it is 0, and
+    the honest mean divides by COUNT(col). Every decayed-score, weighted
+    mean, and rollup in this registry leans on these rules; this row makes
+    them an explicit, hash-checked contract instead of folklore."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_AGG_NULLS_SQL)

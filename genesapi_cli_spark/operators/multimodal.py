@@ -746,3 +746,75 @@ def q_multimodal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- q_multimodal_shards -----------------------------------------------------
+
+_SHARD_BYTES = 20_000  # per-shard payload budget
+
+_SHARDS_ORACLE = f"""
+WITH assets AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents
+), cum AS (
+  SELECT doc_id, bytes,
+         CAST(SUM(bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_bytes
+  FROM assets
+), sharded AS (
+  SELECT doc_id, bytes, (cum_bytes - 1) // {_SHARD_BYTES} AS shard_id
+  FROM cum
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM sharded
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+@register("q_multimodal_shards", oracle=_SHARDS_ORACLE)
+def q_multimodal_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest for binary assets: documents pack into
+    byte-budget shards (~20 KB here; ~1 GB webdataset tars in production)
+    in deterministic doc_id order via ONE running-sum window — shard_id =
+    ⌈cumulative_bytes / budget⌉, the contiguous-fill packing every
+    tar/tfrecord writer uses (q_pack_sequences is the token twin; this is
+    the byte/asset twin). The manifest row per shard (count, bytes, id
+    range) is what the training dataloader actually consumes.
+
+    Parity engineering: integer bytes, integer running sum, integer
+    floor-division — zero floats.
+
+    Scale shape: the global ordered running sum is the one genuinely
+    sequential step; at 100 TB it runs per coarse partition (e.g. per
+    source/date) with per-partition byte offsets composed additively —
+    same math, no global sort. The payload column itself never moves:
+    only (doc_id, bytes) enters the window."""
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("bytes"))
+    sharded = assets.select(
+        "doc_id",
+        "bytes",
+        F.expr(f"(SUM(bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1)"
+               f" div {_SHARD_BYTES}").alias("shard_id"),
+    )
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.sum("bytes").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .select(
+            F.col("shard_id").cast("bigint").alias("shard_id"),
+            "n_assets",
+            "shard_bytes",
+            "first_doc",
+            "last_doc",
+        )
+        .orderBy("shard_id")
+    )

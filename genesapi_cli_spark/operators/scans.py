@@ -519,3 +519,89 @@ def q_quality_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("key_claim")
+
+
+# --- q_profile_columns -------------------------------------------------------
+
+_PROFILE_COLS_ORACLE = """
+WITH cols AS (
+  SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+), vc AS (
+  SELECT col, v, CAST(COUNT(*) AS BIGINT) AS c FROM cols GROUP BY col, v
+), tot AS (
+  SELECT col, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_c,
+         CAST(SUM(c * (FLOOR(LN(c) * 1000000 + 0.5))) AS BIGINT) AS s_clnc
+  FROM vc GROUP BY col
+)
+SELECT col, n, n_distinct,
+       FLOOR(CAST(top_c AS DOUBLE) / n * 10000 + 0.5) / 10000 AS top_share_r4,
+       FLOOR((FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+              - CAST(s_clnc AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+             * 10000 + 0.5) / 10000 AS entropy_r4
+FROM tot
+ORDER BY col
+"""
+
+
+@register("q_profile_columns", oracle=_PROFILE_COLS_ORACLE)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level distribution profile (the cardinality companion to
+    q_profile_nulls): per column — total, distinct count, top-value share,
+    and Shannon entropy of the value distribution. This is the profile a
+    catalog/stats service maintains per column: entropy + top-share decide
+    dictionary-vs-plain encoding, broadcastability, and whether a column
+    can serve as a partition or salt key.
+
+    Plan: the columns unpivot through one UNION of projections (3 narrow
+    scans of the same table — at scale a single-scan stack() unpivot; the
+    oracle mirrors the union form), then ONE (col, value) aggregate and a
+    per-column rollup. Entropy uses the module-standard micro-snapped
+    ln(c) integer sums (q_text_entropy's guard: counts repeat heavily, so
+    snapping cannot straddle).
+
+    At 100 TB: profile cost ≈ one scan per profiled column batch; the
+    (col, value) aggregate inherits value skew — exactly what top_share
+    measures."""
+    orders = load(spark, sf_dir, "orders")
+    cols = (
+        orders.select(F.lit("o_orderstatus").alias("col"), F.col("o_orderstatus").alias("v"))
+        .unionByName(
+            orders.select(
+                F.lit("o_orderpriority").alias("col"), F.col("o_orderpriority").alias("v")
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.lit("o_custkey").alias("col"),
+                F.col("o_custkey").cast("string").alias("v"),
+            )
+        )
+    )
+    vc = cols.groupBy("col", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lnc_micro = F.floor(F.log(F.col("c").cast("double")) * 1000000 + F.lit(0.5))
+    tot = vc.groupBy("col").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_c"),
+        F.sum(F.col("c") * lnc_micro).cast("bigint").alias("s_clnc"),
+    )
+    return tot.select(
+        "col",
+        "n",
+        "n_distinct",
+        (
+            F.floor(F.col("top_c").cast("double") / F.col("n") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("top_share_r4"),
+        F.expr(
+            "FLOOR((FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000.0"
+            " - CAST(s_clnc AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))"
+            " * 10000 + 0.5) / 10000"
+        ).alias("entropy_r4"),
+    ).orderBy("col")
