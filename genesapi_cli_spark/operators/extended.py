@@ -1228,3 +1228,90 @@ def q_sql_aggregate_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     them an explicit, hash-checked contract instead of folklore."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_AGG_NULLS_SQL)
+
+
+# --- q_impute_group_median ---------------------------------------------------
+
+_IMPUTE_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events
+), med AS (
+  SELECT event_type,
+         CAST(r.cents AS BIGINT) AS med_cents
+  FROM (
+    SELECT event_type, cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id)
+             AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM base WHERE cents IS NOT NULL
+  ) r
+  WHERE r.rk = (r.n + 1) // 2
+)
+SELECT b.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN b.cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_imputed,
+       CAST(MAX(m.med_cents) AS BIGINT) AS med_cents,
+       CAST(SUM(COALESCE(b.cents, m.med_cents)) AS BIGINT) AS sum_imputed_cents
+FROM base b JOIN med m ON m.event_type = b.event_type
+GROUP BY b.event_type
+ORDER BY b.event_type
+"""
+
+
+@register("q_impute_group_median", oracle=_IMPUTE_ORACLE)
+def q_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation: NULLs (simulated on a deterministic 1-in-7
+    slice) are filled with their group's exact lower median, and the audit
+    reports imputed counts and the post-imputation checksum per group —
+    the cross-sectional missing-value fill (median, not mean: robust to
+    the heavy tail) next to the time-series fills (q_window_locf forward,
+    q_window_gap_fill calendar).
+
+    Parity engineering: the median is exact rank selection over integer
+    cents — rk = (n+1)/2 against a (cents, event_id) deterministic order —
+    equal values make any tie order equivalent; the imputed checksum is an
+    exact integer sum.
+
+    Scale shape: one per-group window for the rank (skew follows group
+    sizes), a ~5-row median table broadcast back onto the fact, one final
+    rollup riding the same grouping."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+        ).alias("cents"),
+    )
+    nn = base.filter(F.col("cents").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        nn.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("cents").alias("med_cents"))
+    )
+    return (
+        base.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_imputed"),
+            F.max("med_cents").cast("bigint").alias("med_cents"),
+            F.sum(F.coalesce("cents", "med_cents")).cast("bigint").alias(
+                "sum_imputed_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )

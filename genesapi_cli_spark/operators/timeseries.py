@@ -2014,3 +2014,100 @@ def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("survival_r4"),
     ).orderBy("week")
+
+
+# --- q_window_vwap -----------------------------------------------------------
+
+_VWAP_ORACLE = """
+WITH t AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS seq,
+         CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS day_idx,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+), cum AS (
+  SELECT day_idx, seq,
+         CAST(SUM(cents * q) OVER w AS BIGINT) AS cum_pq,
+         CAST(SUM(q) OVER w AS BIGINT) AS cum_q,
+         ROW_NUMBER() OVER (PARTITION BY day_idx ORDER BY seq DESC,
+                            cum_rn DESC) AS rn_last
+  FROM (SELECT day_idx, seq, cents, q,
+               ROW_NUMBER() OVER (PARTITION BY day_idx ORDER BY seq) AS cum_rn
+        FROM t) x
+  WINDOW w AS (PARTITION BY day_idx ORDER BY seq, cum_rn
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT day_idx, cum_q AS day_qty,
+       FLOOR(CAST(cum_pq AS DOUBLE) / cum_q / 100 * 10000 + 0.5) / 10000
+         AS vwap_r4
+FROM cum
+WHERE rn_last = 1
+ORDER BY day_idx
+"""
+
+
+@register("q_window_vwap", oracle=_VWAP_ORACLE)
+def q_window_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VWAP (volume-weighted average price) over one ship month: the
+    running Σ(price·qty)/Σ(qty) evaluated at each day's close — the
+    execution-quality benchmark price, here as the end-of-day value per
+    day (the intraday running curve is the same window without the last-row
+    filter). Complements q_agg_weighted (global weighted mean) with the
+    windowed running-ratio form.
+
+    Parity engineering: price·qty products and both running sums are exact
+    bigints partitioned per day and ordered by the deterministic
+    (orderkey, within-day row) key; the single division and cents→dollar
+    rescale happen once at output.
+
+    Scale shape: one day-partitioned window over the pruned month, the
+    day's last row selected by a companion reverse rank on the SAME
+    Exchange; at 100 TB days partition naturally and the ordered scan per
+    day is the textbook cumulative pattern."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp_ntz"))
+    )
+    t = li.select(
+        F.col("l_orderkey").cast("bigint").alias("seq"),
+        F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+        .cast("bigint")
+        .alias("day_idx"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w_rn = Window.partitionBy("day_idx").orderBy("seq")
+    x = t.select(
+        "day_idx", "seq", "cents", "q", F.row_number().over(w_rn).alias("cum_rn")
+    )
+    w_cum = (
+        Window.partitionBy("day_idx")
+        .orderBy("seq", "cum_rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_last = Window.partitionBy("day_idx").orderBy(
+        F.desc("seq"), F.desc("cum_rn")
+    )
+    cum = x.select(
+        "day_idx",
+        F.sum(F.col("cents") * F.col("q")).over(w_cum).cast("bigint").alias("cum_pq"),
+        F.sum("q").over(w_cum).cast("bigint").alias("cum_q"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    return (
+        cum.filter(F.col("rn_last") == 1)
+        .select(
+            "day_idx",
+            F.col("cum_q").alias("day_qty"),
+            (
+                F.floor(
+                    F.col("cum_pq").cast("double") / F.col("cum_q") / 100 * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("vwap_r4"),
+        )
+        .orderBy("day_idx")
+    )

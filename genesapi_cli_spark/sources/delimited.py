@@ -230,3 +230,59 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     where from_csv nulls only the offending field — the fixture asserts
     that asymmetry so it can never silently change under a Spark upgrade."""
     return parse_xml_records(spark)
+
+
+# --- q_source_calendar -------------------------------------------------------
+
+_CAL_ORACLE = """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+)
+SELECT d,
+       CAST(year(d) AS INT) AS y,
+       CAST(month(d) AS INT) AS m,
+       CAST(quarter(d) AS INT) AS q,
+       CAST(dayofyear(d) AS INT) AS doy,
+       CAST((date_diff('day', DATE '1970-01-01', d) + 3) % 7 + 1 AS INT)
+         AS iso_dow,
+       CAST(CASE WHEN (date_diff('day', DATE '1970-01-01', d) + 3) % 7 + 1 >= 6
+                 THEN 1 ELSE 0 END AS INT) AS is_weekend,
+       CAST(day(last_day(d)) AS INT) AS month_len
+FROM days
+ORDER BY d
+"""
+
+
+@register("q_source_calendar", oracle=_CAL_ORACLE)
+def q_source_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generator: one year of dates with the attributes
+    every warehouse date dim carries (year/month/quarter/day-of-year,
+    ISO weekday, weekend flag, month length) — generated declaratively
+    from a date sequence, no source file at all, and doubling as a DATE
+    FUNCTION PARITY certificate: the weekday deliberately avoids the
+    engines' dayofweek() (Spark counts Sunday=1, DuckDB Sunday=0 — a
+    silent off-by-one) in favor of portable epoch-day arithmetic
+    ((days_since_1970 + 3) % 7 + 1 = ISO 1..7); year/month/quarter/
+    dayofyear/last_day are probed-identical and used directly.
+
+    Scale shape: a generated dimension is driver-free and tiny forever;
+    at 100 TB you materialize it once and broadcast it into every
+    time-rollup join (q_window_gap_fill already builds its densify spine
+    the same way)."""
+    days = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-12-31',"
+        " INTERVAL 1 DAY)) AS d"
+    )
+    epoch_days = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    iso_dow = ((epoch_days + 3) % 7 + 1).cast("int")
+    return days.select(
+        "d",
+        F.year("d").cast("int").alias("y"),
+        F.month("d").cast("int").alias("m"),
+        F.quarter("d").cast("int").alias("q"),
+        F.dayofyear("d").cast("int").alias("doy"),
+        iso_dow.alias("iso_dow"),
+        F.when(iso_dow >= 6, 1).otherwise(0).cast("int").alias("is_weekend"),
+        F.dayofmonth(F.last_day(F.col("d"))).cast("int").alias("month_len"),
+    ).orderBy("d")
