@@ -1974,3 +1974,97 @@ def q_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q_agg_moments_merge (mergeable-partials certificate) --------------------
+
+_MERGE_CERT_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey % 2 AS shard,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), partials AS (
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(CAST(cents * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM c GROUP BY shard
+), merged AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s1) AS BIGINT) AS s1,
+         CAST(SUM(s2) AS DECIMAL(38,0)) AS s2
+  FROM partials
+), direct AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(CAST(cents * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM c
+)
+SELECT m.n AS n_rows,
+       CASE WHEN m.n = d.n AND m.s1 = d.s1 AND m.s2 = d.s2
+            THEN 1 ELSE 0 END AS partials_merge_exact,
+       FLOOR((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+             / (m.n - 1) / 10000 * 100 + 0.5) / 100 AS var_dollars2_r2
+FROM merged m CROSS JOIN direct d
+"""
+
+
+@register("q_agg_moments_merge", oracle=_MERGE_CERT_ORACLE)
+def q_agg_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-partials certificate: the (n, Σx, Σx²) moment state is
+    computed per shard, MERGED by plain addition, and proved bit-equal to
+    the direct single-pass computation — the algebraic property (moments
+    form a commutative monoid) that makes every distributed variance /
+    stddev / z-score in this engine correct under ANY partitioning, here
+    pinned as an executable fact rather than an assumption. The sample
+    variance derives from the merged state to show the state is
+    sufficient, not just consistent.
+
+    Parity engineering: cents are exact bigints, Σx² rides DECIMAL(38,0)
+    (overflow-free at any shard size), and the equality flag compares the
+    exact integers/decimals — 1 means EXACT, not approximately equal.
+
+    Scale shape: this is literally what Spark's partial aggregation does
+    inside one query; materializing it across an explicit shard column is
+    the cross-JOB form (incremental daily partials merged into monthly
+    stats — q_incremental_agg_merge applies the same algebra as a
+    pipeline)."""
+    orders = load(spark, sf_dir, "orders")
+    c = orders.select(
+        (F.col("o_orderkey") % 2).alias("shard"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    partials = c.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.expr("CAST(cents * cents AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    merged = partials.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s1"),
+        F.sum("s2").cast("decimal(38,0)").alias("s2"),
+    )
+    direct = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("dn"),
+        F.sum("cents").cast("bigint").alias("ds1"),
+        F.sum(F.expr("CAST(cents * cents AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("ds2"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        F.col("n").alias("n_rows"),
+        F.when(
+            (F.col("n") == F.col("dn"))
+            & (F.col("s1") == F.col("ds1"))
+            & (F.col("s2") == F.col("ds2")),
+            1,
+        )
+        .otherwise(0)
+        .alias("partials_merge_exact"),
+        F.expr(
+            "FLOOR((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)"
+            " / (n - 1) / 10000 * 100 + 0.5) / 100"
+        ).alias("var_dollars2_r2"),
+    )

@@ -1339,3 +1339,91 @@ def q_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_t") / 10000).alias("chi2_r4"),
         "srm_flag",
     )
+
+
+# --- q_events_conversion_window ----------------------------------------------
+
+_CONV_US = 7 * 86400000000  # 7-day conversion window
+
+_CONV_ORACLE = f"""
+WITH signups AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), purchases AS (
+  SELECT user_id, epoch_us(ts) AS p_us FROM events
+  WHERE event_type = 'purchase'
+), conv AS (
+  SELECT s.user_id, s.s_us,
+         MAX(CASE WHEN p.p_us > s.s_us AND p.p_us <= s.s_us + {_CONV_US}
+                  THEN 1 ELSE 0 END) AS converted
+  FROM signups s LEFT JOIN purchases p ON p.user_id = s.user_id
+  GROUP BY s.user_id, s.s_us
+)
+SELECT CAST(s_us // (7 * 86400000000) AS BIGINT) AS cohort_week,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       FLOOR(CAST(SUM(converted) * 100 AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+         / 10000 AS conv_pct_r4
+FROM conv
+GROUP BY cohort_week
+ORDER BY cohort_week
+"""
+
+
+@register("q_events_conversion_window", oracle=_CONV_ORACLE)
+def q_events_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion rate by signup cohort: a user converts iff
+    a purchase lands within 7 days AFTER their first signup, rolled up per
+    signup week — the canonical growth metric done right (the naive
+    "converted ever" version inflates older cohorts, because they had
+    longer to convert; the fixed window makes cohorts comparable).
+
+    Parity engineering: first-signup and the window test are integer µs;
+    the per-user flag is a MAX over the user's joined purchases (exists-
+    within-window decorrelated into a user-keyed equi-join + aggregate,
+    never a per-row subquery); counts and one division close it out.
+
+    Scale shape: both event slices aggregate/join on user_id — one
+    partitioning serves the join and both aggregates; at 100 TB the
+    purchase side prunes to the event-type slice at the scan."""
+    ev = load(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_us")
+    )
+    conv = (
+        signups.join(purchases, "user_id", "left")
+        .groupBy("user_id", "s_us")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("p_us") > F.col("s_us"))
+                    & (F.col("p_us") <= F.col("s_us") + _CONV_US),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return (
+        conv.groupBy(
+            F.expr(f"CAST(s_us div {7 * 86400000000} AS BIGINT)").alias("cohort_week")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            (
+                F.floor(
+                    (F.sum("converted") * 100).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("conv_pct_r4"),
+        )
+        .orderBy("cohort_week")
+    )
