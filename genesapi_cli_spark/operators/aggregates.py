@@ -2068,3 +2068,159 @@ def q_agg_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (n - 1) / 10000 * 100 + 0.5) / 100"
         ).alias("var_dollars2_r2"),
     )
+
+
+# --- q_orders_basket_dist ----------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH sizes AS (
+  SELECT o_orderkey, CAST(COUNT(l_orderkey) AS BIGINT) AS n_lines
+  FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey
+)
+SELECT n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       FLOOR(CAST(COUNT(*) * 100 AS DOUBLE)
+             / (SELECT COUNT(*) FROM sizes) * 10000 + 0.5) / 10000 AS pct_r4
+FROM sizes
+GROUP BY n_lines
+ORDER BY n_lines
+"""
+
+
+@register("q_orders_basket_dist", oracle=_BASKET_ORACLE)
+def q_orders_basket_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many orders have 0, 1, 2, … line
+    items (the LEFT join keeps empty orders at size 0) with the share of
+    each size — the first merchandising profile of any order fact, and the
+    fan-out histogram that predicts every orders⋈lineitem join's cost
+    (q_affinity_pairs' Σk² basket fan-out reads directly off this table).
+
+    Plan: count per order, then the two-level count-of-counts aggregate
+    (same shape as TPC-H Q13 / q_tpch_q13, which filters the join; this is
+    the unfiltered physical profile). The share divides exact counts with
+    the denominator derived from the same relation, broadcast."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    sizes = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").cast("bigint").alias("n_lines"))
+    )
+    dist = sizes.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    total = dist.agg(F.sum("n_orders").alias("n_total"))
+    return (
+        dist.join(F.broadcast(total))
+        .select(
+            "n_lines",
+            "n_orders",
+            (
+                F.floor(
+                    (F.col("n_orders") * 100).cast("double")
+                    / F.col("n_total")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("pct_r4"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+# --- q_agg_winsorized --------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents, 1) AS rk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM c
+), caps AS (
+  SELECT l_returnflag,
+         CAST(MIN(CASE WHEN rk * 10 > n THEN cents END) AS BIGINT) AS lo_cap,
+         CAST(MAX(CASE WHEN (n - rk) * 10 >= n THEN cents END) AS BIGINT) AS hi_cap
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT r.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN r.cents < c.lo_cap OR r.cents > c.hi_cap
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       FLOOR(CAST(SUM(LEAST(GREATEST(r.cents, c.lo_cap), c.hi_cap)) AS DOUBLE)
+             / COUNT(*) / 100 * 10000 + 0.5) / 10000 AS winsor_mean_r4
+FROM ranked r JOIN caps c ON c.l_returnflag = r.l_returnflag
+GROUP BY r.l_returnflag
+ORDER BY r.l_returnflag
+"""
+
+
+@register("q_agg_winsorized", oracle=_WINSOR_ORACLE)
+def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided WINSORIZED mean (q_agg_trimmed's sibling): instead of
+    dropping the tails, each tail value is CLAMPED to the decile boundary
+    — keeping n constant (so downstream variance math stays honest) while
+    still bounding outlier influence; the estimator of choice when row
+    weights must be preserved.
+
+    Parity engineering: the clamp caps are the exact decile boundary cents
+    from the same integer rank-band rule as the trimmed mean (lo = first
+    kept value, hi = last kept value; equal values interchangeable under
+    arbitrary tie order), and the clamped sum is pure integer LEAST/
+    GREATEST before one division.
+
+    Scale shape: one per-group window (rank + count share the Exchange), a
+    5-row cap table broadcast back, one rollup riding the same grouping."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = c.select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    caps = ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rk") * 10 > F.col("n"), F.col("cents")))
+        .cast("bigint")
+        .alias("lo_cap"),
+        F.max(
+            F.when((F.col("n") - F.col("rk")) * 10 >= F.col("n"), F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("hi_cap"),
+    )
+    joined = ranked.join(F.broadcast(caps), "l_returnflag")
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo_cap")), F.col("hi_cap"))
+    out_of_band = (F.col("cents") < F.col("lo_cap")) | (
+        F.col("cents") > F.col("hi_cap")
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(out_of_band, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clamped"),
+            (
+                F.floor(
+                    F.sum(clamped).cast("double")
+                    / F.count(F.lit(1))
+                    / 100
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("winsor_mean_r4"),
+        )
+        .orderBy("l_returnflag")
+    )
