@@ -1029,3 +1029,69 @@ def q_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_r4"),
         )
     )
+
+
+# --- q_sim_norm_stats --------------------------------------------------------
+
+_NORM_STATS_ORACLE = """
+WITH e AS (
+  SELECT label,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       FLOOR(MIN(nrm) * 10000 + 0.5) / 10000 AS min_norm_r4,
+       FLOOR(MAX(nrm) * 10000 + 0.5) / 10000 AS max_norm_r4,
+       FLOOR(CAST(SUM(CAST(nrm AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*)
+             * 10000 + 0.5) / 10000 AS mean_norm_r4,
+       CAST(SUM(CASE WHEN nrm < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degenerate
+FROM e
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("q_sim_norm_stats", oracle=_NORM_STATS_ORACLE)
+def q_sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm health profile per label: min/max/mean L2 norm and a
+    degenerate-vector count (norm < 0.5 — collapsed or zero embeddings) —
+    the sanity table every vector-index build prints first, because cosine
+    retrieval silently misbehaves on near-zero vectors and norm drift
+    between batches signals an encoder version mix-up.
+
+    Parity engineering: the norm is one sqrt of the exact-order dot
+    product (identical fold order both engines — the module's shared
+    convention); min/max are order-free; the mean crosses partitions as
+    exact decimals of identical doubles; the degenerate cut compares
+    identical doubles against a literal.
+
+    Scale shape: one map-side-combined aggregate over the vectors — the
+    norm never leaves the row, the payload column dies at the projection."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", as_double("embedding").alias("emb")
+    )
+    nrm = F.sqrt(dot_expr("emb", "emb"))
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (F.floor(F.min("nrm") * 10000 + F.lit(0.5)) / 10000).alias("min_norm_r4"),
+            (F.floor(F.max("nrm") * 10000 + F.lit(0.5)) / 10000).alias("max_norm_r4"),
+            (
+                F.floor(
+                    F.sum(F.col("nrm").cast("decimal(27,7)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("mean_norm_r4"),
+            F.sum(F.when(F.col("nrm") < 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_degenerate"),
+        )
+        .orderBy("label")
+    )

@@ -2111,3 +2111,86 @@ def q_window_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# --- q_orders_repeat_rate ----------------------------------------------------
+
+_REPEAT_ORACLE = """
+WITH per_cust AS (
+  SELECT c_mktsegment AS segment, o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                        MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS span_days
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY segment, o_custkey
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       FLOOR(CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 100
+                  AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+         AS repeat_pct_r4,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN span_days ELSE 0 END) AS BIGINT)
+         AS repeat_span_days,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN n_orders - 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat_gaps
+FROM per_cust
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("q_orders_repeat_rate", oracle=_REPEAT_ORACLE)
+def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase profile per market segment: buyer counts, the
+    repeat-buyer share, and the aggregate active span vs gap count of
+    repeat buyers (their ratio is the mean inter-order interval — the two
+    integers are reported separately so the oracle stays division-free
+    until the one snapped percentage) — the loyalty readout between
+    one-off RFM scoring (q_events_rfm) and full cohort LTV (q_cohort_ltv).
+
+    Plan: one (segment, customer) aggregate with integer first/last-day
+    span, then the segment rollup — two map-side-combined shuffles, the
+    customer dim broadcast onto orders.
+
+    At 100 TB nothing grows past the per-customer aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    per_cust = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            )
+            .cast("bigint")
+            .alias("span_days"),
+        )
+    )
+    rep = F.col("n_orders") >= 2
+    return (
+        per_cust.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+            F.sum(F.when(rep, 1).otherwise(0)).cast("bigint").alias("n_repeat"),
+            (
+                F.floor(
+                    (F.sum(F.when(rep, 1).otherwise(0)) * 100).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("repeat_pct_r4"),
+            F.sum(F.when(rep, F.col("span_days")).otherwise(0))
+            .cast("bigint")
+            .alias("repeat_span_days"),
+            F.sum(F.when(rep, F.col("n_orders") - 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeat_gaps"),
+        )
+        .orderBy("segment")
+    )
