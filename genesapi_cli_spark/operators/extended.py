@@ -1315,3 +1315,160 @@ def q_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q_abc_migration ---------------------------------------------------------
+
+_ABC_MIG_SQL_PERIOD = """
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
+  GROUP BY l_partkey
+"""
+
+_ABC_MIG_ORACLE = f"""
+WITH rev1 AS ({_ABC_MIG_SQL_PERIOD.format(lo='1996-01-01 00:00:00', hi='1997-01-01 00:00:00')}),
+rev2 AS ({_ABC_MIG_SQL_PERIOD.format(lo='1997-01-01 00:00:00', hi='1998-01-01 00:00:00')}),
+c1 AS (
+  SELECT l_partkey,
+         CASE WHEN cum * 10000 <= 8000 * tot THEN 'A'
+              WHEN cum * 10000 <= 9500 * tot THEN 'B' ELSE 'C' END AS cls
+  FROM (SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cents) OVER () AS tot
+        FROM rev1)
+), c2 AS (
+  SELECT l_partkey,
+         CASE WHEN cum * 10000 <= 8000 * tot THEN 'A'
+              WHEN cum * 10000 <= 9500 * tot THEN 'B' ELSE 'C' END AS cls
+  FROM (SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cents) OVER () AS tot
+        FROM rev2)
+)
+SELECT COALESCE(c1.cls, '-') AS class_from,
+       COALESCE(c2.cls, '-') AS class_to,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM c1 FULL JOIN c2 USING (l_partkey)
+GROUP BY class_from, class_to
+ORDER BY class_from, class_to
+"""
+
+
+@register("q_abc_migration", oracle=_ABC_MIG_ORACLE)
+def q_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC class-migration matrix: every part's revenue class (A/B/C, by
+    cumulative 80/95% cuts) computed independently for two consecutive
+    years, FULL-joined into the year-over-year transition matrix —
+    including parts that entered ('-'→X) or left (X→'-') the assortment.
+    Class churn is the signal inventory planners act on (an A→C slide
+    means a dying product; C→A means yesterday's safety stock is today's
+    stock-out).
+
+    Parity engineering: both classifications reuse q_abc_classification's
+    integer cross-multiplied cumulative cuts (cum·10⁴ ≤ bp·tot) over exact
+    cents with the deterministic (cents DESC, partkey) rank order; the
+    matrix is a FULL outer join on partkey with '-' for absences.
+
+    Scale shape: per-period ranking is one window over the part-level
+    aggregate (parts ≪ line items); the matrix join is part-keyed."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def classify(lo: str, hi: str, out: str) -> DataFrame:
+        rev = (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp_ntz"))
+            )
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+                .cast("bigint")
+                .alias("cents")
+            )
+        )
+        w_cum = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        w_tot = Window.partitionBy()
+        return rev.select(
+            "l_partkey",
+            F.when(
+                F.sum("cents").over(w_cum) * 10000
+                <= 8000 * F.sum("cents").over(w_tot),
+                "A",
+            )
+            .when(
+                F.sum("cents").over(w_cum) * 10000
+                <= 9500 * F.sum("cents").over(w_tot),
+                "B",
+            )
+            .otherwise("C")
+            .alias(out),
+        )
+
+    c1 = classify("1996-01-01 00:00:00", "1997-01-01 00:00:00", "cls1")
+    c2 = classify("1997-01-01 00:00:00", "1998-01-01 00:00:00", "cls2")
+    return (
+        c1.join(c2, "l_partkey", "full")
+        .groupBy(
+            F.coalesce("cls1", F.lit("-")).alias("class_from"),
+            F.coalesce("cls2", F.lit("-")).alias("class_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("class_from", "class_to")
+    )
+
+
+# --- q_sql_order_nulls (NULL ordering placement certificate) -----------------
+
+#: shared certificate SQL — run verbatim by BOTH engines. The engines'
+#: DEFAULTS differ (Spark: NULLS FIRST on ASC; DuckDB: NULLS LAST), so
+#: every ORDER BY here pins placement EXPLICITLY — the portable idiom this
+#: certificate exists to enforce. The probe ranks a nullable column both
+#: ways and fingerprints the head/tail of each ordering.
+_ORDER_NULLS_SQL = """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 50 = 0
+), nf AS (
+  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY p ASC NULLS FIRST, o_orderkey)
+           AS rk
+  FROM v
+), nl AS (
+  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY p ASC NULLS LAST, o_orderkey)
+           AS rk
+  FROM v
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_rows,
+  CAST((SELECT COUNT(*) FROM v WHERE p IS NULL) AS BIGINT) AS n_null,
+  CAST((SELECT SUM(o_orderkey) FROM nf
+        WHERE rk <= (SELECT COUNT(*) FROM v WHERE p IS NULL)) AS BIGINT)
+    AS head_keys_nulls_first,
+  CAST((SELECT SUM(o_orderkey) FROM nl
+        WHERE rk > (SELECT COUNT(*) FROM v)
+                 - (SELECT COUNT(*) FROM v WHERE p IS NULL)) AS BIGINT)
+    AS tail_keys_nulls_last
+"""
+
+
+@register("q_sql_order_nulls", oracle=_ORDER_NULLS_SQL)
+def q_sql_order_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL ordering-placement certificate (third of the dialect trio with
+    q_sql_not_in_null / q_sql_intdiv): Spark defaults to NULLS FIRST on
+    ascending sorts, DuckDB to NULLS LAST — an unpinned ORDER BY over a
+    nullable key silently reorders between engines (and flips window
+    frames built on it). This shared SQL pins placement explicitly both
+    ways and proves the NULL block occupies exactly the head (NULLS
+    FIRST) / tail (NULLS LAST) by checksumming the keys in those rank
+    bands — equal checksums on both engines certify the explicit idiom is
+    portable, which is why every ORDER BY over nullable keys in this repo
+    writes its placement out."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ORDER_NULLS_SQL)

@@ -838,3 +838,75 @@ def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_rnk",
         (F.col("prev_rnk") - F.col("rnk")).alias("jump"),
     ).filter(F.col("jump") >= _MOVERS_MIN_JUMP)
+
+
+# --- q_events_velocity -------------------------------------------------------
+
+_VELO_WINDOW_US = 3_600_000_000  # 1-hour trailing window
+_VELO_K = 2                      # events within the window that trigger a flag
+
+_VELO_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT user_id, event_id, us,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN {_VELO_WINDOW_US} PRECEDING
+                              AND CURRENT ROW) AS n_in_hour
+  FROM e
+)
+SELECT CAST(us // 86400000000 AS BIGINT) AS day_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN n_in_hour > {_VELO_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_velocity_hits,
+       CAST(COUNT(DISTINCT CASE WHEN n_in_hour > {_VELO_K} THEN user_id END)
+            AS BIGINT) AS n_flagged_users
+FROM flagged
+GROUP BY day_idx
+HAVING SUM(CASE WHEN n_in_hour > {_VELO_K} THEN 1 ELSE 0 END) > 0
+ORDER BY day_idx
+"""
+
+
+@register("q_events_velocity", oracle=_VELO_ORACLE)
+def q_events_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity screening (the fraud/abuse rate-limit check): an event is a
+    velocity hit when its user produced more than 2 events inside the
+    trailing ONE HOUR — a true sliding RANGE frame over integer
+    microseconds, not a bucketed approximation (bucket edges split bursts;
+    the range frame catches a burst wherever it lands). Reported per day
+    with the distinct users flagged, days without hits suppressed.
+
+    Parity engineering: the frame is integer-µs RANGE
+    (3.6e9 PRECEDING .. CURRENT ROW) per user — ties included on both
+    engines by range semantics regardless of event_id order — and
+    everything after is exact integer counting.
+
+    Scale shape: one user-partitioned ordered window (the per-user event
+    ordering every sessionize/funnel query here already uses — same
+    Exchange shape), then a day rollup. At 100 TB the range frame's state
+    is bounded by each user's 1-hour burst size."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_VELO_WINDOW_US, 0)
+    )
+    flagged = ev.select(
+        "user_id",
+        F.col("ts_us").alias("us"),
+        F.count(F.lit(1)).over(w).alias("n_in_hour"),
+    )
+    hit = F.col("n_in_hour") > _VELO_K
+    return (
+        flagged.groupBy(F.expr("CAST(us div 86400000000 AS BIGINT)").alias("day_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_velocity_hits"),
+            F.count_distinct(F.when(hit, F.col("user_id")))
+            .cast("bigint")
+            .alias("n_flagged_users"),
+        )
+        .filter(F.col("n_velocity_hits") > 0)
+        .orderBy("day_idx")
+    )
