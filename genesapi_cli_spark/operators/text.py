@@ -1601,3 +1601,83 @@ def q_text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("ttr_r4"),
     ).orderBy("bucket")
+
+
+# --- q_text_sentiment_lexicon ------------------------------------------------
+
+_POS_WORDS = ("fast", "big")
+_NEG_WORDS = ("slow", "small")
+
+_SENTIMENT_ORACLE = f"""
+WITH m AS (
+  SELECT source,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('fast', 'big'))) AS n_pos,
+         len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('slow', 'small'))) AS n_neg
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       FLOOR(CAST(SUM(n_pos) - SUM(n_neg) AS DOUBLE)
+             / SUM(n_tokens) * 10000 + 0.5) / 10000 AS polarity_r4,
+       CAST(SUM(CASE WHEN n_pos > n_neg THEN 1
+                     WHEN n_neg > n_pos THEN -1 ELSE 0 END) AS BIGINT)
+         AS net_doc_votes
+FROM m
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q_text_sentiment_lexicon", oracle=_SENTIMENT_ORACLE)
+def q_text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment polarity per source: positive/negative
+    marker-word counts, the token-normalized polarity score, and per-doc
+    majority votes — the dictionary-scoring pattern (AFINN/VADER-style
+    without the weights) that is still the first-pass sentiment signal at
+    corpus scale because it needs no model and runs as a pure projection.
+    The 2+2-word lexicon matches the synthetic vocabulary; a real lexicon
+    swaps into the SAME in-row filter (broadcast as a literal array).
+
+    Plan: marker counting is an in-row HOF filter over the token split
+    (the q_text_langid shape), then one source-keyed aggregate; the
+    polarity divides two exact integer sums once."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = F.split(F.lower("text"), " ")
+    n_pos = F.size(F.filter(toks, lambda w: w.isin(*_POS_WORDS)))
+    n_neg = F.size(F.filter(toks, lambda w: w.isin(*_NEG_WORDS)))
+    m = docs.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_pos").cast("bigint").alias("n_pos"),
+            F.sum("n_neg").cast("bigint").alias("n_neg"),
+            (
+                F.floor(
+                    (F.sum("n_pos") - F.sum("n_neg")).cast("double")
+                    / F.sum("n_tokens")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("polarity_r4"),
+            F.sum(
+                F.when(F.col("n_pos") > F.col("n_neg"), 1)
+                .when(F.col("n_neg") > F.col("n_pos"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("net_doc_votes"),
+        )
+        .orderBy("source")
+    )

@@ -2194,3 +2194,90 @@ def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- q_events_error_budget ---------------------------------------------------
+
+_SLO_BP = 9700  # SLO: 97.00% of events non-error (basis points)
+
+_BUDGET_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events GROUP BY day_idx
+), cum AS (
+  SELECT day_idx, n_events, n_errors,
+         CAST(SUM(n_events) OVER w AS BIGINT) AS cum_events,
+         CAST(SUM(n_errors) OVER w AS BIGINT) AS cum_errors
+  FROM daily
+  WINDOW w AS (ORDER BY day_idx ROWS UNBOUNDED PRECEDING)
+)
+SELECT day_idx, n_events, n_errors,
+       FLOOR(CAST(n_errors * 100 AS DOUBLE) / n_events * 10000 + 0.5) / 10000
+         AS day_error_pct_r4,
+       CAST(cum_events * (10000 - {_SLO_BP}) - cum_errors * 10000 AS BIGINT)
+         AS budget_scaled,
+       CASE WHEN cum_errors * 10000 > cum_events * (10000 - {_SLO_BP})
+            THEN 1 ELSE 0 END AS budget_exhausted
+FROM cum
+ORDER BY day_idx
+"""
+
+
+@register("q_events_error_budget", oracle=_BUDGET_ORACLE)
+def q_events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn-down: daily error rate plus the CUMULATIVE
+    budget position against a 97% non-error SLO — the SRE accounting that
+    turns "errors happened" into "how much failure allowance remains
+    before the SLO is breached" (and the exhausted flag is the
+    freeze-deploys signal).
+
+    Parity engineering: the budget is held as the scaled INTEGER
+    cum_events·(10000−SLO_bp) − cum_errors·10⁴ (positive = budget left) —
+    the breach comparison never touches a float; only the display rate is
+    divided and snapped.
+
+    Scale shape: one day aggregate (map-side combined) and one 8-hundred-
+    row cumulative window; the fact table is read once."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(ts_us div 86400000000 AS BIGINT)").alias("day_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day_idx",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w).cast("bigint").alias("cum_events"),
+        F.sum("n_errors").over(w).cast("bigint").alias("cum_errors"),
+    )
+    slack_bp = 10000 - _SLO_BP
+    return cum.select(
+        "day_idx",
+        "n_events",
+        "n_errors",
+        (
+            F.floor(
+                (F.col("n_errors") * 100).cast("double")
+                / F.col("n_events")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("day_error_pct_r4"),
+        (F.col("cum_events") * slack_bp - F.col("cum_errors") * 10000)
+        .cast("bigint")
+        .alias("budget_scaled"),
+        F.when(
+            F.col("cum_errors") * 10000 > F.col("cum_events") * slack_bp, 1
+        )
+        .otherwise(0)
+        .alias("budget_exhausted"),
+    ).orderBy("day_idx")
