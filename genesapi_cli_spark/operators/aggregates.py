@@ -2224,3 +2224,79 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q_agg_hhi ---------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH s AS (
+  SELECT n_name AS nation, s_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  GROUP BY n_name, s_suppkey
+), m AS (
+  SELECT nation,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(cents) AS BIGINT) AS tot,
+         CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sq
+  FROM s GROUP BY nation
+)
+SELECT nation, n_suppliers,
+       FLOOR(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot) * 10000
+             * 10000 + 0.5) / 10000 AS hhi_bp_r4
+FROM m
+ORDER BY nation
+"""
+
+
+@register("q_agg_hhi", oracle=_HHI_ORACLE)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue within
+    each nation, in basis points (10000 = monopoly; 10000/n = perfectly
+    even) — the antitrust-grade concentration number that complements
+    q_agg_concentration's top-decile share and q_agg_gini's inequality
+    coefficient: HHI = Σ shareᵢ² = Σcᵢ² / (Σcᵢ)², so it needs only TWO
+    exact sums per group and no sorting at all (unlike Gini/Lorenz).
+
+    Parity engineering: per-supplier cents are exact; each c² is a DECIMAL(19,0)×DECIMAL(19,0) product (per-supplier
+    totals overflow a bigint square even at sf0.01) summed as
+    DECIMAL(38,0); ONE double division of the two
+    exact totals, scaled to bp and snapped.
+
+    Scale shape: two chained hash aggregates (nation×supplier, then
+    nation) — both map-side combined, no window, no skew beyond real
+    market structure."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    s = (
+        li.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    m = s.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.sum(
+            F.expr("CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))")
+        )
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    return m.select(
+        "nation",
+        "n_suppliers",
+        F.expr(
+            "FLOOR(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot) * 10000"
+            " * 10000 + 0.5) / 10000"
+        ).alias("hhi_bp_r4"),
+    ).orderBy("nation")

@@ -2281,3 +2281,99 @@ def q_events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("budget_exhausted"),
     ).orderBy("day_idx")
+
+
+# --- q_window_interval_merge -------------------------------------------------
+
+_IM_DAY_US = 86_400_000_000
+
+_INTERVAL_MERGE_ORACLE = """
+WITH iv AS (
+  SELECT o_custkey AS c,
+         epoch_us(o_orderdate) // 86400000000 AS s,
+         epoch_us(o_orderdate) // 86400000000 + 30 AS e
+  FROM orders
+), marked AS (
+  SELECT c, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY c ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), grp AS (
+  SELECT c, s, e,
+         CAST(SUM(new_island) OVER (PARTITION BY c ORDER BY s, e
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM marked
+), merged AS (
+  SELECT c, island, MIN(s) AS m_start, MAX(e) AS m_end
+  FROM grp GROUP BY c, island
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(COUNT(DISTINCT c) AS BIGINT) AS n_customers,
+       CAST(SUM(m_end - m_start) AS BIGINT) AS covered_days,
+       CAST(MAX(m_end - m_start) AS BIGINT) AS longest_days
+FROM merged
+"""
+
+
+@register("q_window_interval_merge", oracle=_INTERVAL_MERGE_ORACLE)
+def q_window_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (merge overlapping spans): each order opens a 30-day
+    activity window per customer; overlapping windows merge into coverage
+    islands and the result reports island count and total covered days —
+    the gaps-and-islands MERGE (union length) that complements
+    q_intervals_active's concurrency counting: "how long was the customer
+    covered at all", the dedup rule for entitlement/subscription overlap.
+
+    Parity engineering: the island boundary is the textbook running
+    MAX(end) over all PRECEDING intervals (ties ordered (s, e) on both
+    engines; the empty frame coalesces to LONG_MIN so the first interval
+    opens island 1), the island id a running sum of boundary flags —
+    all exact integer day arithmetic.
+
+    Scale shape: one customer-partitioned ordered window + one island
+    aggregate on the same partitioning; intervals never cross-join."""
+    orders = load(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_custkey").alias("c"),
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_IM_DAY_US}")
+        .alias("s"),
+    ).select("c", "s", (F.col("s") + 30).alias("e"))
+    w_prev = (
+        Window.partitionBy("c")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "c",
+        "s",
+        "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-(2**63))),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("c")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = marked.select(
+        "c",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).cast("bigint").alias("island"),
+    )
+    merged = grp.groupBy("c", "island").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.count_distinct("c").cast("bigint").alias("n_customers"),
+        F.sum(F.col("m_end") - F.col("m_start")).cast("bigint").alias("covered_days"),
+        F.max(F.col("m_end") - F.col("m_start")).cast("bigint").alias("longest_days"),
+    )
