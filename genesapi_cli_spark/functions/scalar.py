@@ -349,3 +349,45 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+# --- q_fn_date_edges ---------------------------------------------------------
+
+_DATE_EDGES_ORACLE = """
+SELECT * FROM (VALUES
+  (1, DATE '2024-02-29', DATE '2025-01-29', DATE '2024-03-29'),
+  (2, DATE '2023-03-28', DATE '2024-02-28', DATE '2023-04-28'),
+  (3, DATE '2024-03-29', DATE '2025-02-28', DATE '2024-04-29'),
+  (4, DATE '2025-01-28', DATE '2025-12-28', DATE '2025-02-28')
+) AS t(case_id, plus_month, plus_year, plus_two_months)
+"""
+
+
+@register("q_fn_date_edges", oracle=_DATE_EDGES_ORACLE)
+def q_fn_date_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic edge certificate: month/year addition over the
+    dates where naive day arithmetic breaks — leap day (2024-02-29),
+    month-length mismatches (Jan 31 + 1 month), and year-boundary clamps —
+    pinned as a VALUES oracle. Both engines clamp to the target month's
+    last day (2024-01-29 + 1 month = 2024-02-29; 2024-02-29 + 12 months =
+    2025-02-28), and this query makes that agreement an executable
+    contract for every +INTERVAL/add_months in the registry (gap-fill
+    spines, SCD validity windows, cohort offsets).
+
+    The probe dates are literals; Spark evaluates add_months/constant
+    folding at plan time — zero data read."""
+    rows = [
+        (1, "2024-01-29"),  # +1 month lands on the leap day (clamp-free hit)
+        (2, "2023-02-28"),  # Feb-end base: +12 months re-clamps in Feb 2024
+        (3, "2024-02-29"),  # leap-day base: +12 months clamps to Feb 28
+        (4, "2024-12-28"),  # year-boundary rollover
+    ]
+    base = spark.createDataFrame(rows, "case_id int, base string")
+    d = F.col("base").cast("date")
+    out = base.select(
+        "case_id",
+        F.add_months(d, 1).alias("plus_month"),
+        F.add_months(d, 12).alias("plus_year"),
+        F.add_months(d, 2).alias("plus_two_months"),
+    )
+    return out

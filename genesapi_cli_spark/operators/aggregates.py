@@ -2300,3 +2300,99 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 + 0.5) / 10000"
         ).alias("hhi_bp_r4"),
     ).orderBy("nation")
+
+
+# --- q_agg_topn_coverage -----------------------------------------------------
+
+_COVERAGE_BP = 5000  # how many suppliers cover 50% of nation revenue
+
+_TOPN_COV_ORACLE = f"""
+WITH s AS (
+  SELECT n_name, s_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  GROUP BY n_name, s_suppkey
+), ranked AS (
+  SELECT n_name, cents,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY cents DESC, s_suppkey) AS rk,
+         SUM(cents) OVER (PARTITION BY n_name
+                          ORDER BY cents DESC, s_suppkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cents) OVER (PARTITION BY n_name) AS tot,
+         COUNT(*) OVER (PARTITION BY n_name) AS n_supp
+  FROM s
+)
+SELECT n_name AS nation,
+       CAST(MAX(n_supp) AS BIGINT) AS n_suppliers,
+       CAST(MIN(CASE WHEN cum * 10000 >= {_COVERAGE_BP} * tot THEN rk END)
+            AS BIGINT) AS k_half,
+       FLOOR(CAST(MIN(CASE WHEN cum * 10000 >= {_COVERAGE_BP} * tot THEN rk END)
+                  * 100 AS DOUBLE) / MAX(n_supp) * 10000 + 0.5) / 10000
+         AS k_half_pct_r4
+FROM ranked
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("q_agg_topn_coverage", oracle=_TOPN_COV_ORACLE)
+def q_agg_topn_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k coverage: the MINIMUM number of suppliers whose revenue
+    covers half of each nation's total (and what share of the supplier
+    base that is) — the inverse question to q_agg_hhi/q_agg_concentration
+    ("how concentrated" vs "how few actors do I depend on"), the number a
+    supply-chain risk review actually asks for.
+
+    Parity engineering: k_half = MIN rank where cum·10⁴ ≥ 5000·tot —
+    integer cross-multiplied over exact cents with the deterministic
+    (cents DESC, suppkey) rank order; only the final share divides.
+
+    Scale shape: one (nation, supplier) aggregate, one per-nation ranked
+    window, one rollup sharing the partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    s = (
+        li.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w_rank = Window.partitionBy("n_name").orderBy(F.desc("cents"), "s_suppkey")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("n_name")
+    ranked = s.select(
+        "n_name",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("tot"),
+        F.count(F.lit(1)).over(w_all).alias("n_supp"),
+    )
+    k_half = F.min(
+        F.when(F.col("cum") * 10000 >= _COVERAGE_BP * F.col("tot"), F.col("rk"))
+    )
+    return (
+        ranked.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_supp").cast("bigint").alias("n_suppliers"),
+            k_half.cast("bigint").alias("k_half"),
+            (
+                F.floor(
+                    (k_half * 100).cast("double")
+                    / F.max("n_supp")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("k_half_pct_r4"),
+        )
+        .orderBy("nation")
+    )
