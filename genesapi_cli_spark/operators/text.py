@@ -1681,3 +1681,84 @@ def q_text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q_text_cross_source_overlap ---------------------------------------------
+
+_XSRC_MIN_BP = 5000  # report pairs with vocabulary Jaccard > 0.50
+
+_XSRC_ORACLE = f"""
+WITH vocab AS (
+  SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), sz AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY src_a, src_b
+)
+SELECT src_a, src_b, ni, sa.sz AS sz_a, sb.sz AS sz_b,
+       FLOOR(CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) * 10000 + 0.5) / 10000
+         AS jaccard_r4
+FROM inter
+JOIN sz sa ON sa.source = src_a
+JOIN sz sb ON sb.source = src_b
+WHERE ni * 10000 > {_XSRC_MIN_BP} * (sa.sz + sb.sz - ni)
+ORDER BY src_a, src_b
+"""
+
+
+@register("q_text_cross_source_overlap", oracle=_XSRC_ORACLE)
+def q_text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap: the Jaccard similarity of each
+    source pair's distinct-token vocabularies, reported above 0.5 — the
+    corpus-level redundancy map ("are src3 and src11 the same crawl twice")
+    that guides source-level dedup BEFORE any document-level pass runs,
+    because dropping a mirrored source is free compared to pairwise
+    document dedup.
+
+    Parity engineering: vocabularies are distinct (source, token) sets;
+    |A∩B| falls out of the token equi-join (the q_dedup_ngram_jaccard
+    skeleton lifted from documents to sources), the Jaccard gate is
+    integer cross-multiplied, and only the reported ratio divides.
+
+    Scale shape: one distinct shuffle + one token-keyed join whose
+    fan-out per token is the number of sources containing it (≤20) — at
+    100 TB hot universal tokens get the stop-shingle cap documented in
+    the dedup family."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    vocab = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).distinct()
+    sz = vocab.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), F.col("tok").alias("tb"))
+    inter = (
+        a.join(b, (F.col("tok") == F.col("tb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    un = F.col("sz_a") + F.col("sz_b") - F.col("ni")
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))),
+            "src_b",
+        )
+        .filter(F.col("ni") * 10000 > _XSRC_MIN_BP * un)
+        .select(
+            "src_a",
+            "src_b",
+            "ni",
+            "sz_a",
+            "sz_b",
+            (F.floor(F.col("ni").cast("double") / un * 10000 + F.lit(0.5)) / 10000).alias(
+                "jaccard_r4"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )

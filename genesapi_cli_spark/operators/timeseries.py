@@ -2377,3 +2377,65 @@ def q_window_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("m_end") - F.col("m_start")).cast("bigint").alias("covered_days"),
         F.max(F.col("m_end") - F.col("m_start")).cast("bigint").alias("longest_days"),
     )
+
+
+# --- q_window_peaks ----------------------------------------------------------
+
+_PEAK_MIN_CENTS = 100_000  # a peak must exceed both neighbors by $1000
+
+_PEAKS_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY day_idx
+), nb AS (
+  SELECT day_idx, cents,
+         LAG(cents)  OVER (ORDER BY day_idx) AS prev_c,
+         LEAD(cents) OVER (ORDER BY day_idx) AS next_c
+  FROM daily
+)
+SELECT day_idx, cents, prev_c, next_c
+FROM nb
+WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+  AND cents >= prev_c + {_PEAK_MIN_CENTS}
+  AND cents >= next_c + {_PEAK_MIN_CENTS}
+ORDER BY day_idx
+"""
+
+
+@register("q_window_peaks", oracle=_PEAKS_ORACLE)
+def q_window_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prominence-thresholded peak detection on the daily revenue series: a
+    day is a peak when it exceeds BOTH neighbors by at least $1000 — the
+    local-extremum screen behind spike alerting and campaign-attribution
+    ("which days stick out of their immediate neighborhood", robust to the
+    level shifts that break global thresholds). Endpoints are excluded
+    (no two-sided neighborhood).
+
+    Parity engineering: exact integer day cents, one lag + one lead on the
+    same ordered window, integer comparisons only.
+
+    Scale shape: the fact collapses to the daily series first; the
+    neighbor window is one sort of that tiny series (coarse-time
+    partitioning with 1-row frame overlap at scale)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.expr("CAST(ts_us div 86400000000 AS BIGINT)").alias("day_idx")
+    ).agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("cents"))
+    w = Window.orderBy("day_idx")
+    nb = daily.select(
+        "day_idx",
+        "cents",
+        F.lag("cents").over(w).alias("prev_c"),
+        F.lead("cents").over(w).alias("next_c"),
+    )
+    return (
+        nb.filter(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("cents") >= F.col("prev_c") + _PEAK_MIN_CENTS)
+            & (F.col("cents") >= F.col("next_c") + _PEAK_MIN_CENTS)
+        )
+        .orderBy("day_idx")
+    )
