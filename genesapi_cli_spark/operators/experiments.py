@@ -1427,3 +1427,82 @@ def q_events_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+# --- q_docs_anova (one-way ANOVA of document length across languages) --------
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(n_chars * n_chars AS BIGINT)) AS BIGINT) AS q
+  FROM documents GROUP BY lang
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(q) AS BIGINT) AS qq,
+         CAST(SUM(CAST(CAST(s AS DOUBLE) * s / n AS DECIMAL(27,7))) AS DOUBLE)
+           AS grp_term
+  FROM g
+)
+SELECT k, nn AS n_docs,
+       FLOOR((grp_term - CAST(ss AS DOUBLE) * ss / nn) / (k - 1)
+             / ((CAST(qq AS DOUBLE) - grp_term) / (nn - k))
+             * 10000 + 0.5) / 10000 AS f_stat_r4,
+       FLOOR((grp_term - CAST(ss AS DOUBLE) * ss / nn)
+             / (CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * ss / nn)
+             * 10000 + 0.5) / 10000 AS eta_sq_r4
+FROM t
+"""
+
+
+@register("q_docs_anova", oracle=_ANOVA_ORACLE)
+def q_docs_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of document length across languages: the F statistic
+    (between-group vs within-group variance) and effect size η² — closing
+    the inferential-test triad: chi-square (categorical × categorical,
+    q_docs_chisq), Kolmogorov-Smirnov (continuous two-sample, q_events_ks),
+    ANOVA (continuous × k-group). The corpus question it answers: "does
+    document length actually differ by language, or is the mix just noisy".
+
+    Parity engineering: per-group (n, Σx, Σx²) are exact integer sums;
+    the only group-level float, s²/n, crosses the final aggregate as an
+    exact decimal; F and η² evaluate from the same sufficient statistics
+    in one shared closed form, snapped r4.
+
+    Scale shape: one map-side-combined group aggregate, one 5-row rollup —
+    the mergeable-moments pattern yet again (q_agg_moments_merge certifies
+    exactly why this is safe under any partitioning)."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("s"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast("bigint"))
+        .cast("bigint")
+        .alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum("q").cast("bigint").alias("qq"),
+        F.sum(F.expr("CAST(CAST(s AS DOUBLE) * s / n AS DECIMAL(27,7))"))
+        .cast("double")
+        .alias("grp_term"),
+    )
+    return t.select(
+        "k",
+        F.col("nn").alias("n_docs"),
+        F.expr(
+            "FLOOR((grp_term - CAST(ss AS DOUBLE) * ss / nn) / (k - 1)"
+            " / ((CAST(qq AS DOUBLE) - grp_term) / (nn - k))"
+            " * 10000 + 0.5) / 10000"
+        ).alias("f_stat_r4"),
+        F.expr(
+            "FLOOR((grp_term - CAST(ss AS DOUBLE) * ss / nn)"
+            " / (CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * ss / nn)"
+            " * 10000 + 0.5) / 10000"
+        ).alias("eta_sq_r4"),
+    )
