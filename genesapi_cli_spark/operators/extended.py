@@ -1472,3 +1472,46 @@ def q_sql_order_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes its placement out."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ORDER_NULLS_SQL)
+
+
+# --- q_sql_like_escape (LIKE wildcard/escape certificate) --------------------
+
+#: shared certificate SQL — run verbatim by BOTH engines. Pins the LIKE
+#: corners that corrupt filters silently: `_` matches exactly one char, `%`
+#: any run, and matching a LITERAL underscore/percent requires an ESCAPE
+#: clause (the default escape being backslash is NOT portable-safe — the
+#: explicit ESCAPE '#' form is the pinned idiom).
+_LIKE_SQL = """
+WITH v AS (
+  SELECT o_orderpriority AS s FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN s LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_pfx1,
+  CAST(SUM(CASE WHEN s LIKE '_-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_one_char_high,
+  CAST(SUM(CASE WHEN s LIKE '%URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_sfx_urgent,
+  CAST(SUM(CASE WHEN s LIKE '%#_%' ESCAPE '#' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_literal_underscore,
+  CAST(SUM(CASE WHEN s LIKE '4-NOT_SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_underscore_as_wildcard
+FROM v
+"""
+
+
+@register("q_sql_like_escape", oracle=_LIKE_SQL)
+def q_sql_like_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE wildcard/escape certificate (dialect family with
+    q_sql_not_in_null / q_sql_intdiv / q_sql_order_nulls /
+    q_sql_aggregate_nulls): one shared SQL text proves both engines agree
+    that `_` is a single-character wildcard (so '4-NOT_SPECIFIED' matches
+    the SPACE in '4-NOT SPECIFIED' — the classic silent-filter bug this
+    row makes visible: n_underscore_as_wildcard counts rows a naive
+    "literal" pattern was never meant to match), that matching a literal
+    underscore needs an explicit ESCAPE clause, and that prefix/suffix
+    `%` anchors behave identically. Pattern-pushdown note: Spark compiles
+    the prefix form to a pushed StartsWith filter — certified semantics
+    AND scan-level pruning from the same idiom."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LIKE_SQL)

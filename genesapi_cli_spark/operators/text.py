@@ -1762,3 +1762,67 @@ def q_text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --- q_text_hapax ------------------------------------------------------------
+
+_HAPAX_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), tc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       FLOOR(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 10000 + 0.5) / 10000 AS hapax_share_r4
+FROM tc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q_text_hapax", oracle=_HAPAX_ORACLE)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share per source: the fraction of each source's
+    vocabulary seen exactly once — the lexical long-tail gauge (natural
+    prose runs ~40-60% hapax; far lower means templated/boilerplate text,
+    far higher means OCR noise or alphabet soup), complementing
+    q_text_ttr_curve's growth view with a per-source quality scalar.
+
+    Plan: one (source, token) count aggregate, then a per-source rollup of
+    type/token/hapax counts — both map-side combined; the share is one
+    division of exact counts.
+
+    At 100 TB the (source, token) aggregate is the only data-sized step,
+    and hapax-heavy sources are by definition skew-free on the token key."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    tc = (
+        docs.select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("hapax_share_r4"),
+        )
+        .orderBy("source")
+    )
