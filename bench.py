@@ -36,7 +36,17 @@ def main() -> int:
     genesapi_cli_spark.load_all()
 
     only = set(sys.argv[1:]) or None
-    spark = build_session(app_name="genesapi-bench")
+    # 8 shuffle partitions (not the package default 32): at bench scale
+    # (sf≤0.1) every shuffle fits a handful of partitions and task-scheduling
+    # overhead dominates — 32 partitions × ~300 stages is pure per-task tax.
+    # AQE coalescing trims most of it either way, but the post-shuffle
+    # minimum floor matters for the ~0.25s/query stage-barrier floor the
+    # round-3 review measured. On a real cluster this knob is left high and
+    # AQE owns it (session.py scale notes). Override via SPARK_GRAFT_SHUFFLE.
+    spark = build_session(
+        app_name="genesapi-bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+    )
 
     # Engine warmup so the first measured query of each kind isn't charged
     # one-time startup cost (data-independent infrastructure, not query

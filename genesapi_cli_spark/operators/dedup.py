@@ -297,37 +297,52 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_dedup_clusters (iterative connected components) ----------------------
 
 
-def connected_components(edges: DataFrame, max_rounds: int | None = None) -> DataFrame:
+#: Fixed unrolled round count: with pointer doubling, R rounds resolve every
+#: label-chain of depth ≤ ~2^(R-1), i.e. 5 rounds cover component diameters
+#: far beyond anything a near-dup pair graph produces (near-dup clusters are
+#: clique-ish; chains of length >16 would mean a pathological similarity
+#: chain). Too-short schedules fail LOUDLY: the returned ``prev`` column
+#: lets callers publish SUM(label != prev) as a convergence certificate that
+#: the oracle hash rejects, instead of silently under-merging.
+_CC_ROUNDS = 5
+
+
+def connected_components(edges: DataFrame, rounds: int = _CC_ROUNDS) -> DataFrame:
     """Connected components by min-label propagation WITH pointer doubling:
     every node's label converges to the smallest doc_id reachable from it —
-    the canonical keeper of its duplicate cluster.
+    the canonical keeper of its duplicate cluster. Returns
+    ``(node, prev, label)`` where ``prev``/``label`` are the last two
+    states: equal everywhere iff the schedule converged.
 
-    This is the "iterative algorithm" class the declarative layer can't
-    express in one plan: a driver-side loop where EACH step is a distributed
-    join + aggregate, with ``localCheckpoint`` truncating lineage per
-    iteration (otherwise the plan doubles every round). Each round takes
+    Each round takes
 
         L(u) ← min( L(u), min_{v∈Γ(u)} L(v), L(L(u)) )
 
-    — the L(L(u)) pointer-doubling term halves every label-chain each round,
-    so convergence needs ≤ O(log diameter) rounds instead of O(diameter)
-    for plain propagation. There is NO per-round convergence count: rounds
-    run in exponentially growing batches (2, 4, 8, …) with ONE convergence
-    check per batch, so driver barriers are O(log log) while total rounds
-    stay ≤ 2× optimal — the scale-safe shape for a 100 TB pair graph
-    (round-2 review flagged the old per-round ``.count()`` driver barrier
-    as the repo's one real scale-killer). ``max_rounds`` optionally caps
-    the batch size.
+    — the L(L(u)) pointer-doubling term halves every label-chain each
+    round, so convergence needs ≤ O(log diameter) rounds instead of
+    O(diameter) for plain propagation.
+
+    Scale shape: the schedule is UNROLLED — ``rounds`` fixed rounds plus
+    one stability round, all lazily local-checkpointed, submitted as ONE
+    action with ZERO driver-side convergence polling (the round-3 review
+    flagged the former exponential-batch ``isEmpty()`` loop as the
+    registry's last driver-orchestrated iteration; contrast
+    q_graph_pagerank, which already unrolled). Convergence is asserted
+    declaratively by the caller from the ``prev`` column. Lazy
+    ``localCheckpoint`` per round truncates lineage (the plan would double
+    every round otherwise) while keeping plan construction action-free.
     """
     # One materialization of the (possibly expensive) upstream pair pipeline;
     # nodes/sym/every round then read the cached blocks, not the lineage.
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("doc_a").alias("node"))
         .unionByName(edges.select(F.col("doc_b").alias("node")))
         .distinct()
     )
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=False
+    )
     # Pre-partition the (static) symmetric edge list ON THE JOIN KEY once:
     # every round's join then reuses this partitioning and only shuffles the
     # much smaller labels side — at scale this halves per-round shuffle bytes
@@ -337,7 +352,7 @@ def connected_components(edges: DataFrame, max_rounds: int | None = None) -> Dat
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .repartition(shuffle_n, "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     def one_round(labels: DataFrame, with_lol: bool) -> DataFrame:
         neighbor_min = (
@@ -362,23 +377,16 @@ def connected_components(edges: DataFrame, max_rounds: int | None = None) -> Dat
             labels.node.alias("node"),
             labels.label.alias("prev"),
             F.least(*terms).alias("label"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
-    # One convergence check per BATCH of rounds (never per round). Batches
-    # grow exponentially (2, 4, 8, … optionally capped at max_rounds):
-    # shallow near-dup graphs converge in the first 2-round batch — 3 rounds
-    # total, same as the old early-exit loop — while deep chains still finish
-    # in ≤ 2× the optimal round count with only O(log log) driver barriers.
-    batch, first = 2, True
-    while True:
-        for _ in range(batch):
-            labels = one_round(labels, with_lol=not first).select("node", "label")
-            first = False
-        check = one_round(labels, with_lol=False)
-        labels = check.select("node", "label")
-        if check.filter(F.col("label") != F.col("prev")).isEmpty():
-            return labels
-        batch = batch * 2 if max_rounds is None else min(batch * 2, max_rounds)
+    # Fixed unrolled schedule + one stability round — one action, no driver
+    # polling. Round 1 skips L(L(u)) (L is the identity there); the final
+    # round skips it too (stability under neighbor-min alone already
+    # implies per-component-constant minimal labels) and feeds the
+    # caller-facing (prev, label) convergence certificate.
+    for i in range(rounds):
+        labels = one_round(labels, with_lol=i > 0).select("node", "label")
+    return one_round(labels, with_lol=False).select("node", "prev", "label")
 
 
 def _clusters_oracle() -> str:
@@ -409,7 +417,8 @@ labels AS (
 SELECT label AS keeper_doc,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        MAX(node) AS max_doc,
-       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(0 AS BIGINT) AS n_unconverged
 FROM labels GROUP BY label
 """
 
@@ -421,15 +430,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical keeper (min doc_id = the component label) and size. This is
     the step that turns pairwise similarity into the actual keep/drop
     decision of a corpus dedup pipeline (pairs alone over-count: A~B, B~C
-    must drop two docs, not be handled independently). The iterative Spark
-    loop is proved against a DuckDB recursive-CTE reachability oracle over
-    the same (portable-hash) pair relation."""
+    must drop two docs, not be handled independently). The unrolled Spark
+    schedule is proved against a DuckDB recursive-CTE reachability oracle
+    over the same (portable-hash) pair relation.
+
+    ``n_unconverged`` is the DECLARATIVE convergence certificate: the
+    count of nodes whose label still moved in the final stability round,
+    published on every output row. The oracle's recursive CTE is exact, so
+    its certificate is identically 0 — any under-converged fixed schedule
+    therefore fails the value hash loudly (no driver-side ``isEmpty``
+    polling anywhere; the whole computation is one submitted plan)."""
     from genesapi_cli_spark.operators.text import q_dedup_near_minhash
 
     pairs = q_dedup_near_minhash(spark, sf_dir)
-    labels = connected_components(pairs)
+    cc = connected_components(pairs)
+    conv = cc.agg(
+        F.coalesce(F.sum((F.col("label") != F.col("prev")).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_unconverged")
+    )
     return (
-        labels.groupBy("label")
+        cc.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc"))
         .select(
             F.col("label").alias("keeper_doc"),
@@ -437,6 +458,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_doc",
             (F.col("n_docs") - 1).alias("n_dropped"),
         )
+        .crossJoin(F.broadcast(conv))
     )
 
 
@@ -1465,30 +1487,54 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    n0 = d0.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
-    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
-    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
-    n3 = drop3.agg(F.count(F.lit(1)).cast("bigint").alias("n3"))
-    base = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3)
-    row1 = base.select(
-        F.lit("1_exact").alias("stage"),
-        F.col("n0").alias("n_in"),
-        (F.col("n0") - F.col("n1")).alias("n_dropped"),
-        F.col("n1").alias("n_out"),
+    # Report assembly: ONE union-aggregate instead of four 1-row aggs chained
+    # through crossJoins and a base plan referenced three times (which
+    # re-evaluated the whole cascade per report row — 64 Exchanges in the
+    # round-3 plan snapshot). Each stage contributes its survivor ids tagged
+    # with a stage ordinal; a single conditional aggregate yields the four
+    # counts in one row, and the three report rows are an inline of structs
+    # over that row — zero extra stage barriers.
+    tagged = (
+        d0.select(F.lit(0).alias("s"))
+        .unionByName(s1.select(F.lit(1).alias("s")))
+        .unionByName(s2.select(F.lit(2).alias("s")))
+        .unionByName(drop3.select(F.lit(3).alias("s")))
     )
-    row2 = base.select(
-        F.lit("2_normalized").alias("stage"),
-        F.col("n1").alias("n_in"),
-        (F.col("n1") - F.col("n2")).alias("n_dropped"),
-        F.col("n2").alias("n_out"),
+    counts = tagged.agg(
+        *[
+            F.sum(F.when(F.col("s") == i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i in range(4)
+        ]
     )
-    row3 = base.select(
-        F.lit("3_near_lsh").alias("stage"),
-        F.col("n2").alias("n_in"),
-        F.col("n3").alias("n_dropped"),
-        (F.col("n2") - F.col("n3")).alias("n_out"),
+    return (
+        counts.select(
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit("1_exact").alias("stage"),
+                        F.col("n0").alias("n_in"),
+                        (F.col("n0") - F.col("n1")).alias("n_dropped"),
+                        F.col("n1").alias("n_out"),
+                    ),
+                    F.struct(
+                        F.lit("2_normalized").alias("stage"),
+                        F.col("n1").alias("n_in"),
+                        (F.col("n1") - F.col("n2")).alias("n_dropped"),
+                        F.col("n2").alias("n_out"),
+                    ),
+                    F.struct(
+                        F.lit("3_near_lsh").alias("stage"),
+                        F.col("n2").alias("n_in"),
+                        F.col("n3").alias("n_dropped"),
+                        (F.col("n2") - F.col("n3")).alias("n_out"),
+                    ),
+                )
+            )
+        )
+        .orderBy("stage")
     )
-    return row1.unionByName(row2).unionByName(row3).orderBy("stage")
 
 
 # --- q_dedup_threshold_sweep -------------------------------------------------

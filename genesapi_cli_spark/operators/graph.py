@@ -20,7 +20,7 @@ on an oriented edge list).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load
@@ -245,16 +245,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_graph_jaccard (neighbor-overlap node similarity) ----------------------
 
 _JACCARD_MIN_BP = 2000  # keep pairs with Jaccard >= 0.20 (basis points)
+_JACCARD_DEG_CAP = 8   # hub truncation: wedge only each node's 8 smallest neighbors
 
 _JACCARD_ORACLE = f"""{_EDGES_SQL}, sym AS (
   SELECT pa AS src, pb AS dst FROM edges
   UNION ALL
   SELECT pb AS src, pa AS dst FROM edges
+), capped AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM sym
+  ) WHERE rn <= {_JACCARD_DEG_CAP}
 ), deg AS (
-  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM capped GROUP BY src
 ), wedges AS (
   SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS inter
-  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst
   GROUP BY a.dst, b.dst
 )
 SELECT w.u, w.v, w.inter, du.degree AS deg_u, dv.degree AS deg_v,
@@ -283,9 +289,14 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: wedges are an equi self-join on the shared neighbor — the
     quadratic work is per-node fan-out (Σ deg²), the known hub-skew cost
-    the degree query diagnoses; production caps hub degree before wedging
-    (drop nodes with degree > K, exactly like stop-shingles). Degrees join
-    back by node key; no cartesian anywhere.
+    the degree query diagnoses. A hot item appearing in many baskets blows
+    the wedge count up quadratically at 100×, so adjacency lists are
+    TRUNCATED to each node's {_JACCARD_DEG_CAP} smallest neighbors before
+    wedging (deterministic top-d by dst — the stop-shingle / whale-basket
+    cap of joins.py applied to graphs; similarity is then computed over the
+    capped neighbor sets on both engines, the standard bounded-recall
+    approximation). Per-node wedge work is thereby ≤ C(d,2) regardless of
+    skew. Degrees join back by node key; no cartesian anywhere.
     """
     edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
         eager=False
@@ -293,11 +304,20 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
+    wcap = Window.partitionBy("src").orderBy("dst")
+    # One shared materialization: capped feeds deg + both wedge sides, so the
+    # truncation window runs once, not three times.
+    capped = (
+        sym.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _JACCARD_DEG_CAP)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    deg = capped.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
-    a = sym.alias("a")
-    b = sym.alias("b")
+    a = capped.alias("a")
+    b = capped.alias("b")
     wedges = (
         a.join(
             b,

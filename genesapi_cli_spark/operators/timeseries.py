@@ -1593,8 +1593,12 @@ def q_orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("days"),
         )
     )
+    # ONE window pass: rn and n share the same partition AND order spec (n
+    # just widens the frame to unbounded), so Catalyst folds both into a
+    # single WindowExec — one Exchange + one Sort over lineitem-sized data
+    # instead of two (round-3 review flagged the two-pass plan).
     wr = Window.partitionBy("o_orderpriority").orderBy("days")
-    wn = Window.partitionBy("o_orderpriority")
+    wn = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = lat.select(
         "o_orderpriority",
         "days",
@@ -1723,33 +1727,38 @@ def q_window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOLT_ALPHA = 0.5  # level weight (exactly representable double)
 _HOLT_BETA = 0.3   # trend weight
 
+_HOLT_SERIES_MOD = 3  # user-cohort sharding: one independent series per cohort
+
 _HOLT_ORACLE = f"""
 WITH d0 AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+  SELECT user_id % {_HOLT_SERIES_MOD} AS series,
+         epoch_us(ts) // 86400000000 AS day_idx,
          CAST(SUM({_CENTS}) AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
-  GROUP BY day_idx
+  GROUP BY series, day_idx
 ), daily AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY day_idx) AS rn, day_idx, cents FROM d0
+  SELECT ROW_NUMBER() OVER (PARTITION BY series ORDER BY day_idx) AS rn,
+         series, day_idx, cents
+  FROM d0
 ), hw AS (
-  WITH RECURSIVE rec(rn, day_idx, cents, l, b) AS (
-    SELECT rn, day_idx, cents, CAST(cents AS DOUBLE), CAST(0 AS DOUBLE)
+  WITH RECURSIVE rec(series, rn, day_idx, cents, l, b) AS (
+    SELECT series, rn, day_idx, cents, CAST(cents AS DOUBLE), CAST(0 AS DOUBLE)
     FROM daily WHERE rn = 1
     UNION ALL
-    SELECT d.rn, d.day_idx, d.cents,
+    SELECT d.series, d.rn, d.day_idx, d.cents,
            {_HOLT_ALPHA} * d.cents + {1 - _HOLT_ALPHA} * (rec.l + rec.b),
            {_HOLT_BETA} * (({_HOLT_ALPHA} * d.cents
                             + {1 - _HOLT_ALPHA} * (rec.l + rec.b)) - rec.l)
              + {1 - _HOLT_BETA} * rec.b
-    FROM rec JOIN daily d ON d.rn = rec.rn + 1
+    FROM rec JOIN daily d ON d.series = rec.series AND d.rn = rec.rn + 1
   )
   SELECT * FROM rec
 )
-SELECT day_idx, cents,
+SELECT series, day_idx, cents,
        FLOOR(l / 100 * 10000 + 0.5) / 10000 AS level_r4,
        FLOOR(b / 100 * 10000 + 0.5) / 10000 AS trend_r4
 FROM hw
-ORDER BY day_idx
+ORDER BY series, day_idx
 """
 
 
@@ -1761,10 +1770,14 @@ def q_window_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     window frame can express it). The Spark-native shape for sequential
     per-series state is `applyInPandas` per series key: the state loop runs
     in Arrow-batched Python WITHIN each series while Spark parallelizes
-    ACROSS series — here one demo series, at 100 TB one group per
-    (metric, entity) key, which is exactly how per-entity smoothing/EKF
-    pipelines shard. The oracle replays the same recursion as a DuckDB
-    recursive CTE, proving the iterative state machine end-to-end.
+    ACROSS series — here ``_HOLT_SERIES_MOD`` user-cohort series (user_id
+    mod 3), each smoothed independently in its own group; at
+    100 TB one group per (metric, entity) key, which is exactly how
+    per-entity smoothing/EKF pipelines shard (the round-3 review flagged
+    the former single-series demo as the registry's only intentionally
+    serial applyInPandas plan). The oracle replays the same per-series
+    recursion as a DuckDB recursive CTE partitioned on the same key,
+    proving the iterative state machine end-to-end.
 
     Parity engineering: inputs are exact integer day-cents; α=0.5 is an
     exactly representable double and every step applies the IDENTICAL
@@ -1776,7 +1789,8 @@ def q_window_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = ev.groupBy(
-        (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("day_idx")
+        (F.col("user_id") % _HOLT_SERIES_MOD).alias("series"),
+        (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("day_idx"),
     ).agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("cents"))
 
     a, b_w = _HOLT_ALPHA, _HOLT_BETA
@@ -1798,6 +1812,7 @@ def q_window_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return pd.DataFrame(
             {
+                "series": pdf["series"],
                 "day_idx": pdf["day_idx"],
                 "cents": pdf["cents"],
                 "level_r4": [math.floor(x / 100 * 10000 + 0.5) / 10000 for x in ls],
@@ -1806,12 +1821,13 @@ def q_window_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        daily.withColumn("series", F.lit(1))
-        .groupBy("series")
+        daily.groupBy("series")
         .applyInPandas(
-            holt, schema="day_idx long, cents long, level_r4 double, trend_r4 double"
+            holt,
+            schema="series long, day_idx long, cents long, "
+            "level_r4 double, trend_r4 double",
         )
-        .orderBy("day_idx")
+        .orderBy("series", "day_idx")
     )
 
 

@@ -47,7 +47,9 @@ FINGERPRINT_OPS = [
 
 #: queries whose fn() triggers driver-side iteration/jobs at plan time —
 #: fingerprinting them would execute the algorithm, not just plan it.
-SKIP = {"q_dedup_clusters"}
+#: (Empty since round 4: q_dedup_clusters' convergence loop was unrolled
+#: into one action-free plan, so it fingerprints like everything else.)
+SKIP: set[str] = set()
 
 
 def _fingerprint(plan: str) -> dict[str, int]:
