@@ -298,13 +298,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Fixed unrolled round count: with pointer doubling, R rounds resolve every
-#: label-chain of depth ≤ ~2^(R-1), i.e. 5 rounds cover component diameters
-#: far beyond anything a near-dup pair graph produces (near-dup clusters are
-#: clique-ish; chains of length >16 would mean a pathological similarity
-#: chain). Too-short schedules fail LOUDLY: the returned ``prev`` column
-#: lets callers publish SUM(label != prev) as a convergence certificate that
-#: the oracle hash rejects, instead of silently under-merging.
-_CC_ROUNDS = 5
+#: label-chain of depth ≤ ~2^(R-1), i.e. 4 rounds cover component diameters
+#: ≥ 8 — far beyond anything a near-dup pair graph produces (near-dup
+#: clusters are clique-ish: LSH links most member pairs directly, so
+#: observed diameters are 2-3; a chain of length >8 would mean a
+#: pathological similarity chain). Too-short schedules fail LOUDLY: the
+#: returned ``prev`` column lets callers publish SUM(label != prev) as a
+#: convergence certificate that the oracle hash rejects, instead of
+#: silently under-merging.
+_CC_ROUNDS = 4
 
 
 def connected_components(edges: DataFrame, rounds: int = _CC_ROUNDS) -> DataFrame:
@@ -355,38 +357,45 @@ def connected_components(edges: DataFrame, rounds: int = _CC_ROUNDS) -> DataFram
         .localCheckpoint(eager=False)
     )
     def one_round(labels: DataFrame, with_lol: bool) -> DataFrame:
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nb_min"))
+        # Candidate-union formulation: L'(u) = MIN over the union of
+        #   (u, L(u))            — keep own label
+        #   (u, L(v)) v∈Γ(u)     — neighbor propagation
+        #   (u, L(L(u)))         — pointer doubling (labels always point
+        #                          downward, so chains halve each round)
+        # One groupBy-min over the union replaces the former
+        # neighbor-min + LEFT-join + coalesce chain — one Exchange less
+        # per round, and identical algebra (the self term subsumes the
+        # no-neighbor NULL case the left join existed for). L(L(u)) is
+        # skipped in round 1 (L is the identity there) and in the final
+        # stability round (stability under neighbor-min alone already
+        # implies per-component-constant minimal labels).
+        cands = labels.select("node", "label").unionByName(
+            sym.join(labels, sym.dst == labels.node).select(
+                F.col("src").alias("node"), "label"
+            )
         )
-        out = labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-        terms = [labels.label, F.coalesce("nb_min", labels.label)]
         if with_lol:
-            # pointer doubling: L(L(u)) via a labels⋈labels self-join —
-            # labels always point downward (label ≤ node), so chains halve
-            # each round. Skipped in round 1 (L is the identity, so L(L(u))
-            # ≡ L(u)) and in check rounds (stability under neighbor-min
-            # alone already implies per-component-constant minimal labels).
-            lol = labels.alias("l1").join(
-                labels.alias("l2"), F.col("l1.label") == F.col("l2.node")
-            ).select(F.col("l1.node").alias("node2"), F.col("l2.label").alias("ll"))
-            out = out.join(lol, labels.node == F.col("node2"), "left")
-            terms.append(F.coalesce("ll", labels.label))
-        return out.select(
-            labels.node.alias("node"),
-            labels.label.alias("prev"),
-            F.least(*terms).alias("label"),
-        ).localCheckpoint(eager=False)
+            cands = cands.unionByName(
+                labels.alias("l1")
+                .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.node"))
+                .select(F.col("l1.node").alias("node"), F.col("l2.label").alias("label"))
+            )
+        return (
+            cands.groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
 
     # Fixed unrolled schedule + one stability round — one action, no driver
-    # polling. Round 1 skips L(L(u)) (L is the identity there); the final
-    # round skips it too (stability under neighbor-min alone already
-    # implies per-component-constant minimal labels) and feeds the
-    # caller-facing (prev, label) convergence certificate.
+    # polling. The final round's input is kept as ``prev`` and joined back
+    # so callers get the (prev, label) convergence certificate.
     for i in range(rounds):
-        labels = one_round(labels, with_lol=i > 0).select("node", "label")
-    return one_round(labels, with_lol=False).select("node", "prev", "label")
+        labels = one_round(labels, with_lol=i > 0)
+    prev = labels
+    final = one_round(labels, with_lol=False)
+    return final.join(
+        prev.select("node", F.col("label").alias("prev")), "node"
+    ).select("node", "prev", "label")
 
 
 def _clusters_oracle() -> str:
