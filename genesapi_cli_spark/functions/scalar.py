@@ -248,7 +248,7 @@ SELECT o_orderpriority,
        COUNT(TRY_CAST(s_int AS BIGINT))            AS n_int_ok,
        CAST(SUM(TRY_CAST(s_int AS BIGINT)) AS BIGINT) AS sum_int,
        COUNT(TRY_CAST(s_dbl AS DOUBLE))            AS n_dbl_ok,
-       CAST(SUM(CAST(TRY_CAST(s_dbl AS DOUBLE) AS DECIMAL(27,7))) AS DOUBLE) AS sum_dbl,
+       CAST(SUM(CAST(TRY_CAST(s_dbl AS DOUBLE) AS DECIMAL(18,7))) AS DOUBLE) AS sum_dbl,
        COUNT(TRY_CAST(s_date AS DATE))             AS n_date_ok,
        MIN(TRY_CAST(s_date AS DATE))               AS min_date,
        COUNT(*)                                    AS n
@@ -297,7 +297,7 @@ def q_fn_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v_int").alias("n_int_ok"),
         F.sum("v_int").cast("bigint").alias("sum_int"),
         F.count("v_dbl").alias("n_dbl_ok"),
-        F.sum(F.col("v_dbl").cast("decimal(27,7)")).cast("double").alias("sum_dbl"),
+        F.sum(F.col("v_dbl").cast("decimal(18,7)")).cast("double").alias("sum_dbl"),
         F.count("v_date").alias("n_date_ok"),
         F.min("v_date").alias("min_date"),
         F.count(F.lit(1)).alias("n"),

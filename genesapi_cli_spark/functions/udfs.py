@@ -53,8 +53,8 @@ _ZSCORE_ORACLE = """
 WITH m AS (
   SELECT event_type,
          COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(27,7))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(value * value AS DECIMAL(27,7))) AS DOUBLE) AS sxx
+         CAST(SUM(CAST(value AS DECIMAL(18,7))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(18,7))) AS DOUBLE) AS sxx
   FROM events
   GROUP BY event_type
 )
@@ -75,7 +75,7 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the oracle's SQL expression.
     """
     ev = load(spark, sf_dir, "events")
-    dec = "decimal(27,7)"
+    dec = "decimal(18,7)"
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast(dec)).cast("double").alias("sx"),

@@ -115,8 +115,8 @@ _STATS_ORACLE = """
 WITH m AS (
   SELECT c_nationkey,
          COUNT(*) AS n,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(27,7))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(27,7))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,7))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(18,7))) AS DOUBLE) AS sxx,
          MIN(c_acctbal) AS min_bal,
          MAX(c_acctbal) AS max_bal
   FROM customer
@@ -327,7 +327,7 @@ _CASCADE_ORACLE = """
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
          COUNT(*) AS n_ev,
-         SUM(CAST(value AS DECIMAL(27,7))) AS sum_v
+         SUM(CAST(value AS DECIMAL(18,7))) AS sum_v
   FROM events
   GROUP BY 1
 )
@@ -356,7 +356,7 @@ def q_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_ev"),
-        F.sum(F.col("value").cast("decimal(27,7)")).alias("sum_v"),
+        F.sum(F.col("value").cast("decimal(18,7)")).alias("sum_v"),
     )
     return daily.groupBy(F.trunc("day", "month").alias("month")).agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -656,7 +656,7 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity discipline, one step stricter than q_agg_stats: Spark's builtin
     corr() is a distributed streaming co-moment whose float result is
-    partition-order dependent, and even decimal(27,7) sums of double
+    partition-order dependent, and even decimal(18,7) sums of double
     SQUARES can differ across engines by one rounding tie (observed on
     l_extendedprice² at sf0.01). So both engines first snap the 2-decimal
     money/quantity values to exact integer cents — floor(x*100+0.5), bit-
@@ -759,7 +759,7 @@ WITH mx AS (
 SELECT user_id,
        COUNT(*) AS n_events,
        CAST(SUM(cents * w6) AS DOUBLE) / 100000000 AS decayed_score,
-       CAST(SUM(CAST(value AS DECIMAL(27,7))) AS DOUBLE) AS raw_score
+       CAST(SUM(CAST(value AS DECIMAL(18,7))) AS DOUBLE) AS raw_score
 FROM w
 GROUP BY user_id
 """
@@ -778,7 +778,7 @@ def q_agg_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 1e-16 of a 1e-6 edge — negligible and fixed for given data). The
     2-decimal value likewise snaps to integer cents, making the weighted sum
     EXACT integer arithmetic (cents·w6 ≤ 1e10/row, decimal-summed) — no
-    float rounding ties anywhere (a decimal(27,7) cast of the product was
+    float rounding ties anywhere (a decimal(18,7) cast of the product was
     observed to tie-round differently across engines on ~10%% of rows); one
     double division by 1e8 at the end. Global T_max comes from a 1-row agg
     cross-joined (broadcast) onto the scan — one extra tiny stage, no second
@@ -802,7 +802,7 @@ def q_agg_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("cents") * F.col("w6")).cast("decimal(27,0)")).cast("double")
             / 100000000
         ).alias("decayed_score"),
-        F.sum(F.col("value").cast("decimal(27,7)")).cast("double").alias("raw_score"),
+        F.sum(F.col("value").cast("decimal(18,7)")).cast("double").alias("raw_score"),
     )
 
 
@@ -814,8 +814,8 @@ _ANOMALY_ORACLE = """
 WITH m AS (
   SELECT event_type,
          COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(27,7))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(value * value AS DECIMAL(27,7))) AS DOUBLE) AS sxx
+         CAST(SUM(CAST(value AS DECIMAL(18,7))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(18,7))) AS DOUBLE) AS sxx
   FROM events
   GROUP BY event_type
 ), s AS (
@@ -853,8 +853,8 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(27,7)")).cast("double").alias("sx"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(27,7)"))
+        F.sum(F.col("value").cast("decimal(18,7)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,7)"))
         .cast("double")
         .alias("sxx"),
     )
@@ -1841,7 +1841,7 @@ WITH s AS (
          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
          CAST(SUM(CAST(FLOOR(LN(l_quantity) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
            AS s_lnq_micro,
-         CAST(SUM(CAST(CAST(1000000 AS DOUBLE) / l_quantity AS DECIMAL(27,7)))
+         CAST(SUM(CAST(CAST(1000000 AS DOUBLE) / l_quantity AS DECIMAL(18,7)))
               AS DOUBLE) AS s_inv_micro
   FROM lineitem GROUP BY l_returnflag
 )
@@ -1879,7 +1879,7 @@ def q_agg_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("s_lnq_micro"),
-        F.sum((F.lit(1000000.0) / F.col("l_quantity")).cast("decimal(27,7)"))
+        F.sum((F.lit(1000000.0) / F.col("l_quantity")).cast("decimal(18,7)"))
         .cast("double")
         .alias("s_inv_micro"),
     )

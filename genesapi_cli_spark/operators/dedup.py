@@ -1222,9 +1222,9 @@ WITH t AS (
   JOIN sig b ON b.doc_id = p.doc_b
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       FLOOR(CAST(SUM(CAST(ABS(j_est - j_exact) AS DECIMAL(27,7))) AS DOUBLE)
+       FLOOR(CAST(SUM(CAST(ABS(j_est - j_exact) AS DECIMAL(18,7))) AS DOUBLE)
              / COUNT(*) * 10000 + 0.5) / 10000 AS mae_r4,
-       FLOOR(CAST(SUM(CAST(j_est - j_exact AS DECIMAL(27,7))) AS DOUBLE)
+       FLOOR(CAST(SUM(CAST(j_est - j_exact AS DECIMAL(18,7))) AS DOUBLE)
              / COUNT(*) * 10000 + 0.5) / 10000 AS bias_r4
 FROM scored
 """
@@ -1350,7 +1350,7 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         (
             F.floor(
-                F.sum(F.abs(F.col("j_est") - F.col("j_exact")).cast("decimal(27,7)"))
+                F.sum(F.abs(F.col("j_est") - F.col("j_exact")).cast("decimal(18,7)"))
                 .cast("double")
                 / F.count(F.lit(1))
                 * 10000
@@ -1360,7 +1360,7 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mae_r4"),
         (
             F.floor(
-                F.sum((F.col("j_est") - F.col("j_exact")).cast("decimal(27,7)"))
+                F.sum((F.col("j_est") - F.col("j_exact")).cast("decimal(18,7)"))
                 .cast("double")
                 / F.count(F.lit(1))
                 * 10000

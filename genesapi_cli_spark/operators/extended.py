@@ -31,7 +31,7 @@ from genesapi_cli_spark.registry import DEC, oracle_r4, r4, register
 _SUBQ_SCALAR_ORACLE = """
 SELECT o_orderstatus,
        COUNT(*) AS n_above_avg,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_above
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,7))) AS DOUBLE) AS sum_above
 FROM orders
 WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
 GROUP BY o_orderstatus
@@ -48,7 +48,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus,
                COUNT(*) AS n_above_avg,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_above
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,7))) AS DOUBLE) AS sum_above
         FROM v_orders
         WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM v_orders)
         GROUP BY o_orderstatus
@@ -92,9 +92,9 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_ORACLE = """
 WITH wide AS (
   SELECT l_returnflag,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_price,
-         CAST(SUM(CAST(l_discount AS DECIMAL(27,7))) AS DOUBLE) AS sum_disc
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,7))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,7))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,7))) AS DOUBLE) AS sum_disc
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, measure, value FROM (
@@ -118,9 +118,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy aggregate (no-op on pre-split cluster inputs)."""
     li = spread(load(spark, sf_dir, "lineitem"), "l_orderkey")
     wide = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("decimal(27,7)")).cast("double").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(27,7)")).cast("double").alias("sum_price"),
-        F.sum(F.col("l_discount").cast("decimal(27,7)")).cast("double").alias("sum_disc"),
+        F.sum(F.col("l_quantity").cast("decimal(18,7)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,7)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,7)")).cast("double").alias("sum_disc"),
     )
     return wide.unpivot(
         ids=["l_returnflag"],
@@ -228,7 +228,7 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_ORACLE = """
 SELECT o_orderstatus,
        COUNT(*) AS n_sampled,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_sampled
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,7))) AS DOUBLE) AS sum_sampled
 FROM orders
 WHERE ('0x' || substr(sha256(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10 = 0
 GROUP BY o_orderstatus
@@ -250,7 +250,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.sum(F.col("o_totalprice").cast("decimal(27,7)")).cast("double").alias("sum_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,7)")).cast("double").alias("sum_sampled"),
         )
     )
 
@@ -271,7 +271,7 @@ WITH base AS (
 SELECT o_orderstatus,
        COUNT(*) AS n_rows,
        CAST(SUM(version) AS BIGINT) AS n_updated,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,7))) AS DOUBLE) AS total
 FROM merged WHERE rn = 1
 GROUP BY o_orderstatus
 """
@@ -301,7 +301,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("version").alias("n_updated"),
-        F.sum(F.col("o_totalprice").cast("decimal(27,7)")).cast("double").alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,7)")).cast("double").alias("total"),
     )
 
 
@@ -312,7 +312,7 @@ N_SALTS = 8
 _SALTED_ORACLE = """
 SELECT l_returnflag,
        COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,7))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -335,7 +335,7 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "salt")
         .agg(
             F.count(F.lit(1)).alias("pn"),
-            F.sum(F.col("l_quantity").cast("decimal(27,7)")).alias("pq"),
+            F.sum(F.col("l_quantity").cast("decimal(18,7)")).alias("pq"),
         )
     )
     return stage1.groupBy("l_returnflag").agg(
@@ -356,7 +356,7 @@ WITH keyed AS (
 )
 SELECT l_returnflag,
        COUNT(*) AS n_sampled,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_price
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,7))) AS DOUBLE) AS sum_price
 FROM keyed
 WHERE h < CASE l_returnflag WHEN 'A' THEN 10 WHEN 'N' THEN 2 ELSE 5 END
 GROUP BY l_returnflag
@@ -398,7 +398,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.sum(F.col("l_extendedprice").cast("decimal(27,7)"))
+            F.sum(F.col("l_extendedprice").cast("decimal(18,7)"))
             .cast("double")
             .alias("sum_price"),
         )
@@ -458,7 +458,7 @@ _CDC_ORACLE = """
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100
-                          ELSE o_totalprice END AS DECIMAL(27,7))) AS DOUBLE)
+                          ELSE o_totalprice END AS DECIMAL(18,7))) AS DOUBLE)
          AS sum_price
 FROM orders
 WHERE o_orderkey % 20 <> 0

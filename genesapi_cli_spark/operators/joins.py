@@ -342,7 +342,7 @@ WITH bands AS (
 )
 SELECT band_id,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,7))) AS DOUBLE) AS sum_price
 FROM bands JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band_id
 """
@@ -388,7 +388,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(27,7)")).cast("double").alias("sum_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,7)")).cast("double").alias("sum_price"),
     )
 
 
@@ -397,7 +397,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKEW_ORACLE = """
 SELECT s_nationkey,
        COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,7))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN supplier
   ON s_suppkey = CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_suppkey END
@@ -439,7 +439,7 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_extendedprice").cast("decimal(27,7)"))
+        F.sum(F.col("l_extendedprice").cast("decimal(18,7)"))
         .cast("double")
         .alias("revenue"),
     )

@@ -148,7 +148,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.min("n_bytes").alias("min_bytes"),
         F.max("n_bytes").alias("max_bytes"),
-        (F.sum(F.col("feat").cast("decimal(27,7)")).cast("double") / F.count(F.lit(1))).alias(
+        (F.sum(F.col("feat").cast("decimal(18,7)")).cast("double") / F.count(F.lit(1))).alias(
             "avg_feat"
         ),
     )

@@ -19,11 +19,11 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 _PIVOT_ORACLE = """
 SELECT user_id,
-       CAST(SUM(CAST(value AS DECIMAL(27,7))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
-       CAST(SUM(CAST(value AS DECIMAL(27,7))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error,
-       CAST(SUM(CAST(value AS DECIMAL(27,7))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
-       CAST(SUM(CAST(value AS DECIMAL(27,7))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
-       CAST(SUM(CAST(value AS DECIMAL(27,7))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view
+       CAST(SUM(CAST(value AS DECIMAL(18,7))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+       CAST(SUM(CAST(value AS DECIMAL(18,7))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error,
+       CAST(SUM(CAST(value AS DECIMAL(18,7))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+       CAST(SUM(CAST(value AS DECIMAL(18,7))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
+       CAST(SUM(CAST(value AS DECIMAL(18,7))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view
 FROM events
 GROUP BY user_id
 """

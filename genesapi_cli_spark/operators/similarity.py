@@ -219,7 +219,7 @@ WITH e AS (
 SELECT label,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-       CAST(SUM(CAST(l2 AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS avg_l2
+       CAST(SUM(CAST(l2 AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*) AS avg_l2
 FROM documents JOIN e ON doc_id = vec_id
 GROUP BY label
 """
@@ -242,7 +242,7 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
-            (F.sum(F.col("l2").cast("decimal(27,7)")).cast("double") / F.count(F.lit(1))).alias(
+            (F.sum(F.col("l2").cast("decimal(18,7)")).cast("double") / F.count(F.lit(1))).alias(
                 "avg_l2"
             ),
         )
@@ -616,7 +616,7 @@ WITH e AS (
 SELECT label,
        i AS dim,
        COUNT(*) AS n_vecs,
-       CAST(SUM(CAST(v AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS centroid_v
+       CAST(SUM(CAST(v AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*) AS centroid_v
 FROM e
 GROUP BY label, i
 """
@@ -640,7 +640,7 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     return e.groupBy("label", (F.col("pos") + 1).alias("dim")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        (F.sum(F.col("v").cast("double").cast("decimal(27,7)")).cast("double")
+        (F.sum(F.col("v").cast("double").cast("decimal(18,7)")).cast("double")
          / F.count(F.lit(1))).alias("centroid_v"),
     )
 
@@ -1043,7 +1043,7 @@ SELECT label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
        FLOOR(MIN(nrm) * 10000 + 0.5) / 10000 AS min_norm_r4,
        FLOOR(MAX(nrm) * 10000 + 0.5) / 10000 AS max_norm_r4,
-       FLOOR(CAST(SUM(CAST(nrm AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*)
+       FLOOR(CAST(SUM(CAST(nrm AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*)
              * 10000 + 0.5) / 10000 AS mean_norm_r4,
        CAST(SUM(CASE WHEN nrm < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_degenerate
@@ -1082,7 +1082,7 @@ def q_sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.max("nrm") * 10000 + F.lit(0.5)) / 10000).alias("max_norm_r4"),
             (
                 F.floor(
-                    F.sum(F.col("nrm").cast("decimal(27,7)")).cast("double")
+                    F.sum(F.col("nrm").cast("decimal(18,7)")).cast("double")
                     / F.count(F.lit(1))
                     * 10000
                     + F.lit(0.5)

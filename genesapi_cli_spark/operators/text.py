@@ -665,7 +665,7 @@ WITH toks AS (
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN frac > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
-       CAST(SUM(CAST(frac AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS avg_top_bigram_frac
+       CAST(SUM(CAST(frac AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*) AS avg_top_bigram_frac
 FROM fr
 GROUP BY lang
 """
@@ -785,7 +785,7 @@ WITH toks AS (
 ), scored AS (
   SELECT k.doc_id, k.lang,
          COUNT(*) AS n_toks,
-         CAST(SUM(CAST(l.lp AS DECIMAL(27,7))) AS DOUBLE) AS sum_lp
+         CAST(SUM(CAST(l.lp AS DECIMAL(18,7))) AS DOUBLE) AS sum_lp
   FROM toks k JOIN logp l ON k.lang = l.lang AND k.tok = l.tok
   GROUP BY k.doc_id, k.lang
 )
@@ -833,7 +833,7 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
-            F.sum(F.col("lp").cast("decimal(27,7)")).cast("double").alias("sum_lp"),
+            F.sum(F.col("lp").cast("decimal(18,7)")).cast("double").alias("sum_lp"),
         )
     )
     avg = F.col("sum_lp") / F.col("n_toks")
@@ -1005,7 +1005,7 @@ WITH toks AS (
 )
 SELECT source,
        COUNT(*) AS n_vocab,
-       FLOOR(CAST(SUM(CAST(t AS DECIMAL(27,7))) AS DOUBLE) * 10000 + 0.5) / 10000
+       FLOOR(CAST(SUM(CAST(t AS DECIMAL(18,7))) AS DOUBLE) * 10000 + 0.5) / 10000
          AS kl_vs_corpus
 FROM terms
 GROUP BY source
@@ -1047,7 +1047,7 @@ def q_text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vocab"),
         (
             F.floor(
-                F.sum(F.col("t").cast("decimal(27,7)")).cast("double") * 10000 + F.lit(0.5)
+                F.sum(F.col("t").cast("decimal(18,7)")).cast("double") * 10000 + F.lit(0.5)
             )
             / 10000
         ).alias("kl_vs_corpus"),
@@ -1197,7 +1197,7 @@ WITH toks AS (
 ), scored AS (
   SELECT b.doc_id, b.lang,
          COUNT(*) AS n_bi,
-         CAST(SUM(CAST(l.lp AS DECIMAL(27,7))) AS DOUBLE) AS sum_lp
+         CAST(SUM(CAST(l.lp AS DECIMAL(18,7))) AS DOUBLE) AS sum_lp
   FROM bi b JOIN logp l ON b.lang = l.lang AND b.w1 = l.w1 AND b.w2 = l.w2
   GROUP BY b.doc_id, b.lang
 )
@@ -1272,7 +1272,7 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_bi"),
-            F.sum(F.col("lp").cast("decimal(27,7)")).cast("double").alias("sum_lp"),
+            F.sum(F.col("lp").cast("decimal(18,7)")).cast("double").alias("sum_lp"),
         )
     )
     avg = F.col("sum_lp") / F.col("n_bi")

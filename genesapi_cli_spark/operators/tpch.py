@@ -123,8 +123,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q14_ORACLE = f"""
 SELECT CAST(100 AS DOUBLE)
          * (CAST(SUM(CASE WHEN p_type = 'PROMO'
-                     THEN CAST({_REV} AS DECIMAL(27,7)) ELSE 0 END) AS DOUBLE))
-         / (CAST(SUM(CAST({_REV} AS DECIMAL(27,7))) AS DOUBLE)) AS promo_revenue_pct,
+                     THEN CAST({_REV} AS DECIMAL(18,7)) ELSE 0 END) AS DOUBLE))
+         / (CAST(SUM(CAST({_REV} AS DECIMAL(18,7))) AS DOUBLE)) AS promo_revenue_pct,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -144,7 +144,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
     )
     part = load(spark, sf_dir, "part")
-    rev = F.expr(_REV).cast("decimal(27,7)")
+    rev = F.expr(_REV).cast("decimal(18,7)")
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return joined.agg(
         (
@@ -591,9 +591,9 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q8_ORACLE = f"""
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
        CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
-                     THEN CAST({_REV} AS DECIMAL(27,7))
-                     ELSE CAST(0 AS DECIMAL(27,7)) END) AS DOUBLE)
-         / CAST(SUM(CAST({_REV} AS DECIMAL(27,7))) AS DOUBLE) AS mkt_share
+                     THEN CAST({_REV} AS DECIMAL(18,7))
+                     ELSE CAST(0 AS DECIMAL(18,7)) END) AS DOUBLE)
+         / CAST(SUM(CAST({_REV} AS DECIMAL(18,7))) AS DOUBLE) AS mkt_share
 FROM lineitem
 JOIN part     ON p_partkey  = l_partkey
 JOIN orders   ON o_orderkey = l_orderkey
@@ -733,7 +733,7 @@ WITH pv AS (
 )
 SELECT l_partkey, part_value
 FROM pv
-WHERE part_value > {_Q11_FRACTION} * (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) FROM lineitem)
+WHERE part_value > {_Q11_FRACTION} * (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,7))) AS DOUBLE) FROM lineitem)
 ORDER BY part_value DESC, l_partkey
 """
 
@@ -905,10 +905,10 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q17_ORACLE = """
 WITH avg_qty AS (
   SELECT l_partkey AS ap_partkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS part_avg
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*) AS part_avg
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,7))) AS DOUBLE) / 7.0 AS avg_yearly,
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,7))) AS DOUBLE) / 7.0 AS avg_yearly,
        CAST(COUNT(*) AS BIGINT) AS n_small
 FROM lineitem
 JOIN part    ON p_partkey = l_partkey
@@ -1008,7 +1008,7 @@ _Q22_CODES = "('11', '13', '17', '19', '22', '25', '31')"
 
 _Q22_ORACLE = f"""
 WITH pos_avg AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS avg_bal
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*) AS avg_bal
   FROM customer
   WHERE c_acctbal > 0.0 AND substring(c_name, 17, 2) IN {_Q22_CODES}
 )

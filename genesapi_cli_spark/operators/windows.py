@@ -65,8 +65,8 @@ _RUNNING_ORACLE = """
 SELECT event_id,
        user_id,
        epoch_us(ts) AS us,
-       CAST(SUM(CAST(value AS DECIMAL(27,7))) OVER w AS DOUBLE) AS run_sum,
-       CAST(SUM(CAST(value AS DECIMAL(27,7))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS run_avg,
+       CAST(SUM(CAST(value AS DECIMAL(18,7))) OVER w AS DOUBLE) AS run_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,7))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS run_avg,
        COUNT(*) OVER w AS run_n
 FROM events
 WINDOW w AS (
@@ -135,7 +135,7 @@ _RANGE_FRAME_ORACLE = """
 SELECT o_orderkey AS orderkey,
        o_custkey AS custkey,
        daynum,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) OVER (
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,7))) OVER (
          PARTITION BY o_custkey ORDER BY daynum
          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
        ) AS DOUBLE) AS trailing_30d
@@ -325,7 +325,7 @@ def q_window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAP_FILL_ORACLE = """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_ev,
-         SUM(CAST(value AS DECIMAL(27,7))) AS sum_v
+         SUM(CAST(value AS DECIMAL(18,7))) AS sum_v
   FROM events GROUP BY 1, 2
 ), span AS (
   SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
@@ -403,7 +403,7 @@ _YOY_ORACLE = """
 WITH y AS (
   SELECT CAST(year(o_orderdate) AS INT) AS o_year,
          COUNT(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS sum_price
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,7))) AS DOUBLE) AS sum_price
   FROM orders GROUP BY 1
 )
 SELECT o_year, n_orders, sum_price,
@@ -564,7 +564,7 @@ SELECT user_id,
        CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
        CAST(SUM(CASE WHEN v IS NULL AND v_filled IS NOT NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_imputed,
-       CAST(SUM(CAST(COALESCE(v_filled, 0) AS DECIMAL(27,7))) AS DOUBLE) AS sum_filled
+       CAST(SUM(CAST(COALESCE(v_filled, 0) AS DECIMAL(18,7))) AS DOUBLE) AS sum_filled
 FROM filled
 GROUP BY user_id
 """
@@ -604,7 +604,7 @@ def q_window_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_imputed"),
-        F.sum(F.coalesce("v_filled", F.lit(0)).cast("decimal(27,7)"))
+        F.sum(F.coalesce("v_filled", F.lit(0)).cast("decimal(18,7)"))
         .cast("double")
         .alias("sum_filled"),
     )

@@ -53,15 +53,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # --- shared parity helpers -------------------------------------------------
 
-#: decimal type wide enough for money×rate products at 100 TB row counts while
-#: keeping 7 fractional digits; sums stay exact (Spark: decimal(37,7)).
-DEC = "decimal(27,7)"
+#: Decimal type for order-independent double sums: 7 fractional digits and
+#: an 11-digit integer part — ample for every per-ROW operand summed through
+#: this helper (prices ≤ ~5e5, quantities, rates; NOT for squared per-user
+#: totals — experiments.py keeps decimal(27,7) for its x², s²/n terms).
+#: Precision 18 matters for throughput: Spark stores decimals ≤ 18 digits as
+#: a compact long inside UnsafeRow and adds them on the long fast path,
+#: while > 18 digits falls back to JVM BigDecimal per row (~3× slower on a
+#: lineitem-scale sum, measured round 4). The SUM result widens to
+#: decimal(28,7) so group totals stay exact to ~1e21; values are
+#: bit-identical to the former decimal(27,7) because the scale-7 rounding
+#: of each double is unchanged and no operand overflows the narrower type
+#: (any overflow would throw under ANSI mode, not corrupt).
+DEC = "decimal(18,7)"
 
 
 def dec_sum(col: Column | str, alias: str) -> Column:
     """Order-independent SUM of a double expression.
 
-    Casting each double to decimal(27,7) is deterministic (round-to-nearest;
+    Casting each double to decimal(18,7) is deterministic (round-to-nearest;
     exact ties are measure-zero for binary doubles), decimal addition is exact
     and associative, and the final decimal→double cast is deterministic — so
     Spark and DuckDB agree bit-for-bit regardless of partitioning. NOTE: no
@@ -75,7 +85,7 @@ def dec_sum(col: Column | str, alias: str) -> Column:
 
 def oracle_dec_sum(expr: str, alias: str) -> str:
     """DuckDB-side mirror of :func:`dec_sum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,7))) AS DOUBLE) AS {alias}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,7))) AS DOUBLE) AS {alias}"
 
 
 def dec_avg(col: Column | str, alias: str) -> Column:
@@ -87,7 +97,7 @@ def dec_avg(col: Column | str, alias: str) -> Column:
 
 def oracle_dec_avg(expr: str, alias: str) -> str:
     """DuckDB-side mirror of :func:`dec_avg`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS {alias}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*) AS {alias}"
 
 
 def r4(col: Column, alias: str) -> Column:
