@@ -2,4 +2,5 @@
 
 import genesapi_cli_spark.sources.cube  # noqa: F401
 import genesapi_cli_spark.sources.delimited  # noqa: F401
+import genesapi_cli_spark.sources.layout  # noqa: F401
 import genesapi_cli_spark.sources.sinks  # noqa: F401

@@ -25,8 +25,12 @@ this is part of the lake-layout surface a Spark-native engine owns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from genesapi_cli_spark.registry import register
 
 #: bits kept per dimension; k dims × BITS must stay < 63 (long z-value).
 BITS = 16
@@ -82,4 +86,99 @@ def zorder_write(df: DataFrame, cols: list[str], path: str, n_files: int = 16) -
         .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+# --- q_layout_bucketed (bucket-layout shuffle-elision certificate) -----------
+
+#: buckets for the events relayout; on a cluster pick ~(table size / 1 GB).
+_N_BUCKETS = 8
+
+_BUCKET_PATH = "/tmp/genesapi_spark/bucketed_events"
+
+_BUCKET_ORACLE = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(user_id) AS BIGINT) AS min_user,
+       CAST(MAX(user_id) AS BIGINT) AS max_user,
+       0 AS agg_exchanges_bucketed,
+       0 AS join_exchanges_bucketed,
+       TRUE AS plain_agg_shuffles,
+       TRUE AS plain_join_shuffles
+FROM events
+"""
+
+
+def _n_exchanges(df: DataFrame) -> int:
+    """Count SHUFFLE Exchange operators in the prepared physical plan
+    (planning only — nothing is executed). BroadcastExchange is excluded:
+    broadcasting a small side is not the data movement bucketing exists to
+    avoid, and the join probes force merge joins anyway so the bucketed
+    path is what's actually certified."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+@register("q_layout_bucketed", oracle=_BUCKET_ORACLE)
+def q_layout_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-layout certificate: rewrite events bucketed+sorted on user_id
+    (``bucketBy(8).sortBy`` parquet table) and PROVE the layout pays — the
+    physical plans of a per-user aggregate and a user_id equi-join read
+    from the bucketed copy with ZERO Exchange operators, while the same
+    queries over the plain parquet shuffle. SURVEY §4.2 names layout, not
+    rules, as the 100-TB lever: a table bucketed on its join/group key
+    makes every downstream stage on that key shuffle-free, which at 100 TB
+    is the difference between an in-place merge and moving the table over
+    the network per query.
+
+    The certificate is honest on both axes: the data columns (n_users /
+    n_events / min / max) are computed FROM THE BUCKETED COPY and must
+    hash-match DuckDB reading the original parquet (the relayout lost
+    nothing), and the Exchange counts are read off the prepared physical
+    plans and pinned to 0 by the oracle (bucketing regression fails the
+    hash loudly). The plain-side counts are reported as booleans since
+    exact Exchange counts under AQE are version-fluid.
+
+    Scale shape: the relayout itself is one full shuffle (the last one that
+    key ever needs); bucket count on a cluster tracks table size, and the
+    sortBy makes per-bucket files range-readable (row-group pruning on the
+    sort key comes free)."""
+    from genesapi_cli_spark.io import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    table = f"ev_bucketed_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        ev.write.format("parquet")
+        .mode("overwrite")
+        .option("path", f"{_BUCKET_PATH}_{table}")
+        .bucketBy(_N_BUCKETS, "user_id")
+        .sortBy("user_id")
+        .saveAsTable(table)
+    )
+    bt = spark.table(table)
+
+    agg_bucketed = bt.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    agg_plain = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # hint("merge") pins SortMergeJoin on both probes so the comparison is
+    # bucketed-SMJ (exchange-free) vs plain-SMJ (both sides shuffle) — not
+    # SMJ vs an incidental broadcast plan.
+    join_bucketed = bt.hint("merge").join(
+        bt.select("user_id").distinct().hint("merge"), "user_id"
+    )
+    join_plain = ev.hint("merge").join(
+        ev.select("user_id").distinct().hint("merge"), "user_id"
+    )
+
+    return (
+        bt.agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+        )
+        .withColumn("agg_exchanges_bucketed", F.lit(_n_exchanges(agg_bucketed)))
+        .withColumn("join_exchanges_bucketed", F.lit(_n_exchanges(join_bucketed)))
+        .withColumn("plain_agg_shuffles", F.lit(_n_exchanges(agg_plain) > 0))
+        .withColumn("plain_join_shuffles", F.lit(_n_exchanges(join_plain) > 0))
     )
