@@ -362,24 +362,26 @@ def connected_components(edges: DataFrame, rounds: int = _CC_ROUNDS) -> DataFram
         #   (u, L(v)) v∈Γ(u)     — neighbor propagation
         #   (u, L(L(u)))         — pointer doubling (labels always point
         #                          downward, so chains halve each round)
-        # One groupBy-min over the union replaces the former
-        # neighbor-min + LEFT-join + coalesce chain — one Exchange less
-        # per round, and identical algebra (the self term subsumes the
-        # no-neighbor NULL case the left join existed for). L(L(u)) is
-        # skipped in round 1 (L is the identity there) and in the final
-        # stability round (stability under neighbor-min alone already
-        # implies per-component-constant minimal labels).
+        # One groupBy-min over one join replaces the former
+        # neighbor-min + LEFT-join + coalesce chain (the self term
+        # subsumes the no-neighbor NULL case the left join existed for),
+        # and the doubling term needs NO second self-join: the pointer
+        # (u → L(u)) is just another edge, so unioning it into the
+        # adjacency before the single labels join yields L(L(u)) through
+        # the same lookup — 2 shuffles per round total. L(L(u)) is skipped
+        # in round 1 (L is the identity there) and in the final stability
+        # round (stability under neighbor-min alone already implies
+        # per-component-constant minimal labels).
+        edges_all = sym
+        if with_lol:
+            edges_all = sym.unionByName(
+                labels.select(F.col("node").alias("src"), F.col("label").alias("dst"))
+            )
         cands = labels.select("node", "label").unionByName(
-            sym.join(labels, sym.dst == labels.node).select(
+            edges_all.join(labels, edges_all.dst == labels.node).select(
                 F.col("src").alias("node"), "label"
             )
         )
-        if with_lol:
-            cands = cands.unionByName(
-                labels.alias("l1")
-                .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.node"))
-                .select(F.col("l1.node").alias("node"), F.col("l2.label").alias("label"))
-            )
         return (
             cands.groupBy("node")
             .agg(F.min("label").alias("label"))
@@ -804,13 +806,27 @@ def portable_bands(docs: DataFrame) -> DataFrame:
             for s in range(_PMH_SEEDS)
         ]
     )
+    # inline-of-structs, NOT a two-branch union: a union would plant the
+    # whole shingle→minhash→signature subtree TWICE in every consumer plan
+    # (and 4× in the pair-join consumers that read bands on both sides) —
+    # round-4 profiling caught exactly that duplication.
     return sig.select(
-        "doc_id", "lang", F.lit(0).alias("band"), F.col("m0").alias("k1"), F.col("m1").alias("k2")
-    ).unionByName(
-        sig.select(
-            "doc_id", "lang", F.lit(1).alias("band"),
-            F.col("m2").alias("k1"), F.col("m3").alias("k2"),
-        )
+        "doc_id",
+        "lang",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("m0").alias("k1"),
+                    F.col("m1").alias("k2"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("m2").alias("k1"),
+                    F.col("m3").alias("k2"),
+                ),
+            )
+        ),
     )
 
 
@@ -1459,63 +1475,61 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied bandwise; full transitive clustering is q_dedup_clusters'
     job).
 
-    Scale shape: stages 1-2 are hash-aggregate + join-back on uniform
-    digests (no skew by construction); stage 3 reuses portable_bands —
-    band-keyed equi-join candidates only. Nothing is ever all-pairs and
-    the corpus text column dies after shingling."""
+    Scale shape (round-4 rewrite): stages 1-2 are MIN-OVER-WINDOW survivor
+    flags — each window partitions on a uniform digest (no skew by
+    construction), so the whole ladder through stage 2 is ONE fully
+    pipelined pass over the corpus with two digest-keyed shuffles and no
+    join-backs or materialization barriers (the former
+    groupBy + join-back + localCheckpoint staging serialized four
+    checkpoint fences and re-scanned the corpus per stage). Stage 3 reuses
+    portable_bands on the stage-2 survivors — band-keyed window, candidates
+    only. Nothing is ever all-pairs and the corpus text column dies after
+    shingling."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    # stage 1: byte-exact
-    d0 = docs.withColumn("k1", F.md5(F.col("text")))
-    g1 = d0.groupBy("k1").agg(F.min("doc_id").alias("keep1"))
-    s1 = (
-        d0.join(g1, "k1")
-        .filter(F.col("doc_id") == F.col("keep1"))
-        .select("doc_id", "lang", "text")
+    w1 = Window.partitionBy("k1")
+    w2 = Window.partitionBy("k2")
+    d = (
+        docs.withColumn("k1", F.md5(F.col("text")))
+        .withColumn(
+            "k2",
+            F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))),
+        )
+        .withColumn("s1", F.col("doc_id") == F.min("doc_id").over(w1))
+        .withColumn(
+            "s2",
+            F.col("s1")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("s1"), F.col("doc_id"))).over(w2)
+            ),
+        )
+        # One shared materialization of the flagged corpus: the counts
+        # branch and both corpus reads inside portable_bands would
+        # otherwise each replay the two-window stack (3 scans, 7 windows
+        # in the unchecked plan).
         .localCheckpoint(eager=False)
     )
-    # stage 2: normalized-exact
-    d2 = s1.withColumn(
-        "k2",
-        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))),
-    )
-    g2 = d2.groupBy("k2").agg(F.min("doc_id").alias("keep2"))
-    s2 = (
-        d2.join(g2, "k2")
-        .filter(F.col("doc_id") == F.col("keep2"))
-        .select("doc_id", "lang", "text")
-        .localCheckpoint(eager=False)
-    )
-    # stage 3: near-dup via portable LSH bands, keep-first within band group
-    bands = portable_bands(s2)
-    bmin = bands.groupBy("lang", "band", "k1", "k2").agg(
-        F.min("doc_id").alias("bmin_doc")
-    )
+    # stage 3: near-dup via portable LSH bands over stage-2 survivors,
+    # keep-first within band group (band-min window instead of a min-agg +
+    # join-back — one shuffle on the band key).
+    bands = portable_bands(d.filter(F.col("s2")).select("doc_id", "lang", "text"))
+    wb = Window.partitionBy("lang", "band", "k1", "k2")
     drop3 = (
-        bands.join(bmin, ["lang", "band", "k1", "k2"])
+        bands.withColumn("bmin_doc", F.min("doc_id").over(wb))
         .filter(F.col("bmin_doc") < F.col("doc_id"))
         .select("doc_id")
         .distinct()
     )
-    # Report assembly: ONE union-aggregate instead of four 1-row aggs chained
-    # through crossJoins and a base plan referenced three times (which
-    # re-evaluated the whole cascade per report row — 64 Exchanges in the
-    # round-3 plan snapshot). Each stage contributes its survivor ids tagged
-    # with a stage ordinal; a single conditional aggregate yields the four
-    # counts in one row, and the three report rows are an inline of structs
-    # over that row — zero extra stage barriers.
-    tagged = (
-        d0.select(F.lit(0).alias("s"))
-        .unionByName(s1.select(F.lit(1).alias("s")))
-        .unionByName(s2.select(F.lit(2).alias("s")))
-        .unionByName(drop3.select(F.lit(3).alias("s")))
-    )
-    counts = tagged.agg(
-        *[
-            F.sum(F.when(F.col("s") == i, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"n{i}")
-            for i in range(4)
-        ]
+    # Report assembly: one conditional aggregate over the flagged corpus
+    # yields n0/n1/n2 in a single row; n3 is one 1-row count of the dropped
+    # set, attached with a single broadcast fan-in; the three report rows
+    # are an inline of structs over that row.
+    counts = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum(F.col("s1").cast("int")).cast("bigint").alias("n1"),
+        F.sum(F.col("s2").cast("int")).cast("bigint").alias("n2"),
+    ).crossJoin(
+        F.broadcast(drop3.agg(F.count(F.lit(1)).cast("bigint").alias("n3")))
     )
     return (
         counts.select(
