@@ -1669,3 +1669,93 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cut(3).alias("n_tau60"),
         cut(4).alias("n_tau80"),
     )
+
+
+# --- q_dedup_stop_shingles (hot-shingle cap certificate) ---------------------
+
+#: document-frequency cap: shingles held by more docs than this are "stop
+#: shingles" — dropped from candidate generation in a degenerate corpus.
+_STOP_DF_CAP = 16
+
+_STOP_SHINGLES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS parts, lower(text) AS lt
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(
+           CASE WHEN len(parts) >= 3
+                THEN list_transform(range(1, len(parts) - 1),
+                     i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2]))
+                ELSE [lt] END
+         ) AS g
+  FROM t
+), df AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY g
+)
+SELECT CASE WHEN df = 1 THEN '1_unique'
+            WHEN df <= 4 THEN '2_rare'
+            WHEN df <= {_STOP_DF_CAP} THEN '3_common'
+            ELSE '4_stop' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(df) AS BIGINT) AS n_postings,
+       CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS n_gen_pairs
+FROM df
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register("q_dedup_stop_shingles", oracle=_STOP_SHINGLES_ORACLE)
+def q_dedup_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-shingle (stop-shingle) cap CERTIFICATE: the document-frequency
+    spectrum of the corpus 3-shingle table, banded at the documented cap
+    (df > ``_STOP_DF_CAP`` ⇒ stop shingle), with each band's candidate-pair
+    GENERATION cost C(df,2) — the quadratic work any shingle-keyed
+    candidate join would do through that band.
+
+    This turns the relief valve every dedup docstring references ("cap
+    shingles in >K docs for degenerate corpora") from prose into a
+    measured, oracle-pinned report: the 4_stop band's n_gen_pairs IS the
+    work the cap deletes, and its share of Σ C(df,2) is the blow-up a
+    boilerplate-heavy crawl would suffer without it. The LSH band path
+    (q_dedup_near_minhash) bounds this differently — per-bucket
+    combinations — but a containment/Jaccard join
+    (q_dedup_ngram_jaccard) joins on raw shingles and needs the cap the
+    moment df skews.
+
+    Scale shape: one distinct + one count per shingle + a 4-group rollup;
+    integer arithmetic throughout (df·(df−1) div 2 stays in bigint).
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("parts"),
+        F.lower(F.col("text")).alias("lt"),
+    )
+    p = F.col("parts")
+    long_docs = base.filter(F.size(p) >= 3).select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.size(p) - 2)).alias("i"), "parts"
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.element_at("parts", F.col("i") + k) for k in range(3)]
+        ).alias("g"),
+    )
+    short_docs = base.filter(F.size(p) < 3).select("doc_id", F.col("lt").alias("g"))
+    sh = long_docs.unionByName(short_docs).distinct()
+    df = sh.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    band = (
+        F.when(F.col("df") == 1, "1_unique")
+        .when(F.col("df") <= 4, "2_rare")
+        .when(F.col("df") <= _STOP_DF_CAP, "3_common")
+        .otherwise("4_stop")
+    )
+    return (
+        df.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            F.sum(F.expr("df * (df - 1) div 2")).cast("bigint").alias("n_gen_pairs"),
+        )
+        .orderBy("band")
+    )

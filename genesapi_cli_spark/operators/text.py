@@ -1826,3 +1826,110 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q_text_novelty (first-occurrence shingle novelty per document) ----------
+
+_NOVELTY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS parts,
+         lower(text) AS lt
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(
+           CASE WHEN len(parts) >= 3
+                THEN list_transform(range(1, len(parts) - 1),
+                     i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2]))
+                ELSE [lt] END
+         ) AS g
+  FROM t
+), fo AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g
+), per_doc AS (
+  SELECT s.doc_id, s.source,
+         CAST(SUM(CASE WHEN fo.first_doc = s.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS novel,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM sh s JOIN fo USING (g)
+  GROUP BY s.doc_id, s.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(novel) AS BIGINT) AS sum_novel,
+       CAST(SUM(total) AS BIGINT) AS sum_shingles,
+       FLOOR(CAST(SUM(CAST(CAST(novel AS DOUBLE) / total AS DECIMAL(18,7)))
+                  AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+         AS macro_novelty_r4
+FROM per_doc GROUP BY source
+"""
+
+
+@register("q_text_novelty", oracle=_NOVELTY_ORACLE)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document NOVELTY scoring: for each doc, the share of its distinct
+    word-3-shingles whose FIRST corpus occurrence (min doc_id holding the
+    shingle) is the doc itself — the dedup-aware sampling signal corpus
+    curation uses to prefer documents that add new content over documents
+    that restate the crawl (novelty ~1 = fresh material, ~0 = n-gram-level
+    rehash of earlier docs), reported per source as micro counts + the
+    macro-averaged novelty.
+
+    Spark shape: the shingle table (same 3-gram split as the MinHash
+    family, whole-doc fallback for short docs) is deduped per doc, then
+    ONE min-over-window on the shingle key marks first occurrences —
+    shingle keys are uniform text digests, so the window partitioning is
+    skew-free the same way the LSH band keys are; per-doc and per-source
+    rollups follow. No joins: first-occurrence is a window, not a
+    groupBy + join-back.
+
+    Parity: novel/total are exact ints; each per-doc fraction is one
+    double division cast decimal(18,7) (bounded ≤ 1) so the
+    macro-average's sum is order-independent; one r4 snap at the end.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("parts"),
+        F.lower(F.col("text")).alias("lt"),
+    )
+    p = F.col("parts")
+    long_docs = base.filter(F.size(p) >= 3).select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.size(p) - 2)).alias("i"),
+        "parts",
+    ).select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ", *[F.element_at("parts", F.col("i") + k) for k in range(3)]
+        ).alias("g"),
+    )
+    short_docs = base.filter(F.size(p) < 3).select(
+        "doc_id", "source", F.col("lt").alias("g")
+    )
+    sh = long_docs.unionByName(short_docs).distinct()
+    w = Window.partitionBy("g")
+    flagged = sh.withColumn(
+        "novel", (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.sum("novel").cast("bigint").alias("novel"),
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("novel").cast("bigint").alias("sum_novel"),
+        F.sum("total").cast("bigint").alias("sum_shingles"),
+        (
+            F.floor(
+                F.sum(
+                    (F.col("novel").cast("double") / F.col("total")).cast(DEC)
+                ).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("macro_novelty_r4"),
+    )

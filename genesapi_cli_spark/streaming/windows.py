@@ -242,3 +242,86 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q_stream_throttle (per-key debounce with sequential kept-state) ---------
+
+_THROTTLE_GAP_US = 3600000000  # keep at most one event per key per hour
+
+_THROTTLE_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), rec(user_id, event_type, rn, us, last_kept, kept) AS (
+  SELECT user_id, event_type, rn, us, us, 1 FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.rn, e.us,
+         CASE WHEN e.us - rec.last_kept >= {_THROTTLE_GAP_US}
+              THEN e.us ELSE rec.last_kept END,
+         CASE WHEN e.us - rec.last_kept >= {_THROTTLE_GAP_US}
+              THEN 1 ELSE 0 END
+  FROM rec JOIN e ON e.user_id = rec.user_id
+                 AND e.event_type = rec.event_type
+                 AND e.rn = rec.rn + 1
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
+FROM rec
+GROUP BY event_type
+"""
+
+
+@register("q_stream_throttle", oracle=_THROTTLE_ORACLE)
+def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key event THROTTLE (debounce): within each (user_id, event_type)
+    stream, an event is dropped when it arrives less than one hour after
+    the previous KEPT event — alert/notification rate limiting, dedup of
+    bursty repeated signals, and the ingestion-side damper every event
+    pipeline runs before fan-out. This is genuinely SEQUENTIAL state (what
+    is kept depends on what was previously kept, so no window frame or
+    gaps-and-islands rewrite expresses it — contrast q_window_sessionize,
+    where islands depend only on raw gaps).
+
+    Spark shape: the same per-key sequential-state pattern as
+    q_window_holt — ``applyInPandas`` runs the O(n) kept-state scan inside
+    each (user, type) group in Arrow-batched Python while Spark
+    parallelizes across the full key space (users × types groups; at
+    100 TB this is exactly how ``applyInPandasWithState`` shards the
+    streaming version, which tests/test_streaming.py exercises). Ties
+    order by (ts, event_id) on both engines.
+
+    Parity: pure integer-µs arithmetic; the DuckDB oracle replays the
+    identical recursion as a recursive CTE partitioned on the same key.
+    """
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+
+    def throttle(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        kept = []
+        last_kept = None
+        for us in pdf["ts_us"]:
+            if last_kept is None or us - last_kept >= _THROTTLE_GAP_US:
+                kept.append(1)
+                last_kept = us
+            else:
+                kept.append(0)
+        return pd.DataFrame(
+            {"event_type": pdf["event_type"], "kept": kept}
+        )
+
+    flagged = ev.groupBy("user_id", "event_type").applyInPandas(
+        throttle, schema="event_type string, kept int"
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("bigint").alias("n_dropped"),
+    )
