@@ -818,3 +818,108 @@ def q_multimodal_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --- q_multimodal_vad (energy-threshold voice-activity segmentation) ---------
+
+_VAD_FRAMES_CTE = f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), f AS (
+  SELECT doc_id, text, n,
+         unnest(range(0, (n + {AUDIO_FRAME - 1}) // {AUDIO_FRAME})) AS frame_idx
+  FROM d WHERE n > 0
+), fr AS (
+  SELECT doc_id, frame_idx,
+         CAST(list_sum(list_transform(
+             range(frame_idx * {AUDIO_FRAME} + 1,
+                   LEAST((frame_idx + 1) * {AUDIO_FRAME}, n) + 1),
+             i -> (unicode(substr(text, CAST(i AS INT), 1)) - {AUDIO_BIAS})
+                * (unicode(substr(text, CAST(i AS INT), 1)) - {AUDIO_BIAS})
+         )) AS BIGINT) AS energy_q
+  FROM f
+)"""
+
+_VAD_ORACLE = f"""{_VAD_FRAMES_CTE}, tot AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS nf,
+         CAST(SUM(energy_q) AS BIGINT) AS te
+  FROM fr GROUP BY doc_id
+), act AS (
+  SELECT fr.doc_id, fr.frame_idx, fr.energy_q
+  FROM fr JOIN tot USING (doc_id)
+  WHERE fr.energy_q * tot.nf > tot.te
+), flagged AS (
+  SELECT doc_id, frame_idx, energy_q,
+         CASE WHEN frame_idx - LAG(frame_idx) OVER w = 1 THEN 0 ELSE 1 END
+           AS new_seg
+  FROM act
+  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+), seg AS (
+  SELECT doc_id, frame_idx, energy_q,
+         SUM(new_seg) OVER (
+           PARTITION BY doc_id ORDER BY frame_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(frame_idx) AS BIGINT) AS seg_start,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(energy_q) AS BIGINT) AS seg_energy
+FROM seg
+GROUP BY doc_id, sid
+"""
+
+
+@register("q_multimodal_vad", oracle=_VAD_ORACLE)
+def q_multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style SEGMENTATION over the framewise audio energies:
+    frames louder than their asset's mean energy (exact cross-multiplied
+    integer test — energy·n_frames > total_energy, no division) are
+    'active', and runs of consecutive active frames merge into segments
+    (start, length, energy) — the clip-extraction step an audio curation
+    pipeline runs after feature extraction to keep speech-dense spans and
+    drop silence/noise padding before transcription or training.
+
+    Composition showcase: the FRAMES come out of the same Arrow-batched
+    ``mapInPandas`` extractor as q_multimodal_audio_energy (Python owns
+    only the 1→N DSP explosion); everything after — per-asset calibration,
+    thresholding, gaps-and-islands — is declarative Catalyst (one window
+    per step, partitioned by doc). The segmentation itself is the
+    q_window_sessionize island pattern applied to UDF output, proving the
+    multimodal plumbing feeds ordinary relational optimization.
+
+    Parity: integer arithmetic end to end (ASCII corpus ⇒ byte values are
+    character codes, same as the energy oracle); LAG-based island ids are
+    deterministic under the (doc, frame) order.
+    """
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.filter(F.length("text") > 0).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = assets.mapInPandas(
+        _audio_energy,
+        schema="doc_id long, frame_idx long, n_samples long, energy_q long",
+    )
+    tot = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nf"),
+        F.sum("energy_q").cast("bigint").alias("te"),
+    )
+    act = frames.join(tot, "doc_id").filter(
+        F.col("energy_q") * F.col("nf") > F.col("te")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = act.withColumn(
+        "new_seg",
+        F.when(F.col("frame_idx") - F.lag("frame_idx").over(w) == 1, 0).otherwise(1),
+    )
+    seg = flagged.withColumn(
+        "sid",
+        F.sum("new_seg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return seg.groupBy("doc_id", "sid").agg(
+        F.min("frame_idx").cast("bigint").alias("seg_start"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("energy_q").cast("bigint").alias("seg_energy"),
+    ).drop("sid")

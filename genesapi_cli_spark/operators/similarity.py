@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load
-from genesapi_cli_spark.registry import register
+from genesapi_cli_spark.registry import DEC, register
 
 
 def as_double(col) -> Column:
@@ -1094,4 +1094,128 @@ def q_sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_degenerate"),
         )
         .orderBy("label")
+    )
+
+
+# --- q_embed_pca_power (top principal component by unrolled power iteration) -
+
+_PCA_ITERS = 3  # unrolled power-iteration rounds (convergence gauge reported)
+
+
+def _pca_oracle() -> str:
+    """DuckDB mirror of the unrolled power iteration: identical long-form
+    relation, identical decimal(18,7)-cast product sums, identical max-norm
+    scaling — generated for _PCA_ITERS rounds."""
+    dim = EMBEDDING_DIM
+    ctes = [
+        f"""long0 AS (
+  SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS j) dims
+)""",
+        """mu AS (
+  SELECT j, CAST(SUM(CAST(x AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*) AS m
+  FROM long0 GROUP BY j
+)""",
+        """lng AS (
+  SELECT long0.vec_id, long0.j, long0.x - mu.m AS c
+  FROM long0 JOIN mu USING (j)
+)""",
+        f"v0 AS (SELECT unnest(range(1, {dim + 1})) AS j, CAST(1 AS DOUBLE) AS v)",
+    ]
+    prev = "v0"
+    for it in range(1, _PCA_ITERS + 1):
+        ctes.append(f"""dot{it} AS (
+  SELECT lng.vec_id,
+         CAST(SUM(CAST(lng.c * {prev}.v AS DECIMAL(18,7))) AS DOUBLE) AS d
+  FROM lng JOIN {prev} USING (j) GROUP BY lng.vec_id
+)""")
+        ctes.append(f"""u{it} AS (
+  SELECT lng.j,
+         CAST(SUM(CAST(lng.c * dot{it}.d AS DECIMAL(18,7))) AS DOUBLE) AS u
+  FROM lng JOIN dot{it} USING (vec_id) GROUP BY lng.j
+)""")
+        ctes.append(f"m{it} AS (SELECT MAX(ABS(u)) AS m FROM u{it})")
+        ctes.append(
+            f"v{it} AS (SELECT j, u / m AS v FROM u{it}, m{it})"
+        )
+        prev = f"v{it}"
+    last = _PCA_ITERS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v{last}.j,
+       FLOOR(v{last}.v * 10000 + 0.5) / 10000 AS loading_r4,
+       FLOOR(m{last}.m / CAST({dim} AS DOUBLE) * 10000 + 0.5) / 10000
+         AS rayleigh_scale_r4
+FROM v{last}, m{last}"""
+    )
+
+
+@register("q_embed_pca_power", oracle=_pca_oracle())
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding cloud by power iteration —
+    the linear-algebra workhorse under PCA whitening, spectral outlier
+    screens, and low-rank drift monitors for embedding spaces. v ←
+    XᵀX v / ‖·‖∞ is iterated ``_PCA_ITERS`` times from an all-ones start
+    over the COLUMN-CENTERED data; output is one row per dimension with
+    the max-norm loading and the final Rayleigh growth scale (÷dim —
+    tracks |λ₁| as the iteration converges).
+
+    Spark shape: X never materializes as a matrix — posexplode to the
+    (vec_id, j, c) long form ONCE (lazily checkpointed; each round reads
+    it twice), then every round is two broadcast joins (v is dim rows,
+    the dot vector is n rows — both tiny next to X) feeding two hash
+    aggregates: dot = Xv groups by vec_id, u = Xᵀdot groups by j. All
+    rounds unroll into ONE submitted plan — no driver-side convergence
+    loop (same discipline as q_graph_pagerank / connected components). At
+    100 TB X's long form shards by vec_id; only the dim-sized v and the
+    per-row dots move, which is exactly how distributed power
+    iteration/Lanczos is sharded.
+
+    Parity: every cross-row sum is a per-term decimal(18,7) cast (bounded
+    products; order-independent exact addition), max-norm scaling avoids
+    sqrt entirely, and the oracle replays the identical unrolled rounds —
+    any drift across 64 loadings x 3 rounds would fail the hash instantly.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    long0 = emb.select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("j"), "x")
+    mu = long0.groupBy("j").agg(
+        (F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    lng = (
+        long0.join(F.broadcast(mu), "j")
+        .select("vec_id", "j", (F.col("x") - F.col("m")).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    v = spark.range(1, EMBEDDING_DIM + 1).select(
+        F.col("id").alias("j"), F.lit(1.0).cast("double").alias("v")
+    )
+    m = None
+    for _ in range(_PCA_ITERS):
+        dots = (
+            lng.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.sum((F.col("c") * F.col("v")).cast(DEC)).cast("double").alias("d"))
+        )
+        u = (
+            lng.join(F.broadcast(dots), "vec_id")
+            .groupBy("j")
+            .agg(F.sum((F.col("c") * F.col("d")).cast(DEC)).cast("double").alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            "j", (F.col("u") / F.col("m")).alias("v")
+        )
+    return v.crossJoin(F.broadcast(m)).select(
+        "j",
+        (F.floor(F.col("v") * 10000 + F.lit(0.5)) / 10000).alias("loading_r4"),
+        (
+            F.floor(
+                F.col("m") / F.lit(float(EMBEDDING_DIM)) * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("rayleigh_scale_r4"),
     )
