@@ -182,3 +182,99 @@ def q_layout_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("plain_agg_shuffles", F.lit(_n_exchanges(agg_plain) > 0))
         .withColumn("plain_join_shuffles", F.lit(_n_exchanges(join_plain) > 0))
     )
+
+
+# --- q_layout_zorder (Z-order multi-dim skipping certificate) ----------------
+
+_ZORDER_PATH = "/tmp/genesapi_spark/zorder_events"
+_ZORDER_FILES = 16
+
+_ZORDER_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       TRUE  AS z_shrinks_dim1,
+       TRUE  AS z_shrinks_dim2,
+       TRUE  AS linear_shrinks_dim1,
+       FALSE AS linear_shrinks_dim2
+FROM events
+"""
+
+
+def _file_boxes(df: DataFrame, c1: str, c2: str):
+    """Per-parquet-file min/max bounding boxes via input_file_name()."""
+    return df.groupBy(F.input_file_name().alias("f")).agg(
+        F.min(c1).alias("mn1"), F.max(c1).alias("mx1"),
+        F.min(c2).alias("mn2"), F.max(c2).alias("mx2"),
+    )
+
+
+def _shrinks(boxes: DataFrame, span1: int, span2: int) -> tuple[bool, bool]:
+    """True per dimension iff MOST files' boxes cover < half the global span
+    (the margin makes the verdict robust to range-partitioner sampling)."""
+    r = boxes.agg(
+        F.avg(((F.col("mx1") - F.col("mn1")) * 2 < F.lit(span1)).cast("int")).alias("s1"),
+        F.avg(((F.col("mx2") - F.col("mn2")) * 2 < F.lit(span2)).cast("int")).alias("s2"),
+    ).collect()[0]
+    return bool(r.s1 > 0.5), bool(r.s2 > 0.5)
+
+
+@register("q_layout_zorder", oracle=_ZORDER_ORACLE)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER skipping certificate, the registered companion of the pytest
+    file-skipping proof (test_zorder_skips_files_on_both_dims): write
+    events clustered two ways — Z-ordered on (user_id, cents) vs linearly
+    sorted on user_id alone — then MEASURE each file's min/max bounding
+    box on both dimensions and pin the verdict: the Z-layout shrinks
+    boxes on BOTH dimensions (most files cover < half the global span →
+    min/max row-group pruning bites for predicates on either column),
+    while the linear sort shrinks only its leading dimension and leaves
+    dim-2 boxes full-width (pruning-useless). The data columns checksum
+    the written copy against the original parquet — the relayout lost
+    nothing.
+
+    The half-span-majority test has wide margin on both sides (z-boxes
+    quantize to ~1/16 of each span; linear dim-2 boxes stay ~full span),
+    so the boolean verdict is stable under the range partitioner's
+    sampling. SURVEY §4.2: layout is the 100-TB lever — this certificate
+    and q_layout_bucketed pin the two write-side layouts the engine owns
+    (multi-dim skipping and co-located joins).
+    """
+    from genesapi_cli_spark.io import load
+
+    base = f"{_ZORDER_PATH}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    zorder_write(ev, ["user_id", "cents"], f"{base}/z", n_files=_ZORDER_FILES)
+    (
+        ev.repartitionByRange(_ZORDER_FILES, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(f"{base}/linear")
+    )
+    spans = ev.agg(
+        (F.max("user_id") - F.min("user_id")).alias("s1"),
+        (F.max("cents") - F.min("cents")).alias("s2"),
+    ).collect()[0]
+    z1, z2 = _shrinks(
+        _file_boxes(spark.read.parquet(f"{base}/z"), "user_id", "cents"),
+        spans.s1, spans.s2,
+    )
+    l1, l2 = _shrinks(
+        _file_boxes(spark.read.parquet(f"{base}/linear"), "user_id", "cents"),
+        spans.s1, spans.s2,
+    )
+    return (
+        spark.read.parquet(f"{base}/z")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .withColumn("z_shrinks_dim1", F.lit(z1))
+        .withColumn("z_shrinks_dim2", F.lit(z2))
+        .withColumn("linear_shrinks_dim1", F.lit(l1))
+        .withColumn("linear_shrinks_dim2", F.lit(l2))
+    )
