@@ -1515,3 +1515,64 @@ def q_sql_like_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND scan-level pruning from the same idiom."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LIKE_SQL)
+
+
+# --- q_sql_window_frames (RANGE-vs-ROWS peer semantics certificate) ----------
+
+#: Shared SQL text (Spark + DuckDB): running sums over a key with TIES,
+#: once per frame mode. RANGE ... CURRENT ROW includes ALL peers of the
+#: current order key (the SQL-standard "logical" frame); ROWS ... CURRENT
+#: ROW cuts mid-peer-group and is only deterministic with a full tiebreak
+#: in the ORDER BY.
+_WINDOW_FRAMES_SQL = """
+WITH v AS (
+  SELECT o_custkey % 50 AS grp,
+         o_orderkey % 13 AS k,
+         o_orderkey AS id,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), framed AS (
+  SELECT grp, k, id, cents,
+         SUM(cents) OVER (PARTITION BY grp ORDER BY k, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s_rows,
+         SUM(cents) OVER (PARTITION BY grp ORDER BY k
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s_range
+  FROM v
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN s_range <> s_rows THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_divergent,
+       CAST(SUM(s_range - s_rows) AS BIGINT) AS peer_lookahead_cents,
+       CAST(MAX(s_range - s_rows) AS BIGINT) AS max_lookahead_cents
+FROM framed
+GROUP BY grp
+"""
+
+
+@register("q_sql_window_frames", oracle=_WINDOW_FRAMES_SQL)
+def q_sql_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-vs-ROWS window-frame portability certificate: the SAME SQL
+    text runs on both engines over an order key with heavy TIES and pins
+    the divergence between the two frame modes — RANGE ... CURRENT ROW
+    includes every PEER of the current key (SQL-standard logical frame,
+    so a running sum "jumps" to the end of each tie group), while
+    ROWS ... CURRENT ROW cuts mid-peer-group and is only well-defined
+    because the ORDER BY carries a full (k, id) tiebreak.
+
+    n_divergent > 0 certifies the two frames genuinely differ on this
+    data (every non-last peer of a tie group diverges) and
+    peer_lookahead_cents measures by how much; both engines agreeing on
+    the exact divergence mass proves peer handling AND default-frame
+    behavior match. Why it exists: every running-sum in this repo
+    (drawdown, VWAP, gap-fill, interval islands) picks one of these
+    frames deliberately — this pins the corner where sloppiness silently
+    changes results (the default frame when ORDER BY is present IS
+    RANGE ... CURRENT ROW, a classic source of tie-group bugs).
+
+    Integer cents end to end; deterministic under the full tiebreak.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_WINDOW_FRAMES_SQL)

@@ -12,6 +12,8 @@ min-max stats; nothing below materializes more than the aggregated result.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -605,3 +607,65 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 + 0.5) / 10000"
         ).alias("entropy_r4"),
     ).orderBy("col")
+
+
+# --- q_scan_dpp (dynamic partition pruning certificate) ----------------------
+
+_DPP_PATH = "/tmp/genesapi_spark/dpp_events"
+
+_DPP_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       TRUE AS dpp_active
+FROM events
+WHERE length(event_type) = 8
+"""
+
+
+@register("q_scan_dpp", oracle=_DPP_ORACLE)
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING certificate — the star-schema scale
+    feature: a fact table Hive-partitioned on event_type is joined to a
+    dimension whose filter (length(event_type) = 8 → 'purchase') is NOT on
+    the fact, so static pruning can't fire; Catalyst must inject the dim's
+    matched keys as a runtime partition filter (``dynamicpruning``
+    subquery on the fact scan) or the join reads every partition. At
+    100 TB this is the difference between scanning one date/tenant
+    partition and scanning the lake, on every dim-filtered star join.
+
+    The certificate is measured, not asserted: ``dpp_active`` reads the
+    prepared physical plan and is pinned TRUE by the oracle (losing DPP —
+    a conf regression, a join too small to broadcast, a non-partition
+    join key — fails the value hash); the data columns aggregate the
+    join result and must match DuckDB filtering the original events, so
+    the partitioned relayout and the pruned join are also value-proved.
+
+    Plumbing notes: the dim derives from the original parquet (not the
+    partitioned copy) so the pruning subquery cannot be collapsed into a
+    static filter; partition values round-trip as strings through the
+    Hive layout, which is lossless for this column.
+    """
+    base = f"{_DPP_PATH}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("code", F.length("event_type"))
+    )
+    joined = fact.join(F.broadcast(dim.filter(F.col("code") == 8)), "event_type")
+    dpp = "dynamicpruning" in (
+        joined._jdf.queryExecution().executedPlan().toString()
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("user_id").cast("bigint").alias("sum_users"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    ).withColumn("dpp_active", F.lit(dpp))
