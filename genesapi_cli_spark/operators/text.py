@@ -1933,3 +1933,167 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("macro_novelty_r4"),
     )
+
+
+# --- q_agg_kmv_sketch (k-minimum-values set-intersection sketch) -------------
+
+_KMV_K = 128            # sketch size: k smallest hash values per set
+_KMV_SPACE = 1152921504606846976  # 2^60 — hash space (DuckDB shift-safe)
+
+_KMV_ORACLE = f"""
+WITH vocab AS (
+  SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS h
+  FROM vocab
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+), srcs AS (
+  SELECT DISTINCT source FROM vocab
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+), merged AS (
+  SELECT p.src_a, p.src_b, s.h,
+         CAST(MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END)
+            + MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sides
+  FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+  GROUP BY p.src_a, p.src_b, s.h
+), unionsk AS (
+  SELECT src_a, src_b, h, n_sides,
+         ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+  FROM merged
+), est AS (
+  SELECT src_a, src_b,
+         CAST(SUM(CASE WHEN rn <= {_KMV_K} AND n_sides = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS m_both,
+         CAST(MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS BIGINT) AS kth
+  FROM unionsk GROUP BY src_a, src_b
+), exact AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+  GROUP BY src_a, src_b
+)
+SELECT e.src_a, e.src_b, e.m_both,
+       FLOOR(CAST(e.m_both AS DOUBLE) / {_KMV_K}
+             * (CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_SPACE} / e.kth)
+             * 10000 + 0.5) / 10000 AS est_inter_r4,
+       COALESCE(x.ni, 0) AS exact_inter
+FROM est e LEFT JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
+"""
+
+
+@register("q_agg_kmv_sketch", oracle=_KMV_ORACLE)
+def q_agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MINIMUM-VALUES sketch for SET-INTERSECTION cardinality — the
+    third mergeable sketch next to HLL (distinct counts,
+    q_agg_hll_portable) and Count-Min (frequencies, q_agg_countmin): KMV
+    keeps each set's k smallest hash values, the union sketch of a pair
+    is the k smallest of the merged sketches, est |A∪B| = (k−1)/h₍ₖ₎
+    (normalized k-th minimum), and est |A∩B| = (matching fraction of the
+    union sketch) × est |A∪B| — the estimator HLL fundamentally cannot
+    provide (inclusion-exclusion on HLLs explodes in error), and the
+    workhorse behind audience-overlap / cross-corpus contamination
+    screens at scale. Estimates are reported NEXT TO the exact
+    intersection from the full token join, so the certificate carries
+    its own error measurement per source pair.
+
+    Scale shape: sketches are k rows per set (a per-source top-k window
+    over uniform sha-derived hashes — skew-free); pair estimation
+    touches ONLY sketches (sources × k rows), never re-scanning the
+    corpus — exactly how sketch tables amortize at 100 TB (build once
+    per shard, merge cheaply per question). The exact arm is the
+    same-shape token equi-join used by q_text_cross_source_overlap and
+    exists purely as ground truth.
+
+    Parity: hashes are 60-bit sha prefixes (identical on both engines);
+    the estimator is pure double arithmetic from exact integers, snapped
+    r4; ties cannot occur (distinct hash values within a source).
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    vocab = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).distinct()
+    hashed = vocab.select(
+        "source",
+        F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    wk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    srcs = vocab.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+    )
+    merged = (
+        pairs.join(
+            sk, (sk.source == F.col("src_a")) | (sk.source == F.col("src_b"))
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(
+            (
+                F.max((F.col("source") == F.col("src_a")).cast("int"))
+                + F.max((F.col("source") == F.col("src_b")).cast("int"))
+            )
+            .cast("bigint")
+            .alias("n_sides")
+        )
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("h")
+    unionsk = merged.withColumn("rn", F.row_number().over(wu))
+    est = unionsk.groupBy("src_a", "src_b").agg(
+        F.sum(
+            F.when((F.col("rn") <= _KMV_K) & (F.col("n_sides") == 2), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("m_both"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).cast("bigint").alias("kth"),
+    )
+    exact = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    return (
+        est.join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "m_both",
+            (
+                F.floor(
+                    F.col("m_both").cast("double")
+                    / _KMV_K
+                    * (
+                        F.lit(float(_KMV_K - 1))
+                        * _KMV_SPACE
+                        / F.col("kth")
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("est_inter_r4"),
+            F.coalesce(F.col("ni"), F.lit(0).cast("bigint")).alias("exact_inter"),
+        )
+    )

@@ -278,3 +278,71 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("linear_shrinks_dim1", F.lit(l1))
         .withColumn("linear_shrinks_dim2", F.lit(l2))
     )
+
+
+# --- q_layout_compaction (small-file compaction certificate) -----------------
+
+_COMPACT_PATH = "/tmp/genesapi_spark/compact_events"
+_SMALL_FILES = 64
+_COMPACT_FILES = 4
+
+_COMPACT_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       {_SMALL_FILES} AS files_before,
+       {_COMPACT_FILES} AS files_after,
+       TRUE AS lossless
+FROM events
+"""
+
+
+@register("q_layout_compaction", oracle=_COMPACT_ORACLE)
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION certificate: events written as
+    ``_SMALL_FILES`` shards (the pathological many-small-files layout
+    streaming ingestion accretes) are compacted to ``_COMPACT_FILES`` by
+    one round-robin repartition write, and the certificate pins the
+    MEASURED file counts of both generations (distinct
+    ``input_file_name()`` over each read-back) plus a row/sum checksum
+    proving the rewrite lost nothing — with ``lossless`` additionally
+    comparing both generations' aggregates inside the query.
+
+    The small-file problem is a first-order 100 TB cost: every file is a
+    task, a footer fetch, an open — a 64→4 compaction is a 16× cut in
+    per-file overhead for all downstream scans. Production wraps exactly
+    this rewrite in a row-budget loop (tests/test_layout.py exercises
+    the budgeted variant); the certificate pins the primitive.
+    """
+    from genesapi_cli_spark.io import load
+
+    base = f"{_COMPACT_PATH}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.repartition(_SMALL_FILES).write.mode("overwrite").parquet(f"{base}/small")
+    small = spark.read.parquet(f"{base}/small")
+    small.repartition(_COMPACT_FILES).write.mode("overwrite").parquet(
+        f"{base}/compact"
+    )
+    compact = spark.read.parquet(f"{base}/compact")
+
+    def stats(df: DataFrame):
+        return (
+            df.withColumn("f", F.input_file_name())
+            .agg(
+                F.count_distinct("f").alias("nf"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("user_id").cast("bigint").alias("su"),
+            )
+            .collect()[0]
+        )
+
+    a, b = stats(small), stats(compact)
+    return compact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("user_id").cast("bigint").alias("sum_users"),
+    ).select(
+        "n_rows",
+        "sum_users",
+        F.lit(a.nf).cast("int").alias("files_before"),
+        F.lit(b.nf).cast("int").alias("files_after"),
+        F.lit(bool(a.n == b.n and a.su == b.su)).alias("lossless"),
+    )
