@@ -391,3 +391,83 @@ def q_fn_date_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(d, 2).alias("plus_two_months"),
     )
     return out
+
+
+# --- q_fn_regexp (portable-regex-subset certificate) -------------------------
+
+_REGEXP_ORACLE = """
+WITH x AS (
+  SELECT p_partkey,
+         lower(p_name) AS nm,
+         p_brand,
+         lower(p_type) AS ty,
+         CAST(('0' || regexp_extract(p_brand, '#([0-9]+)', 1)) AS BIGINT)
+           AS brand_num,
+         regexp_extract(lower(p_name), '^([a-z]+)', 1) AS first_word,
+         length(regexp_replace(lower(p_name), '[aeiou]+', '_', 'g'))
+           AS devowel_len,
+         CASE WHEN regexp_matches(lower(p_name), '(ring|widget|gear)')
+              THEN 1 ELSE 0 END AS is_mech,
+         CASE WHEN regexp_matches(lower(p_type), '^(economy|standard)$')
+              THEN 1 ELSE 0 END AS is_basic_tier,
+         CASE WHEN regexp_matches(p_brand, '^Brand#[0-9]{1,2}$')
+              THEN 1 ELSE 0 END AS brand_wellformed
+  FROM part
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(brand_num) AS BIGINT) AS sum_brand_num,
+       CAST(SUM(length(first_word)) AS BIGINT) AS sum_first_word_len,
+       CAST(SUM(devowel_len) AS BIGINT) AS sum_devowel_len,
+       CAST(SUM(is_mech) AS BIGINT) AS n_mech,
+       CAST(SUM(is_basic_tier) AS BIGINT) AS n_basic_tier,
+       CAST(SUM(brand_wellformed) AS BIGINT) AS n_brand_wellformed
+FROM x
+"""
+
+
+@register("q_fn_regexp", oracle=_REGEXP_ORACLE)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE-REGEX-SUBSET certificate: extraction with a capture group,
+    global replacement, partial-match predicates, anchors, alternation,
+    bounded quantifiers, and character classes — exercised over part
+    strings and checksummed on both engines. The subset pinned here is
+    what this repo allows itself in hot paths (normalization in the
+    dedup ladder, redaction, langid): character classes, `+`/`{m,n}`
+    quantifiers, `^`/`$` anchors, alternation groups, and numbered
+    capture groups.
+
+    Portability notes the certificate encodes: Spark regexps run on
+    java.util.regex and DuckDB on RE2 — lookarounds, backreferences and
+    possessive quantifiers diverge or are unsupported and are BANNED
+    from this codebase; `regexp_replace` is global-by-default in Spark
+    but first-match in DuckDB (the oracle passes the 'g' flag — same
+    convention as every normalization oracle here); a no-match
+    `regexp_extract` returns '' on both engines (the '0'||… guard makes
+    the numeric cast total). All reported values are exact integers.
+    """
+    part = load(spark, sf_dir, "part")
+    nm = F.lower(F.col("p_name"))
+    x = part.select(
+        F.concat(F.lit("0"), F.regexp_extract("p_brand", "#([0-9]+)", 1))
+        .cast("bigint")
+        .alias("brand_num"),
+        F.length(F.regexp_extract(nm, "^([a-z]+)", 1)).alias("first_word_len"),
+        F.length(F.regexp_replace(nm, "[aeiou]+", "_")).alias("devowel_len"),
+        nm.rlike("(ring|widget|gear)").cast("int").alias("is_mech"),
+        F.lower(F.col("p_type"))
+        .rlike("^(economy|standard)$")
+        .cast("int")
+        .alias("is_basic_tier"),
+        F.col("p_brand").rlike("^Brand#[0-9]{1,2}$").cast("int").alias(
+            "brand_wellformed"
+        ),
+    )
+    return x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("brand_num").cast("bigint").alias("sum_brand_num"),
+        F.sum("first_word_len").cast("bigint").alias("sum_first_word_len"),
+        F.sum("devowel_len").cast("bigint").alias("sum_devowel_len"),
+        F.sum("is_mech").cast("bigint").alias("n_mech"),
+        F.sum("is_basic_tier").cast("bigint").alias("n_basic_tier"),
+        F.sum("brand_wellformed").cast("bigint").alias("n_brand_wellformed"),
+    )

@@ -2396,3 +2396,142 @@ def q_agg_topn_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- q_agg_histogram_quantile (mergeable-summary quantile estimates) ---------
+
+_HQ_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT o_orderstatus, CAST(length(bin(cents)) AS BIGINT) AS bucket
+  FROM c
+), hist AS (
+  SELECT o_orderstatus, bucket, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM b GROUP BY o_orderstatus, bucket
+), cum AS (
+  SELECT o_orderstatus, bucket, nb,
+         CAST(SUM(nb) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cume,
+         CAST(SUM(nb) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+  FROM hist
+), ranked AS (
+  SELECT o_orderstatus, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM c
+), est AS (
+  SELECT o_orderstatus, MAX(n) AS n,
+         MAX(CASE WHEN cume - nb < (n * 50 + 99) // 100
+                   AND (n * 50 + 99) // 100 <= cume
+              THEN FLOOR(((1::BIGINT << (bucket - 1))
+                   + CAST((n * 50 + 99) // 100 - (cume - nb) AS DOUBLE) / nb
+                     * (1::BIGINT << (bucket - 1))) * 10000 + 0.5) / 10000
+              END) AS est_p50_r4,
+         MAX(CASE WHEN cume - nb < (n * 99 + 99) // 100
+                   AND (n * 99 + 99) // 100 <= cume
+              THEN FLOOR(((1::BIGINT << (bucket - 1))
+                   + CAST((n * 99 + 99) // 100 - (cume - nb) AS DOUBLE) / nb
+                     * (1::BIGINT << (bucket - 1))) * 10000 + 0.5) / 10000
+              END) AS est_p99_r4
+  FROM cum GROUP BY o_orderstatus
+), exact AS (
+  SELECT o_orderstatus,
+         CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END)
+              AS BIGINT) AS exact_p50,
+         CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END)
+              AS BIGINT) AS exact_p99
+  FROM ranked GROUP BY o_orderstatus
+)
+SELECT e.o_orderstatus, e.n, e.est_p50_r4, x.exact_p50, e.est_p99_r4, x.exact_p99
+FROM est e JOIN exact x USING (o_orderstatus)
+"""
+
+
+@register("q_agg_histogram_quantile", oracle=_HQ_ORACLE)
+def q_agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILES FROM A MERGEABLE SUMMARY: p50/p99 estimated by linear
+    interpolation inside the power-of-two histogram of q_agg_log2_histogram
+    (bucket [2^(k-1), 2^k): est = lo + in-bucket-rank-fraction × width),
+    reported NEXT TO the exact rank-selected percentiles so every group
+    carries its own error. This is how quantiles are actually served at
+    100 TB: the ≤64-bucket histogram is a monoid (merge = add counts —
+    q_agg_moments_merge proves the pattern), so shards build summaries
+    independently and ANY quantile is answered from the merged counts
+    without re-touching data — the HDR-histogram/latency-SLO design,
+    with constant relative error by construction of the log buckets.
+
+    The exact arm is one ranking window (the q_orders_ship_latency
+    machinery); at scale it runs on samples to CALIBRATE the histogram,
+    exactly as reported here. Parity: bucket index is the integer bit
+    length (no float log); ceil-rank targets are integer div; the one
+    interpolation division is a double snapped r4 on both engines.
+    """
+    c = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    hist = c.select(
+        "o_orderstatus", F.expr("CAST(length(bin(cents)) AS BIGINT)").alias("bucket")
+    ).groupBy("o_orderstatus", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    wcum = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = hist.select(
+        "o_orderstatus",
+        "bucket",
+        "nb",
+        F.sum("nb").over(wcum).cast("bigint").alias("cume"),
+        F.sum("nb").over(wall).cast("bigint").alias("n"),
+    )
+
+    def interp(pct: int):
+        target = f"(n * {pct} + 99) div 100"
+        return F.max(
+            F.when(
+                F.expr(f"cume - nb < {target} AND {target} <= cume"),
+                F.expr(
+                    f"FLOOR((shiftleft(1L, CAST(bucket AS INT) - 1)"
+                    f" + CAST({target} - (cume - nb) AS DOUBLE) / nb"
+                    f" * shiftleft(1L, CAST(bucket AS INT) - 1)) * 10000 + 0.5)"
+                    f" / 10000"
+                ),
+            )
+        )
+
+    est = cum.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n"),
+        interp(50).alias("est_p50_r4"),
+        interp(99).alias("est_p99_r4"),
+    )
+    wr = Window.partitionBy("o_orderstatus").orderBy("cents")
+    wn = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = c.select(
+        "o_orderstatus",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exact = ranked.groupBy("o_orderstatus").agg(
+        F.max(F.when(F.expr("rn = (n * 50 + 99) div 100"), F.col("cents")))
+        .cast("bigint")
+        .alias("exact_p50"),
+        F.max(F.when(F.expr("rn = (n * 99 + 99) div 100"), F.col("cents")))
+        .cast("bigint")
+        .alias("exact_p99"),
+    )
+    return est.join(exact, "o_orderstatus").select(
+        "o_orderstatus", "n", "est_p50_r4", "exact_p50", "est_p99_r4", "exact_p99"
+    )
