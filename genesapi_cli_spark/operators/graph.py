@@ -427,3 +427,90 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_round[1:]:
         out = out.unionAll(df)
     return out.orderBy("round")
+
+
+# --- q_graph_reach2 (two-hop reach / audience expansion) ---------------------
+
+_REACH_DEG_CAP = 8  # same hub truncation as q_graph_jaccard
+
+_REACH2_ORACLE = f"""{_EDGES_SQL}, sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+), capped AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM sym
+  ) WHERE rn <= {_REACH_DEG_CAP}
+), hop2 AS (
+  SELECT a.src AS node, b.dst AS reached
+  FROM capped a JOIN capped b ON a.dst = b.src
+  WHERE b.dst <> a.src
+  UNION
+  SELECT src AS node, dst AS reached FROM capped
+), reach AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS reach2 FROM hop2 GROUP BY node
+), deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM capped GROUP BY src
+)
+SELECT r.reach2 - d.degree AS extra_reach,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(d.degree) AS BIGINT) AS sum_degree
+FROM reach r JOIN deg d USING (node)
+GROUP BY extra_reach
+"""
+
+
+@register("q_graph_reach2", oracle=_REACH2_ORACLE)
+def q_graph_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-HOP REACH (friend-of-friend audience) distribution over the
+    co-purchase graph: for each product, the number of distinct products
+    within ≤2 hops (who else would a recommendation through one shared
+    neighbor touch), reported as the distribution of EXTRA reach beyond
+    direct degree — the expansion metric behind influence/seed selection
+    and recommendation blast-radius estimates.
+
+    Scale shape: the 2-hop set is the same oriented wedge join as
+    q_graph_triangles/q_graph_jaccard, and like them it is degree-CAPPED
+    first (each node's {_REACH_DEG_CAP} smallest neighbors) because
+    2-hop fan-out through an uncapped hub is the canonical quadratic
+    blow-up (Σ deg² with a 100×-scale hot item in every basket). The
+    UNION with 1-hop edges deduplicates reach set-wise (a UNION is a
+    distinct aggregate, map-side combinable); self-paths are excluded.
+    The final rollup is a count-of-counts like q_orders_basket_dist.
+    """
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=False
+    )
+    sym = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    wcap = Window.partitionBy("src").orderBy("dst")
+    capped = (
+        sym.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _REACH_DEG_CAP)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    hop2 = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .filter(F.col("b.dst") != F.col("a.src"))
+        .select(F.col("a.src").alias("node"), F.col("b.dst").alias("reached"))
+        .union(capped.select(F.col("src").alias("node"), F.col("dst").alias("reached")))
+        .distinct()
+    )
+    reach = hop2.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("reach2"))
+    deg = capped.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    return (
+        reach.join(deg, "node")
+        .groupBy((F.col("reach2") - F.col("degree")).alias("extra_reach"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("degree").cast("bigint").alias("sum_degree"),
+        )
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load, spread
@@ -669,3 +669,104 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").cast("bigint").alias("sum_users"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     ).withColumn("dpp_active", F.lit(dpp))
+
+
+# --- q_privacy_ldiversity ----------------------------------------------------
+
+_LDIV_L = 3  # require >= 3 distinct sensitive values per QI group
+
+_LDIV_ORACLE = f"""
+WITH qi AS (
+  SELECT c_mktsegment AS segment,
+         n_name AS nation,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         o_orderpriority AS sensitive
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+), grp AS (
+  SELECT segment, nation, bal_band,
+         CAST(COUNT(*) AS BIGINT) AS grp_size,
+         CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_div,
+         CAST(MAX(cnt_top) AS BIGINT) AS top_cnt
+  FROM (
+    SELECT segment, nation, bal_band, sensitive,
+           COUNT(*) OVER (PARTITION BY segment, nation, bal_band, sensitive)
+             AS cnt_top
+    FROM qi
+  )
+  GROUP BY segment, nation, bal_band
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN l_div < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity,
+       CAST(SUM(CASE WHEN l_div < {_LDIV_L} THEN grp_size ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(MIN(l_div) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN top_cnt * 2 > grp_size THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_homogeneity_prone
+FROM grp
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("q_privacy_ldiversity", oracle=_LDIV_ORACLE)
+def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit — the attack k-anonymity misses: a QI group can
+    be large (k-anonymous, q_privacy_kanon) yet leak the sensitive
+    attribute outright when every member SHARES it (homogeneity attack).
+    Per quasi-identifier group (segment, nation, balance band) over the
+    customer⋈orders release, this reports how many distinct sensitive
+    values (order priority) each group carries, flags groups below
+    l = {_LDIV_L}, and counts groups where one sensitive value covers a
+    strict majority — the probabilistic-inference precursor even when
+    l is met. Rolled up per segment like the k-anonymity report so the
+    two audits read side by side.
+
+    Scale shape: one QI+sensitive window for the top-value count, then
+    two hash aggregates — the distinct-count is per-QI-group (bounded
+    cardinality), never global. The nation dim is broadcast; the fact
+    scan is the only large input.
+    """
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    qi = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").alias("bal_band"),
+            F.col("o_orderpriority").alias("sensitive"),
+        )
+    )
+    wtop = Window.partitionBy("segment", "nation", "bal_band", "sensitive")
+    grp = (
+        qi.withColumn("cnt_top", F.count(F.lit(1)).over(wtop))
+        .groupBy("segment", "nation", "bal_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("grp_size"),
+            F.count_distinct("sensitive").cast("bigint").alias("l_div"),
+            F.max("cnt_top").cast("bigint").alias("top_cnt"),
+        )
+    )
+    return (
+        grp.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum((F.col("l_div") < _LDIV_L).cast("int"))
+            .cast("bigint")
+            .alias("n_low_diversity"),
+            F.sum(F.when(F.col("l_div") < _LDIV_L, F.col("grp_size")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+            F.min("l_div").cast("bigint").alias("min_l"),
+            F.sum((F.col("top_cnt") * 2 > F.col("grp_size")).cast("int"))
+            .cast("bigint")
+            .alias("n_homogeneity_prone"),
+        )
+        .orderBy("segment")
+    )
