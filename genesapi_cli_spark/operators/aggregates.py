@@ -2535,3 +2535,126 @@ def q_agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "o_orderstatus").select(
         "o_orderstatus", "n", "est_p50_r4", "exact_p50", "est_p99_r4", "exact_p99"
     )
+
+
+# --- q_agg_topk_mergeable (sharded truncated-counter top-k with bounds) ------
+
+_TKM_SHARDS = 8   # independent summary builders (per-executor at scale)
+_TKM_M = 5        # counters kept per shard summary
+_TKM_OUT = 10     # merged candidates reported
+
+_TKM_ORACLE = f"""
+WITH fact AS (
+  SELECT l_orderkey % {_TKM_SHARDS} AS shard, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pc AS (
+  SELECT shard, p_brand, CAST(COUNT(*) AS BIGINT) AS n
+  FROM fact GROUP BY shard, p_brand
+), ranked AS (
+  SELECT shard, p_brand, n,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n DESC, p_brand) AS rn
+  FROM pc
+), kept AS (
+  SELECT * FROM ranked WHERE rn <= {_TKM_M}
+), thr AS (
+  SELECT shard,
+         CAST(COALESCE(MAX(CASE WHEN rn = {_TKM_M} THEN n END), 0) AS BIGINT)
+           AS t
+  FROM ranked GROUP BY shard
+), tot_thr AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS tt FROM thr
+), est AS (
+  SELECT k.p_brand,
+         CAST(SUM(k.n) AS BIGINT) AS est_lo,
+         CAST(SUM(th.t) AS BIGINT) AS thr_present
+  FROM kept k JOIN thr th USING (shard)
+  GROUP BY k.p_brand
+), exact AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS exact_n FROM fact GROUP BY p_brand
+), merged AS (
+  SELECT e.p_brand, e.est_lo, tt.tt - e.thr_present AS err_bound, x.exact_n,
+         ROW_NUMBER() OVER (ORDER BY e.est_lo DESC, e.p_brand) AS rk
+  FROM est e CROSS JOIN tot_thr tt JOIN exact x USING (p_brand)
+)
+SELECT p_brand, est_lo, err_bound, exact_n,
+       (est_lo <= exact_n AND exact_n <= est_lo + err_bound) AS bound_holds
+FROM merged WHERE rk <= {_TKM_OUT}
+"""
+
+
+@register("q_agg_topk_mergeable", oracle=_TKM_ORACLE)
+def q_agg_topk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE TOP-K with PROVABLE bounds — the sharded relief valve
+    q_agg_heavy_hitters' docstring promises: each of {_TKM_SHARDS} shards
+    keeps only its {_TKM_M} largest exact counters (a truncated-counter
+    summary, the deterministic cousin of SpaceSaving — no sequential
+    eviction order, so it stays declarative AND mergeable), summaries
+    merge by addition, and a dropped counter can hide at most the shard's
+    m-th count — so for every merged candidate: est_lo ≤ exact ≤ est_lo +
+    Σ(absent shards' thresholds). The certificate reports the bound AND
+    the exact count per candidate with `bound_holds` pinned — the
+    Mergeable-Summaries frequent-items guarantee, measured.
+
+    Scale shape: the summary build is one (shard, key) hash aggregate +
+    a per-shard top-m window — each executor ships m rows, not a key
+    domain; merge touches shards×m rows. The exact arm exists as the
+    calibration harness (the q_agg_approx_* contract pattern). All
+    arithmetic is exact integers; ties break lexicographically on both
+    engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    fact = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    ).select((F.col("l_orderkey") % _TKM_SHARDS).alias("shard"), "p_brand")
+    pc = fact.groupBy("shard", "p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wr = Window.partitionBy("shard").orderBy(F.col("n").desc(), "p_brand")
+    ranked = pc.withColumn("rn", F.row_number().over(wr)).localCheckpoint(
+        eager=False
+    )
+    kept = ranked.filter(F.col("rn") <= _TKM_M)
+    thr = ranked.groupBy("shard").agg(
+        F.coalesce(F.max(F.when(F.col("rn") == _TKM_M, F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("t")
+    )
+    tot_thr = thr.agg(F.sum("t").cast("bigint").alias("tt"))
+    est = (
+        kept.join(F.broadcast(thr), "shard")
+        .groupBy("p_brand")
+        .agg(
+            F.sum("n").cast("bigint").alias("est_lo"),
+            F.sum("t").cast("bigint").alias("thr_present"),
+        )
+    )
+    exact = fact.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    merged = (
+        est.crossJoin(F.broadcast(tot_thr))
+        .join(exact, "p_brand")
+        .select(
+            "p_brand",
+            "est_lo",
+            (F.col("tt") - F.col("thr_present")).alias("err_bound"),
+            "exact_n",
+        )
+    )
+    wk = Window.orderBy(F.col("est_lo").desc(), "p_brand")
+    return (
+        merged.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _TKM_OUT)
+        .select(
+            "p_brand",
+            "est_lo",
+            "err_bound",
+            "exact_n",
+            (
+                (F.col("est_lo") <= F.col("exact_n"))
+                & (F.col("exact_n") <= F.col("est_lo") + F.col("err_bound"))
+            ).alias("bound_holds"),
+        )
+    )
