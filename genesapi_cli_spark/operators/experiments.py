@@ -1506,3 +1506,93 @@ def q_docs_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 + 0.5) / 10000"
         ).alias("eta_sq_r4"),
     )
+
+
+# --- q_feature_store_pit (leakage-free point-in-time training assembly) ------
+
+_PIT_CUTOFF = "2024-07-01 00:00:00"  # feature/label boundary
+_PIT_HORIZON_US = 14 * 86400000000   # label: purchase within 14 days after
+
+_FSTORE_ORACLE = f"""
+WITH feat AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events_pre,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases_pre,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS} ELSE 0 END)
+              AS BIGINT) AS spend_cents_pre,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
+  FROM events
+  WHERE ts < TIMESTAMP '{_PIT_CUTOFF}'
+  GROUP BY user_id
+), lab AS (
+  SELECT DISTINCT user_id, 1 AS label
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '{_PIT_CUTOFF}'
+    AND epoch_us(ts) < epoch_us(TIMESTAMP '{_PIT_CUTOFF}') + {_PIT_HORIZON_US}
+)
+SELECT f.user_id, f.n_events_pre, f.n_purchases_pre, f.spend_cents_pre,
+       CAST(epoch_us(TIMESTAMP '{_PIT_CUTOFF}') - f.last_seen_us AS BIGINT)
+         AS recency_us,
+       CAST(COALESCE(l.label, 0) AS INT) AS label
+FROM feat f LEFT JOIN lab l USING (user_id)
+"""
+
+
+@register("q_feature_store_pit", oracle=_FSTORE_ORACLE)
+def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME training-set assembly — the leakage discipline every
+    feature store exists to enforce: features see ONLY events strictly
+    before the cutoff (activity counts, purchase spend, recency at the
+    cutoff), the label sees ONLY the 14-day horizon after it (did the
+    user purchase), and the two sides meet in one left join keyed on the
+    entity. Leakage — a feature computed over post-cutoff data — is the
+    classic silent train/serve-skew bug; here the boundary is a single
+    shared constant and the oracle re-derives both sides from the raw
+    events, so any feature peeking across it hash-fails.
+
+    Scale shape: one filtered pass per side of the boundary (the
+    predicate reaches the parquet scan — at 100 TB with time-partitioned
+    events this is partition pruning, reading only each side's date
+    range), one hash aggregate per side, one equity join on user_id.
+    At full scale the cutoff generalizes to a per-entity as-of join
+    against a label-event table (q_join_pit's machinery); the fixed
+    global cutoff here is the standard batch-training snapshot.
+
+    Parity: integer event counts/cents, exact epoch-µs recency, label
+    coalesced to 0/1 int.
+    """
+    ev = load(spark, sf_dir, "events")
+    cutoff_us = F.expr(f"unix_micros(TIMESTAMP '{_PIT_CUTOFF}')")
+    pre = ev.filter(F.col("ts") < F.lit(_PIT_CUTOFF).cast("timestamp_ntz"))
+    feat = pre.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_pre"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("n_purchases_pre"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.expr(_CENTS)).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("spend_cents_pre"),
+        F.max("ts_us").cast("bigint").alias("last_seen_us"),
+    )
+    lab = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.lit(_PIT_CUTOFF).cast("timestamp_ntz"))
+            & (F.col("ts_us") < cutoff_us + F.lit(_PIT_HORIZON_US))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    return feat.join(lab, "user_id", "left").select(
+        "user_id",
+        "n_events_pre",
+        "n_purchases_pre",
+        "spend_cents_pre",
+        (cutoff_us - F.col("last_seen_us")).cast("bigint").alias("recency_us"),
+        F.coalesce(F.col("label"), F.lit(0)).cast("int").alias("label"),
+    )

@@ -923,3 +923,92 @@ def q_multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
         F.sum("energy_q").cast("bigint").alias("seg_energy"),
     ).drop("sid")
+
+
+# --- q_multimodal_patchify (ViT-style patch-grid extraction) -----------------
+
+_IMG_W = 32     # fake image width (bytes per row)
+_PATCH = 8      # square patch edge → 4 patches per row-block
+
+_PATCHIFY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), g AS (
+  SELECT doc_id, text, (n // {_IMG_W}) // {_PATCH} AS npy
+  FROM d WHERE n >= {_IMG_W * _PATCH}
+), p AS (
+  SELECT doc_id, text, unnest(range(0, npy)) AS py FROM g
+), pp AS (
+  SELECT doc_id, text, py, unnest(range(0, {_IMG_W // _PATCH})) AS px FROM p
+)
+SELECT doc_id, py, px,
+       CAST(list_sum(list_transform(range(0, {_PATCH * _PATCH}), i ->
+           unicode(substr(text,
+               CAST((py * {_PATCH} + i // {_PATCH}) * {_IMG_W}
+                    + px * {_PATCH} + (i % {_PATCH}) + 1 AS INT), 1))
+       )) AS BIGINT) AS psum
+FROM pp
+"""
+
+
+def _patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """ViT-style patch extraction: payload bytes → W-wide pixel matrix →
+    non-overlapping PxP patches → per-patch integer sums, all vectorized
+    numpy reshape/sum (the exact batch shape a real patch embedder uses,
+    with the projection matmul replaced by a sum the oracle reproduces
+    from character codes)."""
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_py, out_px, out_sum = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            rows = (a.size // _IMG_W // _PATCH) * _PATCH
+            if rows == 0:
+                continue
+            img = a[: rows * _IMG_W].reshape(rows, _IMG_W)
+            # (rows/P, P, W/P, P) → sum over the two patch axes
+            sums = img.reshape(
+                rows // _PATCH, _PATCH, _IMG_W // _PATCH, _PATCH
+            ).sum(axis=(1, 3))
+            npy, npx = sums.shape
+            ys, xs = np.indices((npy, npx))
+            out_doc.extend([doc_id] * (npy * npx))
+            out_py.extend(ys.ravel().tolist())
+            out_px.extend(xs.ravel().tolist())
+            out_sum.extend(sums.ravel().tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "py": pd.Series(out_py, dtype="int64"),
+                "px": pd.Series(out_px, dtype="int64"),
+                "psum": pd.Series(out_sum, dtype="int64"),
+            }
+        )
+
+
+@register("q_multimodal_patchify", oracle=_PATCHIFY_ORACLE)
+def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-STYLE PATCHIFICATION of binary image payloads: bytes → a
+    32-wide pixel matrix (``_IMG_W``) → non-overlapping 8×8 patches
+    (``_PATCH``) → one row per patch with its grid position and integer pixel
+    sum — the 1→N tokenization step every vision-transformer data
+    pipeline runs before embedding, as Arrow-batched ``mapInPandas``
+    plumbing (numpy reshape + axis sums; no per-pixel Python). Partial
+    trailing row-blocks are truncated, mirroring fixed-size patch grids.
+
+    Next to q_multimodal_audio_energy (1-D framing) and
+    q_multimodal_chunks (byte windowing), this pins the 2-D blocking
+    shape: the oracle recomputes every patch sum from character codes
+    (ASCII corpus ⇒ byte = code), so the reshape/stride arithmetic —
+    where off-by-one image bugs live — is value-proved patch by patch.
+    At 100 TB the stage parallelizes per input split and emits the
+    narrow (doc, py, px, sum) grid, payloads never outliving the UDF.
+    """
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.filter(F.length("text") >= _IMG_W * _PATCH).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return assets.mapInPandas(
+        _patchify, schema="doc_id long, py long, px long, psum long"
+    )
