@@ -2455,3 +2455,108 @@ def q_window_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# --- q_window_kalman (1-D Kalman filter per series) --------------------------
+
+_KAL_Q = 0.25  # process variance (exactly representable)
+_KAL_R = 4.0   # observation variance
+_KAL_MOD = 3   # user-cohort series key (same sharding as q_window_holt)
+
+_KALMAN_ORACLE = f"""
+WITH d0 AS (
+  SELECT user_id % {_KAL_MOD} AS series,
+         epoch_us(ts) // 86400000000 AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY series, day_idx
+), daily AS (
+  SELECT ROW_NUMBER() OVER (PARTITION BY series ORDER BY day_idx) AS rn,
+         series, day_idx, cents
+  FROM d0
+), hw AS (
+  WITH RECURSIVE rec(series, rn, day_idx, cents, x, p) AS (
+    SELECT series, rn, day_idx, cents, CAST(cents AS DOUBLE), CAST(1 AS DOUBLE)
+    FROM daily WHERE rn = 1
+    UNION ALL
+    SELECT d.series, d.rn, d.day_idx, d.cents,
+           rec.x + (rec.p + {_KAL_Q}) / ((rec.p + {_KAL_Q}) + {_KAL_R})
+                   * (d.cents - rec.x),
+           (1 - (rec.p + {_KAL_Q}) / ((rec.p + {_KAL_Q}) + {_KAL_R}))
+             * (rec.p + {_KAL_Q})
+    FROM rec JOIN daily d ON d.series = rec.series AND d.rn = rec.rn + 1
+  )
+  SELECT * FROM rec
+)
+SELECT series, day_idx, cents,
+       FLOOR(x / 100 * 10000 + 0.5) / 10000 AS level_r4,
+       FLOOR(p * 10000 + 0.5) / 10000 AS var_r4
+FROM hw
+ORDER BY series, day_idx
+"""
+
+
+@register("q_window_kalman", oracle=_KALMAN_ORACLE)
+def q_window_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D KALMAN FILTER (random-walk state, noisy observation) over the
+    daily purchase-revenue series per user cohort — the optimal-gain
+    cousin of Holt smoothing (q_window_holt) and the third member of the
+    sequential-state family (with q_stream_throttle): each day's
+    posterior (level x, variance p) feeds the next day's gain
+    K = (p+Q)/((p+Q)+R), so no window frame can express it. Filtered
+    level and posterior variance are reported per day — the variance
+    column is what Holt can't give: a calibrated uncertainty that
+    downstream anomaly gates threshold against.
+
+    Spark shape: ``applyInPandas`` per cohort series, the state loop in
+    Arrow-batched Python within each series, Spark parallelizing across
+    series (at 100 TB: one group per entity, or user-bucketed groups as
+    in q_stream_throttle). The oracle replays the IDENTICAL recursion as
+    a recursive CTE — both engines evaluate the same IEEE expression
+    tree (Q=0.25, R=4 exactly representable; one division per step), so
+    the trajectories match bit-for-bit before the r4 snap, variance
+    included.
+    """
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        (F.col("user_id") % _KAL_MOD).alias("series"),
+        (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("day_idx"),
+    ).agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("cents"))
+
+    def kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("day_idx").reset_index(drop=True)
+        xs, ps = [], []
+        x = float(pdf["cents"].iloc[0])
+        p = 1.0
+        xs.append(x)
+        ps.append(p)
+        for y in pdf["cents"].iloc[1:]:
+            p_pred = p + _KAL_Q
+            k = p_pred / (p_pred + _KAL_R)
+            x = x + k * (y - x)
+            p = (1 - k) * p_pred
+            xs.append(x)
+            ps.append(p)
+        return pd.DataFrame(
+            {
+                "series": pdf["series"],
+                "day_idx": pdf["day_idx"],
+                "cents": pdf["cents"],
+                "level_r4": [math.floor(v / 100 * 10000 + 0.5) / 10000 for v in xs],
+                "var_r4": [math.floor(v * 10000 + 0.5) / 10000 for v in ps],
+            }
+        )
+
+    return (
+        daily.groupBy("series")
+        .applyInPandas(
+            kalman,
+            schema="series long, day_idx long, cents long, "
+            "level_r4 double, var_r4 double",
+        )
+        .orderBy("series", "day_idx")
+    )
