@@ -927,25 +927,25 @@ def q_multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_multimodal_patchify (ViT-style patch-grid extraction) -----------------
 
-_IMG_W = 32     # fake image width (bytes per row)
-_PATCH = 8      # square patch edge → 4 patches per row-block
+_PGRID_W = 32     # fake image width (bytes per row)
+_PGRID_P = 8      # square patch edge → 4 patches per row-block
 
-_PATCHIFY_ORACLE = f"""
+_PGRID_PIFY_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
 ), g AS (
-  SELECT doc_id, text, (n // {_IMG_W}) // {_PATCH} AS npy
-  FROM d WHERE n >= {_IMG_W * _PATCH}
+  SELECT doc_id, text, (n // {_PGRID_W}) // {_PGRID_P} AS npy
+  FROM d WHERE n >= {_PGRID_W * _PGRID_P}
 ), p AS (
   SELECT doc_id, text, unnest(range(0, npy)) AS py FROM g
 ), pp AS (
-  SELECT doc_id, text, py, unnest(range(0, {_IMG_W // _PATCH})) AS px FROM p
+  SELECT doc_id, text, py, unnest(range(0, {_PGRID_W // _PGRID_P})) AS px FROM p
 )
 SELECT doc_id, py, px,
-       CAST(list_sum(list_transform(range(0, {_PATCH * _PATCH}), i ->
+       CAST(list_sum(list_transform(range(0, {_PGRID_P * _PGRID_P}), i ->
            unicode(substr(text,
-               CAST((py * {_PATCH} + i // {_PATCH}) * {_IMG_W}
-                    + px * {_PATCH} + (i % {_PATCH}) + 1 AS INT), 1))
+               CAST((py * {_PGRID_P} + i // {_PGRID_P}) * {_PGRID_W}
+                    + px * {_PGRID_P} + (i % {_PGRID_P}) + 1 AS INT), 1))
        )) AS BIGINT) AS psum
 FROM pp
 """
@@ -963,13 +963,13 @@ def _patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_doc, out_py, out_px, out_sum = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
-            rows = (a.size // _IMG_W // _PATCH) * _PATCH
+            rows = (a.size // _PGRID_W // _PGRID_P) * _PGRID_P
             if rows == 0:
                 continue
-            img = a[: rows * _IMG_W].reshape(rows, _IMG_W)
+            img = a[: rows * _PGRID_W].reshape(rows, _PGRID_W)
             # (rows/P, P, W/P, P) → sum over the two patch axes
             sums = img.reshape(
-                rows // _PATCH, _PATCH, _IMG_W // _PATCH, _PATCH
+                rows // _PGRID_P, _PGRID_P, _PGRID_W // _PGRID_P, _PGRID_P
             ).sum(axis=(1, 3))
             npy, npx = sums.shape
             ys, xs = np.indices((npy, npx))
@@ -987,11 +987,11 @@ def _patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("q_multimodal_patchify", oracle=_PATCHIFY_ORACLE)
+@register("q_multimodal_patchify", oracle=_PGRID_PIFY_ORACLE)
 def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ViT-STYLE PATCHIFICATION of binary image payloads: bytes → a
-    32-wide pixel matrix (``_IMG_W``) → non-overlapping 8×8 patches
-    (``_PATCH``) → one row per patch with its grid position and integer pixel
+    32-wide pixel matrix (``_PGRID_W``) → non-overlapping 8×8 patches
+    (``_PGRID_P``) → one row per patch with its grid position and integer pixel
     sum — the 1→N tokenization step every vision-transformer data
     pipeline runs before embedding, as Arrow-batched ``mapInPandas``
     plumbing (numpy reshape + axis sums; no per-pixel Python). Partial
@@ -1006,7 +1006,7 @@ def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow (doc, py, px, sum) grid, payloads never outliving the UDF.
     """
     docs = load(spark, sf_dir, "documents")
-    assets = docs.filter(F.length("text") >= _IMG_W * _PATCH).select(
+    assets = docs.filter(F.length("text") >= _PGRID_W * _PGRID_P).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return assets.mapInPandas(
