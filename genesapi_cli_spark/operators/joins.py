@@ -1169,3 +1169,79 @@ def q_spatial_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("smoothed"), "cx", "cy")
         .limit(10)
     )
+
+
+# --- q_orders_double_charge (duplicate-payment screen) -----------------------
+
+_DC_WINDOW_DAYS = 7  # flag same-customer same-amount orders this close
+
+_DOUBLE_CHARGE_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(o_orderdate) // 86400000000 AS day_idx
+  FROM orders
+), pairs AS (
+  SELECT a.o_custkey,
+         a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+         a.cents, b.day_idx - a.day_idx AS gap_days
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+   AND a.o_orderkey < b.o_orderkey
+  WHERE b.day_idx - a.day_idx BETWEEN -{_DC_WINDOW_DAYS} AND {_DC_WINDOW_DAYS}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_suspect_pairs,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS suspect_cents,
+       CAST(SUM(CASE WHEN gap_days = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_day
+FROM pairs
+"""
+
+
+@register("q_orders_double_charge", oracle=_DOUBLE_CHARGE_ORACLE)
+def q_orders_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-PAYMENT screen: pairs of orders by the SAME customer for
+    the SAME amount within ±7 days — the ops-side fuzzy dedup every
+    billing pipeline runs (retried charges, double submissions), which is
+    exact dedup on a compound key PLUS a temporal band, not equality.
+
+    Scale shape: the self-join keys on (custkey, cents) — a high-
+    cardinality compound equi-key, so the join is a hash join whose
+    per-bucket fan-out is the count of equal-amount orders per customer
+    (tiny by construction), with the day-gap band as a residual filter;
+    never a theta join. The canonical a<b orientation counts each pair
+    once — the q_dedup_near_minhash pair discipline applied to facts.
+
+    Parity: exact integer cents and epoch-day arithmetic end to end.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day_idx"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.cents").alias("cents"),
+            (F.col("b.day_idx") - F.col("a.day_idx")).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").between(-_DC_WINDOW_DAYS, _DC_WINDOW_DAYS))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suspect_pairs"),
+        F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("suspect_cents"),
+        F.sum((F.col("gap_days") == 0).cast("int")).cast("bigint").alias("n_same_day"),
+    )
