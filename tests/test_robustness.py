@@ -35,6 +35,19 @@ REPRESENTATIVES = [
     "q_sim_cosine_topk",
     "q_sample_weighted",
     "q_vocab_coverage",
+    # round-4 families
+    "q_text_novelty",
+    "q_dedup_stop_shingles",
+    "q_stream_throttle",
+    "q_embed_pca_power",
+    "q_window_kalman",
+    "q_agg_kmv_sketch",
+    "q_agg_histogram_quantile",
+    "q_agg_topk_mergeable",
+    "q_feature_store_pit",
+    "q_multimodal_patchify",
+    "q_graph_reach2",
+    "q_orders_double_charge",
 ]
 
 
