@@ -2097,3 +2097,119 @@ def q_agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("ni"), F.lit(0).cast("bigint")).alias("exact_inter"),
         )
     )
+
+
+# --- q_text_pmi (windowed co-occurrence pointwise mutual information) --------
+
+_PMI_WIN = 2        # skip-gram window: tokens within ±2 positions co-occur
+_PMI_MIN_N = 30     # min pair support reported
+
+_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents
+), tok AS (
+  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS i, parts
+  FROM t
+), pos AS (
+  SELECT doc_id, i, parts[i] AS w FROM tok
+), pairs AS (
+  SELECT CASE WHEN a.w < b.w THEN a.w ELSE b.w END AS w1,
+         CASE WHEN a.w < b.w THEN b.w ELSE a.w END AS w2
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + {_PMI_WIN}
+  WHERE a.w <> b.w
+), pc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM pairs GROUP BY w1, w2
+), tot AS (
+  SELECT CAST(SUM(n12) AS BIGINT) AS np FROM pc
+), marg AS (
+  SELECT w, CAST(SUM(n) AS BIGINT) AS nw FROM (
+    SELECT w1 AS w, n12 AS n FROM pc
+    UNION ALL
+    SELECT w2 AS w, n12 AS n FROM pc
+  ) GROUP BY w
+)
+SELECT pc.w1, pc.w2, pc.n12,
+       FLOOR(LN(CAST(pc.n12 AS DOUBLE) * tot.np
+                / (CAST(m1.nw AS DOUBLE) * m2.nw)) * 10000 + 0.5) / 10000
+         AS pmi_r4
+FROM pc
+JOIN marg m1 ON m1.w = pc.w1
+JOIN marg m2 ON m2.w = pc.w2
+CROSS JOIN tot
+WHERE pc.n12 >= {_PMI_MIN_N}
+"""
+
+
+@register("q_text_pmi", oracle=_PMI_ORACLE)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence PMI — the statistic word2vec implicitly
+    factorizes (Levy & Goldberg: SGNS ≈ shifted-PMI matrix
+    factorization): token pairs within a ±2 skip-gram window, scored by
+    ln(n₁₂·N / (n₁·n₂)) over the pair distribution, reported for pairs
+    with support ≥ 30 — collocation mining, embedding-corpus
+    diagnostics, and phrase-vocabulary induction all read this table.
+
+    Scale shape: positions explode once (the flat posexplode projection
+    of the shingle family); co-occurrence is a bounded BAND self-join on
+    (doc, position) — each token joins to at most ±2 positions, so the
+    fan-out is 2·window per token, never quadratic in document length.
+    Marginals derive from the PAIR table (one union-aggregate — the
+    corpus is never re-scanned), canonical w1<w2 orientation halves the
+    matrix, and the min-support cut keeps the output the dense head of
+    the PMI matrix. One ln per output row, micro-snapped r4.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("i", "w")
+    )
+    a = pos.alias("a")
+    b = pos.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.i") > F.col("a.i"))
+            & (F.col("b.i") <= F.col("a.i") + _PMI_WIN),
+        )
+        .filter(F.col("a.w") != F.col("b.w"))
+        .select(
+            F.least(F.col("a.w"), F.col("b.w")).alias("w1"),
+            F.greatest(F.col("a.w"), F.col("b.w")).alias("w2"),
+        )
+    )
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n12")
+    ).localCheckpoint(eager=False)
+    tot = pc.agg(F.sum("n12").cast("bigint").alias("np"))
+    marg = (
+        pc.select(F.col("w1").alias("w"), F.col("n12").alias("n"))
+        .unionByName(pc.select(F.col("w2").alias("w"), F.col("n12").alias("n")))
+        .groupBy("w")
+        .agg(F.sum("n").cast("bigint").alias("nw"))
+    )
+    m1 = marg.select(F.col("w").alias("w1"), F.col("nw").alias("n1"))
+    m2 = marg.select(F.col("w").alias("w2"), F.col("nw").alias("n2"))
+    return (
+        pc.filter(F.col("n12") >= _PMI_MIN_N)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            (
+                F.floor(
+                    F.log(
+                        F.col("n12").cast("double")
+                        * F.col("np")
+                        / (F.col("n1").cast("double") * F.col("n2"))
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("pmi_r4"),
+        )
+    )

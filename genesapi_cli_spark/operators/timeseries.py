@@ -2560,3 +2560,90 @@ def q_window_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series", "day_idx")
     )
+
+
+# --- q_events_bot_screen (machine-periodicity detection) ---------------------
+
+_BOT_MIN_EVENTS = 20      # screen only users with enough arrivals
+_BOT_CV2_BP = 1000        # flag CV² of inter-arrival < 0.10 (basis points)
+
+_BOT_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS rn
+  FROM events
+), gaps AS (
+  SELECT e.user_id, (e.us - p.us) // 60000000 AS gap
+  FROM e JOIN e p ON p.user_id = e.user_id AND p.rn = e.rn - 1
+), stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS s1,
+         CAST(SUM(gap * gap) AS BIGINT) AS s2
+  FROM gaps GROUP BY user_id
+), screened AS (
+  SELECT user_id, n_gaps,
+         CASE WHEN (n_gaps * s2 - s1 * s1) * 10000
+                   < {_BOT_CV2_BP} * s1 * s1
+              THEN 1 ELSE 0 END AS is_bot
+  FROM stats WHERE n_gaps >= {_BOT_MIN_EVENTS}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_screened,
+       CAST(SUM(is_bot) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN is_bot = 1 THEN n_gaps ELSE 0 END) AS BIGINT)
+         AS flagged_events
+FROM screened
+"""
+
+
+@register("q_events_bot_screen", oracle=_BOT_ORACLE)
+def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOT / AUTOMATION screen by inter-arrival REGULARITY: humans are
+    bursty (inter-arrival CV² ≈ 1 for Poisson-ish behavior, higher with
+    sessions), schedulers are metronomes — a user whose inter-arrival
+    coefficient of variation squared falls below 0.10 is flagged. The
+    periodicity axis complements q_events_velocity (rate ceiling): a slow
+    but perfectly regular probe passes every rate limit and fails this.
+
+    Parity & shape: gaps from one LAG-equivalent self-join on the
+    arrival rank (ties broken by event_id on both engines); CV² =
+    (n·Σg² − (Σg)²)/(Σg)² is evaluated as ONE integer cross-multiplied
+    predicate — exact bigint sums, no division, no float anywhere. One
+    window + two hash aggregates; the per-user gap state is the
+    q_events_interarrival machinery pointed at abuse detection.
+    """
+    ev = load(spark, sf_dir, "events")
+    # Gaps quantized to whole MINUTES: the regularity verdict is unchanged
+    # (scheduler periods are minutes-scale) and every moment stays in exact
+    # bigint range — raw-µs squares overflow int64 (gap² ~ 1e22), and both
+    # engines would (correctly) throw on it under ANSI semantics.
+    gaps = (
+        ev.select(
+            "user_id",
+            F.expr("(ts_us - lag(ts_us) OVER (PARTITION BY user_id "
+                   "ORDER BY ts_us, event_id)) div 60000000").alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("s2"),
+    )
+    screened = stats.filter(F.col("n_gaps") >= _BOT_MIN_EVENTS).select(
+        "n_gaps",
+        (
+            (F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")) * 10000
+            < _BOT_CV2_BP * F.col("s1") * F.col("s1")
+        )
+        .cast("int")
+        .alias("is_bot"),
+    )
+    return screened.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_screened"),
+        F.sum("is_bot").cast("bigint").alias("n_flagged"),
+        F.sum(F.when(F.col("is_bot") == 1, F.col("n_gaps")).otherwise(0))
+        .cast("bigint")
+        .alias("flagged_events"),
+    )
