@@ -1097,42 +1097,49 @@ def q_sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q_embed_pca_power (top principal component by unrolled power iteration) -
+# --- q_embed_pca_power (top principal component: one-pass Gram + local solve) -
 
-_PCA_ITERS = 3  # unrolled power-iteration rounds (convergence gauge reported)
+_PCA_ITERS = 3  # power-iteration rounds (convergence gauge reported)
 
 
 def _pca_oracle() -> str:
-    """DuckDB mirror of the unrolled power iteration: identical long-form
-    relation, identical decimal(18,7)-cast product sums, identical max-norm
-    scaling — generated for _PCA_ITERS rounds."""
+    """DuckDB mirror of the one-pass augmented-Gram power iteration:
+    identical quantized-bigint cell sums over the (dim+1)-augmented long
+    form (the constant-1 column carries the per-dimension sums and n in
+    the same aggregate), identical double centering algebra, identical
+    quantized iteration rounds."""
     dim = EMBEDDING_DIM
+    dimp = dim + 1
     ctes = [
         f"""long0 AS (
-  SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS x
-  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS j) dims
+  SELECT vec_id, j,
+         CASE WHEN j = {dimp} THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(embedding[j] AS DOUBLE) END AS x
+  FROM embeddings, (SELECT unnest(range(1, {dimp + 1})) AS j) dims
 )""",
-        """mu AS (
-  SELECT j, CAST(SUM(CAST(x AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*) AS m
-  FROM long0 GROUP BY j
+        """sq AS (
+  SELECT a.j AS j, b.j AS k,
+         SUM(CAST(FLOOR(a.x * b.x * 1e7 + 0.5) AS BIGINT)) AS sq
+  FROM long0 a JOIN long0 b USING (vec_id) GROUP BY a.j, b.j
 )""",
-        """lng AS (
-  SELECT long0.vec_id, long0.j, long0.x - mu.m AS c
-  FROM long0 JOIN mu USING (j)
+        "a_mat AS (SELECT j, k, CAST(sq AS DOUBLE) / 1e7 AS a FROM sq)",
+        f"nn AS (SELECT a AS n FROM a_mat WHERE j = {dimp} AND k = {dimp})",
+        f"s AS (SELECT j, a AS s FROM a_mat WHERE k = {dimp} AND j <= {dim})",
+        f"""gram AS (
+  SELECT a_mat.j, a_mat.k, a_mat.a - (sj.s * sk.s) / nn.n AS g
+  FROM a_mat JOIN s sj ON a_mat.j = sj.j JOIN s sk ON a_mat.k = sk.j
+       CROSS JOIN nn
+  WHERE a_mat.j <= {dim} AND a_mat.k <= {dim}
 )""",
         f"v0 AS (SELECT unnest(range(1, {dim + 1})) AS j, CAST(1 AS DOUBLE) AS v)",
     ]
     prev = "v0"
     for it in range(1, _PCA_ITERS + 1):
-        ctes.append(f"""dot{it} AS (
-  SELECT lng.vec_id,
-         CAST(SUM(CAST(lng.c * {prev}.v AS DECIMAL(18,7))) AS DOUBLE) AS d
-  FROM lng JOIN {prev} USING (j) GROUP BY lng.vec_id
-)""")
         ctes.append(f"""u{it} AS (
-  SELECT lng.j,
-         CAST(SUM(CAST(lng.c * dot{it}.d AS DECIMAL(18,7))) AS DOUBLE) AS u
-  FROM lng JOIN dot{it} USING (vec_id) GROUP BY lng.j
+  SELECT gram.j,
+         CAST(SUM(CAST(FLOOR(gram.g * {prev}.v * 1e7 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1e7 AS u
+  FROM gram JOIN {prev} ON gram.k = {prev}.j GROUP BY gram.j
 )""")
         ctes.append(f"m{it} AS (SELECT MAX(ABS(u)) AS m FROM u{it})")
         ctes.append(
@@ -1162,60 +1169,87 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     the max-norm loading and the final Rayleigh growth scale (÷dim —
     tracks |λ₁| as the iteration converges).
 
-    Spark shape: X never materializes as a matrix — posexplode to the
-    (vec_id, j, c) long form ONCE (lazily checkpointed; each round reads
-    it twice), then every round is two broadcast joins (v is dim rows,
-    the dot vector is n rows — both tiny next to X) feeding two hash
-    aggregates: dot = Xv groups by vec_id, u = Xᵀdot groups by j. All
-    rounds unroll into ONE submitted plan — no driver-side convergence
-    loop (same discipline as q_graph_pagerank / connected components). At
-    100 TB X's long form shards by vec_id; only the dim-sized v and the
-    per-row dots move, which is exactly how distributed power
-    iteration/Lanczos is sharded.
+    Spark shape (the round-4 verdict's Gram rewrite, taken to its one-job
+    form): X is read ONCE. Each vector is augmented with a constant 1.0
+    (dim+1 = 65 entries), a double posexplode emits the (dim+1)² outer-
+    product terms straight into a map-side-combined hash aggregate, and
+    the augmented Gram lands as a 4225-cell relation after ONE pass and
+    ONE tiny exchange — the constant column makes its last row/column the
+    per-dimension sums and cell (65,65) the row count, so centering needs
+    no second pass (G = A − s sᵀ/n). The whole eigensolve then happens in
+    a single applyInPandas group over those 4225 cells: the distributed
+    part of distributed PCA is the Gram accumulation; once the problem is
+    dim², it is a single-node solve by construction (the classic
+    reduce-to-master shape of Lanczos/power methods — at 100 TB the
+    relation is still 4225 rows). No checkpoints, no broadcasts, no
+    per-round stages: the plan is scan → explode² → partial agg →
+    exchange(4225) → pandas solve. For dim ≫ 10³ where the dim² explode
+    per row is too wide, the same cells would come from a per-partition
+    numpy outer-product accumulation (mapInPandas), same downstream.
 
-    Parity: every cross-row sum is a per-term decimal(18,7) cast (bounded
-    products; order-independent exact addition), max-norm scaling avoids
-    sqrt entirely, and the oracle replays the identical unrolled rounds —
-    any drift across 64 loadings x 3 rounds would fail the hash instantly.
+    Parity: every cross-row sum is an exact scaled-bigint quantization —
+    SUM(CAST(FLOOR(x·y·1e7 + 0.5) AS BIGINT)) — bit-identical IEEE ops on
+    both engines and exact, order-free int64 addition (NOT a per-term DEC
+    cast: double→BigDecimal measured ~17× slower, 13.0s vs 0.75s, on the
+    8.2M terms at sf0.1). The pandas solve replays the identical
+    quantized arithmetic in numpy (float64 mult/floor, int64 row sums),
+    and the oracle replays it in unrolled SQL CTEs — any drift across 64
+    loadings × 3 rounds fails the hash. Range: |x·y| ≲ 1 → ≲1e7 scaled
+    per term; exact to ~9e11 rows per cell before int64 overflow (coarsen
+    the quantum beyond that).
     """
+    import numpy as np
+    import pandas as pd
+
+    dim = EMBEDDING_DIM
+    dimp = dim + 1
     emb = load(spark, sf_dir, "embeddings")
-    long0 = emb.select(
-        "vec_id", F.posexplode(as_double("embedding")).alias("pos", "x")
-    ).select("vec_id", (F.col("pos") + 1).alias("j"), "x")
-    mu = long0.groupBy("j").agg(
-        (F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("m")
+    x65 = emb.select(
+        F.concat(
+            F.col("embedding"), F.array(F.lit(1.0).cast("float"))
+        ).alias("x_arr")
     )
-    lng = (
-        long0.join(F.broadcast(mu), "j")
-        .select("vec_id", "j", (F.col("x") - F.col("m")).alias("c"))
-        .localCheckpoint(eager=False)
+    sq = (
+        x65.select("x_arr", F.posexplode("x_arr").alias("p", "xj"))
+        .select("xj", F.posexplode("x_arr").alias("q", "xk"), "p")
+        .groupBy((F.col("p") + 1).alias("j"), (F.col("q") + 1).alias("k"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("xj").cast("double")
+                    * F.col("xk").cast("double")
+                    * F.lit(1e7)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("sq")
+        )
     )
-    v = spark.range(1, EMBEDDING_DIM + 1).select(
-        F.col("id").alias("j"), F.lit(1.0).cast("double").alias("v")
-    )
-    m = None
-    for _ in range(_PCA_ITERS):
-        dots = (
-            lng.join(F.broadcast(v), "j")
-            .groupBy("vec_id")
-            .agg(F.sum((F.col("c") * F.col("v")).cast(DEC)).cast("double").alias("d"))
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_mat = np.zeros((dimp, dimp))
+        a_mat[pdf["j"].to_numpy() - 1, pdf["k"].to_numpy() - 1] = (
+            pdf["sq"].to_numpy().astype(np.float64) / 1e7
         )
-        u = (
-            lng.join(F.broadcast(dots), "vec_id")
-            .groupBy("j")
-            .agg(F.sum((F.col("c") * F.col("d")).cast(DEC)).cast("double").alias("u"))
+        n = a_mat[dim, dim]
+        s = a_mat[:dim, dim]
+        gram = a_mat[:dim, :dim] - np.outer(s, s) / n
+        v = np.ones(dim)
+        m = 0.0
+        for _ in range(_PCA_ITERS):
+            uq = np.floor(gram * v * 1e7 + 0.5).astype(np.int64).sum(axis=1)
+            u = uq.astype(np.float64) / 1e7
+            m = np.abs(u).max()
+            v = u / m
+        return pd.DataFrame(
+            {
+                "j": np.arange(1, dim + 1, dtype=np.int64),
+                "loading_r4": np.floor(v * 10000.0 + 0.5) / 10000.0,
+                "rayleigh_scale_r4": np.full(
+                    dim, np.floor(m / float(dim) * 10000.0 + 0.5) / 10000.0
+                ),
+            }
         )
-        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
-        v = u.crossJoin(F.broadcast(m)).select(
-            "j", (F.col("u") / F.col("m")).alias("v")
-        )
-    return v.crossJoin(F.broadcast(m)).select(
-        "j",
-        (F.floor(F.col("v") * 10000 + F.lit(0.5)) / 10000).alias("loading_r4"),
-        (
-            F.floor(
-                F.col("m") / F.lit(float(EMBEDDING_DIM)) * 10000 + F.lit(0.5)
-            )
-            / 10000
-        ).alias("rayleigh_scale_r4"),
+
+    return sq.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        solve, schema="j long, loading_r4 double, rayleigh_scale_r4 double"
     )
