@@ -74,6 +74,20 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load(spark, sf_dir, n) for n in names)
 
 
+def session_nonce(spark: SparkSession) -> str:
+    """Per-session suffix for scratch paths and catalog table names.
+
+    The layout/DPP certificates materialize real parquet generations; fixed
+    paths would make two concurrent sessions (driver run + local check.py,
+    say) overwrite each other's files and race on shared catalog table
+    names. The Spark application id is unique per session and stable
+    WITHIN it, so repeated invocations in one session reuse (and
+    mode=overwrite) the same scratch location instead of leaking one copy
+    per call."""
+    app_id = spark.sparkContext.applicationId
+    return "".join(ch if ch.isalnum() else "_" for ch in app_id)
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Spread a small scan across all cores before a CPU-heavy stage.
 

@@ -450,11 +450,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     published on every output row. The oracle's recursive CTE is exact, so
     its certificate is identically 0 — any under-converged fixed schedule
     therefore fails the value hash loudly (no driver-side ``isEmpty``
-    polling anywhere; the whole computation is one submitted plan)."""
+    polling anywhere; the whole computation is one submitted plan).
+
+    The schedule depth is a RUNTIME KNOB, not a constant: set
+    ``spark.genesapi.cc.rounds`` (session conf) or ``GENESAPI_CC_ROUNDS``
+    (env) to deepen the unroll for a legitimately long near-dup chain —
+    a data property (diameter > ~2^3 after doubling) should cost one
+    config line, not turn into a hard certificate failure. The default
+    stays ``_CC_ROUNDS`` (4); the declarative ``n_unconverged``
+    certificate remains the safety net at every depth."""
+    import os
+
     from genesapi_cli_spark.operators.text import q_dedup_near_minhash
 
+    rounds = int(
+        spark.conf.get(
+            "spark.genesapi.cc.rounds",
+            os.environ.get("GENESAPI_CC_ROUNDS", str(_CC_ROUNDS)),
+        )
+    )
     pairs = q_dedup_near_minhash(spark, sf_dir)
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, rounds=rounds)
     conv = cc.agg(
         F.coalesce(F.sum((F.col("label") != F.col("prev")).cast("int")), F.lit(0))
         .cast("bigint")

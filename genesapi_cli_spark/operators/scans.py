@@ -646,7 +646,12 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     static filter; partition values round-trip as strings through the
     Hive layout, which is lossless for this column.
     """
-    base = f"{_DPP_PATH}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    from genesapi_cli_spark.io import session_nonce
+
+    base = (
+        f"{_DPP_PATH}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+        f"_{session_nonce(spark)}"
+    )
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",

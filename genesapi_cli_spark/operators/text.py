@@ -1981,9 +1981,11 @@ WITH vocab AS (
   GROUP BY src_a, src_b
 )
 SELECT e.src_a, e.src_b, e.m_both,
-       FLOOR(CAST(e.m_both AS DOUBLE) / {_KMV_K}
-             * (CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_SPACE} / e.kth)
-             * 10000 + 0.5) / 10000 AS est_inter_r4,
+       COALESCE(
+         FLOOR(CAST(e.m_both AS DOUBLE) / {_KMV_K}
+               * (CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_SPACE} / e.kth)
+               * 10000 + 0.5) / 10000,
+         CAST(e.m_both AS DOUBLE)) AS est_inter_r4,
        COALESCE(x.ni, 0) AS exact_inter
 FROM est e LEFT JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
 """
@@ -2014,7 +2016,11 @@ def q_agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: hashes are 60-bit sha prefixes (identical on both engines);
     the estimator is pure double arithmetic from exact integers, snapped
-    r4; ties cannot occur (distinct hash values within a source).
+    r4; ties cannot occur (distinct hash values within a source). When a
+    pair's union sketch holds fewer than k hashes the sketch IS the
+    exact union, so the estimate falls back to m_both (the exact
+    intersection) instead of propagating the NULL k-th minimum — a
+    tiny-corpus run reports exact numbers, not NULLs.
     """
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     vocab = docs.select(
@@ -2080,7 +2086,7 @@ def q_agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_a",
             "src_b",
             "m_both",
-            (
+            F.coalesce(
                 F.floor(
                     F.col("m_both").cast("double")
                     / _KMV_K
@@ -2092,7 +2098,8 @@ def q_agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * 10000
                     + F.lit(0.5)
                 )
-                / 10000
+                / 10000,
+                F.col("m_both").cast("double"),
             ).alias("est_inter_r4"),
             F.coalesce(F.col("ni"), F.lit(0).cast("bigint")).alias("exact_inter"),
         )

@@ -2584,8 +2584,9 @@ WITH e AS (
   FROM gaps GROUP BY user_id
 ), screened AS (
   SELECT user_id, n_gaps,
-         CASE WHEN (n_gaps * s2 - s1 * s1) * 10000
-                   < {_BOT_CV2_BP} * s1 * s1
+         CASE WHEN (CAST(n_gaps AS HUGEINT) * s2
+                    - CAST(s1 AS HUGEINT) * s1) * 10000
+                   < {_BOT_CV2_BP} * CAST(s1 AS HUGEINT) * s1
               THEN 1 ELSE 0 END AS is_bot
   FROM stats WHERE n_gaps >= {_BOT_MIN_EVENTS}
 )
@@ -2609,7 +2610,8 @@ def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity & shape: gaps from one LAG-equivalent self-join on the
     arrival rank (ties broken by event_id on both engines); CV² =
     (n·Σg² − (Σg)²)/(Σg)² is evaluated as ONE integer cross-multiplied
-    predicate — exact bigint sums, no division, no float anywhere. One
+    predicate — exact bigint sums, 128-bit exact products (decimal(38,0)
+    / HUGEINT), no division, no float anywhere. One
     window + two hash aggregates; the per-user gap state is the
     q_events_interarrival machinery pointed at abuse detection.
     """
@@ -2631,11 +2633,18 @@ def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap").cast("bigint").alias("s1"),
         F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("s2"),
     )
+    # The cross-multiplied predicate runs in 128-bit exact integers on both
+    # engines (Spark decimal(38,0) compact-Int128 path, DuckDB HUGEINT):
+    # minute quantization alone is NOT enough at the tails — a multi-year
+    # span with ~1e5 events puts n·s2·10⁴ past int64 (9.2e18), and ANSI
+    # would throw. 38 digits covers n·max_gap²·10⁴ to ~1e9 events/user over
+    # a century; no realistic stream overflows it.
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
     screened = stats.filter(F.col("n_gaps") >= _BOT_MIN_EVENTS).select(
         "n_gaps",
         (
-            (F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")) * 10000
-            < _BOT_CV2_BP * F.col("s1") * F.col("s1")
+            (d38("n_gaps") * d38("s2") - d38("s1") * d38("s1")) * 10000
+            < _BOT_CV2_BP * d38("s1") * d38("s1")
         )
         .cast("int")
         .alias("is_bot"),

@@ -143,10 +143,13 @@ def q_layout_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key ever needs); bucket count on a cluster tracks table size, and the
     sortBy makes per-bucket files range-readable (row-group pruning on the
     sort key comes free)."""
-    from genesapi_cli_spark.io import load
+    from genesapi_cli_spark.io import load, session_nonce
 
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    table = f"ev_bucketed_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    table = (
+        f"ev_bucketed_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+        f"_{session_nonce(spark)}"
+    )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         ev.write.format("parquet")
@@ -240,9 +243,12 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     and q_layout_bucketed pin the two write-side layouts the engine owns
     (multi-dim skipping and co-located joins).
     """
-    from genesapi_cli_spark.io import load
+    from genesapi_cli_spark.io import load, session_nonce
 
-    base = f"{_ZORDER_PATH}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    base = (
+        f"{_ZORDER_PATH}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+        f"_{session_nonce(spark)}"
+    )
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
@@ -313,9 +319,12 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     this rewrite in a row-budget loop (tests/test_layout.py exercises
     the budgeted variant); the certificate pins the primitive.
     """
-    from genesapi_cli_spark.io import load
+    from genesapi_cli_spark.io import load, session_nonce
 
-    base = f"{_COMPACT_PATH}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    base = (
+        f"{_COMPACT_PATH}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+        f"_{session_nonce(spark)}"
+    )
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
     ev.repartition(_SMALL_FILES).write.mode("overwrite").parquet(f"{base}/small")
     small = spark.read.parquet(f"{base}/small")

@@ -45,11 +45,17 @@ FINGERPRINT_OPS = [
     "Generate (",
 ]
 
-#: queries whose fn() triggers driver-side iteration/jobs at plan time —
-#: fingerprinting them would execute the algorithm, not just plan it.
-#: (Empty since round 4: q_dedup_clusters' convergence loop was unrolled
-#: into one action-free plan, so it fingerprints like everything else.)
-SKIP: set[str] = set()
+#: queries whose fn() performs real side effects at plan-construction time
+#: (multi-generation parquet writes, saveAsTable, layout-stats collects) —
+#: fingerprinting them would run the writes, not just plan the query. The
+#: former driver-iteration entry (q_dedup_clusters) left this set in round
+#: 4 when its loop was unrolled into one action-free plan.
+SKIP: set[str] = {
+    "q_layout_bucketed",
+    "q_layout_compaction",
+    "q_layout_zorder",
+    "q_scan_dpp",
+}
 
 
 def _fingerprint(plan: str) -> dict[str, int]:
