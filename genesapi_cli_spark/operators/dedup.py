@@ -777,12 +777,11 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
-def portable_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, band, k1, k2) LSH band table with sha256-PORTABLE
-    minhashes — the shared signature pipeline of q_dedup_minhash_portable
-    and q_dedup_incremental. Positions explode FIRST so concat_ws runs as a
-    flat codegen projection (not an interpreted HOF lambda); MIN is
-    duplicate-insensitive so no per-doc distinct pass is needed."""
+def portable_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, g) word-3-gram shingle relation — the common front of
+    the portable-minhash family. Positions explode FIRST so concat_ws runs
+    as a flat codegen projection (not an interpreted HOF lambda); docs
+    shorter than 3 tokens contribute their whole text as one shingle."""
     base = docs.select(
         "doc_id", "lang", "text", F.split(F.lower("text"), " ").alias("parts")
     )
@@ -802,26 +801,40 @@ def portable_bands(docs: DataFrame) -> DataFrame:
     short_docs = base.filter(F.size(p) < 3).select(
         "doc_id", "lang", F.lower(F.col("text")).alias("g")
     )
-    sh = long_docs.unionByName(short_docs)
-    seeded = sh.crossJoin(
-        F.broadcast(
-            docs.sparkSession.range(_PMH_SEEDS).select(F.col("id").cast("int").alias("seed"))
-        )
-    )
-    h32 = F.conv(
+    return long_docs.unionByName(short_docs)
+
+
+def _seed_hash32(seed: int):
+    """sha256-portable 32-bit minhash term for one seed: byte-identical to
+    DuckDB's ('0x' || substr(sha256(seed || ':' || g), 1, 8))::BIGINT."""
+    return F.conv(
         F.substring(
-            F.sha2(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("g")), 256), 1, 8
+            F.sha2(F.concat(F.lit(f"{seed}:"), F.col("g")), 256), 1, 8
         ),
         16,
         10,
     ).cast("long")
-    mh = seeded.groupBy("doc_id", "lang", "seed").agg(F.min(h32).alias("mh"))
-    sig = mh.groupBy("doc_id", "lang").agg(
-        *[
-            F.max(F.when(F.col("seed") == s, F.col("mh"))).alias(f"m{s}")
-            for s in range(_PMH_SEEDS)
-        ]
+
+
+def signatures_from_shingles(sh: DataFrame, *keys: str) -> DataFrame:
+    """(keys..., m0..m3) portable-minhash signatures in ONE hash aggregate:
+    the 4 seeded hashes are computed as parallel projection columns and
+    reduced by 4 conditional-free MINs in a single groupBy — no seed
+    crossJoin (4× row inflation through a shuffle), no second pivot
+    aggregate. MIN is duplicate-insensitive, so callers may pass either a
+    distinct'd or raw shingle relation. Shared by portable_bands (and so
+    by q_dedup_minhash_portable / q_dedup_incremental / q_dedup_cascade)
+    and by q_dedup_eval's calibration arm."""
+    return sh.groupBy(*[F.col(k) for k in keys]).agg(
+        *[F.min(_seed_hash32(s)).alias(f"m{s}") for s in range(_PMH_SEEDS)]
     )
+
+
+def portable_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, band, k1, k2) LSH band table with sha256-PORTABLE
+    minhashes — the shared signature pipeline of q_dedup_minhash_portable
+    and q_dedup_incremental."""
+    sig = signatures_from_shingles(portable_shingles(docs), "doc_id", "lang")
     # inline-of-structs, NOT a two-branch union: a union would plant the
     # whole shingle→minhash→signature subtree TWICE in every consumer plan
     # (and 4× in the pair-join consumers that read bands on both sides) —
@@ -855,10 +868,12 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup family (the xxhash64 production variant stays for speed; this
     one proves the algorithm).
 
-    Plan: shingle explode ×4 seeds (a projection, no extra shuffle) → one
-    (doc, seed) MIN aggregate → signature pivot → 2-band self-equi-join on
-    the banded minhash pair. All joins are hash joins on 16-byte keys;
-    band-bucket skew is the documented 100 TB watch item (cap bucket size).
+    Plan: shingle explode → 4 seeded sha256 hashes as parallel projection
+    columns → ONE (doc, lang) groupBy with 4 MIN aggregates (the round-5
+    signatures_from_shingles helper; no seed crossJoin, no pivot pass) →
+    2-band self-equi-join on the banded minhash pair. All joins are hash
+    joins on 16-byte keys; band-bucket skew is the documented 100 TB
+    watch item (cap bucket size).
     """
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     # The string shingle IS required here (sha256 of "seed:gram" must match
@@ -1284,27 +1299,16 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a SAMPLE of blocks — the certificate's cost model, not its shape,
     changes."""
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    base = docs.select(
-        "doc_id", "lang", "text", F.split(F.lower("text"), " ").alias("parts")
+    sh = portable_shingles(docs).distinct().localCheckpoint(eager=False)
+    # ONE pass over the checkpointed shingles yields BOTH per-doc facts the
+    # scoring stage needs — the exact set size and the 4-seed signature —
+    # so the plan has a single per-doc aggregate and a single broadcast
+    # join per pair side (round-5: was sz + sig as separate branches = two
+    # aggregates and four joins).
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        *[F.min(_seed_hash32(s)).alias(f"m{s}") for s in range(_PMH_SEEDS)],
     )
-    p = F.col("parts")
-    long_docs = base.filter(F.size(p) >= 3).select(
-        "doc_id",
-        "lang",
-        "parts",
-        F.explode(F.sequence(F.lit(1), F.size(p) - 2)).alias("i"),
-    ).select(
-        "doc_id",
-        "lang",
-        F.concat_ws(
-            " ", *[F.element_at("parts", F.col("i") + k) for k in range(3)]
-        ).alias("g"),
-    )
-    short_docs = base.filter(F.size(p) < 3).select(
-        "doc_id", "lang", F.lower(F.col("text")).alias("g")
-    )
-    sh = long_docs.unionByName(short_docs).distinct().localCheckpoint(eager=False)
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g")
     b = sh.select(
         F.col("doc_id").alias("doc_b"),
@@ -1321,56 +1325,29 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    pa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        *[F.col(f"m{s}").alias(f"a{s}") for s in range(_PMH_SEEDS)],
+    )
+    pb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        *[F.col(f"m{s}").alias(f"b{s}") for s in range(_PMH_SEEDS)],
+    )
     pairs = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(F.broadcast(pa), "doc_a")
+        .join(F.broadcast(pb), "doc_b")
         .filter(
             F.col("n_inter") * 5 > F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
         )
-    )
-    seeded = sh.crossJoin(
-        F.broadcast(
-            docs.sparkSession.range(_PMH_SEEDS).select(
-                F.col("id").cast("int").alias("seed")
-            )
-        )
-    )
-    h32 = F.conv(
-        F.substring(
-            F.sha2(
-                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("g")), 256
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    mh = seeded.groupBy("doc_id", "seed").agg(F.min(h32).alias("mh"))
-    sig = mh.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("seed") == s, F.col("mh"))).alias(f"m{s}")
-            for s in range(_PMH_SEEDS)
-        ]
-    )
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"m{s}").alias(f"a{s}") for s in range(_PMH_SEEDS)],
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"m{s}").alias(f"b{s}") for s in range(_PMH_SEEDS)],
     )
     agree = sum(
         F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
         for s in range(_PMH_SEEDS)
     )
     scored = (
-        pairs.join(F.broadcast(sig_a), "doc_a")
-        .join(F.broadcast(sig_b), "doc_b")
-        .select(
+        pairs.select(
             (
                 F.col("n_inter").cast("double")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))

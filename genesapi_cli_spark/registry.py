@@ -67,6 +67,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: (any overflow would throw under ANSI mode, not corrupt).
 DEC = "decimal(18,7)"
 
+#: Escape hatch for operands that exceed DEC's ~1e11 integer range —
+#: money-scale SQUARES and squared per-group totals (o_totalprice² ≈ 3.6e11,
+#: per-user revenue² and s²/n terms in experiments.py): 20 integer digits.
+#: This is NOT the default because precision > 18 leaves Spark's compact-long
+#: fast path (~3× slower per sum, measured round 4). Routing an out-of-range
+#: operand through DEC does not corrupt — ANSI mode throws loudly — but the
+#: fix is one word: use DEC_WIDE. tests/test_dec_guard.py pins both halves
+#: of this contract.
+DEC_WIDE = "decimal(27,7)"
+
 
 def dec_sum(col: Column | str, alias: str) -> Column:
     """Order-independent SUM of a double expression.
