@@ -514,3 +514,88 @@ def q_graph_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("degree").cast("bigint").alias("sum_degree"),
         )
     )
+
+
+# --- q_graph_label_prop -------------------------------------------------------
+
+_LPA_ORACLE = f"""{_EDGES_SQL}, sym AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL
+  SELECT pb AS u, pa AS v FROM edges
+), l1 AS (
+  SELECT u, l FROM (
+    SELECT u, v AS l,
+           row_number() OVER (PARTITION BY u ORDER BY COUNT(*) DESC, v) AS rn
+    FROM sym GROUP BY u, v) t
+  WHERE rn = 1
+), l2 AS (
+  SELECT u, l FROM (
+    SELECT s.u, l1.l,
+           row_number() OVER (PARTITION BY s.u ORDER BY COUNT(*) DESC, l1.l) AS rn
+    FROM sym s JOIN l1 ON l1.u = s.v
+    GROUP BY s.u, l1.l) t
+  WHERE rn = 1
+), comm AS (
+  SELECT l, CAST(COUNT(*) AS BIGINT) AS community_size FROM l2 GROUP BY l
+)
+SELECT community_size, CAST(COUNT(*) AS BIGINT) AS n_communities
+FROM comm GROUP BY community_size ORDER BY community_size
+"""
+
+
+@register("q_graph_label_prop", oracle=_LPA_ORACLE)
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-PROPAGATION community detection (2 synchronous unrolled
+    rounds) on the co-purchase graph — the near-linear community algorithm
+    entity-resolution and recommendation pipelines run where connected
+    components (q_dedup_clusters) is too coarse: labels start as node ids
+    and each round every node adopts the MOST FREQUENT label among its
+    neighbors (ties → smallest label), so dense neighborhoods agree on a
+    label while bridges don't drag whole components together. The output
+    pins the community-size distribution (size → how many communities).
+
+    Determinism: synchronous updates + the (count DESC, label ASC)
+    tie-break make every round a pure function of the edge set — no
+    randomized vertex order (the asynchronous variant's
+    reproducibility problem), hence a bit-exact oracle.
+
+    Scale shape per round: ONE shuffle join (labels on v) + ONE (u, label)
+    hash aggregate + a per-u top-1 window — all keyed on node id, the same
+    partitioning every round (at 100 TB: pre-partition sym by u once and
+    the per-round shuffles reduce to the label join). Rounds are unrolled
+    like connected_components; hubs are the documented skew risk and get
+    the same salting answer.
+    """
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=False
+    )
+    sym = (
+        edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+
+    def mode_round(neigh_labels: DataFrame) -> DataFrame:
+        """(u, l) candidate multiset → per-u modal label, tie → min l."""
+        w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("l"))
+        return (
+            neigh_labels.groupBy("u", "l")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("u", "l")
+        )
+
+    l1 = mode_round(sym.select("u", F.col("v").alias("l"))).localCheckpoint(
+        eager=False
+    )
+    l2 = mode_round(
+        sym.join(l1.select(F.col("u").alias("v"), "l"), "v").select("u", "l")
+    )
+    return (
+        l2.groupBy("l")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("community_size"))
+        .groupBy("community_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
+        .orderBy("community_size")
+    )

@@ -775,3 +775,279 @@ def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- q_privacy_tcloseness ------------------------------------------------------
+
+#: EMD threshold t: a QI group whose ordered-EMD to the global sensitive
+#: distribution exceeds 1/5 is flagged (the classic t = 0.2 audit point).
+_TCLOSE_NUM, _TCLOSE_DEN = 1, 5
+
+_TCLOSE_ORACLE = f"""
+WITH qi AS (
+  SELECT c_mktsegment AS segment,
+         n_name AS nation,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS r
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+), grp AS (
+  SELECT segment, nation, bal_band,
+         CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(SUM(CASE WHEN r <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN r <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN r <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM qi GROUP BY segment, nation, bal_band
+), gall AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n,
+         CAST(SUM(c1) AS BIGINT) AS g1, CAST(SUM(c2) AS BIGINT) AS g2,
+         CAST(SUM(c3) AS BIGINT) AS g3, CAST(SUM(c4) AS BIGINT) AS g4
+  FROM grp
+), emd AS (
+  SELECT segment, g,
+         ABS(c1 * n - g1 * g) + ABS(c2 * n - g2 * g)
+           + ABS(c3 * n - g3 * g) + ABS(c4 * n - g4 * g) AS d,
+         4 * g * n AS denom
+  FROM grp CROSS JOIN gall
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN d * {_TCLOSE_DEN} > denom * {_TCLOSE_NUM}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_above_t,
+       CAST(SUM(CASE WHEN d * {_TCLOSE_DEN} > denom * {_TCLOSE_NUM}
+                THEN g ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(MAX((20000 * d + denom) // (2 * denom)) AS DOUBLE) / 10000
+         AS max_emd_r4
+FROM emd
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("q_privacy_tcloseness", oracle=_TCLOSE_ORACLE)
+def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit — the attack l-diversity misses: a QI group can
+    carry l distinct sensitive values yet still leak when its DISTRIBUTION
+    over them diverges from the global one (skewness attack: "3 distinct
+    priorities, but 95% URGENT" tells the adversary plenty). Per QI group
+    (segment, nation, balance band — same release as q_privacy_kanon /
+    q_privacy_ldiversity, so the three audits read as a ladder), this
+    measures the Earth Mover's Distance between the group's and the global
+    distribution of the ORDERED sensitive attribute (order priority rank
+    1..5; ordered EMD = mean |cumulative difference|) and flags groups
+    beyond t = 1/5.
+
+    Exactness: EMD is evaluated entirely in int64 cross-multiples —
+    D = Σ_{{i<5}} |cum_i·N − G_i·g| over the 4 cut points, the threshold as
+    5·D > 4·g·N, and the reported max EMD rounded to 4 decimals by integer
+    division — so the oracle matches bit-for-bit with no float tolerance.
+    Operand bound: cum_i·N ≤ g·N ≈ 5e12 at sf1 (documented: at ≥1e9 release
+    rows switch the cross-multiples to DOUBLE — the audit is a report, not
+    an invoice).
+
+    Scale shape: ONE hash aggregate builds all 4 cumulative counters per QI
+    group (conditional sums, no per-rank explode), the global distribution
+    is a 1-row broadcast re-aggregated FROM the group relation (no second
+    fact scan), and the rollup is per-segment. The nation dim is broadcast;
+    the orders⋈customer join is the only large shuffle.
+    """
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    qi = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").alias("bal_band"),
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("r"),
+        )
+    )
+    grp = qi.groupBy("segment", "nation", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        *[
+            F.sum((F.col("r") <= i).cast("int")).cast("bigint").alias(f"c{i}")
+            for i in range(1, 5)
+        ],
+    ).localCheckpoint(eager=False)
+    glob = grp.agg(
+        F.sum("g").cast("bigint").alias("n"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"g{i}") for i in range(1, 5)],
+    )
+    emd = grp.crossJoin(F.broadcast(glob)).select(
+        "segment",
+        "g",
+        sum(
+            (F.abs(F.col(f"c{i}") * F.col("n") - F.col(f"g{i}") * F.col("g")))
+            for i in range(1, 5)
+        ).alias("d"),
+        (F.lit(4) * F.col("g") * F.col("n")).alias("denom"),
+    )
+    above = F.col("d") * _TCLOSE_DEN > F.col("denom") * _TCLOSE_NUM
+    return (
+        emd.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(above.cast("int")).cast("bigint").alias("n_above_t"),
+            F.sum(F.when(above, F.col("g")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+            (
+                F.max(
+                    F.expr("(20000 * d + denom) DIV (2 * denom)")
+                ).cast("double")
+                / 10000
+            ).alias("max_emd_r4"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --- q_quality_psi (population-stability drift certificate) -------------------
+
+_PSI_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS t_us
+  FROM events
+), mid AS (
+  SELECT (MIN(t_us) + MAX(t_us)) // 2 AS mid_us FROM ev
+), spans AS (
+  SELECT event_type, MIN(cents) AS mn_c, MAX(cents) AS mx_c
+  FROM ev GROUP BY event_type
+), binned AS (
+  SELECT e.event_type,
+         (e.cents - s.mn_c) * 10 // (s.mx_c - s.mn_c + 1) AS bin,
+         CASE WHEN e.t_us <= m.mid_us THEN 1 ELSE 0 END AS is_ref
+  FROM ev e JOIN spans s USING (event_type) CROSS JOIN mid m
+), bc AS (
+  SELECT event_type, bin,
+         CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS c_cur
+  FROM binned GROUP BY event_type, bin
+), tot AS (
+  SELECT event_type, bin, c_ref, c_cur,
+         SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+         SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur
+  FROM bc
+), sh AS (
+  SELECT event_type, n_ref, n_cur,
+         (2 * c_ref * 1000000 + n_ref) // (2 * n_ref) AS s_ref,
+         (2 * c_cur * 1000000 + n_cur) // (2 * n_cur) AS s_cur
+  FROM tot
+), terms AS (
+  SELECT event_type, n_ref, n_cur,
+         (s_ref - s_cur)
+           * (CAST(FLOOR(LN(CAST(GREATEST(s_ref, 1) AS DOUBLE)) * 1000000 + 0.5)
+                   AS BIGINT)
+              - CAST(FLOOR(LN(CAST(GREATEST(s_cur, 1) AS DOUBLE)) * 1000000 + 0.5)
+                     AS BIGINT)) AS term
+  FROM sh
+)
+SELECT event_type,
+       CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+       CAST((2 * SUM(term) + 100000000) // 200000000 AS DOUBLE) / 10000 AS psi_r4,
+       ((2 * SUM(term) + 100000000) // 200000000) >= 1000 AS drifted
+FROM terms
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("q_quality_psi", oracle=_PSI_ORACLE)
+def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX drift monitor — the industry-standard
+    binned drift score every feature-store / model-monitoring pipeline
+    computes: per event_type, the value distribution of the FIRST half of
+    the time range (reference) is compared to the SECOND half (current)
+    over 10 equal-width bins, PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), with
+    the conventional read: < 0.1 stable, ≥ 0.1 drifting (the pinned flag).
+    Complements q_text_kl_drift (token drift) and q_events_ks (two-sample
+    CDF distance) with the fixed-bin mergeable form monitoring jobs
+    actually ship.
+
+    Exactness (cross-engine bit-match with ln in play): shares are snapped
+    to integer MICRO-shares s = round(c·1e6/n) by integer division, ln is
+    taken only of those integers and micro-snapped (the q_text_entropy
+    idiom), so each bin's term is the int64 product (s_p−s_q)·Δln_micro ≤
+    1.4e13 — SCALE-FREE bounds (shares, not counts), no overflow at any
+    corpus size — and the final PSI rounds to 4 decimals by integer
+    division. Zero-count bins take the s_eff = max(s,1) Laplace floor on
+    the ln side only.
+
+    Scale shape: one fact scan feeds a (type, bin) hash aggregate with
+    map-side combine (the mergeable sketch: 10 counters per type per
+    period); the time midpoint and per-type spans are 1-row/5-row
+    broadcasts. At 100 TB the per-type daily PSI is the same plan with a
+    date bucket added to the group key.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+            F.col("ts_us").alias("t_us"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mid = ev.agg(
+        ((F.min("t_us") + F.max("t_us")) / 2).cast("bigint").alias("mid_us")
+    )
+    spans = ev.groupBy("event_type").agg(
+        F.min("cents").alias("mn_c"), F.max("cents").alias("mx_c")
+    )
+    binned = (
+        ev.join(F.broadcast(spans), "event_type")
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            F.expr("(cents - mn_c) * 10 DIV (mx_c - mn_c + 1)").alias("bin"),
+            (F.col("t_us") <= F.col("mid_us")).cast("int").alias("is_ref"),
+        )
+    )
+    bc = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").cast("bigint").alias("c_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).cast("bigint").alias("c_cur"),
+    )
+    w = Window.partitionBy("event_type")
+    snap = lambda c: F.floor(  # noqa: E731 — the module-standard ln snap
+        F.log(F.greatest(c, F.lit(1)).cast("double")) * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    sh = bc.select(
+        "event_type",
+        F.sum("c_ref").over(w).alias("n_ref"),
+        F.sum("c_cur").over(w).alias("n_cur"),
+        F.expr(
+            "(2 * c_ref * 1000000 + SUM(c_ref) OVER (PARTITION BY event_type))"
+            " DIV (2 * SUM(c_ref) OVER (PARTITION BY event_type))"
+        ).alias("s_ref"),
+        F.expr(
+            "(2 * c_cur * 1000000 + SUM(c_cur) OVER (PARTITION BY event_type))"
+            " DIV (2 * SUM(c_cur) OVER (PARTITION BY event_type))"
+        ).alias("s_cur"),
+    )
+    terms = sh.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        (
+            (F.col("s_ref") - F.col("s_cur"))
+            * (snap(F.col("s_ref")) - snap(F.col("s_cur")))
+        ).alias("term"),
+    )
+    r4i = F.expr("(2 * SUM(term) + 100000000) DIV 200000000")
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n_ref").cast("bigint").alias("n_ref"),
+            F.max("n_cur").cast("bigint").alias("n_cur"),
+            (r4i.cast("double") / 10000).alias("psi_r4"),
+            (r4i >= 1000).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )

@@ -1253,3 +1253,123 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq.groupBy(F.lit(1).alias("_g")).applyInPandas(
         solve, schema="j long, loading_r4 double, rayleigh_scale_r4 double"
     )
+
+
+# --- q_sim_pq (product-quantization ADC ranking) ------------------------------
+
+#: PQ geometry: 64 dims → 8 subspaces × 8 dims, 4 codewords per subspace.
+#: The codebook is training-free and deterministic — the int8 subvectors of
+#: vec_id 0..3 (at scale: per-subspace k-means once at ingest; the query
+#: plan below is identical either way, only the codebook relation changes).
+_PQ_SUB_DIMS = 8
+_PQ_CODES = 4
+
+_PQ_ORACLE = """
+WITH q8 AS (
+  SELECT vec_id, i,
+         CAST(GREATEST(LEAST(floor(CAST(embedding[i] AS DOUBLE) * 127 + 0.5),
+                             127), -127) AS BIGINT) AS qv
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+), cb AS (
+  SELECT vec_id AS c, i, qv AS cbv FROM q8 WHERE vec_id < 4
+), d AS (
+  SELECT v.vec_id, (v.i - 1) // 8 AS s, cb.c,
+         CAST(SUM((v.qv - cb.cbv) * (v.qv - cb.cbv)) AS BIGINT) AS ssd
+  FROM q8 v JOIN cb ON v.i = cb.i
+  GROUP BY v.vec_id, (v.i - 1) // 8, cb.c
+), codes AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY ssd, c) AS rn
+    FROM d WHERE vec_id >= 10) t WHERE rn = 1
+), adc AS (
+  SELECT lut.vec_id AS qid, codes.vec_id AS cand_id,
+         CAST(SUM(lut.ssd) AS BIGINT) AS adc_dist
+  FROM codes JOIN d lut ON lut.s = codes.s AND lut.c = codes.code
+  WHERE lut.vec_id < 10
+  GROUP BY lut.vec_id, codes.vec_id
+)
+SELECT qid, cand_id, adc_dist, CAST(rn AS INT) AS rank
+FROM (
+  SELECT qid, cand_id, adc_dist,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_dist, cand_id) AS rn
+  FROM adc) r
+WHERE rn <= 3
+"""
+
+
+@register("q_sim_pq", oracle=_PQ_ORACLE)
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN — the memory rung below int8
+    (q_sim_quantized): each vector is stored as 8 ONE-BYTE codes (one per
+    8-dim subspace, nearest of 4 codewords by int8 L2, tie → lowest code),
+    a 32× compression of the float32 vector, and queries rank candidates
+    by the classic ADC scan — the per-query (subspace × codeword) distance
+    LUT is built once (320 tiny rows), then candidate distance is just a
+    SUM of LUT lookups over the code columns. This is the IVF-PQ
+    architecture every billion-vector store runs: at 100 TB the codes
+    relation is the only big scan (1 byte/subspace/vector), the LUT is a
+    broadcast, and the plan below — explode → one (vec,subspace,codeword)
+    aggregate → argmin codes ⋈ broadcast LUT — is exactly the distributed
+    form.
+
+    Everything is integer-exact (int8 deltas squared, summed far below
+    2^53; round-half-up quantization identical in both engines), so the
+    oracle matches bit-for-bit — reproducibility across engines is the
+    same property q_sim_quantized pins, extended to the quantizer's
+    ASSIGNMENT step. Ranking quality vs exact cosine is measured by the
+    q_sim_recall pattern, not asserted here.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    lf = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        "i0",
+        F.greatest(
+            F.least(
+                F.floor(F.col("x").cast("double") * 127 + F.lit(0.5)), F.lit(127.0)
+            ),
+            F.lit(-127.0),
+        )
+        .cast("bigint")
+        .alias("qv"),
+    )
+    cb = lf.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("c"), F.col("i0").alias("cb_i0"), F.col("qv").alias("cbv")
+    )
+    delta = F.col("qv") - F.col("cbv")
+    d = (
+        lf.join(F.broadcast(cb), lf.i0 == cb.cb_i0)
+        .groupBy(
+            "vec_id",
+            (F.col("i0") / _PQ_SUB_DIMS).cast("bigint").alias("s"),
+            "c",
+        )
+        .agg(F.sum(delta * delta).cast("bigint").alias("ssd"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("ssd", "c")
+    codes = (
+        d.filter(F.col("vec_id") >= 10)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("cand_id"), F.col("s").alias("cs"), F.col("c").alias("code"))
+    )
+    lut = d.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "s", "c", "ssd"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("cs") == F.col("s")) & (F.col("code") == F.col("c")),
+        )
+        .groupBy("qid", "cand_id")
+        .agg(F.sum("ssd").cast("bigint").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("qid").orderBy("adc_dist", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "cand_id", "adc_dist", "rank")
+    )

@@ -30,6 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from genesapi_cli_spark.operators.graph import _EDGES_SQL as _GRAPH_EDGES_SQL
 from genesapi_cli_spark.registry import register
 
 #: bits kept per dimension; k dims × BITS must stay < 63 (long z-value).
@@ -183,6 +184,93 @@ def q_layout_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("agg_exchanges_bucketed", F.lit(_n_exchanges(agg_bucketed)))
         .withColumn("join_exchanges_bucketed", F.lit(_n_exchanges(join_bucketed)))
         .withColumn("plain_agg_shuffles", F.lit(_n_exchanges(agg_plain) > 0))
+        .withColumn("plain_join_shuffles", F.lit(_n_exchanges(join_plain) > 0))
+    )
+
+
+# --- q_layout_edges (materialized derived-edge-table certificate) ------------
+
+_EDGE_PATH = "/tmp/genesapi_spark/bucketed_edges"
+_EDGE_BUCKETS = 8
+
+_EDGES_LAYOUT_ORACLE = f"""{_GRAPH_EDGES_SQL}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(DISTINCT pa) AS BIGINT) AS n_src,
+       CAST(SUM(pa) AS BIGINT) AS sum_pa,
+       CAST(SUM(pb) AS BIGINT) AS sum_pb,
+       0 AS degree_exchanges_bucketed,
+       0 AS join_exchanges_bucketed,
+       TRUE AS plain_degree_shuffles,
+       TRUE AS plain_join_shuffles
+FROM edges
+"""
+
+
+@register("q_layout_edges", oracle=_EDGES_LAYOUT_ORACLE)
+def q_layout_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED-TABLE MATERIALIZATION certificate: the co-purchase edge list
+    (basket collect → in-row pair explode → support filter — the pipeline
+    every graph.py query rebuilds behind lazy localCheckpoints) is persisted
+    ONCE as a parquet table bucketed+sorted on the source node, and the
+    certificate proves the layout pays: the physical plans of the two
+    downstream shapes the graph family actually runs — a per-node degree
+    aggregate and a node equi-join — read the bucketed copy with ZERO
+    shuffle Exchanges, while the same shapes over the recomputed pipeline
+    shuffle.
+
+    This is the 100 TB answer to "shared subtree recomputed per query":
+    within one session a lazy checkpoint deduplicates work, but ACROSS
+    queries/jobs the only durable fix is a lake table whose bucketing key is
+    the downstream join/group key — the edge build's shuffle is paid once,
+    at write time, and every later traversal on that key is exchange-free.
+    q_layout_bucketed pins the pattern for a base table; this pins it for a
+    DERIVED relation (the expensive-to-rebuild kind).
+
+    Honesty of the certificate: the data columns (edge count, distinct
+    sources, endpoint checksums) are computed FROM THE BUCKETED COPY and
+    must hash-match DuckDB deriving the edges relationally from lineitem —
+    the materialization lost nothing. Exchange counts come off prepared
+    physical plans (planning only); plain-side counts are booleans since
+    exact counts under AQE are version-fluid.
+    """
+    from genesapi_cli_spark.io import load, session_nonce
+    from genesapi_cli_spark.operators.graph import copurchase_edges
+
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem"))
+    table = (
+        f"edges_bucketed_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+        f"_{session_nonce(spark)}"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        edges.write.format("parquet")
+        .mode("overwrite")
+        .option("path", f"{_EDGE_PATH}_{table}")
+        .bucketBy(_EDGE_BUCKETS, "pa")
+        .sortBy("pa", "pb")
+        .saveAsTable(table)
+    )
+    bt = spark.table(table)
+
+    deg_bucketed = bt.groupBy("pa").agg(F.count(F.lit(1)).alias("deg"))
+    deg_plain = edges.groupBy("pa").agg(F.count(F.lit(1)).alias("deg"))
+    join_bucketed = bt.hint("merge").join(
+        bt.select("pa").distinct().hint("merge"), "pa"
+    )
+    join_plain = edges.hint("merge").join(
+        edges.select("pa").distinct().hint("merge"), "pa"
+    )
+
+    return (
+        bt.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.count_distinct("pa").cast("bigint").alias("n_src"),
+            F.sum("pa").cast("bigint").alias("sum_pa"),
+            F.sum("pb").cast("bigint").alias("sum_pb"),
+        )
+        .withColumn("degree_exchanges_bucketed", F.lit(_n_exchanges(deg_bucketed)))
+        .withColumn("join_exchanges_bucketed", F.lit(_n_exchanges(join_bucketed)))
+        .withColumn("plain_degree_shuffles", F.lit(_n_exchanges(deg_plain) > 0))
         .withColumn("plain_join_shuffles", F.lit(_n_exchanges(join_plain) > 0))
     )
 

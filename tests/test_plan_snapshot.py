@@ -53,6 +53,7 @@ FINGERPRINT_OPS = [
 SKIP: set[str] = {
     "q_layout_bucketed",
     "q_layout_compaction",
+    "q_layout_edges",
     "q_layout_zorder",
     "q_scan_dpp",
 }
