@@ -599,3 +599,90 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
         .orderBy("community_size")
     )
+
+
+# --- q_graph_sssp -----------------------------------------------------------
+
+_SSSP_ORACLE = f"""{_EDGES_SQL}, sym AS (
+  SELECT pa AS u, pb AS v, 1 + (pa + pb) % 5 AS wt FROM edges
+  UNION ALL
+  SELECT pb AS u, pa AS v, 1 + (pa + pb) % 5 AS wt FROM edges
+), d0 AS (
+  SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS d FROM sym
+), r1 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d0
+    UNION ALL
+    SELECT s.v AS node, d0.d + s.wt AS d FROM d0 JOIN sym s ON d0.node = s.u
+  ) GROUP BY node
+), r2 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM r1
+    UNION ALL
+    SELECT s.v AS node, r1.d + s.wt AS d FROM r1 JOIN sym s ON r1.node = s.u
+  ) GROUP BY node
+), r3 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM r2
+    UNION ALL
+    SELECT s.v AS node, r2.d + s.wt AS d FROM r2 JOIN sym s ON r2.node = s.u
+  ) GROUP BY node
+)
+SELECT d AS distance, COUNT(*) AS n_nodes, MIN(node) AS min_node
+FROM r3 GROUP BY d ORDER BY d
+"""
+
+
+@register("q_graph_sssp", oracle=_SSSP_ORACLE)
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths, 3 unrolled min-plus relaxation
+    rounds (Bellman-Ford) from the smallest node of the co-purchase graph,
+    with deterministic integer edge weights wt = 1 + (pa + pb) % 5. Output
+    is the distance distribution (distance -> node count + smallest node at
+    that distance) over everything reachable within 3 edges.
+
+    Exactness: all-integer min-plus — no float, no tie ambiguity (MIN over
+    bigint), so the oracle is bit-exact. Both engines compute ``%`` on
+    positive operands identically.
+
+    Scale shape: the frontier relation joins the symmetrized edge list once
+    per round on the SAME key (node = u) — at 100 TB, pre-partition sym by u
+    once and every round reuses that partitioning; the per-round groupBy-min
+    is keyed on node too. Rounds are unrolled into ONE submitted plan
+    (pattern of connected_components / q_graph_label_prop); lazy
+    localCheckpoints bound plan growth. Dijkstra's priority queue does not
+    distribute — synchronous Bellman-Ford rounds are the scalable form.
+    """
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=False
+    )
+    wt = (F.lit(1) + (F.col("pa") + F.col("pb")) % 5).cast("bigint").alias("wt")
+    sym = (
+        edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"), wt)
+        .unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"), wt))
+        .localCheckpoint(eager=False)
+    )
+    dist = sym.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("d")
+    )
+    for _ in range(3):
+        d_a, s_a = dist.alias("dst"), sym.alias("sym")
+        cand = d_a.join(s_a, F.col("dst.node") == F.col("sym.u")).select(
+            F.col("sym.v").alias("node"),
+            (F.col("dst.d") + F.col("sym.wt")).alias("d"),
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        dist.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+        )
+        .select(F.col("d").alias("distance"), "n_nodes", "min_node")
+        .orderBy("distance")
+    )

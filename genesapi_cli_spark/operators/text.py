@@ -2220,3 +2220,125 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_r4"),
         )
     )
+
+
+# --- q_text_bm25 ------------------------------------------------------------
+
+#: BM25 free parameters (Robertson-Sparck Jones defaults) and the fixed
+#: query term set. k1+1 and 1-b are PRE-FOLDED literals (2.2, 0.25) so both
+#: engines evaluate the same double constants — 1.2 + 1 recomputed at
+#: runtime could differ from the literal 2.2 in the last ulp.
+_BM25_TERMS = ("hash", "merge", "vector")
+
+_BM25_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) WHERE len(term) > 2
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM terms WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+), dfr AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT t.doc_id,
+         FLOOR(
+           LN(CAST(1 AS DOUBLE)
+              + (c.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                / (d.df + CAST(0.5 AS DOUBLE)))
+           * (t.tf * CAST(2.2 AS DOUBLE))
+           / (t.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * l.dl / c.avgdl))
+           * 10000 + 0.5) / 10000 AS contrib_r
+  FROM tf t
+  JOIN dfr d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN corpus c
+)
+SELECT doc_id, n_terms, score, rank FROM (
+  SELECT doc_id,
+         COUNT(*) AS n_terms,
+         CAST(SUM(CAST(contrib_r AS DECIMAL(18,7))) AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(SUM(CAST(contrib_r AS DECIMAL(18,7))) AS DOUBLE)
+                    DESC, doc_id) AS rank
+  FROM contrib GROUP BY doc_id
+) WHERE rank <= 10
+"""
+
+
+@register("q_text_bm25", oracle=_BM25_ORACLE)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed 3-term query — the lexical ranking
+    function search and RAG-retrieval pipelines run where tf-idf
+    (q_text_tfidf) is too crude: document-length normalization (b=0.75)
+    and tf saturation (k1=1.2) on top of the same two corpus aggregates.
+
+    Parity: every per-term contribution is computed with an identical IEEE
+    op sequence on both engines, rounded to 4 decimals (r4 — last-ulp LN
+    differences are measure-zero at the rounding boundary), then summed per
+    doc through the exact-decimal path so the score is independent of term
+    order; ranking happens on the rounded-sum score with a doc_id
+    tie-break.
+
+    Scale shape: the exploded term table aggregates twice (dl per doc, tf
+    per doc x query-term); df and the corpus (N, avgdl) aggregate are
+    broadcast 1-row/3-row relations — the big side shuffles ONCE on doc_id
+    and the final top-10 is a single-partition window over the pre-scored
+    docs (at 100 TB: per-partition top-10 via AQE before the global sort).
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    terms = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.length("term") > 2)
+        .localCheckpoint(eager=False)
+    )
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        terms.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", r4(idf * tfn, "contrib_r"))
+    )
+    score = F.sum(F.col("contrib_r").cast(DEC)).cast("double")
+    w = Window.orderBy(score.desc(), "doc_id")
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            score.alias("score"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "n_terms", "score", "rank")
+    )

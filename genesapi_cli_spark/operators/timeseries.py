@@ -2656,3 +2656,61 @@ def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("flagged_events"),
     )
+
+
+# --- q_events_markov --------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+), trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_micro
+FROM trans
+"""
+
+
+@register("q_events_markov", oracle=_MARKOV_ORACLE)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for every (from_type, to_type) pair, the transition count and the
+    row-normalized probability in exact integer MICRO units
+    ((n * 1e6) div row_total — Spark ``div`` truncates toward zero and
+    DuckDB ``//`` floors, identical on these positive operands). The
+    transition matrix is the sufficient statistic for next-event
+    prediction, session simulation, and funnel-shortcut detection.
+
+    Ordering is (ts_us, event_id) within user — the event_id tie-break
+    makes LEAD deterministic under same-timestamp bursts (the oracle
+    orders by raw ts, which maps 1:1 to ts_us).
+
+    Scale shape: one window shuffle keyed by user_id (sequences stay
+    whole-user local), then a hash aggregate on the tiny (from, to) key
+    space and a broadcast-size row-marginal window. No joins, no skew —
+    user_id is uniform and the transition key space is |types|^2.
+    """
+    ev = load(spark, sf_dir, "events")
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    )
+    trans = (
+        ev.select(F.col("event_type").alias("from_type"), nxt.alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = F.sum("n").over(Window.partitionBy("from_type"))
+    return trans.withColumn("row_total", row_total).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) div row_total").alias("p_micro"),
+    )
