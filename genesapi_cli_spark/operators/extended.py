@@ -1576,3 +1576,60 @@ def q_sql_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_WINDOW_FRAMES_SQL)
+
+
+# --- q_sample_bottomk -------------------------------------------------------
+
+_BOTTOMK_ORACLE = """
+WITH h AS (
+  SELECT source, doc_id,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '|smp'), 1, 8))::BIGINT
+           AS hv
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, hv,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id)
+           AS smp_rank,
+         COUNT(*) OVER (PARTITION BY source) AS n_group
+  FROM h
+)
+SELECT source, doc_id, smp_rank, n_group
+FROM ranked WHERE smp_rank <= 8
+"""
+
+
+@register("q_sample_bottomk", oracle=_BOTTOMK_ORACLE)
+def q_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size uniform sample per group via bottom-k-by-hash — the
+    distributed 'reservoir': rank every doc by a salted content-key hash
+    and keep the k=8 smallest per source. Unlike the Bernoulli hash sample
+    (q_sample_hash) the output size is EXACTLY k per group, and unlike a
+    true reservoir the result is a pure function of the key set — same rows
+    on every engine, run, partition layout, and under additions it changes
+    by at most the displaced elements (the mergeable bottom-k sketch).
+    n_group rides along as the denominator certificate.
+
+    Scale shape: one window shuffle keyed by source. At 100 TB the
+    refinement is a per-partition bottom-k (partial top-k pushdown, which
+    Spark's TakeOrderedAndProject applies globally and AQE applies
+    per-group) so only k rows per partition per group reach the shuffle —
+    the sketch merges associatively.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit("|smp")), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        docs.select("source", "doc_id", hv.alias("hv"))
+        .withColumn("smp_rank", F.row_number().over(w))
+        .withColumn("n_group", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        .filter(F.col("smp_rank") <= 8)
+        .select("source", "doc_id", "smp_rank", "n_group")
+    )

@@ -2342,3 +2342,72 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("doc_id", "n_terms", "score", "rank")
     )
+
+
+# --- q_text_bpe_pairs -------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH words AS (
+  SELECT term AS word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+  ) WHERE len(term) >= 2 GROUP BY term
+), pairs AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq, word FROM (
+    SELECT unnest(generate_series(1, len(word) - 1)) AS i, word, freq
+    FROM words
+  )
+), agg AS (
+  SELECT pair,
+         CAST(SUM(freq) AS BIGINT) AS total,
+         COUNT(DISTINCT word) AS n_words
+  FROM pairs GROUP BY pair
+)
+SELECT pair, total, n_words, rank FROM (
+  SELECT pair, total, n_words,
+         ROW_NUMBER() OVER (ORDER BY total DESC, pair) AS rank
+  FROM agg
+) WHERE rank <= 20
+"""
+
+
+@register("q_text_bpe_pairs", oracle=_BPE_ORACLE)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: count every adjacent
+    symbol pair across the corpus weighted by word frequency, and rank the
+    top-20 merge candidates — the inner loop of byte-pair-encoding vocab
+    construction, run at corpus scale before LLM training. Repeated pairs
+    inside one word ('aaa' -> 'aa' twice) count per position, exactly as
+    the reference BPE counts them.
+
+    All-integer (word freqs + position sums), so the oracle is bit-exact;
+    ties rank by pair string.
+
+    Scale shape: the corpus aggregates ONCE to the word-frequency table
+    (vocabulary-bounded, not corpus-bounded — the classic BPE optimization),
+    then pair generation explodes positions over the small word table and
+    re-aggregates on the tiny pair key space. At 100 TB of text the only
+    corpus-scale shuffle is the word-count; everything downstream is
+    vocabulary-sized.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    ).select(F.expr("substring(word, i, 2)").alias("pair"), "freq", "word")
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("total"),
+        F.countDistinct("word").alias("n_words"),
+    )
+    w = Window.orderBy(F.col("total").desc(), "pair")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "total", "n_words", "rank")
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.io import load
-from genesapi_cli_spark.registry import dec_sum, oracle_dec_sum, register
+from genesapi_cli_spark.registry import DEC, dec_sum, oracle_dec_sum, register
 
 #: integer cents snap for the 2-decimal `value` column — exact cross-engine.
 _CENTS = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
