@@ -686,3 +686,134 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").alias("distance"), "n_nodes", "min_node")
         .orderBy("distance")
     )
+
+
+# --- q_graph_modularity -----------------------------------------------------
+
+_MODULARITY_ORACLE = f"""{_EDGES_SQL}, sym AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL
+  SELECT pb AS u, pa AS v FROM edges
+), l1 AS (
+  SELECT u, l FROM (
+    SELECT u, v AS l,
+           row_number() OVER (PARTITION BY u ORDER BY COUNT(*) DESC, v) AS rn
+    FROM sym GROUP BY u, v) t
+  WHERE rn = 1
+), l2 AS (
+  SELECT u, l FROM (
+    SELECT s.u, l1.l,
+           row_number() OVER (PARTITION BY s.u ORDER BY COUNT(*) DESC, l1.l) AS rn
+    FROM sym s JOIN l1 ON l1.u = s.v
+    GROUP BY s.u, l1.l) t
+  WHERE rn = 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM edges
+), e_in AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS intra
+  FROM edges e
+  JOIN l2 la ON la.u = e.pa
+  JOIN l2 lb ON lb.u = e.pb
+  WHERE la.l = lb.l
+), degc AS (
+  SELECT CAST(SUM(dd) AS HUGEINT) AS sum_deg_sq FROM (
+    SELECT l2.l, CAST(SUM(d.deg) AS HUGEINT) * CAST(SUM(d.deg) AS HUGEINT)
+             AS dd
+    FROM (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u) d
+    JOIN l2 ON l2.u = d.u
+    GROUP BY l2.l)
+)
+SELECT m.m_edges,
+       e_in.intra,
+       CAST(((4 * CAST(m.m_edges AS HUGEINT) * e_in.intra - degc.sum_deg_sq)
+             * 1000000
+             + 1000000 * (4 * CAST(m.m_edges AS HUGEINT) * m.m_edges))
+            // (4 * CAST(m.m_edges AS HUGEINT) * m.m_edges)
+            - 1000000 AS BIGINT) AS q_micro
+FROM m, e_in, degc
+"""
+
+
+@register("q_graph_modularity", oracle=_MODULARITY_ORACLE)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 2-round label-propagation partition
+    (q_graph_label_prop's communities, scored): Q = Σ_c [e_c/m −
+    (deg_c/2m)²] = (4·m·Σe_c − Σdeg_c²) / (4m²) — the objective every
+    community-detection pipeline reports to decide whether the partition
+    beats random. Emitted in exact integer MICRO units (floor), with the
+    edge count and intra-community edge count as certificates.
+
+    Exactness: the whole expression is one integer rational — numerator and
+    denominator computed in 128-bit exact integers (Spark decimal(38,0)
+    compact-Int128, DuckDB HUGEINT; deg_c² at 100 TB hub scale exceeds
+    int64), divided once. The numerator CAN be negative (a partition worse
+    than random), where DuckDB ``//`` floors but Spark ``div`` truncates —
+    so both sides add 10⁶·denominator before dividing (Q ≥ −1 keeps the
+    shifted numerator non-negative, making floor == truncate) and subtract
+    10⁶ after: identical floor semantics by construction.
+
+    Scale shape: labels come from the same two synchronous LPA rounds
+    (one label join + one (u,label) aggregate each); scoring adds ONE
+    edge-to-labels join (both endpoints via two broadcast-or-shuffle hash
+    joins on node id) and two tiny rollups. Nothing quadratic.
+    """
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=False
+    )
+    sym = (
+        edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+
+    def mode_round(neigh_labels: DataFrame) -> DataFrame:
+        w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("l"))
+        return (
+            neigh_labels.groupBy("u", "l")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("u", "l")
+        )
+
+    l1 = mode_round(sym.select("u", F.col("v").alias("l"))).localCheckpoint(
+        eager=False
+    )
+    l2 = mode_round(
+        sym.join(l1.select(F.col("u").alias("v"), "l"), "v").select("u", "l")
+    ).localCheckpoint(eager=False)
+
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    la = l2.select(F.col("u").alias("pa"), F.col("l").alias("la"))
+    lb = l2.select(F.col("u").alias("pb"), F.col("l").alias("lb"))
+    intra = (
+        edges.join(la, "pa")
+        .join(lb, "pb")
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    degc = (
+        deg.join(l2, "u")
+        .groupBy("l")
+        .agg(F.sum("deg").alias("deg_c"))
+        .agg(
+            F.sum(d38(F.col("deg_c")) * d38(F.col("deg_c"))).alias("sum_deg_sq")
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(degc))
+        .select(
+            "m_edges",
+            "intra",
+            F.expr(
+                "cast((((4 * cast(m_edges as decimal(38,0)) * intra"
+                " - sum_deg_sq) * 1000000"
+                " + 1000000 * (4 * cast(m_edges as decimal(38,0)) * m_edges))"
+                " div (4 * cast(m_edges as decimal(38,0)) * m_edges))"
+                " - 1000000 as bigint)"
+            ).alias("q_micro"),
+        )
+    )

@@ -1051,3 +1051,66 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q_privacy_dp_counts ----------------------------------------------------
+
+_DP_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM events GROUP BY event_type
+), u AS (
+  SELECT event_type, n_true,
+         (CAST(('0x' || substr(sha256(event_type || '|dp'), 1, 8))::BIGINT
+               % 1000000 AS DOUBLE) + 0.5) / 1000000 - 0.5 AS uni
+  FROM g
+)
+SELECT event_type, n_true,
+       FLOOR((CASE WHEN uni < 0 THEN 1.0 ELSE -1.0 END)
+             * LN(1 - 2 * abs(uni)) * 10000 + 0.5) / 10000 AS noise_r,
+       CAST(n_true AS DOUBLE)
+         + FLOOR((CASE WHEN uni < 0 THEN 1.0 ELSE -1.0 END)
+                 * LN(1 - 2 * abs(uni)) * 10000 + 0.5) / 10000 AS noisy
+FROM u
+"""
+
+
+@register("q_privacy_dp_counts", oracle=_DP_ORACLE)
+def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy mechanism plumbing: per-group counts with
+    Laplace(1/ε) noise at ε=1 via inverse-CDF sampling — noise =
+    -sign(u)·ln(1-2|u|) for u uniform in (-1/2, 1/2) — completing the
+    privacy ladder (k-anonymity → l-diversity → t-closeness → DP release).
+    The uniform draw is SEEDED from a salted hash of the group key, so the
+    release is a pure function of the data: reproducible across engines,
+    runs, and partition layouts (true DP would use a fresh secret seed per
+    release; the mechanism shape, calibration, and plumbing are identical).
+    The true count rides along as the utility-error certificate of this
+    mechanism test harness — a production release would drop it.
+
+    Parity: the hash→uniform map is exact integer arithmetic (60-bit sha256
+    prefix mod 1e6, +0.5 symmetrizer); the single LN is last-ulp-rounded by
+    r4 before adding to the exact count.
+
+    Scale shape: one hash aggregate + per-row scalar math on the tiny group
+    relation. DP releases over 100 TB cost exactly the underlying GROUP BY.
+    """
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    hv = F.conv(
+        F.substring(F.sha2(F.concat(F.col("event_type"), F.lit("|dp")), 256), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    uni = ((hv % 1000000).cast("double") + F.lit(0.5)) / 1000000 - F.lit(0.5)
+    noise = (
+        F.when(uni < 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1) - 2 * F.abs(uni))
+    )
+    noise_r = F.floor(noise * 10000 + F.lit(0.5)) / 10000
+    return g.select(
+        "event_type",
+        "n_true",
+        noise_r.alias("noise_r"),
+        (F.col("n_true").cast("double") + noise_r).alias("noisy"),
+    )
