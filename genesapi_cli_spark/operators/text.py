@@ -2411,3 +2411,83 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("pair", "total", "n_words", "rank")
     )
+
+
+# --- q_text_zipf ------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH freq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+  ) WHERE len(term) > 2 GROUP BY term
+), ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS r FROM freq
+), xy AS (
+  SELECT FLOOR(LN(CAST(r AS DOUBLE)) * 10000 + 0.5) / 10000 AS x,
+         FLOOR(LN(CAST(f AS DOUBLE)) * 10000 + 0.5) / 10000 AS y
+  FROM ranked
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,7))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,7))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(18,7))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(18,7))) AS DOUBLE) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5) / 10000
+         AS zipf_slope,
+       FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 10000 + 0.5) / 10000 AS zipf_intercept
+FROM s
+"""
+
+
+@register("q_text_zipf", oracle=_ZIPF_ORACLE)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS slope/intercept of log(frequency)
+    against log(rank) over the full vocabulary — the power-law exponent
+    (natural text ~ -1) that corpus-quality pipelines track to detect
+    template spam (too steep) or gibberish (too flat). Complements
+    q_text_ttr_curve (Heaps' law) with the rank-frequency law.
+
+    Parity: each LN is rounded to 4 decimals first (last-ulp libm
+    differences are measure-zero at the boundary), every OLS sum runs
+    through the exact-decimal path (order-independent), and the closed-form
+    slope/intercept is one identical IEEE op sequence on both engines,
+    r4-rounded on output.
+
+    Scale shape: term counting is the single corpus-scale aggregate;
+    ranking the vocabulary is a window over the vocabulary-sized relation
+    (at 100 TB: still vocabulary-sized — the rank sort is the only global
+    step and it is bounded by |vocab|, not corpus size); the OLS reduction
+    is a 1-row aggregate.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    freq = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.length("term") > 2)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), "term"))
+    )
+    x = F.floor(F.log(F.col("r").cast("double")) * 10000 + F.lit(0.5)) / 10000
+    y = F.floor(F.log(F.col("f").cast("double")) * 10000 + F.lit(0.5)) / 10000
+    xy = ranked.select(x.alias("x"), y.alias("y"))
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        r4(slope, "zipf_slope"),
+        r4((F.col("sy") - slope * F.col("sx")) / F.col("n"), "zipf_intercept"),
+    )

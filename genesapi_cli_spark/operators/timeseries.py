@@ -2714,3 +2714,79 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(n * 1000000) div row_total").alias("p_micro"),
     )
+
+
+# --- q_events_seq_pairs -----------------------------------------------------
+
+_SEQ_PAIRS_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, event_type,
+         MIN(epoch_us(ts)) AS first_us,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id, event_type
+), users AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+)
+SELECT a.event_type AS type_a,
+       b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users_ab,
+       CAST((COUNT(*) * 1000000) // MAX(u.n_users) AS BIGINT) AS support_micro
+FROM per_user a
+JOIN per_user b
+  ON a.user_id = b.user_id
+ AND a.event_type <> b.event_type
+ AND a.first_us < b.last_us
+CROSS JOIN users u
+GROUP BY a.event_type, b.event_type
+"""
+
+
+@register("q_events_seq_pairs", oracle=_SEQ_PAIRS_ORACLE)
+def q_events_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support for ordered event-type pairs: how many
+    users perform type A at some point BEFORE type B (first A strictly
+    before last B) — the 2-item sequence-mining support count behind
+    "viewed then purchased"-style product analytics. Complements
+    q_events_markov (ADJACENT transitions) with the order-anywhere
+    pattern, and q_events_funnel (one fixed path) with all |types|²
+    ordered pairs at once. Support is exact integer micro-share of the
+    user base.
+
+    Scale shape: the raw stream collapses to the per-(user, type)
+    first/last summary — ONE hash aggregate, |users|x|types| rows — and
+    the pair join is a self-join on user_id with |types|² bounded fan-out
+    per user, never an event-level self-join. The user count is a
+    broadcast 1-row aggregate inside the plan.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts_us").alias("first_us"), F.max("ts_us").alias("last_us")
+    )
+    users = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    a = per_user.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("first_us").alias("a_first"),
+    )
+    b = per_user.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("last_us").alias("b_last"),
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("type_a") != F.col("type_b"))
+            & (F.col("a_first") < F.col("b_last"))
+        )
+        .crossJoin(F.broadcast(users))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users_ab"),
+            F.expr(
+                "cast((count(1) * 1000000) div max(n_users) as bigint)"
+            ).alias("support_micro"),
+        )
+    )
