@@ -471,3 +471,59 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_basic_tier").cast("bigint").alias("n_basic_tier"),
         F.sum("brand_wellformed").cast("bigint").alias("n_brand_wellformed"),
     )
+
+
+# --- q_fn_uuid --------------------------------------------------------------
+
+_UUID_ORACLE = """
+WITH d AS (
+  SELECT o_orderkey, sha256('order:' || CAST(o_orderkey AS VARCHAR)) AS h
+  FROM orders WHERE o_orderkey % 997 = 0
+), ids AS (
+  SELECT o_orderkey,
+         substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-5' ||
+         substr(h, 14, 3) || '-8' || substr(h, 18, 3) || '-' ||
+         substr(h, 21, 12) AS uid
+  FROM d
+)
+SELECT o_orderkey, uid,
+       CAST(length(uid) AS BIGINT) AS uid_len
+FROM ids
+"""
+
+
+@register("q_fn_uuid", oracle=_UUID_ORACLE)
+def q_fn_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UUIDv5-style surrogate-key minting: a namespaced
+    sha-256 digest reformatted as 8-4-4-4-12 hex with the version nibble
+    pinned to 5 and the variant nibble to 8 — the stable-id primitive every
+    ingestion pipeline needs when upstream keys must not leak and random
+    UUIDs would break idempotent re-runs (same input row → same id on every
+    engine, run, and partition layout; contrast F.uuid(), which is
+    nondeterministic by design and banned from declared queries).
+
+    Parity: sha2/sha256 hex output is byte-identical across engines;
+    everything else is substring concatenation. The deterministic
+    o_orderkey % 997 filter keeps the declared sample small at any SF.
+
+    Scale shape: pure per-row projection — no shuffle at all; the filter
+    pushes to the scan.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 997 == 0)
+    h = F.sha2(F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")), 256)
+    uid = F.concat(
+        F.substring(h, 1, 8),
+        F.lit("-"),
+        F.substring(h, 9, 4),
+        F.lit("-5"),
+        F.substring(h, 14, 3),
+        F.lit("-8"),
+        F.substring(h, 18, 3),
+        F.lit("-"),
+        F.substring(h, 21, 12),
+    )
+    return orders.select(
+        "o_orderkey",
+        uid.alias("uid"),
+        F.length(uid).cast("bigint").alias("uid_len"),
+    )

@@ -2658,3 +2658,150 @@ def q_agg_topk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bound_holds"),
         )
     )
+
+
+# --- q_agg_split_gain -------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH thr AS (
+  SELECT unnest([CAST(10.0 AS DOUBLE), CAST(50.0 AS DOUBLE),
+                 CAST(150.0 AS DOUBLE)]) AS thr
+), sides AS (
+  SELECT t.thr, e.value < t.thr AS is_left, e.event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events e CROSS JOIN thr t
+  GROUP BY t.thr, is_left, e.event_type
+), sided AS (
+  SELECT thr, is_left, c,
+         FLOOR((CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY thr, is_left))
+               * LN(CAST(SUM(c) OVER (PARTITION BY thr, is_left) AS DOUBLE)
+                    / c) * 10000 + 0.5) / 10000 AS term
+  FROM sides
+), side_h AS (
+  SELECT thr, is_left,
+         CAST(SUM(c) AS BIGINT) AS n_side,
+         CAST(SUM(CAST(term AS DECIMAL(18,7))) AS DOUBLE) AS h_side
+  FROM sided GROUP BY thr, is_left
+), pcls AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type
+), pterms AS (
+  SELECT c,
+         FLOOR((CAST(c AS DOUBLE) / SUM(c) OVER ())
+               * LN(CAST(SUM(c) OVER () AS DOUBLE) / c) * 10000 + 0.5)
+           / 10000 AS term
+  FROM pcls
+), parent AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(term AS DECIMAL(18,7))) AS DOUBLE) AS h_parent
+  FROM pterms
+)
+SELECT thr,
+       MAX(CASE WHEN is_left THEN n_side ELSE 0 END) AS n_left,
+       MAX(CASE WHEN NOT is_left THEN n_side ELSE 0 END) AS n_right,
+       FLOOR((MAX(h_parent) - CAST(SUM(wterm) AS DOUBLE)) * 10000 + 0.5)
+         / 10000 AS gain_r
+FROM (
+  SELECT s.thr, s.is_left, s.n_side, p.h_parent,
+         CAST(CAST(s.n_side AS DOUBLE) / p.n * s.h_side AS DECIMAL(18,7))
+           AS wterm
+  FROM side_h s CROSS JOIN parent p
+) GROUP BY thr
+"""
+
+
+@register("q_agg_split_gain", oracle=_SPLIT_ORACLE)
+def q_agg_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split scoring: information gain of candidate value
+    thresholds against the event_type label — the inner loop of GBDT /
+    decision-tree training that feature-engineering pipelines run at full
+    data scale to pick split points before fitting. For each threshold t:
+    gain = H(label) − Σ_side (n_side/n)·H(label | side).
+
+    Parity: every entropy term (c/n)·ln(n/c) is computed with one identical
+    IEEE op sequence, snapped to 4 decimals (last-ulp LN differences are
+    measure-zero at the boundary), and summed through the exact-decimal
+    path; the weighted-child combination is itself a snapped decimal sum,
+    so the final gain is bit-identical.
+
+    Scale shape: the data-scale work is ONE pass producing (threshold,
+    side, class) counts — a hash aggregate with 3·2·|classes| groups; all
+    entropy math happens on that tiny relation (window sums over ≤ 30
+    rows). Adding thresholds multiplies the aggregate key space, not the
+    number of data passes.
+    """
+    ev = load(spark, sf_dir, "events")
+    sides = (
+        ev.select(
+            "event_type",
+            "value",
+            F.explode(
+                F.array(F.lit(10.0), F.lit(50.0), F.lit(150.0))
+            ).alias("thr"),
+        )
+        .withColumn("is_left", F.col("value") < F.col("thr"))
+        .groupBy("thr", "is_left", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wside = Window.partitionBy("thr", "is_left")
+    term = (
+        F.floor(
+            (F.col("c").cast("double") / F.sum("c").over(wside))
+            * F.log(F.sum("c").over(wside).cast("double") / F.col("c"))
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    side_h = (
+        sides.withColumn("term", term)
+        .groupBy("thr", "is_left")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_side"),
+            F.sum(F.col("term").cast(DEC)).cast("double").alias("h_side"),
+        )
+    )
+    cls = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wall = Window.partitionBy()
+    pterm = (
+        F.floor(
+            (F.col("c").cast("double") / F.sum("c").over(wall))
+            * F.log(F.sum("c").over(wall).cast("double") / F.col("c"))
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    parent = (
+        cls.withColumn("pterm", pterm)
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.col("pterm").cast(DEC)).cast("double").alias("h_parent"),
+        )
+    )
+    return (
+        side_h.crossJoin(F.broadcast(parent))
+        .withColumn(
+            "wterm",
+            (
+                F.col("n_side").cast("double") / F.col("n") * F.col("h_side")
+            ).cast(DEC),
+        )
+        .groupBy("thr")
+        .agg(
+            F.max(F.when(F.col("is_left"), F.col("n_side")).otherwise(0)).alias(
+                "n_left"
+            ),
+            F.max(F.when(~F.col("is_left"), F.col("n_side")).otherwise(0)).alias(
+                "n_right"
+            ),
+            (
+                F.floor(
+                    (F.max("h_parent") - F.sum("wterm").cast("double"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("gain_r"),
+        )
+    )

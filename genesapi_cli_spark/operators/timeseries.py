@@ -2790,3 +2790,92 @@ def q_events_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("support_micro"),
         )
     )
+
+
+# --- q_orders_backlog -------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH bounds AS (
+  SELECT o.o_orderkey,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_open,
+         CAST(MAX(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT)
+           AS day_close
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), deltas AS (
+  SELECT day_open AS day, CAST(1 AS BIGINT) AS delta FROM bounds
+  UNION ALL
+  SELECT day_close + 1 AS day, CAST(-1 AS BIGINT) AS delta FROM bounds
+), daily AS (
+  SELECT day, SUM(delta) AS d FROM deltas GROUP BY day
+), curve AS (
+  SELECT day, CAST(SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS backlog
+  FROM daily
+)
+SELECT day // 30 AS period,
+       MAX(backlog) AS max_backlog,
+       MIN(backlog) AS min_backlog,
+       CAST(COUNT(*) AS BIGINT) AS n_change_days
+FROM curve GROUP BY period
+"""
+
+
+@register("q_orders_backlog", oracle=_BACKLOG_ORACLE)
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — how many orders are placed but not
+    yet fully shipped on each day — the operations/supply-chain WIP curve,
+    summarized per 30-day period (max/min backlog + change-day count).
+    Built with the ±1-delta encoding (open day +1, day after last ship
+    −1): O(1) rows per order regardless of how long it stays open, never
+    an order×day explode.
+
+    Exactness: day indices are exact DATE−epoch integers, the curve is an
+    integer prefix sum, and the period key is integer division on
+    non-negative days (Spark ``div`` == DuckDB ``//`` there).
+
+    Scale shape: one (order, max shipdate) aggregate keyed by orderkey,
+    one hash aggregate on day, then a running sum over the DAY-granular
+    relation — calendar-bounded (~thousands of rows no matter the data
+    size), so the single-partition window is a non-issue; the final
+    rollup is on the tiny period key.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    bounds = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("max_ship"))
+        .select(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("day_open"),
+            (F.unix_date(F.col("max_ship")) + 1).cast("bigint").alias("day_after"),
+        )
+        # consumed by BOTH delta branches — materialize the join+agg once
+        .localCheckpoint(eager=False)
+    )
+    deltas = bounds.select(
+        F.col("day_open").alias("day"), F.lit(1).cast("bigint").alias("delta")
+    ).unionAll(
+        bounds.select(
+            F.col("day_after").alias("day"), F.lit(-1).cast("bigint").alias("delta")
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    curve = daily.withColumn(
+        "backlog",
+        F.sum("d")
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint"),
+    )
+    return curve.groupBy(F.expr("day div 30").alias("period")).agg(
+        F.max("backlog").alias("max_backlog"),
+        F.min("backlog").alias("min_backlog"),
+        F.count(F.lit(1)).cast("bigint").alias("n_change_days"),
+    )
