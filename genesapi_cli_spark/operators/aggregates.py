@@ -2805,3 +2805,80 @@ def q_agg_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gain_r"),
         )
     )
+
+
+# --- q_agg_capture_recapture ------------------------------------------------
+
+_CAPREC_ORACLE = """
+WITH h AS (
+  SELECT user_id,
+         ('0x' || substr(sha256(CAST(event_id AS VARCHAR) || '|cr'), 1, 8))
+           ::BIGINT AS hv
+  FROM events
+), sa AS (
+  SELECT DISTINCT user_id FROM h WHERE hv % 2 = 0
+), sb AS (
+  SELECT DISTINCT user_id FROM h WHERE hv % 3 = 0
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sa) AS n_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM sb) AS n_b,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM sa JOIN sb USING (user_id)) AS m,
+         (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+           AS n_true
+)
+SELECT n_a, n_b, m,
+       CAST((n_a * n_b) // m AS BIGINT) AS est_users,
+       n_true
+FROM stats
+"""
+
+
+@register("q_agg_capture_recapture", oracle=_CAPREC_ORACLE)
+def q_agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture estimate of the distinct-user
+    population from two overlapping deterministic hash samples of the
+    event stream (capture = events whose salted id-hash ≡ 0 mod 2,
+    recapture = ≡ 0 mod 3): N̂ = n_a·n_b / |A∩B| — the ecology estimator
+    data pipelines use to audit dedup/join completeness when scanning the
+    full key space twice is too expensive. The true distinct count rides
+    along as the error certificate.
+
+    Exactness: sample membership is a pure hash predicate (reproducible
+    across engines/runs/layouts), all counts are integers, and the
+    estimator is one integer floor division on positive operands.
+
+    Scale shape: each sample is a filter + distinct-key hash aggregate;
+    the overlap is a join between the two DISTINCT user sets (population-
+    bounded, not event-bounded). No windows, no skew — user ids are
+    uniform.
+    """
+    ev = load(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("event_id").cast("string"), F.lit("|cr")), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = ev.select("user_id", hv.alias("hv")).localCheckpoint(eager=False)
+    sa = h.filter(F.col("hv") % 2 == 0).select("user_id").distinct()
+    sb = h.filter(F.col("hv") % 3 == 0).select("user_id").distinct()
+    n_a = sa.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    n_b = sb.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    m = sa.join(sb, "user_id").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    n_true = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_true"))
+    return (
+        n_a.crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_a",
+            "n_b",
+            "m",
+            F.expr("cast((n_a * n_b) div m as bigint)").alias("est_users"),
+            "n_true",
+        )
+    )

@@ -1373,3 +1373,83 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("qid", "cand_id", "adc_dist", "rank")
     )
+
+
+# --- q_sim_maxsim -----------------------------------------------------------
+
+_MAXSIM_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM e WHERE label = 0
+), c AS (
+  SELECT label, emb AS cemb, nrm AS cnrm FROM e WHERE label > 0
+), best AS (
+  SELECT q.qid, c.label,
+         MAX(FLOOR(list_dot_product(q.qemb, c.cemb) / (q.qnrm * c.cnrm)
+                   * 10000 + 0.5) / 10000) AS best_cos
+  FROM q CROSS JOIN c
+  GROUP BY q.qid, c.label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_query_tokens,
+       CAST(SUM(CAST(best_cos AS DECIMAL(18,7))) AS DOUBLE) AS maxsim
+FROM best GROUP BY label
+"""
+
+
+@register("q_sim_maxsim", oracle=_MAXSIM_ORACLE)
+def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction MaxSim scoring: treat the label-0
+    vector group as the multi-vector QUERY (one embedding per query token)
+    and every other label group as a multi-vector DOCUMENT; score(doc) =
+    Σ_{query token} max_{doc token} cos(q, d) — the retrieval scorer modern
+    RAG rankers run after single-vector ANN recall, here as a first-class
+    relational operator (max-aggregate over the blocked pair table, then an
+    exact-decimal sum of 4-decimal-rounded maxes — rank-stable across
+    engines).
+
+    Scale shape: the query group broadcasts (multi-vector queries are
+    token-count sized); the pair work is query_tokens x doc_tokens per
+    candidate document and stays BEHIND the candidate filter — at 100 TB
+    the candidate set comes from an ANN prefilter (q_sim_ann_lsh /
+    q_sim_rerank), so MaxSim cost is per-candidate, never corpus-wide. One
+    shuffle on (query token, doc) for the max, one on doc for the sum —
+    both tiny relative to the dot products, which run in whole-stage
+    codegen.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    e = e.select(
+        "vec_id", "label", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm")
+    )
+    q = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = e.filter(F.col("label") > 0).select(
+        "label", F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+    )
+    cos_r = (
+        F.floor(
+            dot_expr("qemb", "cemb") / (F.col("qnrm") * F.col("cnrm")) * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    best = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("qid", "label", cos_r.alias("cos_r"))
+        .groupBy("qid", "label")
+        .agg(F.max("cos_r").alias("best_cos"))
+    )
+    return best.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_query_tokens"),
+        F.sum(F.col("best_cos").cast(DEC)).cast("double").alias("maxsim"),
+    )

@@ -2879,3 +2879,143 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("backlog").alias("min_backlog"),
         F.count(F.lit(1)).cast("bigint").alias("n_change_days"),
     )
+
+
+# --- q_time_lttb ------------------------------------------------------------
+
+_LTTB_ORACLE = """
+WITH pts AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) AS tus,
+         epoch_us(ts) // 1000000 AS xs,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS ym,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), bucketed AS (
+  SELECT *, ((rn - 1) * 12) // n AS bucket FROM pts
+), bstats AS (
+  SELECT event_type, bucket,
+         SUM(xs) // COUNT(*) AS ax,
+         SUM(ym) // COUNT(*) AS ay
+  FROM bucketed GROUP BY event_type, bucket
+), scored AS (
+  SELECT b.event_type, b.bucket, b.xs, b.ym, b.rn,
+         abs((p.ax - x.ax) * (b.ym - p.ay) - (p.ax - b.xs) * (x.ay - p.ay))
+           AS area2
+  FROM bucketed b
+  JOIN bstats p ON p.event_type = b.event_type AND p.bucket = b.bucket - 1
+  JOIN bstats x ON x.event_type = b.event_type AND x.bucket = b.bucket + 1
+  WHERE b.bucket BETWEEN 1 AND 10
+), picked AS (
+  SELECT event_type, bucket, xs, ym, CAST(area2 AS BIGINT) AS area2
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                 ORDER BY area2 DESC, rn) AS pick
+    FROM scored
+  ) WHERE pick = 1
+), ends AS (
+  SELECT event_type, bucket, xs, ym, CAST(0 AS BIGINT) AS area2
+  FROM bucketed WHERE rn = 1 OR rn = n
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket, xs, ym, area2
+FROM picked
+UNION ALL
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket, xs, ym, area2
+FROM ends
+"""
+
+
+@register("q_time_lttb", oracle=_LTTB_ORACLE)
+def q_time_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (fixed-anchor variant)
+    of each event_type's value series into 12 points: endpoints are kept,
+    and every interior bucket keeps the point forming the LARGEST triangle
+    against the neighboring buckets' centroids — the standard
+    visualization/telemetry downsampler, in its non-recursive form (anchors
+    are bucket averages, not the previously selected point, so the whole
+    selection is one declarative plan instead of a sequential scan —
+    the variant's quality is near-identical and it parallelizes).
+
+    Exactness: x is quantized to whole epoch seconds and y to 1e-4 units,
+    centroids use integer floor division, and the doubled triangle area is
+    exact int64 cross-multiplication (|Δx| ≤ series span in seconds, |Δy|
+    ≤ 5e6 units — products ≤ ~1e13); ties break by position. Bit-exact
+    oracle, no float anywhere.
+
+    Scale shape: one window shuffle keyed by event_type assigns ranks and
+    buckets, the centroid table is buckets-sized (series x 12), and the
+    per-bucket argmax is a window over the same partitioning. Per-series
+    work is independent — 1M series downsample in parallel with ONE
+    partitioning end to end.
+    """
+    ev = load(spark, sf_dir, "events")
+    wse = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    wsz = Window.partitionBy("event_type")
+    pts = (
+        ev.select(
+            "event_type",
+            "event_id",
+            "ts_us",
+            F.expr("ts_us div 1000000").alias("xs"),
+            F.floor(F.col("value") * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("ym"),
+        )
+        .withColumn("rn", F.row_number().over(wse))
+        .withColumn("n", F.count(F.lit(1)).over(wsz))
+        .withColumn("bucket", F.expr("((rn - 1) * 12) div n"))
+        .localCheckpoint(eager=False)
+    )
+    bstats = (
+        pts.groupBy("event_type", "bucket")
+        .agg(
+            F.expr("sum(xs) div count(1)").alias("ax"),
+            F.expr("sum(ym) div count(1)").alias("ay"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prev = bstats.select(
+        "event_type",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("ax").alias("axp"),
+        F.col("ay").alias("ayp"),
+    )
+    nxt = bstats.select(
+        "event_type",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("ax").alias("axn"),
+        F.col("ay").alias("ayn"),
+    )
+    scored = (
+        pts.filter(F.col("bucket").between(1, 10))
+        .join(prev, ["event_type", "bucket"])
+        .join(nxt, ["event_type", "bucket"])
+        .withColumn(
+            "area2",
+            F.abs(
+                (F.col("axp") - F.col("axn")) * (F.col("ym") - F.col("ayp"))
+                - (F.col("axp") - F.col("xs")) * (F.col("ayn") - F.col("ayp"))
+            ).cast("bigint"),
+        )
+    )
+    wpick = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("area2").desc(), "rn"
+    )
+    picked = (
+        scored.withColumn("pick", F.row_number().over(wpick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type", F.col("bucket").cast("bigint").alias("bucket"),
+            "xs", "ym", "area2",
+        )
+    )
+    ends = pts.filter((F.col("rn") == 1) | (F.col("rn") == F.col("n"))).select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "xs",
+        "ym",
+        F.lit(0).cast("bigint").alias("area2"),
+    )
+    return picked.unionAll(ends)
