@@ -817,3 +817,85 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_micro"),
         )
     )
+
+
+# --- q_graph_assortativity --------------------------------------------------
+
+_ASSORT_ORACLE = f"""{_EDGES_SQL}, sym AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL
+  SELECT pb AS u, pa AS v FROM edges
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+), s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(da.d + db.d) AS HUGEINT) AS s1,
+         CAST(SUM(da.d * db.d) AS HUGEINT) AS s2,
+         CAST(SUM(da.d * da.d + db.d * db.d) AS HUGEINT) AS s3
+  FROM edges e
+  JOIN deg da ON da.node = e.pa
+  JOIN deg db ON db.node = e.pb
+)
+SELECT CAST(m AS BIGINT) AS m_edges,
+       CAST(s1 AS BIGINT) AS sum_deg_ends,
+       CAST(((4 * m * s2 - s1 * s1) * 1000000
+             + 1000000 * (2 * m * s3 - s1 * s1))
+            // (2 * m * s3 - s1 * s1) - 1000000 AS BIGINT) AS r_micro
+FROM s
+"""
+
+
+@register("q_graph_assortativity", oracle=_ASSORT_ORACLE)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the Pearson
+    correlation of endpoint degrees across edges (Newman): positive =
+    hubs link to hubs (social-style), negative = hubs link to leaves
+    (infrastructure-style) — the one-number structure diagnostic that,
+    with modularity, tells a pipeline whether hub-salting or
+    community-blocking is the right skew strategy downstream. Computed as
+    the exact integer rational r = (4M·Σjk − (Σ(j+k))²) /
+    (2M·Σ(j²+k²) − (Σ(j+k))²) in MICRO units.
+
+    Exactness: sums run in 128-bit exact integers (degree products at hub
+    scale exceed int64); r ∈ [−1, 1] and the numerator is routinely
+    NEGATIVE (disassortative graphs), so the division uses the same
+    floor-offset trick as q_graph_modularity (+10⁶·den before //, −10⁶
+    after) to pin Spark ``div`` truncation to DuckDB ``//`` floor.
+
+    Scale shape: one degree aggregate keyed by node, two hash joins
+    attaching endpoint degrees to the oriented edge list, one global
+    1-row reduction. Nothing quadratic, no windows.
+    """
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=False
+    )
+    sym = edges.select(F.col("pa").alias("u")).unionAll(
+        edges.select(F.col("pb").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    da = deg.select(F.col("u").alias("pa"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("u").alias("pb"), F.col("d").alias("d_b"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    s = (
+        edges.join(da, "pa")
+        .join(db, "pb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum(F.col("d_a") + F.col("d_b")).cast("bigint").alias("s1"),
+            F.sum(d38("d_a") * d38("d_b")).alias("s2"),
+            F.sum(d38("d_a") * d38("d_a") + d38("d_b") * d38("d_b")).alias("s3"),
+        )
+    )
+    return s.select(
+        F.col("m").alias("m_edges"),
+        F.col("s1").alias("sum_deg_ends"),
+        F.expr(
+            "cast((((4 * cast(m as decimal(38,0)) * s2"
+            " - cast(s1 as decimal(38,0)) * s1) * 1000000"
+            " + 1000000 * (2 * cast(m as decimal(38,0)) * s3"
+            " - cast(s1 as decimal(38,0)) * s1))"
+            " div (2 * cast(m as decimal(38,0)) * s3"
+            " - cast(s1 as decimal(38,0)) * s1))"
+            " - 1000000 as bigint)"
+        ).alias("r_micro"),
+    )
