@@ -899,3 +899,95 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 1000000 as bigint)"
         ).alias("r_micro"),
     )
+
+
+# --- q_graph_clustering_coeff -----------------------------------------------
+
+_CLUSTCOEF_ORACLE = f"""{_EDGES_SQL}, tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.pa = e1.pb
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+), tri_per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  ) GROUP BY node
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb AS node FROM edges
+  ) GROUP BY node
+), coeff AS (
+  SELECT d.node, d.d,
+         CAST((2 * COALESCE(t.n_tri, 0) * 1000000) // (d.d * (d.d - 1))
+              AS BIGINT) AS cc_micro
+  FROM deg d LEFT JOIN tri_per_node t ON t.node = d.node
+  WHERE d.d >= 2
+)
+SELECT cc_micro // 100000 AS cc_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(d) AS BIGINT) AS sum_degree
+FROM coeff GROUP BY cc_decile
+"""
+
+
+@register("q_graph_clustering_coeff", oracle=_CLUSTCOEF_ORACLE)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering-coefficient distribution: per node with degree ≥ 2,
+    cc = 2·triangles(node) / (deg·(deg−1)) in exact integer MICRO units,
+    histogrammed by decile — the per-node companion to the global triangle
+    count (q_graph_triangles) that tells a pipeline whether the graph is
+    locally dense (community-blocking works) or tree-like (it won't).
+
+    Exactness: triangles come from the same oriented a<b<c join (each
+    triangle exactly once, credited to all three corners); cc is one
+    integer floor division on non-negative operands (``div`` == ``//``),
+    and the decile key is a second integer division. Bit-exact, no float.
+
+    Scale shape: the oriented wedge join bounds fan-out by the middle
+    node's out-degree (the q_graph_triangles property); per-node triangle
+    credit is a UNION ALL of three projections + one hash aggregate keyed
+    by node, joined to the degree table on node. The output is a ≤11-row
+    histogram regardless of graph size.
+    """
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=False
+    )
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+        .localCheckpoint(eager=False)
+    )
+    tri_per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    coeff = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri_per_node, "node", "left")
+        .select(
+            "d",
+            F.expr(
+                "cast((2 * coalesce(n_tri, 0) * 1000000) div (d * (d - 1))"
+                " as bigint)"
+            ).alias("cc_micro"),
+        )
+    )
+    return coeff.groupBy(F.expr("cc_micro div 100000").alias("cc_decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("d").cast("bigint").alias("sum_degree"),
+    )

@@ -1453,3 +1453,154 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_query_tokens"),
         F.sum(F.col("best_cos").cast(DEC)).cast("double").alias("maxsim"),
     )
+
+
+# --- q_sim_triplet_eval -----------------------------------------------------
+
+_TRIPLET_MARGIN = 0.05
+
+_TRIPLET_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm,
+         ('0x' || substr(sha256(CAST(vec_id AS VARCHAR) || '|neg'), 1, 8))
+           ::BIGINT % 5 AS hsel
+  FROM embeddings
+), anchors AS (
+  SELECT vec_id AS aid, label AS alabel, emb AS aemb, nrm AS anrm
+  FROM e WHERE vec_id % 7 = 0
+), pos AS (
+  SELECT a.aid, a.alabel,
+         MAX(FLOOR(list_dot_product(a.aemb, p.emb) / (a.anrm * p.nrm)
+                   * 10000 + 0.5) / 10000) AS best_pos
+  FROM anchors a JOIN e p
+    ON p.label = a.alabel AND p.vec_id <> a.aid
+  GROUP BY a.aid, a.alabel
+), neg AS (
+  SELECT a.aid,
+         MAX(FLOOR(list_dot_product(a.aemb, n.emb) / (a.anrm * n.nrm)
+                   * 10000 + 0.5) / 10000) AS best_neg
+  FROM anchors a JOIN e n
+    ON n.label <> a.alabel AND n.hsel = 0
+  GROUP BY a.aid
+)
+SELECT p.alabel AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       CAST(SUM(CASE WHEN n.best_neg > p.best_pos - {_TRIPLET_MARGIN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(SUM(CAST(p.best_pos - n.best_neg AS DECIMAL(18,7)))
+            AS DOUBLE) AS sum_margin
+FROM pos p JOIN neg n USING (aid)
+GROUP BY p.alabel
+"""
+
+
+@register("q_sim_triplet_eval", oracle=_TRIPLET_ORACLE)
+def q_sim_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-margin audit of embedding quality — for every hash-chosen
+    anchor: does its best same-label neighbor beat its best
+    different-label neighbor by the margin? The per-label violation count
+    + aggregate margin mass is the metric-learning eval that embedding
+    training pipelines run per checkpoint (a rising violation share means
+    the space is collapsing). Negatives are a DETERMINISTIC 1-in-5 hash
+    sample (salted vec_id hash), the scale answer to 'negatives are the
+    whole corpus': sampled-negative evaluation, reproducible across
+    engines/runs/layouts.
+
+    Parity: cosines are 4-decimal-rounded before MAX (rank-stable), the
+    margin comparison runs on rounded values with an exactly-representable
+    margin (0.05 = same double literal both engines), and margin mass sums
+    through the exact-decimal path.
+
+    Scale shape: anchors are a pushed-down key filter; positives join
+    label-blocked (bounded by label group size), negatives join against
+    the broadcast-sized hash sample — never all-pairs. Two max-aggregates
+    keyed by anchor, one label rollup.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    e = e.select(
+        "vec_id",
+        "label",
+        "emb",
+        F.sqrt(dot_expr("emb", "emb")).alias("nrm"),
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(F.col("vec_id").cast("string"), F.lit("|neg")), 256
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("hsel"),
+    ).localCheckpoint(eager=False)
+    anchors = e.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("emb").alias("aemb"),
+        F.col("nrm").alias("anrm"),
+    )
+
+    def cos_r(a_emb: str, b_emb: str, a_nrm: str, b_nrm: str):
+        return (
+            F.floor(
+                dot_expr(a_emb, b_emb) / (F.col(a_nrm) * F.col(b_nrm)) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        )
+
+    pos = (
+        F.broadcast(anchors)
+        .join(
+            e.select(
+                F.col("vec_id").alias("pid"),
+                F.col("label").alias("plabel"),
+                F.col("emb").alias("pemb"),
+                F.col("nrm").alias("pnrm"),
+            ),
+            (F.col("plabel") == F.col("alabel")) & (F.col("pid") != F.col("aid")),
+        )
+        .select("aid", "alabel", cos_r("aemb", "pemb", "anrm", "pnrm").alias("c"))
+        .groupBy("aid", "alabel")
+        .agg(F.max("c").alias("best_pos"))
+    )
+    neg = (
+        F.broadcast(anchors)
+        .join(
+            e.filter(F.col("hsel") == 0).select(
+                F.col("label").alias("nlabel"),
+                F.col("emb").alias("nemb"),
+                F.col("nrm").alias("nnrm"),
+            ),
+            F.col("nlabel") != F.col("alabel"),
+        )
+        .select("aid", cos_r("aemb", "nemb", "anrm", "nnrm").alias("c"))
+        .groupBy("aid")
+        .agg(F.max("c").alias("best_neg"))
+    )
+    return (
+        pos.join(neg, "aid")
+        .groupBy(F.col("alabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.sum(
+                F.when(
+                    F.col("best_neg") > F.col("best_pos") - F.lit(_TRIPLET_MARGIN),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_violations"),
+            F.sum((F.col("best_pos") - F.col("best_neg")).cast(DEC))
+            .cast("double")
+            .alias("sum_margin"),
+        )
+    )
