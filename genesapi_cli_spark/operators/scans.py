@@ -1114,3 +1114,95 @@ def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise_r.alias("noise_r"),
         (F.col("n_true").cast("double") + noise_r).alias("noisy"),
     )
+
+
+# --- q_profile_join_cardinality ---------------------------------------------
+
+_JOINCARD_ORACLE = """
+WITH h1 AS (
+  SELECT o_custkey % 64 AS b, CAST(COUNT(*) AS BIGINT) AS c1,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d1
+  FROM orders GROUP BY b
+), h2 AS (
+  SELECT c_custkey % 64 AS b, CAST(COUNT(*) AS BIGINT) AS c2,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS d2
+  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY b
+), est AS (
+  SELECT CAST(SUM((c1 * c2) // (CASE WHEN d1 > d2 THEN d1 ELSE d2 END))
+              AS BIGINT) AS est_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM h1 JOIN h2 USING (b)
+), act AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+  FROM orders o JOIN customer c
+    ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+)
+SELECT e.n_buckets, e.est_rows, a.actual_rows,
+       CAST((CASE WHEN e.est_rows > a.actual_rows
+                  THEN e.est_rows - a.actual_rows
+                  ELSE a.actual_rows - e.est_rows END) * 1000000
+            // a.actual_rows AS BIGINT) AS abs_err_micro
+FROM est e CROSS JOIN act a
+"""
+
+
+@register("q_profile_join_cardinality", oracle=_JOINCARD_ORACLE)
+def q_profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based join-cardinality estimation — the query-optimizer
+    statistic, surfaced as a data-profiling certificate: estimate
+    |orders ⋈ customer(BUILDING)| from 64-bucket equi-hash histograms of
+    each side under the per-bucket uniformity assumption
+    (Σ_b c1·c2 / max(d1, d2) — the textbook formula Catalyst/CBO uses),
+    then measure it against the true join count. Pipelines run this to
+    decide broadcast-vs-shuffle and to validate that collected stats are
+    fresh enough to trust.
+
+    Exactness: all counts are integers; the estimator divides positive
+    integers (``div`` == ``//``), and the error is an absolute integer
+    micro-ratio — bit-exact across engines.
+
+    Scale shape: each histogram is one hash aggregate (64 groups); the
+    estimate joins two 64-row relations. The actual-count join is the
+    expensive branch by design — it is the ground truth the certificate
+    exists to compare against (and the thing you would NOT run at 100 TB;
+    the histogram side costs one aggregate per table).
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    h1 = orders.groupBy((F.col("o_custkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1"),
+        F.countDistinct("o_custkey").cast("bigint").alias("d1"),
+    )
+    h2 = cust.groupBy((F.col("c_custkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2"),
+        F.countDistinct("c_custkey").cast("bigint").alias("d2"),
+    )
+    est = (
+        h1.join(h2, "b")
+        .agg(
+            F.expr(
+                "cast(sum((c1 * c2) div (case when d1 > d2 then d1 else d2 end))"
+                " as bigint)"
+            ).alias("est_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        )
+    )
+    act = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    return (
+        est.crossJoin(F.broadcast(act)).select(
+            "n_buckets",
+            "est_rows",
+            "actual_rows",
+            F.expr(
+                "cast((case when est_rows > actual_rows"
+                " then est_rows - actual_rows"
+                " else actual_rows - est_rows end) * 1000000"
+                " div actual_rows as bigint)"
+            ).alias("abs_err_micro"),
+        )
+    )

@@ -3019,3 +3019,81 @@ def q_time_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("area2"),
     )
     return picked.unionAll(ends)
+
+
+# --- q_events_circadian -----------------------------------------------------
+
+_CIRCADIAN_ORACLE = """
+WITH ang AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000)
+           * 6.283185307179586 AS theta
+  FROM events
+), terms AS (
+  SELECT event_type,
+         FLOOR(SIN(theta) * 10000 + 0.5) / 10000 AS s,
+         FLOOR(COS(theta) * 10000 + 0.5) / 10000 AS c
+  FROM ang
+), sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(s AS DECIMAL(18,7))) AS DOUBLE) AS ss,
+         CAST(SUM(CAST(c AS DECIMAL(18,7))) AS DOUBLE) AS sc
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, n,
+       FLOOR(SQRT(ss * ss + sc * sc) / n * 10000 + 0.5) / 10000
+         AS resultant_r,
+       FLOOR(ATAN2(ss, sc) * 10000 + 0.5) / 10000 AS mean_angle_r
+FROM sums
+"""
+
+
+@register("q_events_circadian", oracle=_CIRCADIAN_ORACLE)
+def q_events_circadian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular (directional) statistics of event time-of-day per
+    event_type: the resultant length R (0 = uniform around the clock,
+    1 = perfectly synchronized) and the mean angle — the von-Mises-style
+    diurnal profile that bot detection and send-time optimization use,
+    where a plain mean of hours is wrong (23:00 and 01:00 average to
+    midnight, not noon).
+
+    Parity: the hour angle is exact integer µs-mod mapped through one
+    double division and a shared 2π literal; each sin/cos is snapped to 4
+    decimals before the exact-decimal sum (libm last-ulp differences are
+    measure-zero at the boundary), and the final sqrt/atan2 runs on
+    identical doubles, r4-rounded on output.
+
+    Scale shape: pure per-row projection + one hash aggregate keyed by
+    event_type. No windows, no joins.
+    """
+    ev = load(spark, sf_dir, "events")
+    theta = (
+        (F.col("ts_us") % 86400000000).cast("double") / 86400000000
+    ) * 6.283185307179586
+    terms = ev.select(
+        "event_type",
+        (F.floor(F.sin(theta) * 10000 + F.lit(0.5)) / 10000).alias("s"),
+        (F.floor(F.cos(theta) * 10000 + F.lit(0.5)) / 10000).alias("c"),
+    )
+    sums = terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("s").cast(DEC)).cast("double").alias("ss"),
+        F.sum(F.col("c").cast(DEC)).cast("double").alias("sc"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        (
+            F.floor(
+                F.sqrt(F.col("ss") * F.col("ss") + F.col("sc") * F.col("sc"))
+                / F.col("n")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("resultant_r"),
+        (
+            F.floor(F.atan2(F.col("ss"), F.col("sc")) * 10000 + F.lit(0.5)) / 10000
+        ).alias("mean_angle_r"),
+    )
