@@ -3097,3 +3097,124 @@ def q_events_circadian(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.atan2(F.col("ss"), F.col("sc")) * 10000 + F.lit(0.5)) / 10000
         ).alias("mean_angle_r"),
     )
+
+
+# --- q_orders_littles_law ---------------------------------------------------
+
+_LITTLE_ORACLE = """
+WITH bounds AS (
+  SELECT o.o_orderkey,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_open,
+         CAST(MAX(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT)
+           AS day_close
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), per_order AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(day_close - day_open + 1) AS BIGINT) AS order_days_direct
+  FROM bounds
+), deltas AS (
+  SELECT day_open AS day, CAST(1 AS BIGINT) AS delta FROM bounds
+  UNION ALL
+  SELECT day_close + 1 AS day, CAST(-1 AS BIGINT) AS delta FROM bounds
+), daily AS (
+  SELECT day, SUM(delta) AS d FROM deltas GROUP BY day
+), curve AS (
+  SELECT day,
+         CAST(SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS backlog,
+         CAST(LEAD(day) OVER (ORDER BY day) - day AS BIGINT) AS span
+  FROM daily
+), integrated AS (
+  SELECT CAST(SUM(backlog * span) AS BIGINT) AS order_days_curve
+  FROM curve WHERE span IS NOT NULL
+)
+SELECT p.n_orders,
+       p.order_days_direct,
+       i.order_days_curve,
+       CAST(p.order_days_direct = i.order_days_curve AS INTEGER)
+         AS conservation_holds,
+       CAST((p.order_days_direct * 1000) // p.n_orders AS BIGINT)
+         AS avg_open_days_milli
+FROM per_order p CROSS JOIN integrated i
+"""
+
+
+@register("q_orders_littles_law", oracle=_LITTLE_ORACLE)
+def q_orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law conservation certificate: the area under the backlog
+    curve (Σ backlog·days, the time-integral L̄·T) must EXACTLY equal the
+    per-order open-duration sum (Σ W_i = λ̄·T·W̄) — the L = λW identity in
+    its exact finite-horizon form. This cross-validates the ±1-delta
+    encoding of q_orders_backlog against the direct per-order computation:
+    any off-by-one in the delta endpoints, a lost day in the prefix sum,
+    or a dropped order breaks INTEGER EQUALITY, not an approximate bound
+    — the `conservation_holds` column is pinned to 1 by the oracle.
+
+    Exactness: all integer (DATE−epoch days, counts, an integer-milli
+    average). The curve integral weights each backlog level by the span to
+    the next change day (LEAD), so the sparse day-granular relation
+    integrates exactly without day-level enumeration.
+
+    Scale shape: identical to q_orders_backlog (one orderkey aggregate,
+    one day aggregate, one calendar-bounded running sum) plus a second
+    1-row reduction per branch. The two branches share the bounds subtree
+    via one lazy checkpoint.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    bounds = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("max_ship"))
+        .select(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("day_open"),
+            F.unix_date(F.col("max_ship")).cast("bigint").alias("day_close"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_order = bounds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("day_close") - F.col("day_open") + 1)
+        .cast("bigint")
+        .alias("order_days_direct"),
+    )
+    deltas = bounds.select(
+        F.col("day_open").alias("day"), F.lit(1).cast("bigint").alias("delta")
+    ).unionAll(
+        bounds.select(
+            (F.col("day_close") + 1).alias("day"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    wday = Window.orderBy("day")
+    curve = daily.select(
+        "day",
+        F.sum("d")
+        .over(wday.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("backlog"),
+        (F.lead("day").over(wday) - F.col("day")).cast("bigint").alias("span"),
+    )
+    integrated = curve.filter(F.col("span").isNotNull()).agg(
+        F.sum(F.col("backlog") * F.col("span"))
+        .cast("bigint")
+        .alias("order_days_curve")
+    )
+    return (
+        per_order.crossJoin(F.broadcast(integrated)).select(
+            "n_orders",
+            "order_days_direct",
+            "order_days_curve",
+            (F.col("order_days_direct") == F.col("order_days_curve"))
+            .cast("int")
+            .alias("conservation_holds"),
+            F.expr(
+                "cast((order_days_direct * 1000) div n_orders as bigint)"
+            ).alias("avg_open_days_milli"),
+        )
+    )

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.operators.graph import _EDGES_SQL as _GRAPH_EDGES_SQL
@@ -442,4 +442,98 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(a.nf).cast("int").alias("files_before"),
         F.lit(b.nf).cast("int").alias("files_after"),
         F.lit(bool(a.n == b.n and a.su == b.su)).alias("lossless"),
+    )
+
+
+# --- q_layout_overlap (file clustering-depth certificate) --------------------
+
+_OVERLAP_PATH = "/tmp/genesapi_spark/overlap_events"
+_OVERLAP_FILES = 8
+
+_OVERLAP_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       {_OVERLAP_FILES} AS n_files,
+       TRUE AS sorted_layout_shallow,
+       TRUE AS random_layout_deep
+FROM events
+"""
+
+
+def _max_overlap_depth(boxes: DataFrame) -> int:
+    """Max number of per-file [mn, mx] intervals covering any single point,
+    via the ±1 boundary sweep (the q_intervals_active encoding pointed at
+    file statistics)."""
+    deltas = boxes.select(
+        F.col("mn").alias("p"), F.lit(1).alias("d")
+    ).unionAll(boxes.select((F.col("mx") + 1).alias("p"), F.lit(-1).alias("d")))
+    depth = deltas.groupBy("p").agg(F.sum("d").alias("d")).select(
+        F.sum("d")
+        .over(
+            Window.orderBy("p").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("depth")
+    )
+    return depth.agg(F.max("depth")).collect()[0][0]
+
+
+@register("q_layout_overlap", oracle=_OVERLAP_ORACLE)
+def q_layout_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE CLUSTERING-DEPTH certificate — the compaction-planning metric
+    Iceberg/Delta maintenance jobs compute before rewriting: the maximum
+    number of files whose [min, max] key intervals overlap at any point.
+    Depth 1 means range predicates touch one file (perfectly clustered);
+    depth = file count means every range scan reads everything (the
+    streaming-append pathology). Events are written twice — range-
+    partitioned+sorted by ts_us vs round-robin — and the certificate pins
+    the MEASURED verdicts: the sorted generation stays shallow (≤ 2 — a
+    duplicate boundary timestamp can legitimately land in two adjacent
+    files) and the round-robin generation is deeper than half the file
+    count. Depth is computed with the ±1 boundary sweep over the per-file
+    min/max statistics (q_intervals_active's encoding pointed at file
+    metadata — exactly what a table-format maintenance planner reads from
+    the manifest, no data scan needed at 100 TB).
+
+    A row/sum checksum proves both generations lossless; scratch paths are
+    session-nonced (concurrent runs never collide).
+    """
+    from genesapi_cli_spark.io import load, session_nonce
+
+    base = (
+        f"{_OVERLAP_PATH}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+        f"_{session_nonce(spark)}"
+    )
+    ev = load(spark, sf_dir, "events").select("user_id", "ts_us")
+    (
+        ev.repartitionByRange(_OVERLAP_FILES, "ts_us")
+        .sortWithinPartitions("ts_us")
+        .write.mode("overwrite")
+        .parquet(f"{base}/sorted")
+    )
+    ev.repartition(_OVERLAP_FILES).write.mode("overwrite").parquet(
+        f"{base}/random"
+    )
+
+    def boxes(path: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+        )
+
+    depth_sorted = _max_overlap_depth(boxes(f"{base}/sorted"))
+    depth_random = _max_overlap_depth(boxes(f"{base}/random"))
+    return (
+        spark.read.parquet(f"{base}/sorted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+        )
+        .withColumn("n_files", F.lit(_OVERLAP_FILES))
+        .withColumn("sorted_layout_shallow", F.lit(bool(depth_sorted <= 2)))
+        .withColumn(
+            "random_layout_deep", F.lit(bool(depth_random > _OVERLAP_FILES // 2))
+        )
     )
