@@ -2491,3 +2491,219 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(slope, "zipf_slope"),
         r4((F.col("sy") - slope * F.col("sx")) / F.col("n"), "zipf_intercept"),
     )
+
+
+# --- q_text_burstiness ------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) WHERE len(term) > 2
+), stats AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS cf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM terms GROUP BY term
+), corpus AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM terms
+), scored AS (
+  SELECT term, cf, df,
+         FLOOR(n_docs * (1 - EXP(-(CAST(cf AS DOUBLE) / n_docs)))
+               * 10000 + 0.5) / 10000 AS e_df_r
+  FROM stats CROSS JOIN corpus
+)
+SELECT term, cf, df, e_df_r,
+       FLOOR(df / e_df_r * 10000 + 0.5) / 10000 AS burst_r,
+       rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS rank FROM scored
+) WHERE rank <= 20
+"""
+
+
+@register("q_text_burstiness", oracle=_BURST_ORACLE)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness: observed document frequency vs the
+    Poisson expectation N·(1−e^(−cf/N)) for the top-20 terms — the
+    clumping diagnostic behind stopword selection and tf saturation
+    choices (function words hit df ≈ expectation, topical words 'burst':
+    fewer docs than Poisson predicts, each containing the term many
+    times). burst < 1 marks content-bearing vocabulary.
+
+    Parity: cf/df/N are exact integers; the one EXP is snapped to 4
+    decimals, and the df/E ratio divides by the SNAPPED expectation so
+    both engines divide identical doubles, r4 on output; ranking is on
+    integer cf with term tie-break.
+
+    Scale shape: one corpus-scale (doc, term) aggregate; everything after
+    is vocabulary-sized plus a broadcast 1-row N.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    terms = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.length("term") > 2)
+        .localCheckpoint(eager=False)
+    )
+    stats = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    corpus = terms.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    e_df = (
+        F.floor(
+            F.col("n_docs")
+            * (F.lit(1) - F.exp(-(F.col("cf").cast("double") / F.col("n_docs"))))
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    scored = stats.crossJoin(F.broadcast(corpus)).select(
+        "term", "cf", "df", e_df.alias("e_df_r")
+    )
+    w = Window.orderBy(F.col("cf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "term",
+            "cf",
+            "df",
+            "e_df_r",
+            (
+                F.floor(F.col("df") / F.col("e_df_r") * 10000 + F.lit(0.5)) / 10000
+            ).alias("burst_r"),
+            "rank",
+        )
+    )
+
+
+# --- q_text_rake ------------------------------------------------------------
+
+#: RAKE phrase boundaries: stopwords + the length filter split candidate
+#: keyphrases. Reuses the corpus stopword pair from q_text_quality.
+_RAKE_STOPS = ("a", "the")
+
+_RAKE_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, i, w FROM (
+    SELECT doc_id,
+           unnest(generate_series(1, len(string_split(lower(text), ' '))))
+             AS i,
+           string_split(lower(text), ' ') AS ws
+    FROM documents
+  ) t, LATERAL (SELECT ws[i] AS w)
+), members AS (
+  SELECT doc_id, i, w,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM pos WHERE w NOT IN {_RAKE_STOPS!r}
+), sized AS (
+  SELECT doc_id, island, i, w,
+         COUNT(*) OVER (PARTITION BY doc_id, island) AS plen
+  FROM members
+), wstats AS (
+  SELECT w,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg
+  FROM sized GROUP BY w
+), wscore AS (
+  SELECT w, CAST((deg * 1000000) // freq AS BIGINT) AS w_micro FROM wstats
+), phrases AS (
+  SELECT s.doc_id, s.island,
+         string_agg(s.w, ' ' ORDER BY s.i) AS phrase,
+         CAST(MAX(s.plen) AS BIGINT) AS phrase_len,
+         CAST(SUM(ws.w_micro) AS BIGINT) AS score_micro
+  FROM sized s JOIN wscore ws ON ws.w = s.w
+  GROUP BY s.doc_id, s.island
+), uniq AS (
+  SELECT phrase, MAX(phrase_len) AS phrase_len,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         MAX(score_micro) AS score_micro
+  FROM phrases WHERE phrase_len >= 2
+  GROUP BY phrase
+)
+SELECT phrase, phrase_len, n_occ, score_micro, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, phrase) AS rank
+  FROM uniq
+) WHERE rank <= 15
+"""
+
+
+@register("q_text_rake", oracle=_RAKE_ORACLE)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands on token
+    positions), each word scores deg(w)/freq(w) — degree counts co-members
+    across every phrase occurrence — and a phrase scores the sum of its
+    member word scores; top-15 multiword phrases corpus-wide. The
+    classic unsupervised keyword extractor, run at corpus scale for
+    tagging/retrieval pipelines.
+
+    Parity: word scores are integer micro floor-divisions (positive),
+    phrase scores integer sums; phrase text is assembled in explicit
+    position order on both engines (Spark sorts the (i, w) struct array —
+    collect_list order is NOT deterministic, array_sort makes it so).
+    Identical phrases scoring identically is a THEOREM of the shared
+    (deg, freq) tables, so MAX over duplicates is exact.
+
+    Scale shape: one posexplode pass, the island key from one per-doc
+    window, word stats from one vocabulary-keyed aggregate (joined back
+    broadcast-small), phrase assembly from one (doc, island) aggregate.
+    No corpus-scale joins — the only join is members ⋈ word-scores on the
+    vocabulary key.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p", "w"),
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "w")
+    members = pos.filter(~F.col("w").isin(*_RAKE_STOPS)).withColumn(
+        "island",
+        F.col("i")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("i")),
+    )
+    sized = members.withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "island"))
+    ).localCheckpoint(eager=False)
+    wscore = (
+        sized.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+        .select("w", F.expr("cast((deg * 1000000) div freq as bigint)").alias("w_micro"))
+    )
+    phrases = (
+        sized.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.max("plen").cast("bigint").alias("phrase_len"),
+            F.sum("w_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    uniq = (
+        phrases.filter(F.col("phrase_len") >= 2)
+        .groupBy("phrase")
+        .agg(
+            F.max("phrase_len").alias("phrase_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.max("score_micro").alias("score_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), "phrase")
+    return (
+        uniq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 15)
+        .select("phrase", "phrase_len", "n_occ", "score_micro", "rank")
+    )
