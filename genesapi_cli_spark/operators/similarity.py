@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load
+from genesapi_cli_spark.io import load, spread
 from genesapi_cli_spark.registry import DEC, register
 
 
@@ -121,7 +121,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors (vec_id < 10)
     among the rest. Ranking is on the deterministically-rounded similarity
     (then neighbor_id) so last-ulp float differences can't flip the top-k."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", as_double("embedding").alias("emb")
     )
     e = e.select("vec_id", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm"))
@@ -332,7 +332,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: more planes (or IVF centroids) + multi-probe; the plan shape —
     bucket equi-join then per-query top-k window — is unchanged.
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", as_double("embedding").alias("emb")
     )
     e = e.select(
@@ -436,7 +436,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake, write the table partitioned by this bucket column and the probe
     join becomes partition pruning (read nprobe/K of the data).
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", as_double("embedding").alias("emb")
     )
     # cache(): this normed scan feeds THREE arms (centroid broadcast,
@@ -704,7 +704,7 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on (query, candidate) to count agreements, and one exact
     integer division for the mean — bit-exact, no tolerance anywhere.
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
     e = e.select("vec_id", "label", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm"))
@@ -832,7 +832,7 @@ def q_sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness); at index scale the same reduction feeds the bucketed ANN
     paths, which is the point of certifying it.
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", as_double("embedding").alias("emb")
     )
     e = e.select("vec_id", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm"))
@@ -955,7 +955,7 @@ def q_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth (at 100 TB it runs on a sampled query set, same shape). All
     ranks use the rounded-cosine determinism convention; counts are exact
     integers."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", as_double("embedding").alias("emb")
     )
     e = e.select(
@@ -1421,12 +1421,16 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     both tiny relative to the dot products, which run in whole-stage
     codegen.
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    # spread(): the testdata parquet is one row group → ONE input partition,
+    # and the 2.25M-pair dot-product stage would otherwise run on a single
+    # core (measured 7.6s → ~1s at sf0.1). The checkpoint then materializes
+    # the HOF cast + norm once for both join branches.
+    e = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
     e = e.select(
         "vec_id", "label", "emb", F.sqrt(dot_expr("emb", "emb")).alias("nrm")
-    )
+    ).localCheckpoint(eager=False)
     q = e.filter(F.col("label") == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("emb").alias("qemb"),
@@ -1518,7 +1522,9 @@ def q_sim_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast-sized hash sample — never all-pairs. Two max-aggregates
     keyed by anchor, one label rollup.
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    # spread() parallelizes the single-partition scan before the ~1M-pair
+    # NLJ cosine stage (see q_sim_maxsim).
+    e = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
     e = e.select(
