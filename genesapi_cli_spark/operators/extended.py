@@ -1633,3 +1633,94 @@ def q_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("smp_rank") <= 8)
         .select("source", "doc_id", "smp_rank", "n_group")
     )
+
+
+# --- q_sql_quantified (ALL / ANY subquery comparisons) -----------------------
+
+_QUANT_SQL = """
+WITH brand_prices AS (
+  SELECT p_brand, p_retailprice FROM part
+), above_all AS (
+  SELECT p.p_partkey, p.p_brand, p.p_retailprice
+  FROM part p
+  WHERE p.p_retailprice > (
+    SELECT MAX(b.p_retailprice) FROM brand_prices b
+    WHERE b.p_brand <> p.p_brand
+  ) - 0.01
+), below_any AS (
+  SELECT p.p_partkey
+  FROM part p
+  WHERE p.p_size < (
+    SELECT MIN(p2.p_size) + 3 FROM part p2 WHERE p2.p_type = p.p_type
+  )
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM above_all) AS n_above_all,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM below_any) AS n_below_any,
+  (SELECT MIN(p_partkey) FROM above_all) AS first_above_all
+"""
+
+
+@register("q_sql_quantified", oracle=_QUANT_SQL)
+def q_sql_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified subquery comparisons — `> ALL (...)` / `< ANY (...)` in
+    their decorrelated form: parts pricier (within a cent) than EVERY part
+    of any other brand, and parts smaller than some near-minimum size of
+    their own type. The relational planner lesson: ALL/ANY never needs a
+    per-row subquery — `> ALL S` is `> MAX(S)` and `< ANY S` is
+    `< MIN(S)+slack`, i.e. ONE aggregate joined back (here the
+    anti-self-group twist: 'every OTHER brand' becomes the global
+    two-top-values trick so a brand's own max doesn't mask it).
+
+    Plan: compute the global top-2 brand maxima once (1-row broadcast),
+    compare each part against the max EXCLUDING its own brand — O(n) + a
+    broadcast, where the naive correlated form is O(n·brands). The ANY
+    side is a per-type MIN aggregate broadcast-joined back on type. Output
+    is a 1-row certificate (counts + first qualifying key) so the oracle
+    pins both rewrites.
+
+    Scale: both rewrites are map-side comparisons against broadcast
+    aggregates — no shuffle of the fact side at all beyond the dim-sized
+    aggregates themselves."""
+    part = load(spark, sf_dir, "part")
+    # top-2 distinct brand maxima: max price over all brands, and max price
+    # over brands OTHER than the leader (covers the leader's own exclusion).
+    brand_max = part.groupBy("p_brand").agg(
+        F.max("p_retailprice").alias("bmax")
+    )
+    w = Window.orderBy(F.desc("bmax"), "p_brand")
+    top2 = (
+        brand_max.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("bmax"))).alias("max1"),
+            F.max(F.when(F.col("rn") == 1, F.col("p_brand"))).alias("brand1"),
+            F.max(F.when(F.col("rn") == 2, F.col("bmax"))).alias("max2"),
+        )
+    )
+    above_all = (
+        part.crossJoin(F.broadcast(top2))
+        .filter(
+            F.col("p_retailprice")
+            > F.when(F.col("p_brand") == F.col("brand1"), F.col("max2")).otherwise(
+                F.col("max1")
+            )
+            - 0.01
+        )
+        .select("p_partkey")
+    )
+    type_min = part.groupBy("p_type").agg(F.min("p_size").alias("tmin"))
+    below_any = (
+        part.join(F.broadcast(type_min), "p_type")
+        .filter(F.col("p_size") < F.col("tmin") + 3)
+        .select("p_partkey")
+    )
+    a = above_all.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_above_all"),
+        F.min("p_partkey").alias("first_above_all"),
+    )
+    b = below_any.agg(F.count(F.lit(1)).cast("bigint").alias("n_below_any"))
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_above_all", "n_below_any", "first_above_all"
+    )

@@ -998,3 +998,97 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.sum("d").cast("bigint").alias("sum_degree"),
     )
+
+
+# --- q_graph_hits -----------------------------------------------------------
+
+_HITS_ORACLE = """
+WITH be AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), a1 AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS a1 FROM be GROUP BY p
+), h1 AS (
+  SELECT c, CAST(SUM(a1) AS BIGINT) AS h1 FROM be JOIN a1 USING (p) GROUP BY c
+), a2 AS (
+  SELECT p, CAST(SUM(h1) AS BIGINT) AS a2 FROM be JOIN h1 USING (c) GROUP BY p
+), h2 AS (
+  SELECT c, CAST(SUM(a2) AS BIGINT) AS h2 FROM be JOIN a2 USING (p) GROUP BY c
+), top_auth AS (
+  SELECT 'authority' AS side, p AS node_id, a2 AS score,
+         ROW_NUMBER() OVER (ORDER BY a2 DESC, p) AS rank
+  FROM a2
+), top_hub AS (
+  SELECT 'hub' AS side, c AS node_id, h2 AS score,
+         ROW_NUMBER() OVER (ORDER BY h2 DESC, c) AS rank
+  FROM h2
+)
+SELECT side, node_id, score, rank FROM top_auth WHERE rank <= 10
+UNION ALL
+SELECT side, node_id, score, rank FROM top_hub WHERE rank <= 10
+"""
+
+
+@register("q_graph_hits", oracle=_HITS_ORACLE)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the bipartite customer→part purchase
+    graph (Kleinberg's algorithm, two full mutual-reinforcement rounds):
+    a₁ = indegree, h₁ = Σ a₁ over a customer's parts, a₂ = Σ h₁ over a
+    part's customers, h₂ = Σ a₂ — top-10 of each side. The ranking is
+    invariant to HITS' usual L2 normalization (scores here are the exact
+    un-normalized power-iteration numerators), so the whole computation
+    stays in EXACT bigint — no float, no epsilon, no parity risk.
+
+    Overflow bound: h₂ ≤ outdeg·max(a₂) ≤ outdeg·indeg·outdeg·indeg·1;
+    with per-node degrees ~10³ at 100 TB that is ≤1e12 — 6 orders of
+    magnitude under bigint.
+
+    Scale shape: one orderkey-shuffled join builds the distinct edge list
+    (checkpointed once, read by all four rounds); each HITS half-step is a
+    node-keyed equi-join + hash aggregate — the standard message-passing-
+    as-join pattern (same family as q_graph_pagerank, which normalizes;
+    HITS' two-sided variant needs no degree division at all). Output is 20
+    rows regardless of graph size.
+    """
+    orders, li = load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    be = (
+        spread(li.select("l_orderkey", "l_partkey"), "l_orderkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a1 = be.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))
+    h1 = (
+        be.join(a1, "p").groupBy("c").agg(F.sum("a1").cast("bigint").alias("h1"))
+    )
+    a2 = (
+        be.join(h1, "c").groupBy("p").agg(F.sum("h1").cast("bigint").alias("a2"))
+    )
+    h2 = (
+        be.join(a2, "p").groupBy("c").agg(F.sum("a2").cast("bigint").alias("h2"))
+    )
+    top_auth = (
+        a2.select(
+            F.lit("authority").alias("side"),
+            F.col("p").alias("node_id"),
+            F.col("a2").alias("score"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("a2"), "p"))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    top_hub = (
+        h2.select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("node_id"),
+            F.col("h2").alias("score"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("h2"), "c"))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    return top_auth.unionAll(top_hub)

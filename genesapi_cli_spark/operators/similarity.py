@@ -1610,3 +1610,207 @@ def q_sim_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_margin"),
         )
     )
+
+
+# --- q_sim_knn_graph --------------------------------------------------------
+
+_KNNG_K = 2  # neighbors per node; mutual filter keeps edges both agree on
+
+
+def _knng_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, emb, nrm, ({_bucket_sql('emb')}) AS bucket FROM e
+), scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         FLOOR(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+               * 10000 + 0.5) / 10000 AS cos_r
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), topk AS (
+  SELECT src, dst, cos_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY src ORDER BY cos_r DESC, dst
+         ) AS rn
+  FROM scored
+), directed AS (
+  SELECT src, dst, cos_r FROM topk WHERE rn <= {_KNNG_K}
+)
+SELECT f.src AS a, f.dst AS b, f.cos_r
+FROM directed f JOIN directed r ON r.src = f.dst AND r.dst = f.src
+WHERE f.src < f.dst
+"""
+
+
+@register("q_sim_knn_graph", oracle=_knng_oracle())
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the whole embedding corpus (k=2, LSH-bucketed):
+    each vector ranks its within-bucket candidates by rounded cosine, and an
+    edge survives only if BOTH endpoints keep it in their top-k — the graph
+    SemDeDup-style semantic dedup and density-based curation build first
+    (mutual edges ≈ genuine semantic neighborhoods; one-way edges are hub
+    artifacts).
+
+    Unlike q_sim_ann_lsh's query-vs-corpus probe, this is corpus×corpus:
+    the 16-way sign-random-projection bucketing turns the O(n²) all-pairs
+    into per-bucket blocks (candidate volume ÷ 2^planes), and the mutual
+    check is a self-join of the k·n directed edge list on the reversed key
+    — NOT a second scoring pass. At 100 TB: more planes + multi-probe
+    (union of per-probe candidate sets) keeps blocks bounded; the directed
+    edge list stays k·n rows, so the mutual join is linear in corpus size.
+
+    Parity: cosine is the fixed-order 64-term dot product (bit-identical
+    fold on both engines), snapped to 4 decimals BEFORE ranking, dst
+    tie-break — the exact q_sim_ann_lsh ranking contract.
+    """
+    e = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    e = e.select(
+        "vec_id",
+        "emb",
+        F.sqrt(dot_expr("emb", "emb")).alias("nrm"),
+        _bucket_expr("emb").alias("bucket"),
+    ).localCheckpoint(eager=False)
+    a = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("emb").alias("aemb"),
+        F.col("nrm").alias("anrm"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("emb").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    scored = (
+        a.join(b, (F.col("bucket_b") == F.col("bucket")) & (F.col("dst") != F.col("src")))
+        .select(
+            "src",
+            "dst",
+            (
+                F.floor(
+                    dot_expr("aemb", "bemb") / (F.col("anrm") * F.col("bnrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_r").desc(), "dst")
+    directed = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNNG_K)
+        .select("src", "dst", "cos_r")
+        .localCheckpoint(eager=False)
+    )
+    rev = directed.select(
+        F.col("src").alias("rsrc"), F.col("dst").alias("rdst")
+    )
+    return (
+        directed.join(
+            rev,
+            (F.col("rsrc") == F.col("dst")) & (F.col("rdst") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"), "cos_r")
+    )
+
+
+# --- q_sim_semantic_clusters ------------------------------------------------
+
+
+def _semclusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, emb, nrm, ({_bucket_sql('emb')}) AS bucket FROM e
+), scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         FLOOR(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+               * 10000 + 0.5) / 10000 AS cos_r
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), topk AS (
+  SELECT src, dst, cos_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY src ORDER BY cos_r DESC, dst
+         ) AS rn
+  FROM scored
+), directed AS (
+  SELECT src, dst FROM topk WHERE rn <= {_KNNG_K}
+), mutual AS (
+  SELECT f.src AS doc_a, f.dst AS doc_b
+  FROM directed f JOIN directed r ON r.src = f.dst AND r.dst = f.src
+  WHERE f.src < f.dst
+), nodes AS (
+  SELECT doc_a AS node FROM mutual UNION SELECT doc_b FROM mutual
+), sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mutual
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mutual
+), reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT s.src AS node, reach.r FROM reach JOIN sym s ON reach.node = s.dst
+), labels AS (
+  SELECT node, MIN(r) AS label FROM reach GROUP BY node
+)
+SELECT label AS keeper_vec,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(0 AS BIGINT) AS n_unconverged
+FROM labels GROUP BY label
+"""
+
+
+@register("q_sim_semantic_clusters", oracle=_semclusters_oracle())
+def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic clusters: connected components over the
+    MUTUAL k-NN graph (q_sim_knn_graph's edge relation), one row per
+    cluster with its canonical keeper (min vec_id) and size — the step
+    that turns pairwise semantic similarity into corpus-level keep/drop
+    decisions, exactly as q_dedup_clusters does for MinHash text pairs.
+
+    Reuses the unrolled pointer-doubling connected-components schedule
+    (dedup.connected_components — one submitted action, no driver
+    polling) on semantic edges instead of shingle-overlap edges; the
+    ``n_unconverged`` certificate is the same declarative convergence
+    proof, pinned to 0 by the recursive-CTE oracle.
+
+    Scale shape: edge generation is LSH-bucketed (never all-pairs, blocks
+    ÷ 2^planes); the mutual filter is a reversed-key self-join of the k·n
+    directed list; CC rounds shuffle the label relation on node while the
+    pre-partitioned symmetric edge list stays put. At 100 TB this is the
+    embedding-side dedup pass run after exact/minhash text dedup."""
+    from genesapi_cli_spark.operators.dedup import connected_components
+
+    mutual = q_sim_knn_graph(spark, sf_dir).select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
+    )
+    # Mutual k-NN graphs are chain-like (each node holds <= k edges), so
+    # component DIAMETER grows with corpus size where shingle-overlap blobs
+    # stay shallow: 10 doubling rounds certify chains up to 2^10 links
+    # (q_dedup_clusters' default 4 suffices for its clique-ish pair graph).
+    labels = connected_components(mutual, rounds=10)
+    unconv = labels.filter(F.col("prev") != F.col("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unconverged")
+    )
+    return (
+        labels.groupBy(F.col("label").alias("keeper_vec"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+        )
+        .crossJoin(F.broadcast(unconv))
+        .select("keeper_vec", "n_vecs", "n_dropped", "n_unconverged")
+    )

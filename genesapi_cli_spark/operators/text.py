@@ -2707,3 +2707,101 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 15)
         .select("phrase", "phrase_len", "n_occ", "score_micro", "rank")
     )
+
+
+# --- q_text_dup_ngram_coverage ----------------------------------------------
+
+_DUPNG_N = 5  # n-gram width of the duplicate-coverage metric
+
+
+_DUPNG_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(w, i, i + {_DUPNG_N - 1}), ' ') AS g
+  FROM ws, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_DUPNG_N - 1})) AS i
+  )
+  WHERE len(w) >= {_DUPNG_N}
+), df AS (
+  SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM grams GROUP BY g
+), per_doc AS (
+  SELECT gr.doc_id, gr.source,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM grams gr JOIN df ON df.g = gr.g
+  GROUP BY gr.doc_id, gr.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_dup) AS BIGINT) AS total_dup,
+       FLOOR(AVG(FLOOR(CAST(n_dup AS DOUBLE) / n_grams * 10000 + 0.5) / 10000)
+             * 10000 + 0.5) / 10000 AS mean_dup_frac_r
+FROM per_doc
+GROUP BY source
+"""
+
+
+@register("q_text_dup_ngram_coverage", oracle=_DUPNG_ORACLE)
+def q_text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-5-gram coverage per source: the fraction of each document's
+    5-grams that also occur in at least one OTHER document — the
+    'duplicate n-gram fraction' quality signal from the Gopher /
+    RefinedWeb filtering recipes (high coverage = boilerplate or template
+    text; the per-source mean decides which feeds need harder dedup before
+    training). Complements the pairwise dedup ladder: this is a
+    corpus-global document-frequency statistic, not a pair metric.
+
+    Parity: gram instances and document frequencies are exact integers;
+    the only float is the per-doc fraction, snapped to 4 decimals before
+    the per-source mean, which is snapped again on output.
+
+    Scale shape: grams explode in-row (whole-stage codegen, no shuffle);
+    the df aggregate and the instance↔df equi-join both key on the gram
+    string — at 100 TB the gram would be xxhash64'd to a fixed-width key
+    first (same technique as the minhash family) and the join co-partitions
+    with the aggregate, so the corpus shuffles twice total; the per-doc and
+    per-source rollups are map-side combined."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    ws = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("w")
+    )
+    grams = (
+        ws.filter(F.size("w") >= _DUPNG_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_DUPNG_N - 1}),"
+                    f" i -> array_join(slice(w, i, {_DUPNG_N}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    df = (
+        grams.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    per_doc = (
+        grams.join(df, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    frac = F.floor(F.col("n_dup").cast("double") / F.col("n_grams") * 10000 + F.lit(0.5)) / 10000
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("total_grams"),
+        F.sum("n_dup").cast("bigint").alias("total_dup"),
+        (F.floor(F.avg(frac) * 10000 + F.lit(0.5)) / 10000).alias("mean_dup_frac_r"),
+    )

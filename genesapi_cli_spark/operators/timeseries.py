@@ -3218,3 +3218,368 @@ def q_orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_open_days_milli"),
         )
     )
+
+
+# --- q_window_theil_sen -----------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH monthly AS (
+  SELECT p.p_brand AS brand,
+         YEAR(l.l_shipdate) * 12 + MONTH(l.l_shipdate) AS m,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY brand, m
+), slopes AS (
+  SELECT a.brand,
+         FLOOR(CAST(b.rev_cents - a.rev_cents AS DOUBLE)
+               / (b.m - a.m) / 100 * 10000 + 0.5) / 10000 AS slope_r
+  FROM monthly a JOIN monthly b
+    ON b.brand = a.brand AND b.m > a.m
+), ranked AS (
+  SELECT brand, slope_r,
+         ROW_NUMBER() OVER (PARTITION BY brand ORDER BY slope_r) AS rn,
+         COUNT(*) OVER (PARTITION BY brand) AS n_pairs
+  FROM slopes
+), med AS (
+  SELECT brand, CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+         FLOOR(AVG(slope_r) * 10000 + 0.5) / 10000 AS ts_slope_r
+  FROM ranked
+  WHERE rn IN ((n_pairs + 1) // 2, (n_pairs + 2) // 2)
+  GROUP BY brand
+)
+SELECT m.brand, c.n_months, m.n_pairs, m.ts_slope_r
+FROM med m JOIN (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly GROUP BY brand
+) c ON c.brand = m.brand
+"""
+
+
+@register("q_window_theil_sen", oracle=_THEILSEN_ORACLE)
+def q_window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per brand: the MEDIAN of all pairwise slopes
+    of the monthly-revenue series — the estimator that shrugs off the
+    outlier months that wreck q_window_slope's OLS fit (breakdown point
+    29.3% vs 0%). The robust/parametric pair is the standard trend-audit
+    toolkit for revenue series.
+
+    Exactness: monthly revenue is exact integer cents; each pairwise slope
+    divides two exact integers in IEEE double (identical on both engines)
+    and is snapped to 4 decimals BEFORE the median, so the median selects
+    among identical doubles; the median of an even count averages two
+    snapped values and re-snaps.
+
+    Scale shape: the O(T²) pair join is per-series and T is bounded by the
+    CALENDAR (~84 months), not the data — so pair fan-out is a constant
+    ≤3.5k rows per brand no matter how many lineitems feed a month. One
+    brand-keyed shuffle for the monthly rollup (map-side partials absorb
+    the volume), one brand-keyed self-join, one window median.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    monthly = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = monthly.select(
+        F.col("brand"), F.col("m").alias("m1"), F.col("rev_cents").alias("r1")
+    )
+    b = monthly.select(
+        F.col("brand").alias("brand_b"),
+        F.col("m").alias("m2"),
+        F.col("rev_cents").alias("r2"),
+    )
+    # monthly is calendar-bounded (brands x months ~ 2.1k rows at ANY scale):
+    # broadcast both consumers so the only shuffle left is the median window.
+    slopes = (
+        a.join(F.broadcast(b),
+               (F.col("brand_b") == F.col("brand")) & (F.col("m2") > F.col("m1")))
+        .select(
+            "brand",
+            (
+                F.floor(
+                    (F.col("r2") - F.col("r1")).cast("double")
+                    / (F.col("m2") - F.col("m1"))
+                    / 100
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("slope_r"),
+        )
+    )
+    wrank = Window.partitionBy("brand").orderBy("slope_r")
+    wcnt = Window.partitionBy("brand")
+    ranked = slopes.select(
+        "brand",
+        "slope_r",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("n_pairs"),
+    )
+    med = (
+        ranked.filter(
+            F.expr("rn = (n_pairs + 1) div 2 OR rn = (n_pairs + 2) div 2")
+        )
+        .groupBy("brand")
+        .agg(
+            F.max("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.floor(F.avg("slope_r") * 10000 + F.lit(0.5)) / 10000).alias(
+                "ts_slope_r"
+            ),
+        )
+    )
+    n_months = monthly.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months")
+    )
+    return med.join(F.broadcast(n_months), "brand").select(
+        "brand", "n_months", "n_pairs", "ts_slope_r"
+    )
+
+
+# --- q_window_changepoint ---------------------------------------------------
+
+_CHGPT_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS xc
+  FROM events GROUP BY event_type, day_idx
+), cum AS (
+  SELECT event_type, day_idx, xc,
+         ROW_NUMBER() OVER w AS k,
+         CAST(SUM(xc) OVER w AS BIGINT) AS sl,
+         SUM(CAST(xc AS DECIMAL(27,7)) * xc) OVER w AS s2l,
+         CAST(SUM(xc) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+         SUM(CAST(xc AS DECIMAL(27,7)) * xc)
+           OVER (PARTITION BY event_type) AS s2t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+               ROWS UNBOUNDED PRECEDING)
+), scored AS (
+  SELECT event_type, day_idx, k, n,
+         FLOOR((1.0 - (
+             (CAST(s2l AS DOUBLE) - CAST(sl AS DOUBLE) * sl / k)
+           + (CAST(s2t - s2l AS DOUBLE)
+              - CAST(st - sl AS DOUBLE) * (st - sl) / (n - k))
+         ) / (CAST(s2t AS DOUBLE) - CAST(st AS DOUBLE) * st / n))
+           * 10000 + 0.5) / 10000 AS gain_r
+  FROM cum
+  WHERE k < n
+    AND CAST(s2t AS DOUBLE) - CAST(st AS DOUBLE) * st / n > 0
+), ranked AS (
+  SELECT event_type, day_idx AS split_day, CAST(k AS BIGINT) AS k,
+         CAST(n AS BIGINT) AS n_days, gain_r,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY gain_r DESC, k) AS rank
+  FROM scored
+)
+SELECT event_type, split_day, k, n_days, gain_r, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("q_window_changepoint", oracle=_CHGPT_ORACLE)
+def q_window_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection (binary segmentation, first split) on
+    each event type's daily-revenue series: the split k that maximizes the
+    variance explained, gain(k) = 1 − (SSE_left + SSE_right)/SSE_total,
+    top-3 candidate splits per series — the level-shift detector behind
+    deploy-impact and regime-change review of metric series (the first
+    round of the standard binary-segmentation recursion).
+
+    Parity engineering: daily totals are exact integer cents; Σx is exact
+    bigint and Σx² exact decimal(27,7) (product widened BEFORE the sum, so
+    money-scale squares cannot overflow — the DEC_WIDE discipline), both
+    accumulated in ONE cumulative window; every SSE term is then a single
+    identical IEEE-double expression on both engines, and gain is snapped
+    to 4 decimals before ranking with the split index as tie-break.
+
+    Scale shape: the fact table collapses to (series, day) in one map-side
+    combined aggregate; the cumulative window is per-series over
+    calendar-bounded rows (the O(T) prefix-sum trick — evaluating all T−1
+    candidate splits needs no per-split pass); ranking is a second tiny
+    window. Recursing into segments = re-running this plan on day ranges."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {_DAY_US}").alias("day_idx")
+    ).agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("xc"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    x2 = F.col("xc").cast("decimal(27,7)") * F.col("xc")
+    cum = daily.select(
+        "event_type",
+        "day_idx",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day_idx")).alias("k"),
+        F.sum("xc").over(wc).cast("bigint").alias("sl"),
+        F.sum(x2).over(wc).alias("s2l"),
+        F.sum("xc").over(wt).cast("bigint").alias("st"),
+        F.sum(x2).over(wt).alias("s2t"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    sse_total = F.col("s2t").cast("double") - F.col("st").cast("double") * F.col("st") / F.col("n")
+    obj = (
+        F.col("s2l").cast("double")
+        - F.col("sl").cast("double") * F.col("sl") / F.col("k")
+    ) + (
+        (F.col("s2t") - F.col("s2l")).cast("double")
+        - (F.col("st") - F.col("sl")).cast("double")
+        * (F.col("st") - F.col("sl"))
+        / (F.col("n") - F.col("k"))
+    )
+    scored = (
+        cum.filter((F.col("k") < F.col("n")) & (sse_total > 0))
+        .select(
+            "event_type",
+            "day_idx",
+            "k",
+            "n",
+            (F.floor((F.lit(1.0) - obj / sse_total) * 10000 + F.lit(0.5)) / 10000).alias(
+                "gain_r"
+            ),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("gain_r"), "k")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            F.col("day_idx").alias("split_day"),
+            F.col("k").cast("bigint").alias("k"),
+            F.col("n").cast("bigint").alias("n_days"),
+            "gain_r",
+            "rank",
+        )
+    )
+
+
+# --- q_window_xcorr_lag -----------------------------------------------------
+
+_XCORR_MAX_LAG = 3
+
+_XCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS xc
+  FROM events GROUP BY event_type, day_idx
+), lags AS (
+  SELECT unnest(generate_series(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG})) AS lag
+), paired AS (
+  SELECT x.event_type AS type_x, y.event_type AS type_y, l.lag,
+         x.xc AS xv, y.xc AS yv
+  FROM daily x
+  CROSS JOIN lags l
+  JOIN daily y ON y.event_type > x.event_type
+              AND y.day_idx = x.day_idx + l.lag
+), stats AS (
+  SELECT type_x, type_y, lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xv) AS BIGINT) AS sx,
+         CAST(SUM(yv) AS BIGINT) AS sy,
+         SUM(CAST(xv AS DECIMAL(27,7)) * yv) AS sxy,
+         SUM(CAST(xv AS DECIMAL(27,7)) * xv) AS sxx,
+         SUM(CAST(yv AS DECIMAL(27,7)) * yv) AS syy
+  FROM paired
+  GROUP BY type_x, type_y, lag
+), corr AS (
+  SELECT type_x, type_y, lag, n,
+         FLOOR((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                      * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+               * 10000 + 0.5) / 10000 AS corr_r
+  FROM stats
+  WHERE n >= 3
+    AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0
+    AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy > 0
+)
+SELECT type_x, type_y, lag, n, corr_r,
+       ROW_NUMBER() OVER (PARTITION BY type_x, type_y
+                          ORDER BY corr_r DESC, lag) AS rank
+FROM corr
+"""
+
+
+@register("q_window_xcorr_lag", oracle=_XCORR_ORACLE)
+def q_window_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between every pair of event types' daily
+    revenue series: Pearson correlation of (x_t, y_{t+lag}) for lags
+    −3..+3 days, ranked per pair — the diagnostic that finds which metric
+    LEADS which (errors today → churned purchases in 2 days), the pair
+    companion to q_window_rolling_corr's same-time view.
+
+    Parity: daily totals are exact cents; all five sufficient statistics
+    are exact (bigint sums; products widened to decimal(27,7) BEFORE
+    summing — money-scale squares can't overflow); the corr formula is
+    then one identical IEEE-double expression, snapped to 4 decimals
+    before ranking with the lag as tie-break. Degenerate-variance and
+    short-overlap (n<3) lags are excluded identically on both sides.
+
+    Scale shape: the fact table collapses to (series, day) once
+    (map-side combined); the lag alignment is a self-join of the tiny
+    calendar-bounded daily relation fanned by 7 literal lags; stats are
+    one hash aggregate per (pair, lag). Series count drives cost, not
+    event volume."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.expr(f"ts_us div {_DAY_US}").alias("day_idx"))
+        .agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("xc"))
+        .localCheckpoint(eager=False)
+    )
+    x = daily.select(
+        F.col("event_type").alias("type_x"),
+        F.col("day_idx").alias("dx"),
+        F.col("xc").alias("xv"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(-_XCORR_MAX_LAG), F.lit(_XCORR_MAX_LAG))
+        ).alias("lag"),
+    )
+    y = daily.select(
+        F.col("event_type").alias("type_y"),
+        F.col("day_idx").alias("dy"),
+        F.col("xc").alias("yv"),
+    )
+    paired = x.join(
+        F.broadcast(y),
+        (F.col("type_y") > F.col("type_x"))
+        & (F.col("dy") == F.col("dx") + F.col("lag")),
+    )
+    wide = F.col("xv").cast("decimal(27,7)")
+    widey = F.col("yv").cast("decimal(27,7)")
+    stats = paired.groupBy("type_x", "type_y", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xv").cast("bigint").alias("sx"),
+        F.sum("yv").cast("bigint").alias("sy"),
+        F.sum(wide * F.col("yv")).alias("sxy"),
+        F.sum(wide * F.col("xv")).alias("sxx"),
+        F.sum(widey * F.col("yv")).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    vary = F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    corr = stats.filter((F.col("n") >= 3) & (varx > 0) & (vary > 0)).select(
+        "type_x",
+        "type_y",
+        "lag",
+        "n",
+        (F.floor(num / F.sqrt(varx * vary) * 10000 + F.lit(0.5)) / 10000).alias(
+            "corr_r"
+        ),
+    )
+    wr = Window.partitionBy("type_x", "type_y").orderBy(F.desc("corr_r"), "lag")
+    return corr.withColumn("rank", F.row_number().over(wr))

@@ -330,3 +330,85 @@ def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept").cast("bigint").alias("n_kept"),
         (F.count(F.lit(1)) - F.sum("kept")).cast("bigint").alias("n_dropped"),
     )
+
+
+# --- q_stream_dedup (keep-first collapse per key+minute bucket) --------------
+
+_DEDUP_BUCKET_US = 60_000_000  # 1-minute dedup bucket
+
+_STREAM_DEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) // {_DEDUP_BUCKET_US} AS minute_b
+  FROM events
+), ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type, minute_b
+           ORDER BY us, event_id
+         ) AS rn
+  FROM e
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS sum_kept_cents
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@register("q_stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, event_type, minute): the BATCH mirror of
+    Structured Streaming's ``dropDuplicates`` on a bucketed event-time key
+    (and the bounded-state cousin ``dropDuplicatesWithinWatermark``, whose
+    at-least-once redelivery collapse tests/test_streaming.py pins against
+    a doubled file source). Within each 1-minute bucket the earliest
+    (ts, event_id) row survives; the report carries the kept rows' exact
+    cents sum so the oracle verifies WHICH rows were kept, not just counts.
+
+    Contrast q_stream_throttle: throttle is sequential state (a kept event
+    re-arms the timer), so it needs a recursive oracle; bucketed keep-first
+    depends only on the row's own bucket — one window, no recursion, and in
+    streaming mode the state store holds one key per (user,type,minute)
+    inside the watermark horizon, which is what makes it safe on an
+    unbounded feed.
+
+    Scale shape: one shuffle on the dedup key (the same partitioning the
+    streaming state store uses), window streams within partitions, then a
+    map-side-combined rollup to event_type."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts_us").alias("us"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(f"ts_us div {_DEDUP_BUCKET_US}").alias("minute_b"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "minute_b").orderBy(
+        "us", "event_id"
+    )
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        (
+            F.count(F.lit(1))
+            - F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("rn") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_kept_cents"),
+    )
