@@ -1724,3 +1724,76 @@ def q_sql_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(F.broadcast(b)).select(
         "n_above_all", "n_below_any", "first_above_all"
     )
+
+
+# --- q_corpus_shard_assign --------------------------------------------------
+
+_SHARDS_N = 16
+
+_SHARD_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, source, n_chars,
+         ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % {_SHARDS_N}
+           AS shard
+  FROM documents
+), per_shard AS (
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM assigned GROUP BY shard
+), totals AS (
+  SELECT CAST(SUM(total_chars) AS DOUBLE) / {_SHARDS_N} AS ideal_chars
+  FROM per_shard
+)
+SELECT shard, n_docs, total_chars, n_sources,
+       FLOOR(total_chars / ideal_chars * 10000 + 0.5) / 10000 AS balance_r
+FROM per_shard CROSS JOIN totals
+"""
+
+
+@register("q_corpus_shard_assign", oracle=_SHARD_ORACLE)
+def q_corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment with a balance certificate:
+    every document goes to sha256(doc_id) mod 16 — the reproducible,
+    engine/run/partition-layout-independent sharding a training pipeline
+    needs so that shard N is THE SAME shard on every rebuild (resumable
+    preprocessing, per-shard caching, blame-able data bugs). The output
+    certifies the assignment is usable: per-shard doc/char counts, source
+    diversity, and each shard's size as a snapped ratio of the ideal
+    equal-char split (hash sharding balances doc COUNTS; the char ratio
+    shows the residual length skew a size-aware packer would fix —
+    q_pack_sequences is that next stage).
+
+    Plan: one projection (sha256 + mod — whole-stage codegen), one 16-group
+    map-side-combined aggregate, a broadcast 1-row ideal. At 100 TB this
+    predicate IS the writer's partitionBy expression; nothing here scales
+    with anything but the shard count."""
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+        .cast("long")
+        % _SHARDS_N
+    )
+    per_shard = (
+        docs.select(shard.alias("shard"), "source", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+    totals = per_shard.agg(
+        (F.sum("total_chars").cast("double") / _SHARDS_N).alias("ideal_chars")
+    )
+    return per_shard.crossJoin(F.broadcast(totals)).select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        "n_sources",
+        (
+            F.floor(F.col("total_chars") / F.col("ideal_chars") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("balance_r"),
+    )
