@@ -1059,15 +1059,26 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Message passing wants HASH joins, not sort-merge: the score relations
+    # are node-keyed aggregates consumed immediately by a re-aggregation, so
+    # sorting 4x the edge list buys nothing — SHUFFLE_HASH skips the sorts
+    # both locally and on a cluster (and AQE may still promote the small
+    # score side to broadcast at low SF).
     a1 = be.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))
     h1 = (
-        be.join(a1, "p").groupBy("c").agg(F.sum("a1").cast("bigint").alias("h1"))
+        be.join(a1.hint("shuffle_hash"), "p")
+        .groupBy("c")
+        .agg(F.sum("a1").cast("bigint").alias("h1"))
     )
     a2 = (
-        be.join(h1, "c").groupBy("p").agg(F.sum("h1").cast("bigint").alias("a2"))
+        be.join(h1.hint("shuffle_hash"), "c")
+        .groupBy("p")
+        .agg(F.sum("h1").cast("bigint").alias("a2"))
     )
     h2 = (
-        be.join(a2, "p").groupBy("c").agg(F.sum("a2").cast("bigint").alias("h2"))
+        be.join(a2.hint("shuffle_hash"), "p")
+        .groupBy("c")
+        .agg(F.sum("a2").cast("bigint").alias("h2"))
     )
     top_auth = (
         a2.select(

@@ -1667,47 +1667,49 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold on both engines), snapped to 4 decimals BEFORE ranking, dst
     tie-break — the exact q_sim_ann_lsh ranking contract.
     """
+    import numpy as np
+    import pandas as pd
+
     e = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    e = e.select(
-        "vec_id",
-        "emb",
-        F.sqrt(dot_expr("emb", "emb")).alias("nrm"),
-        _bucket_expr("emb").alias("bucket"),
-    ).localCheckpoint(eager=False)
-    a = e.select(
-        F.col("vec_id").alias("src"),
-        F.col("emb").alias("aemb"),
-        F.col("nrm").alias("anrm"),
-        "bucket",
-    )
-    b = e.select(
-        F.col("vec_id").alias("dst"),
-        F.col("emb").alias("bemb"),
-        F.col("nrm").alias("bnrm"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    scored = (
-        a.join(b, (F.col("bucket_b") == F.col("bucket")) & (F.col("dst") != F.col("src")))
-        .select(
-            "src",
-            "dst",
-            (
-                F.floor(
-                    dot_expr("aemb", "bemb") / (F.col("anrm") * F.col("bnrm"))
-                    * 10000
-                    + F.lit(0.5)
-                )
-                / 10000
-            ).alias("cos_r"),
+    e = e.select("vec_id", "emb", _bucket_expr("emb").alias("bucket"))
+
+    # Per-bucket Arrow block: ONE matmul scores the whole block and emits
+    # only the k directed winners per node (2 rows/node, not block^2 pair
+    # rows) — the q_dedup_embedding execution pattern. A JVM pair join here
+    # shuffles block^2 * dim values; this ships block * dim once and keeps
+    # the pair space inside BLAS. Rounding and (cos_r DESC, dst) tie-break
+    # replicate the oracle ranking bit-exactly.
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": [], "cos_r": []}).astype(
+                {"src": "int64", "dst": "int64", "cos_r": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        cos_r = np.floor((m @ m.T) / np.outer(nrm, nrm) * 10000 + 0.5) / 10000
+        np.fill_diagonal(cos_r, -np.inf)
+        k = min(_KNNG_K, n - 1)
+        # rank by (cos_r DESC, dst ASC): ids are sorted ascending, so a
+        # stable argsort on -cos_r settles ties on the smaller dst first.
+        order = np.argsort(-cos_r, axis=1, kind="stable")[:, :k]
+        src = np.repeat(ids, k)
+        dst = ids[order.ravel()]
+        return pd.DataFrame(
+            {
+                "src": src,
+                "dst": dst,
+                "cos_r": cos_r[np.repeat(np.arange(n), k), order.ravel()],
+            }
         )
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cos_r").desc(), "dst")
+
     directed = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KNNG_K)
-        .select("src", "dst", "cos_r")
+        e.groupBy("bucket")
+        .applyInPandas(block_topk, schema="src long, dst long, cos_r double")
         .localCheckpoint(eager=False)
     )
     rev = directed.select(
