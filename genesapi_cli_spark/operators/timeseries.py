@@ -3583,3 +3583,135 @@ def q_window_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("type_x", "type_y").orderBy(F.desc("corr_r"), "lag")
     return corr.withColumn("rank", F.row_number().over(wr))
+
+
+# --- q_events_sprt ----------------------------------------------------------
+
+#: SPRT design literals: H0 p=0.18 vs H1 p=0.22, alpha = beta = 0.05.
+#: Per-event Bernoulli log-likelihood-ratio terms, snapped to integer
+#: MICRO-nats at import so both engines accumulate exact bigints.
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22
+_SPRT_POS = int(_math.floor(_math.log(_SPRT_P1 / _SPRT_P0) * 1e6 + 0.5))
+_SPRT_NEG = int(_math.floor(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e6 + 0.5))
+_SPRT_BOUND = int(_math.floor(_math.log(19.0) * 1e6 + 0.5))  # ln((1-b)/a), a=b=.05
+
+_SPRT_ORACLE = f"""
+WITH e AS (
+  SELECT user_id % 2 AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+         epoch_us(ts) AS us, event_id
+  FROM events
+), walk AS (
+  SELECT variant, x,
+         ROW_NUMBER() OVER w AS rn,
+         CAST(SUM(CASE WHEN x = 1 THEN {_SPRT_POS} ELSE {_SPRT_NEG} END)
+              OVER w AS BIGINT) AS llr
+  FROM e
+  WINDOW w AS (PARTITION BY variant ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING)
+), agg AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(x) AS BIGINT) AS n_purchases,
+         CAST(MAX(CASE WHEN rn = (SELECT MAX(rn) FROM walk w2
+                                  WHERE w2.variant = walk.variant)
+                       THEN llr END) AS BIGINT) AS final_llr_micro,
+         CAST(MIN(CASE WHEN llr >= {_SPRT_BOUND} THEN rn END) AS BIGINT) AS rn_up,
+         CAST(MIN(CASE WHEN llr <= -{_SPRT_BOUND} THEN rn END) AS BIGINT) AS rn_dn
+  FROM walk
+  GROUP BY variant
+)
+SELECT variant, n_events, n_purchases, final_llr_micro,
+       CASE
+         WHEN rn_up IS NOT NULL AND (rn_dn IS NULL OR rn_up < rn_dn)
+           THEN rn_up
+         WHEN rn_dn IS NOT NULL THEN rn_dn
+       END AS cross_rn,
+       CASE
+         WHEN rn_up IS NOT NULL AND (rn_dn IS NULL OR rn_up < rn_dn)
+           THEN 'accept_h1'
+         WHEN rn_dn IS NOT NULL THEN 'accept_h0'
+         ELSE 'continue'
+       END AS decision
+FROM agg
+"""
+
+
+@register("q_events_sprt", oracle=_SPRT_ORACLE)
+def q_events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over each variant's event
+    stream (H0: purchase rate 0.18 vs H1: 0.22, α=β=0.05): the cumulative
+    log-likelihood ratio walks per event in arrival order, and the test
+    reports WHERE it first crossed ±ln(19) and which hypothesis it
+    accepted — sequential testing, the always-valid complement to the
+    fixed-horizon A/B family (q_events_abtest / q_events_power_mde decide
+    sample size up front; SPRT stops as soon as the evidence suffices).
+
+    Parity: the two per-event LLR increments are import-time Python
+    literals snapped to integer micro-nats, so the entire walk — cumsum,
+    boundary comparisons, crossing index — is EXACT bigint on both
+    engines; no float enters the plan at all.
+
+    Scale shape: one shuffle on variant, one ordered window per variant
+    (streaming within partition — this is literally a streaming operator
+    run on the batch table; the Structured Streaming mount would carry
+    llr as applyInPandasWithState per variant), then a per-variant
+    aggregate. Crossing detection is conditional MIN aggregates, not a
+    second pass."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+        F.col("ts_us").alias("us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = e.select(
+        "variant",
+        "x",
+        F.row_number().over(Window.partitionBy("variant").orderBy("us", "event_id")).alias("rn"),
+        F.sum(
+            F.when(F.col("x") == 1, F.lit(_SPRT_POS)).otherwise(F.lit(_SPRT_NEG))
+        )
+        .over(w)
+        .cast("bigint")
+        .alias("llr"),
+    )
+    wmax = Window.partitionBy("variant")
+    walk = walk.withColumn("max_rn", F.max("rn").over(wmax))
+    agg = walk.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("x").cast("bigint").alias("n_purchases"),
+        F.max(F.when(F.col("rn") == F.col("max_rn"), F.col("llr")))
+        .cast("bigint")
+        .alias("final_llr_micro"),
+        F.min(F.when(F.col("llr") >= _SPRT_BOUND, F.col("rn")))
+        .cast("bigint")
+        .alias("rn_up"),
+        F.min(F.when(F.col("llr") <= -_SPRT_BOUND, F.col("rn")))
+        .cast("bigint")
+        .alias("rn_dn"),
+    )
+    up_first = F.col("rn_up").isNotNull() & (
+        F.col("rn_dn").isNull() | (F.col("rn_up") < F.col("rn_dn"))
+    )
+    return agg.select(
+        "variant",
+        "n_events",
+        "n_purchases",
+        "final_llr_micro",
+        F.when(up_first, F.col("rn_up"))
+        .otherwise(F.col("rn_dn"))
+        .cast("bigint")
+        .alias("cross_rn"),
+        F.when(up_first, F.lit("accept_h1"))
+        .when(F.col("rn_dn").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
