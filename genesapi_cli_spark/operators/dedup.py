@@ -830,6 +830,24 @@ def signatures_from_shingles(sh: DataFrame, *keys: str) -> DataFrame:
     )
 
 
+#: Session memo of the full-corpus portable band relation (the LSH index
+#: table): q_dedup_minhash_portable and q_dedup_incremental both index the
+#: whole documents table with the same band schema — first consumer
+#: materializes, later ones read cached blocks (persisted-index analog;
+#: same convention as graph.shared_copurchase_edges).
+_BANDS_MEMO: dict = {}
+
+
+def shared_portable_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _BANDS_MEMO.get(key)
+    if df is None:
+        docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+        df = portable_bands(docs).localCheckpoint(eager=False)
+        _BANDS_MEMO[key] = df
+    return df
+
+
 def portable_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, band, k1, k2) LSH band table with sha256-PORTABLE
     minhashes — the shared signature pipeline of q_dedup_minhash_portable
@@ -875,10 +893,9 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on 16-byte keys; band-bucket skew is the documented 100 TB
     watch item (cap bucket size).
     """
-    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     # The string shingle IS required here (sha256 of "seed:gram" must match
     # the oracle byte-for-byte) — see portable_bands for the codegen notes.
-    bands = portable_bands(docs)
+    bands = shared_portable_bands(spark, sf_dir)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"), "band", "k1", "k2"
     )
@@ -1107,8 +1124,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     precomputed index partitioned by band key, and this query prunes to
     matching partitions. Flagged batch docs drop; the rest ingest.
     """
-    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    bands = portable_bands(docs)
+    bands = shared_portable_bands(spark, sf_dir)
     new_bands = bands.filter(F.col("doc_id") % _INC_MOD == 0).select(
         F.col("doc_id").alias("n_id"),
         F.col("lang").alias("n_lang"),

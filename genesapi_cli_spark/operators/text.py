@@ -254,6 +254,14 @@ def near_minhash_oracle_ctes() -> str:
 _NEAR_MINHASH_ORACLE = f"WITH {near_minhash_oracle_ctes()}\nSELECT doc_a, doc_b FROM pairs"
 
 
+#: Session-scoped memo of the candidate-pair relation (same convention as
+#: graph.shared_copurchase_edges): q_dedup_clusters and q_dedup_keep both
+#: consume the exact pair relation this query emits, so the first consumer
+#: materializes it (lazy localCheckpoint) and the rest read cached blocks —
+#: the runtime analog of persisting the LSH pair table next to the corpus.
+_PAIRS_MEMO: dict = {}
+
+
 @register("q_dedup_near_minhash", oracle=_NEAR_MINHASH_ORACLE)
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH over word 3-shingles.
@@ -268,6 +276,10 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the oracle; golden-pair behavior (a one-word-changed near-dup pair
     must collide) is additionally pytest-pinned.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRS_MEMO.get(key)
+    if cached is not None:
+        return cached
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     base = docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("parts"))
     p = F.col("parts")
@@ -339,11 +351,14 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
+    pairs = (
         buckets.select(F.explode(pair_array).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    _PAIRS_MEMO[key] = pairs
+    return pairs
 
 
 # --- q_text_langid ----------------------------------------------------------
