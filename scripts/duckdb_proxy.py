@@ -26,9 +26,14 @@ def main() -> int:
     for name, q in sorted(REGISTRY.items()):
         if not q.oracle:
             continue
-        t0 = time.perf_counter()
-        con.sql(q.oracle).fetchall()
-        duck[name] = round(time.perf_counter() - t0, 3)
+        # min-of-2, matching bench.py's per-query protocol on the Spark side
+        # (SCALE.md 6b: single runs on this host swing with unrelated load).
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.sql(q.oracle).fetchall()
+            runs.append(time.perf_counter() - t0)
+        duck[name] = round(min(runs), 3)
     out = {"sf": 0.1, "duckdb": duck}
     if len(sys.argv) > 1:
         spark_bench = json.loads(sys.argv[1])
