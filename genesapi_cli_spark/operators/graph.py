@@ -1071,10 +1071,15 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c")
         .agg(F.sum("a1").cast("bigint").alias("h1"))
     )
+    # a2 feeds BOTH the h2 half-step and the authority top-10; the lazy
+    # checkpoint materializes the 3-round prefix once instead of letting the
+    # two consumers re-run it (ReuseExchange does not fire across the
+    # row_number subtree).
     a2 = (
         be.join(h1.hint("shuffle_hash"), "c")
         .groupBy("p")
         .agg(F.sum("h1").cast("bigint").alias("a2"))
+        .localCheckpoint(eager=False)
     )
     h2 = (
         be.join(a2.hint("shuffle_hash"), "p")

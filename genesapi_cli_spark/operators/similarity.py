@@ -1425,15 +1425,20 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-count sized); the pair work is query_tokens x doc_tokens per
     candidate document and stays BEHIND the candidate filter — at 100 TB
     the candidate set comes from an ANN prefilter (q_sim_ann_lsh /
-    q_sim_rerank), so MaxSim cost is per-candidate, never corpus-wide. One
-    shuffle on (query token, doc) for the max, one on doc for the sum —
-    both tiny relative to the dot products, which run in whole-stage
-    codegen.
+    q_sim_rerank), so MaxSim cost is per-candidate, never corpus-wide.
+    The scoring stage is a cogrouped Arrow block per document label: ONE
+    BLAS matmul scores query_tokens x doc_tokens and emits only the
+    per-query-token max (q_sim_knn_graph's execution pattern), so Python
+    ships rows x dim floats per block and never materializes the pair
+    space; the query side is replicated once per label (token-count x
+    n_docs rows — broadcast-sized). The 4-decimal snap happens BEFORE the
+    max on the shared-relation norms, so the only cross-engine delta is
+    dot-product summation order, which the snap absorbs (the
+    q_sim_threshold_pairs / knn_graph parity argument).
     """
-    # spread(): the testdata parquet is one row group → ONE input partition,
-    # and the 2.25M-pair dot-product stage would otherwise run on a single
-    # core (measured 7.6s → ~1s at sf0.1). The checkpoint then materializes
-    # the HOF cast + norm once for both join branches.
+    import numpy as np
+    import pandas as pd
+
     e = shared_normed_embeddings(spark, sf_dir)
     q = e.filter(F.col("label") == 0).select(
         F.col("vec_id").alias("qid"),
@@ -1443,19 +1448,38 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("label") > 0).select(
         "label", F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
     )
-    cos_r = (
-        F.floor(
-            dot_expr("qemb", "cemb") / (F.col("qnrm") * F.col("cnrm")) * 10000
-            + F.lit(0.5)
-        )
-        / 10000
+    # Replicate the (tiny) query token set to every doc label so the
+    # cogroup sees (doc block, full query block) per key — declarative
+    # broadcast, no driver collect.
+    # (the no-op cast mints a fresh attribute so the c-vs-qrep cogroup is
+    # not flagged as an ambiguous self-join)
+    qrep = (
+        c.select(F.col("label").cast("int").alias("label"))
+        .distinct()
+        .crossJoin(F.broadcast(q))
     )
+
+    def block_maxsim(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0 or len(qdf) == 0:
+            return pd.DataFrame({"qid": [], "label": [], "best_cos": []}).astype(
+                {"qid": "int64", "label": "int32", "best_cos": "float64"}
+            )
+        mq = np.stack(qdf["qemb"].to_numpy()).astype(np.float64)
+        mc = np.stack(cdf["cemb"].to_numpy()).astype(np.float64)
+        denom = np.outer(qdf["qnrm"].to_numpy(), cdf["cnrm"].to_numpy())
+        cos_r = np.floor((mq @ mc.T) / denom * 10000 + 0.5) / 10000
+        return pd.DataFrame(
+            {
+                "qid": qdf["qid"].to_numpy(),
+                "label": np.int32(cdf["label"].iloc[0]),
+                "best_cos": cos_r.max(axis=1),
+            }
+        )
+
     best = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .select("qid", "label", cos_r.alias("cos_r"))
-        .groupBy("qid", "label")
-        .agg(F.max("cos_r").alias("best_cos"))
+        c.groupBy("label")
+        .cogroup(qrep.groupBy("label"))
+        .applyInPandas(block_maxsim, schema="qid long, label int, best_cos double")
     )
     return best.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_query_tokens"),
@@ -1521,13 +1545,18 @@ def q_sim_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin (0.05 = same double literal both engines), and margin mass sums
     through the exact-decimal path.
 
-    Scale shape: anchors are a pushed-down key filter; positives join
-    label-blocked (bounded by label group size), negatives join against
-    the broadcast-sized hash sample — never all-pairs. Two max-aggregates
-    keyed by anchor, one label rollup.
+    Scale shape: anchors are a pushed-down key filter; positives score
+    label-blocked (bounded by label group size), negatives against the
+    broadcast-sized hash sample replicated per anchor-label block — never
+    all-pairs. Both scoring stages are cogrouped Arrow blocks: ONE BLAS
+    matmul per block emits only the per-anchor max (the q_sim_maxsim /
+    knn_graph execution pattern), so Python ships rows x dim floats per
+    block and the pair space stays inside BLAS. The 4-decimal snap before
+    MAX absorbs the matmul-vs-fold summation-order delta.
     """
-    # spread() parallelizes the single-partition scan before the ~1M-pair
-    # NLJ cosine stage (see q_sim_maxsim).
+    import numpy as np
+    import pandas as pd
+
     e = shared_normed_embeddings(spark, sf_dir)
     e = e.select(
         "vec_id",
@@ -1556,43 +1585,68 @@ def q_sim_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("anrm"),
     )
 
-    def cos_r(a_emb: str, b_emb: str, a_nrm: str, b_nrm: str):
-        return (
-            F.floor(
-                dot_expr(a_emb, b_emb) / (F.col(a_nrm) * F.col(b_nrm)) * 10000
-                + F.lit(0.5)
+    def _rounded_cos(adf: pd.DataFrame, bdf: pd.DataFrame):
+        ma = np.stack(adf["aemb"].to_numpy()).astype(np.float64)
+        mb = np.stack(bdf["bemb"].to_numpy()).astype(np.float64)
+        denom = np.outer(adf["anrm"].to_numpy(), bdf["bnrm"].to_numpy())
+        return np.floor((ma @ mb.T) / denom * 10000 + 0.5) / 10000
+
+    def block_pos(adf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if len(adf) == 0 or len(bdf) == 0:
+            return pd.DataFrame({"aid": [], "alabel": [], "best_pos": []}).astype(
+                {"aid": "int64", "alabel": "int32", "best_pos": "float64"}
             )
-            / 10000
+        c = _rounded_cos(adf, bdf)
+        # pid != aid: knock out the anchor's own row before the max
+        c[adf["aid"].to_numpy()[:, None] == bdf["bid"].to_numpy()[None, :]] = -np.inf
+        return pd.DataFrame(
+            {
+                "aid": adf["aid"].to_numpy(),
+                "alabel": adf["alabel"].to_numpy().astype("int32"),
+                "best_pos": c.max(axis=1),
+            }
         )
 
-    pos = (
-        F.broadcast(anchors)
-        .join(
-            e.select(
-                F.col("vec_id").alias("pid"),
-                F.col("label").alias("plabel"),
-                F.col("emb").alias("pemb"),
-                F.col("nrm").alias("pnrm"),
-            ),
-            (F.col("plabel") == F.col("alabel")) & (F.col("pid") != F.col("aid")),
+    def block_neg(adf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"aid": [], "best_neg": []}).astype(
+            {"aid": "int64", "best_neg": "float64"}
         )
-        .select("aid", "alabel", cos_r("aemb", "pemb", "anrm", "pnrm").alias("c"))
-        .groupBy("aid", "alabel")
-        .agg(F.max("c").alias("best_pos"))
+        if len(adf) == 0 or len(bdf) == 0:
+            return empty
+        bdf = bdf[bdf["blabel"].to_numpy() != int(adf["alabel"].iloc[0])]
+        if len(bdf) == 0:
+            return empty
+        c = _rounded_cos(adf, bdf)
+        return pd.DataFrame({"aid": adf["aid"].to_numpy(), "best_neg": c.max(axis=1)})
+
+    pos_side = e.select(
+        F.col("label").alias("plabel"),
+        F.col("vec_id").alias("bid"),
+        F.col("emb").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+    )
+    pos = (
+        anchors.groupBy("alabel")
+        .cogroup(pos_side.groupBy("plabel"))
+        .applyInPandas(block_pos, schema="aid long, alabel int, best_pos double")
+    )
+    # Negatives: the 1-in-5 hash sample is broadcast-sized; replicate it to
+    # every anchor-label block (fresh attribute via no-op cast, see
+    # q_sim_maxsim) and drop same-label rows inside the block.
+    negc = e.filter(F.col("hsel") == 0).select(
+        F.col("label").alias("blabel"),
+        F.col("emb").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+    )
+    negrep = (
+        anchors.select(F.col("alabel").cast("int").alias("nkey"))
+        .distinct()
+        .crossJoin(F.broadcast(negc))
     )
     neg = (
-        F.broadcast(anchors)
-        .join(
-            e.filter(F.col("hsel") == 0).select(
-                F.col("label").alias("nlabel"),
-                F.col("emb").alias("nemb"),
-                F.col("nrm").alias("nnrm"),
-            ),
-            F.col("nlabel") != F.col("alabel"),
-        )
-        .select("aid", cos_r("aemb", "nemb", "anrm", "nnrm").alias("c"))
-        .groupBy("aid")
-        .agg(F.max("c").alias("best_neg"))
+        anchors.groupBy("alabel")
+        .cogroup(negrep.groupBy("nkey"))
+        .applyInPandas(block_neg, schema="aid long, best_neg double")
     )
     return (
         pos.join(neg, "aid")
