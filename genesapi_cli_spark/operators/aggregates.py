@@ -2882,3 +2882,63 @@ def q_agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true",
         )
     )
+
+
+# --- q_agg_bitmap_distinct ---------------------------------------------------
+
+_BITMAP_ORACLE = """
+WITH base AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_custkey AS k
+  FROM orders
+), words AS (
+  SELECT month, k // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(k % 32 AS INTEGER)) AS word
+  FROM base GROUP BY month, word_idx
+), bm AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(bit_count(word)) AS BIGINT) AS n_bitmap
+  FROM words GROUP BY month
+), ex AS (
+  SELECT month, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact
+  FROM base GROUP BY month
+)
+SELECT bm.month, n_words, n_bitmap, n_exact
+FROM bm JOIN ex ON bm.month = ex.month
+"""
+
+
+@register("q_agg_bitmap_distinct", oracle=_BITMAP_ORACLE)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via mergeable integer bitmaps: customers active
+    per order month, counted by OR-ing per-key bit positions (word_idx =
+    key/32, bit = key%32) and popcounting the words — the roaring-bitmap
+    pattern reduced to its relational core. Unlike HLL (q_agg_approx_distinct,
+    q_agg_hll_portable) the bitmap is EXACT, and unlike COUNT(DISTINCT) the
+    per-(group, word) partials are mergeable: a lake can keep the word table
+    as an incremental aggregate and merge across partitions/days with bit_or
+    — no re-scan of history. The n_exact column is the self-certificate: both
+    engines compute the direct distinct too, and the value hash proves
+    bitmap == exact on every group.
+
+    Scale shape: one shuffle on (month, word_idx) with map-side bit_or
+    combine — the word table is |keys|/32 rows max per group; the popcount
+    rollup is a second tiny aggregate. Dense key spaces make this strictly
+    cheaper than COUNT(DISTINCT)'s full key shuffle; sparse key spaces
+    graduate to roaring containers, same plan shape.
+    """
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.trunc("o_orderdate", "month").alias("month"),
+        F.col("o_custkey").alias("k"),
+    )
+    words = base.groupBy(
+        "month", F.expr("k div 32").alias("word_idx")
+    ).agg(F.expr("bit_or(shiftleft(cast(1 as bigint), cast(k % 32 as int)))").alias("word"))
+    bm = words.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.expr("bit_count(word)")).cast("bigint").alias("n_bitmap"),
+    )
+    ex = base.groupBy("month").agg(
+        F.countDistinct("k").cast("bigint").alias("n_exact")
+    )
+    return bm.join(ex, "month").select("month", "n_words", "n_bitmap", "n_exact")

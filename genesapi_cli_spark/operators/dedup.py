@@ -1768,3 +1768,81 @@ def q_dedup_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --- q_corpus_token_budget ----------------------------------------------------
+
+_BUDGET_TOKENS = 5000  # per-source token budget for the curated slice
+
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, toks,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rnk,
+         SUM(toks) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_toks
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN cum_toks <= {_BUDGET_TOKENS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN cum_toks <= {_BUDGET_TOKENS} THEN toks ELSE 0 END)
+            AS BIGINT) AS tokens_selected,
+       CAST(MAX(CASE WHEN cum_toks <= {_BUDGET_TOKENS} THEN rnk ELSE 0 END)
+            AS BIGINT) AS cutoff_rank
+FROM ranked GROUP BY source
+"""
+
+
+@register("q_corpus_token_budget", oracle=_TOKEN_BUDGET_ORACLE)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first token-budget curation: within each source, rank documents
+    by a quality proxy (length, deterministic doc_id tie-break) and keep the
+    prefix whose cumulative whitespace-token count fits the per-source budget
+    — the selection step of every data-mixing recipe that says "N billion
+    tokens from source X, best first" (the budgeted counterpart to
+    q_corpus_mix's proportional sampler and q_corpus_temperature's softmax
+    weights). Output is the per-source curation certificate: docs kept, token
+    mass kept, and the cutoff rank.
+
+    Scale shape: one shuffle on source for the ranking window and the final
+    rollup (shared partitioning); the cumulative sum is per-source, so the
+    serial scan parallelizes across sources — at 100 TB the budget splits
+    across (source, shard) with per-shard sub-budgets, same plan. All
+    arithmetic is exact integers.
+    """
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("toks"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = d.select(
+        "source",
+        "toks",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("toks").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_toks"
+        ),
+    )
+    sel = F.col("cum_toks") <= _BUDGET_TOKENS
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias("n_selected"),
+        F.sum(F.when(sel, F.col("toks")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_selected"),
+        F.max(F.when(sel, F.col("rnk")).otherwise(0))
+        .cast("bigint")
+        .alias("cutoff_rank"),
+    )

@@ -1797,3 +1797,68 @@ def q_corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("balance_r"),
     )
+
+
+# --- q_privacy_pseudonym ------------------------------------------------------
+
+_PSEUDO_SALT = "corpus-v1"  # rotate per release; same literal on both engines
+
+
+_PSEUDO_ORACLE = f"""
+WITH tok AS (
+  SELECT c_custkey, c_nationkey,
+         substr(sha256('{_PSEUDO_SALT}|' || CAST(c_custkey AS VARCHAR)), 1, 16)
+           AS ptoken
+  FROM customer
+), o AS (
+  SELECT o_custkey,
+         substr(sha256('{_PSEUDO_SALT}|' || CAST(o_custkey AS VARCHAR)), 1, 16)
+           AS ptoken
+  FROM orders
+)
+SELECT c_nationkey AS nationkey,
+       CAST(COUNT(DISTINCT tok.c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT tok.ptoken) AS BIGINT) AS n_tokens,
+       CAST(COUNT(o.ptoken) AS BIGINT) AS n_orders_via_token
+FROM tok LEFT JOIN o ON o.ptoken = tok.ptoken
+GROUP BY c_nationkey
+"""
+
+
+@register("q_privacy_pseudonym", oracle=_PSEUDO_ORACLE)
+def q_privacy_pseudonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash pseudonymization with a referential-integrity certificate:
+    replace the customer key with substr(sha256(salt|key),16) in BOTH the
+    entity table and the fact table, then prove the pseudonymized join still
+    works — per nation, distinct tokens must equal distinct customers (no
+    collisions collapsed two people) and the order count routed THROUGH the
+    token join must equal the plaintext-key count. This is the de-identified-
+    release pattern (GDPR pseudonymization): analysts join on tokens, the
+    salt stays in the vault, rotating it unlinks releases.
+
+    Scale shape: the token is a stateless projection on both scans (no
+    shuffle added); the certificate join keys on the token exactly as the
+    released lake would, so the plan IS the production access path — hash
+    join on 16-hex-char strings, aggregate by nation. COUNT(DISTINCT key)
+    vs COUNT(DISTINCT token) ride one Expand aggregate.
+    """
+    tok_expr = lambda key: F.substring(  # noqa: E731
+        F.sha2(F.concat(F.lit(_PSEUDO_SALT + "|"), F.col(key).cast("string")), 256),
+        1,
+        16,
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", tok_expr("c_custkey").alias("ptoken")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        tok_expr("o_custkey").alias("optoken")
+    )
+    return (
+        cust.join(orders, F.col("optoken") == F.col("ptoken"), "left")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+            F.countDistinct("ptoken").cast("bigint").alias("n_tokens"),
+            F.count("optoken").cast("bigint").alias("n_orders_via_token"),
+        )
+    )

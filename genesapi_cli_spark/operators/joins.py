@@ -1245,3 +1245,71 @@ def q_orders_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("suspect_cents"),
         F.sum((F.col("gap_days") == 0).cast("int")).cast("bigint").alias("n_same_day"),
     )
+
+
+# --- q_join_sorted_neighborhood ----------------------------------------------
+
+_SNM_WINDOW = 3   # neighbors compared after each row in sort order
+_SNM_MAX_DIST = 5
+
+
+_SNM_ORACLE = f"""
+WITH ranked AS (
+  SELECT p_brand, p_name,
+         ROW_NUMBER() OVER (
+           PARTITION BY p_brand ORDER BY p_name, p_partkey
+         ) AS rn
+  FROM part
+), pairs AS (
+  SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS dist
+  FROM ranked a JOIN ranked b
+    ON b.p_brand = a.p_brand
+   AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW}
+)
+SELECT p_brand, dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE dist <= {_SNM_MAX_DIST}
+GROUP BY p_brand, dist
+"""
+
+
+@register("q_join_sorted_neighborhood", oracle=_SNM_ORACLE)
+def q_join_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution: sort each brand's parts
+    by name, compare every row only to its next W={_SNM_WINDOW} neighbors in
+    sort order, histogram the edit distances — the OTHER classic ER blocking
+    strategy next to key-blocking (q_join_fuzzy): where key blocks can miss
+    near-duplicates that disagree on the blocking key, the sliding window
+    catches anything lexicographically adjacent, at exactly W comparisons per
+    row.
+
+    Scale shape: linear, never quadratic — the candidate generator is
+    explode(sequence(rn+1, rn+W)) followed by an EQUI-join on (mfgr, rn), so
+    Spark plans a hash join on integer keys, not a range nested loop; the
+    window that assigns rn partitions by brand (at 100 TB: by the
+    multi-pass sort key of the standard SNM algorithm), so no global sort
+    bottleneck. W·n candidate rows, one Levenshtein each.
+    """
+    part = load(spark, sf_dir, "part")
+    ranked = part.select(
+        "p_brand",
+        "p_name",
+        F.row_number()
+        .over(Window.partitionBy("p_brand").orderBy("p_name", "p_partkey"))
+        .alias("rn"),
+    )
+    probes = ranked.select(
+        F.col("p_brand").alias("ba"),
+        F.col("p_name").alias("na"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + _SNM_WINDOW)
+        ).alias("target_rn"),
+    )
+    pairs = probes.join(
+        ranked,
+        (F.col("p_brand") == F.col("ba")) & (F.col("rn") == F.col("target_rn")),
+    ).select("p_brand", F.levenshtein("na", "p_name").alias("dist"))
+    return (
+        pairs.filter(F.col("dist") <= _SNM_MAX_DIST)
+        .groupBy("p_brand", "dist")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

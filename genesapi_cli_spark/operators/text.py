@@ -2820,3 +2820,134 @@ def q_text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_dup").cast("bigint").alias("total_dup"),
         (F.floor(F.avg(frac) * 10000 + F.lit(0.5)) / 10000).alias("mean_dup_frac_r"),
     )
+
+
+# --- q_text_perplexity --------------------------------------------------------
+
+_PPX_TRAIN_SOURCE = "src0"  # the reference corpus the screen LM is trained on
+
+_PPX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE source = '{_PPX_TRAIN_SOURCE}' GROUP BY tok
+), st AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_train, CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+), logp AS (
+  SELECT tok,
+         FLOOR(LN((c + 1.0) / (n_train + v)) * 1000000 + 0.5) / 1000000 AS lp
+  FROM vocab, st
+), sc AS (
+  SELECT t.doc_id, t.source,
+         COALESCE(l.lp,
+                  FLOOR(LN(1.0 / (st.n_train + st.v)) * 1000000 + 0.5)
+                    / 1000000) AS lp,
+         CASE WHEN l.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN logp l ON t.tok = l.tok, st
+  WHERE t.source <> '{_PPX_TRAIN_SOURCE}'
+), pd AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(SUM(CAST(lp AS DECIMAL(18,7))) AS DOUBLE) AS sum_lp,
+         CAST(SUM(oov) AS BIGINT) AS n_oov
+  FROM sc GROUP BY doc_id, source
+), ced AS (
+  SELECT source, n_oov,
+         FLOOR((-sum_lp / n_toks) * 10000 + 0.5) / 10000 AS ce_r
+  FROM pd
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
+       MIN(ce_r) AS min_ce,
+       MAX(ce_r) AS max_ce,
+       FLOOR(CAST(SUM(CAST(ce_r AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*)
+             * 10000 + 0.5) / 10000 AS mean_ce
+FROM ced GROUP BY source
+"""
+
+
+@register("q_text_perplexity", oracle=_PPX_ORACLE)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source perplexity screen: train an add-1-smoothed unigram LM on
+    the reference source ({src0}) and score every OTHER source's documents by
+    per-token cross-entropy, with unseen tokens charged the full smoothed OOV
+    mass 1/(N+V) — the deployment shape of the CCNet/KenLM quality filter
+    (reference corpus = Wikipedia, scored corpus = the crawl), one rung above
+    q_text_unigram_lm which scores a corpus against itself and so never sees
+    an OOV token.
+
+    Parity: each ln is snapped to integer micros before the per-doc
+    exact-decimal sum (the q_text_unigram_lm argument); per-doc cross-entropy
+    is snapped to 4 decimals before the per-source mean so the mean sums on a
+    fixed grid.
+
+    Scale shape: the LM table is Zipf-small, so the score join BROADCASTS
+    log-probs onto the token stream (left join keeps OOV rows); the single
+    (n_train, V) row fans in via broadcast crossJoin. The 100 TB corpus is
+    scanned once and shuffles only for the per-doc aggregate — train and
+    score are the same scan, split by a pushed-down source predicate.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    vocab = (
+        toks.filter(F.col("source") == _PPX_TRAIN_SOURCE)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    st = vocab.agg(
+        F.sum("c").cast("bigint").alias("n_train"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    snap6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    logp = vocab.crossJoin(F.broadcast(st)).select(
+        F.col("tok").alias("ltok"),
+        snap6(
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("n_train") + F.col("v")))
+        ).alias("lp"),
+    )
+    sc = (
+        toks.filter(F.col("source") != _PPX_TRAIN_SOURCE)
+        .join(F.broadcast(logp), F.col("tok") == F.col("ltok"), "left")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(
+                "lp",
+                snap6(F.log(F.lit(1.0) / (F.col("n_train") + F.col("v")))),
+            ).alias("lp"),
+            F.when(F.col("ltok").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    pd_ = sc.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.sum(F.col("lp").cast(DEC)).cast("double").alias("sum_lp"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+    )
+    ce_r = (
+        F.floor((-F.col("sum_lp") / F.col("n_toks")) * 10000 + F.lit(0.5)) / 10000
+    )
+    return (
+        pd_.select("source", "n_oov", ce_r.alias("ce_r"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_oov").cast("bigint").alias("oov_tokens"),
+            F.min("ce_r").alias("min_ce"),
+            F.max("ce_r").alias("max_ce"),
+            (
+                F.floor(
+                    F.sum(F.col("ce_r").cast(DEC)).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("mean_ce"),
+        )
+    )

@@ -203,3 +203,71 @@ def test_shard_assignment_is_stable_and_total(spark):
     from genesapi_cli_spark.io import load as _load
 
     assert sum(v[0] for v in r1.values()) == _load(spark, SMOKE_SF_DIR, "documents").count()
+
+
+def test_bitmap_distinct_certificate_holds(spark):
+    """The bitmap popcount must equal the direct COUNT(DISTINCT) on every
+    month — the self-certificate the operator exists to prove."""
+    rows = REGISTRY["q_agg_bitmap_distinct"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows and all(r.n_bitmap == r.n_exact for r in rows)
+    assert all(r.n_words <= r.n_exact for r in rows)  # words never exceed keys
+
+
+def test_pseudonym_token_is_collision_free_and_join_preserving(spark):
+    """Distinct tokens == distinct customers per nation (no collisions), and
+    the token-routed order count equals the plaintext-key join count."""
+    from genesapi_cli_spark.io import load as _load
+
+    rows = REGISTRY["q_privacy_pseudonym"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows and all(r.n_tokens == r.n_customers for r in rows)
+    cust = _load(spark, SMOKE_SF_DIR, "customer")
+    orders = _load(spark, SMOKE_SF_DIR, "orders")
+    import pyspark.sql.functions as F
+
+    direct = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    direct_map = {r.c_nationkey: r.n for r in direct.collect()}
+    for r in rows:
+        assert r.n_orders_via_token == direct_map.get(r.nationkey, 0)
+
+
+def test_token_budget_respects_budget_and_quality_order(spark):
+    """Selected token mass never exceeds the budget, and the cutoff rank
+    equals the selected count (the selection is a prefix of the ranking)."""
+    rows = REGISTRY["q_corpus_token_budget"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    from genesapi_cli_spark.operators.dedup import _BUDGET_TOKENS
+
+    for r in rows:
+        assert r.tokens_selected <= _BUDGET_TOKENS
+        assert r.cutoff_rank == r.n_selected
+        assert r.n_selected <= r.n_total
+
+
+def test_sorted_neighborhood_pair_count_bounded_by_window(spark):
+    """Total candidate pairs are <= W * n rows (the linearity contract)."""
+    from genesapi_cli_spark.io import load as _load
+    from genesapi_cli_spark.operators.joins import _SNM_WINDOW
+
+    rows = REGISTRY["q_join_sorted_neighborhood"].fn(spark, SMOKE_SF_DIR).collect()
+    n = _load(spark, SMOKE_SF_DIR, "part").count()
+    assert sum(r.n_pairs for r in rows) <= _SNM_WINDOW * n
+
+
+def test_perplexity_scores_every_non_train_source(spark):
+    """Every non-src0 source appears, cross-entropy ordering min<=mean<=max
+    holds, and OOV tokens are non-negative."""
+    rows = REGISTRY["q_text_perplexity"].fn(spark, SMOKE_SF_DIR).collect()
+    from genesapi_cli_spark.io import load as _load
+
+    srcs = {
+        r.source
+        for r in _load(spark, SMOKE_SF_DIR, "documents").select("source").distinct().collect()
+    }
+    assert {r.source for r in rows} == srcs - {"src0"}
+    for r in rows:
+        assert r.min_ce <= r.mean_ce <= r.max_ce
+        assert r.oov_tokens >= 0
