@@ -1862,3 +1862,197 @@ def q_privacy_pseudonym(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("optoken").cast("bigint").alias("n_orders_via_token"),
         )
     )
+
+
+# --- q_feature_binning --------------------------------------------------------
+
+_BIN_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+_N_BINS = 10
+
+
+_BINNING_ORACLE = f"""
+WITH base AS (
+  SELECT c_mktsegment AS segment, {_BIN_CENTS} AS cents, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), binned AS (
+  SELECT segment, cents,
+         NTILE({_N_BINS}) OVER (
+           PARTITION BY segment ORDER BY cents, o_orderkey
+         ) AS bin
+  FROM base
+)
+SELECT segment, bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(cents) AS lo_cents,
+       MAX(cents) AS hi_cents
+FROM binned GROUP BY segment, bin
+"""
+
+
+@register("q_feature_binning", oracle=_BINNING_ORACLE)
+def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quantile binning (the feature-engineering
+    discretizer): order value in integer cents NTILE'd into {_N_BINS}
+    per-segment bins, reporting each bin's population and [lo, hi] edge
+    certificate — the exact-rank counterpart to approxQuantile-based
+    bucketizers, deterministic because ties break on the order key.
+
+    Scale shape: the window partitions by segment so the rank sort
+    parallelizes across groups (equal-frequency binning at 100 TB always
+    bins per (feature, cohort) shard or samples edges; a single global
+    NTILE would serialize — same reasoning as q_pack_sequences). One
+    shuffle shared by the window and the rollup. All values are exact
+    integer cents.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.expr(_BIN_CENTS).alias("cents")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    base = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    return (
+        base.select("segment", "cents", F.ntile(_N_BINS).over(w).alias("bin"))
+        .groupBy("segment", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+# --- q_sample_neyman ----------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
+
+
+_NEYMAN_ORACLE = f"""
+WITH base AS (
+  SELECT c_mktsegment AS segment, {_BIN_CENTS} AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), st AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS s2
+  FROM base GROUP BY segment
+), sd AS (
+  -- stddev in DOLLARS, 4-decimal snapped: keeps w_h = N_h * s_h inside the
+  -- exact decimal(18,7) range (N_h ~ 1e6, s_h ~ 1e4 at SF100)
+  SELECT segment, n_h,
+         FLOOR(SQRT(CAST(n_h * s2 - s1 * s1 AS DOUBLE)
+                    / (CAST(n_h AS DOUBLE) * (n_h - 1))) / 100
+               * 10000 + 0.5) / 10000 AS s_r4
+  FROM st
+), wsum AS (
+  SELECT CAST(SUM(CAST(n_h * s_r4 AS DECIMAL(18,7))) AS DOUBLE) AS w_total
+  FROM sd
+), alloc AS (
+  SELECT segment, n_h, s_r4,
+         CAST(FLOOR({_NEYMAN_BUDGET} * (n_h * s_r4) / w_total) AS BIGINT)
+           AS n_floor,
+         FLOOR(({_NEYMAN_BUDGET} * (n_h * s_r4) / w_total
+                - FLOOR({_NEYMAN_BUDGET} * (n_h * s_r4) / w_total))
+               * 1000000 + 0.5) AS frac_micro
+  FROM sd, wsum
+), leftover AS (
+  SELECT CAST({_NEYMAN_BUDGET} - SUM(n_floor) AS BIGINT) AS extra FROM alloc
+), ranked AS (
+  SELECT segment, n_h, s_r4, n_floor, frac_micro,
+         ROW_NUMBER() OVER (ORDER BY frac_micro DESC, segment) AS rr
+  FROM alloc
+)
+SELECT segment, n_h, s_r4,
+       CAST(n_floor + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS BIGINT)
+         AS n_alloc
+FROM ranked, leftover
+"""
+
+
+@register("q_sample_neyman", oracle=_NEYMAN_ORACLE)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split a fixed budget of
+    {_NEYMAN_BUDGET} samples across customer segments proportionally to
+    N_h·σ_h (big AND volatile strata get more), with largest-remainder
+    rounding so the allocation sums exactly to the budget — the
+    survey-statistics answer to "how many rows from each stratum", the rung
+    above q_sample_stratified's fixed fractions.
+
+    Exactness: per-stratum moment sums run in decimal(38,0) (cents² sums
+    reach ~1e21 at SF100 — far beyond bigint, comfortably inside 38 digits);
+    σ converts to dollars and snaps to 4 decimals so every weight N_h·σ_h is
+    exact in decimal(18,7); remainders snap to micros before the
+    largest-remainder ranking, segment-name tie-break.
+
+    Scale shape: one segment-keyed aggregate with map-side combine collapses
+    the fact table to |strata| rows; everything after runs on that tiny
+    relation (broadcast total, 5-row window). The allocation row set IS the
+    sampler's config table at 100 TB.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr(_BIN_CENTS).alias("cents")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    base = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    st = base.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("s2"),
+    )
+    s_r4 = (
+        F.floor(
+            F.sqrt(
+                (F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                    "double"
+                )
+                / (F.col("n_h").cast("double") * (F.col("n_h") - 1))
+            )
+            / 100
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    sd = st.select("segment", "n_h", s_r4.alias("s_r4"))
+    wsum = sd.agg(
+        F.sum((F.col("n_h") * F.col("s_r4")).cast(DEC))
+        .cast("double")
+        .alias("w_total")
+    )
+    share = F.lit(_NEYMAN_BUDGET) * (F.col("n_h") * F.col("s_r4")) / F.col("w_total")
+    alloc = sd.crossJoin(F.broadcast(wsum)).select(
+        "segment",
+        "n_h",
+        "s_r4",
+        F.floor(share).cast("bigint").alias("n_floor"),
+        F.floor((share - F.floor(share)) * 1000000 + F.lit(0.5)).alias(
+            "frac_micro"
+        ),
+    )
+    leftover = alloc.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("n_floor")).cast("bigint").alias("extra")
+    )
+    ranked = alloc.select(
+        "segment",
+        "n_h",
+        "s_r4",
+        "n_floor",
+        F.row_number()
+        .over(Window.orderBy(F.desc("frac_micro"), "segment"))
+        .alias("rr"),
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "segment",
+        "n_h",
+        "s_r4",
+        (
+            F.col("n_floor")
+            + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )

@@ -3715,3 +3715,91 @@ def q_events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# --- q_events_pchart ----------------------------------------------------------
+
+_PCHART_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors
+  FROM events GROUP BY day_idx
+), pbar AS (
+  SELECT CAST(SUM(errors) AS DOUBLE) / SUM(n) AS pb FROM daily
+), lim AS (
+  SELECT day_idx, n, errors,
+         FLOOR(CAST(errors AS DOUBLE) / n * 1000000 + 0.5) AS p_micro,
+         FLOOR((pb + 3 * SQRT(pb * (1 - pb) / n)) * 1000000 + 0.5) AS ucl_micro,
+         GREATEST(
+           FLOOR((pb - 3 * SQRT(pb * (1 - pb) / n)) * 1000000 + 0.5),
+           0) AS lcl_micro
+  FROM daily, pbar
+)
+SELECT CAST(day_idx AS BIGINT) AS day_idx, n, errors,
+       CAST(p_micro AS BIGINT) AS p_micro,
+       CAST(ucl_micro AS BIGINT) AS ucl_micro,
+       CAST(lcl_micro AS BIGINT) AS lcl_micro,
+       CAST(CASE WHEN p_micro > ucl_micro OR p_micro < lcl_micro
+                 THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+FROM lim
+"""
+
+
+@register("q_events_pchart", oracle=_PCHART_ORACLE)
+def q_events_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC p-chart over the daily error proportion (Shewhart control chart):
+    center line p̄ = total errors / total events, per-day 3σ binomial control
+    limits p̄ ± 3·√(p̄(1−p̄)/n_day), and an out-of-control flag per day — the
+    statistical-process-control screen ops teams run on error rates, one rung
+    more principled than fixed thresholds (q_events_error_budget) because the
+    limits widen on low-traffic days instead of paging on noise.
+
+    Parity: p̄ is a ratio of exact integers (bit-identical double), sqrt is
+    IEEE-exact, and every reported value is snapped to integer micro units
+    BEFORE the flag comparison, so both engines flag from identical integers.
+
+    Scale shape: one day-keyed aggregate with map-side combine collapses the
+    fact table; the single p̄ row fans back via broadcast cross join; the
+    limit math is a stateless projection. At 100 TB the chart usually keys
+    (service, day) — same plan with a wider group key.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day_idx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("errors"),
+    )
+    pbar = daily.agg(
+        (F.sum("errors").cast("double") / F.sum("n")).alias("pb")
+    )
+    sig = F.sqrt(F.col("pb") * (1 - F.col("pb")) / F.col("n"))
+    snap = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    lim = daily.crossJoin(F.broadcast(pbar)).select(
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        "n",
+        "errors",
+        snap(F.col("errors").cast("double") / F.col("n")).alias("p_micro"),
+        snap(F.col("pb") + 3 * sig).alias("ucl_micro"),
+        F.greatest(snap(F.col("pb") - 3 * sig), F.lit(0).cast("bigint")).alias(
+            "lcl_micro"
+        ),
+    )
+    return lim.select(
+        "day_idx",
+        "n",
+        "errors",
+        "p_micro",
+        "ucl_micro",
+        "lcl_micro",
+        F.when(
+            (F.col("p_micro") > F.col("ucl_micro"))
+            | (F.col("p_micro") < F.col("lcl_micro")),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("out_of_control"),
+    )

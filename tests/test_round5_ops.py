@@ -14,6 +14,7 @@ import pytest
 
 import genesapi_cli_spark
 from genesapi_cli_spark.registry import REGISTRY
+from pyspark.sql import functions as F
 
 from .conftest import SMOKE_SF_DIR
 
@@ -271,3 +272,50 @@ def test_perplexity_scores_every_non_train_source(spark):
     for r in rows:
         assert r.min_ce <= r.mean_ce <= r.max_ce
         assert r.oov_tokens >= 0
+
+
+def test_feature_binning_bins_are_ordered_and_total(spark):
+    """Bin edges are monotone within each segment (hi of bin k <= lo of
+    bin k+1) and populations sum to the joined row count."""
+    rows = REGISTRY["q_feature_binning"].fn(spark, SMOKE_SF_DIR).collect()
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, []).append(r)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r.bin)
+        assert [r.bin for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.hi_cents <= b.lo_cents
+    from genesapi_cli_spark.io import load as _load
+
+    n = (
+        _load(spark, SMOKE_SF_DIR, "orders")
+        .join(
+            _load(spark, SMOKE_SF_DIR, "customer"),
+            F.expr("o_custkey = c_custkey"),
+        )
+        .count()
+    )
+    assert sum(r.n for r in rows) == n
+
+
+def test_pchart_limits_bracket_center_and_flags_match(spark):
+    """LCL <= UCL on every day, and the flag is exactly the snapped
+    comparison (re-derived in Python)."""
+    rows = REGISTRY["q_events_pchart"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.lcl_micro <= r.ucl_micro
+        expect = 1 if (r.p_micro > r.ucl_micro or r.p_micro < r.lcl_micro) else 0
+        assert r.out_of_control == expect
+
+
+def test_neyman_allocation_sums_to_budget_and_favors_nsigma(spark):
+    """Allocations sum exactly to the budget; the stratum with the largest
+    N_h*s_h never receives fewer samples than the smallest."""
+    from genesapi_cli_spark.operators.extended import _NEYMAN_BUDGET
+
+    rows = REGISTRY["q_sample_neyman"].fn(spark, SMOKE_SF_DIR).collect()
+    assert sum(r.n_alloc for r in rows) == _NEYMAN_BUDGET
+    ws = sorted(rows, key=lambda r: r.n_h * r.s_r4)
+    assert ws[-1].n_alloc >= ws[0].n_alloc
