@@ -2942,3 +2942,103 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").cast("bigint").alias("n_exact")
     )
     return bm.join(ex, "month").select("month", "n_words", "n_bitmap", "n_exact")
+
+
+# --- q_agg_mix_shift ----------------------------------------------------------
+
+_MIX_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+_MIX_SPLIT_YEAR = 1999  # period A < 1999 <= period B (data spans 1995-2001)
+
+
+_MIX_SHIFT_ORACLE = f"""
+WITH base AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN EXTRACT(year FROM o_orderdate) < {_MIX_SPLIT_YEAR}
+              THEN 0 ELSE 1 END AS period,
+         {_MIX_CENTS} AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT segment,
+         CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN period = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN period = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b
+  FROM base GROUP BY segment
+), tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b
+  FROM seg
+)
+SELECT segment, n_a, n_b,
+       CAST(FLOOR((CAST(n_b AS DOUBLE) / t_b - CAST(n_a AS DOUBLE) / t_a)
+                  * (CAST(s_a AS DOUBLE) / n_a) * 1000000 + 0.5)
+            AS BIGINT) AS mix_micro,
+       CAST(FLOOR((CAST(n_b AS DOUBLE) / t_b)
+                  * (CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a)
+                  * 1000000 + 0.5)
+            AS BIGINT) AS rate_micro
+FROM seg, tot
+"""
+
+
+@register("q_agg_mix_shift", oracle=_MIX_SHIFT_ORACLE)
+def q_agg_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift decomposition of a period-over-period metric change — the
+    analyst's answer to "did the average order value move because segments
+    changed their spend (RATE) or because the segment mix changed (MIX)?":
+    for periods A (< {_MIX_SPLIT_YEAR}) and B, per-segment
+    mix effect = (w_B − w_A)·r_A and rate effect = w_B·(r_B − r_A), whose
+    totals sum to the overall average delta (the standard two-factor
+    decomposition / Oaxaca-Blinder shape).
+
+    Parity: weights and rates are ratios of exact integer counts/cents
+    (bit-identical doubles); products snap to micro-cents at output.
+
+    Scale shape: ONE scan — both periods aggregate in the same segment-keyed
+    groupBy via conditional sums (no per-period scans, no self-join); the
+    2-value totals row fans back via broadcast. At 100 TB this is the
+    textbook single-pass sliced-aggregate plan.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.year("o_orderdate") < _MIX_SPLIT_YEAR, 0).otherwise(1).alias(
+            "period"
+        ),
+        F.expr(_MIX_CENTS).alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("segment")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("period") == 0, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("s_a"),
+            F.sum(F.when(F.col("period") == 1, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("s_b"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n_a").cast("bigint").alias("t_a"),
+        F.sum("n_b").cast("bigint").alias("t_b"),
+    )
+    w_a = F.col("n_a").cast("double") / F.col("t_a")
+    w_b = F.col("n_b").cast("double") / F.col("t_b")
+    r_a = F.col("s_a").cast("double") / F.col("n_a")
+    r_b = F.col("s_b").cast("double") / F.col("n_b")
+    snap = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_a",
+        "n_b",
+        snap((w_b - w_a) * r_a).alias("mix_micro"),
+        snap(w_b * (r_b - r_a)).alias("rate_micro"),
+    )

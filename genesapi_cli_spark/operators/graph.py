@@ -68,7 +68,7 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
-        .select("pa", "pb")
+        .select("pa", "pb", "support")
     )
 
 
@@ -1109,3 +1109,63 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
     )
     return top_auth.unionAll(top_hub)
+
+
+# --- q_graph_recs_cf ----------------------------------------------------------
+
+_RECS_K = 3
+
+_RECS_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+), sym AS (
+  SELECT pa AS src, pb AS dst, support FROM e
+  UNION ALL
+  SELECT pb AS src, pa AS dst, support FROM e
+), ranked AS (
+  SELECT src, dst, support,
+         ROW_NUMBER() OVER (
+           PARTITION BY src ORDER BY support DESC, dst
+         ) AS rank
+  FROM sym
+)
+SELECT src, rank, dst, support FROM ranked WHERE rank <= {_RECS_K}
+"""
+
+
+@register("q_graph_recs_cf", oracle=_RECS_ORACLE)
+def q_graph_recs_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering recommendations: for every part, the
+    top-{_RECS_K} parts most often co-purchased with it (support-ranked,
+    deterministic dst tie-break) — the "customers also bought" table, i.e.
+    the serving artifact the co-purchase graph family exists to produce.
+
+    Scale shape: reuses the session's materialized ≥2-support edge relation
+    (one basket pass, shared with every graph query — the persisted lake
+    table at 100 TB); symmetrization is a UNION ALL of two projections (no
+    join), and the top-k is one per-src window over support-ranked neighbors
+    — k·|nodes| output rows. Item-item CF at catalog scale is exactly this
+    plan keyed by (shard, src).
+    """
+    edges = shared_copurchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "support"
+    ).unionAll(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "support")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("support"), "dst")
+    return (
+        sym.select(
+            "src",
+            F.row_number().over(w).alias("rank"),
+            "dst",
+            F.col("support").cast("bigint").alias("support"),
+        )
+        .filter(F.col("rank") <= _RECS_K)
+    )

@@ -319,3 +319,43 @@ def test_neyman_allocation_sums_to_budget_and_favors_nsigma(spark):
     assert sum(r.n_alloc for r in rows) == _NEYMAN_BUDGET
     ws = sorted(rows, key=lambda r: r.n_h * r.s_r4)
     assert ws[-1].n_alloc >= ws[0].n_alloc
+
+
+def test_recs_cf_ranks_are_dense_and_supported(spark):
+    """Each src's ranks are 1..k without gaps, ordered by non-increasing
+    support, and every rec's support is >= 2 (the edge contract)."""
+    rows = REGISTRY["q_graph_recs_cf"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.support >= b.support for a, b in zip(rs, rs[1:]))
+        assert all(r.support >= 2 for r in rs)
+
+
+def test_mix_shift_effects_sum_to_overall_delta(spark):
+    """Sum of per-segment (mix + rate) effects equals the overall
+    average-order-value delta (to snapping tolerance) — the decomposition
+    identity the operator exists for."""
+    from genesapi_cli_spark.io import load as _load
+    from genesapi_cli_spark.operators.aggregates import _MIX_SPLIT_YEAR
+
+    rows = REGISTRY["q_agg_mix_shift"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    orders = _load(spark, SMOKE_SF_DIR, "orders").select(
+        F.when(F.year("o_orderdate") < _MIX_SPLIT_YEAR, 0).otherwise(1).alias("p"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    agg = {
+        r.p: (r.n, r.s)
+        for r in orders.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    delta = agg[1][1] / agg[1][0] - agg[0][1] / agg[0][0]
+    total_effect = sum(r.mix_micro + r.rate_micro for r in rows) / 1e6
+    # each of the 2*|segments| terms is snapped to 1e-6 cents
+    assert abs(total_effect - delta) < len(rows) * 2e-6 + 1e-6
