@@ -1206,3 +1206,97 @@ def q_profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err_micro"),
         )
     )
+
+
+# --- q_privacy_generalize -----------------------------------------------------
+
+_GEN_K = 50  # minimum group size a released key must reach
+
+
+_GENERALIZE_ORACLE = f"""
+WITH nat AS (
+  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_nat
+  FROM customer GROUP BY c_nationkey
+), reg AS (
+  SELECT n.n_regionkey AS rk, r.r_name AS region_name,
+         CAST(SUM(nat.n_nat) AS BIGINT) AS n_reg
+  FROM nat JOIN nation n ON n.n_nationkey = nat.nk
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY n.n_regionkey, r.r_name
+), tot AS (
+  SELECT CAST(SUM(n_nat) AS BIGINT) AS n_all FROM nat
+)
+SELECT nat.nk AS nationkey, nat.n_nat AS n,
+       CASE WHEN nat.n_nat >= {_GEN_K} THEN 'nation'
+            WHEN reg.n_reg >= {_GEN_K} THEN 'region'
+            ELSE 'all' END AS level,
+       CASE WHEN nat.n_nat >= {_GEN_K} THEN CAST(nat.nk AS VARCHAR)
+            WHEN reg.n_reg >= {_GEN_K} THEN reg.region_name
+            ELSE '*' END AS released_key,
+       CASE WHEN nat.n_nat >= {_GEN_K} THEN nat.n_nat
+            WHEN reg.n_reg >= {_GEN_K} THEN reg.n_reg
+            ELSE tot.n_all END AS released_group_size
+FROM nat
+JOIN nation n ON n.n_nationkey = nat.nk
+JOIN reg ON reg.rk = n.n_regionkey, tot
+"""
+
+
+@register("q_privacy_generalize", oracle=_GENERALIZE_ORACLE)
+def q_privacy_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-hierarchy k-anonymization (the Mondrani/Datafly move
+    q_privacy_kanon only audits): for every nation, walk the QI hierarchy
+    nation → region → '*' and release the FIRST level whose group reaches
+    k={_GEN_K} individuals, reporting the chosen level, the released key, and
+    the group size the release actually provides. Small nations coarsen to
+    their region; small regions suppress entirely — minimal information loss
+    subject to the k floor, per group.
+
+    Scale shape: three aggregates over progressively coarser keys (nation,
+    region, global), each with map-side combine, composed with broadcast
+    joins on the tiny dimension tables; the level decision is a stateless
+    CASE projection. At 100 TB the hierarchy deepens (zip → city → state →
+    country) but stays a chain of shrinking aggregates — no per-row
+    iteration, no data-dependent recursion.
+    """
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2")
+    )
+    region = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("rk3"), F.col("r_name").alias("region_name")
+    )
+    nat = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    reg = (
+        nat.join(F.broadcast(nation), F.col("nationkey") == F.col("nk2"))
+        .join(F.broadcast(region), F.col("rk2") == F.col("rk3"))
+        .groupBy("rk2", "region_name")
+        .agg(F.sum("n").cast("bigint").alias("n_reg"))
+    )
+    tot = nat.agg(F.sum("n").cast("bigint").alias("n_all"))
+    joined = (
+        nat.join(F.broadcast(nation), F.col("nationkey") == F.col("nk2"))
+        .join(F.broadcast(reg), "rk2")
+        .crossJoin(F.broadcast(tot))
+    )
+    at_nation = F.col("n") >= _GEN_K
+    at_region = F.col("n_reg") >= _GEN_K
+    return joined.select(
+        "nationkey",
+        "n",
+        F.when(at_nation, "nation")
+        .when(at_region, "region")
+        .otherwise("all")
+        .alias("level"),
+        F.when(at_nation, F.col("nationkey").cast("string"))
+        .when(at_region, F.col("region_name"))
+        .otherwise("*")
+        .alias("released_key"),
+        F.when(at_nation, F.col("n"))
+        .when(at_region, F.col("n_reg"))
+        .otherwise(F.col("n_all"))
+        .cast("bigint")
+        .alias("released_group_size"),
+    )

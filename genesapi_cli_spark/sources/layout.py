@@ -537,3 +537,98 @@ def q_layout_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "random_layout_deep", F.lit(bool(depth_random > _OVERLAP_FILES // 2))
         )
     )
+
+
+# --- q_source_commit_log (table-format log replay) ---------------------------
+
+_CLOG_PATH = "/tmp/genesapi_spark/commit_log"
+_CLOG_GEN0_FILES = 4
+
+
+_CLOG_ORACLE = f"""
+SELECT 2 AS n_versions,
+       1 AS n_live_files,
+       {_CLOG_GEN0_FILES} AS n_tombstones,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events
+"""
+
+
+@register("q_source_commit_log", oracle=_CLOG_ORACLE)
+def q_source_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse TABLE-FORMAT COMMIT-LOG replay (the Delta/Iceberg core,
+    reduced to its relational essence): version 0 adds the table's initial
+    {_CLOG_GEN0_FILES} parquet files, version 1 compacts them into one file
+    (adds it, tombstones all four); the current snapshot is computed by
+    REPLAYING the JSON log relationally — explode adds, explode removes,
+    live = adds ANTI-JOIN removes — and the certificate reads ONLY the live
+    files and proves the snapshot equals the logical table (row count +
+    checksum), with version/file/tombstone counts pinned.
+
+    This is exactly how a 100 TB lakehouse table isolates readers from
+    writers: readers resolve the log head, not the directory listing, so a
+    concurrent compactor never double-counts or drops rows. The log here is
+    real JSON on disk (session-nonce scratch), read back through Spark's JSON
+    source; the anti-join replay is the plan a metadata layer runs at scale
+    (millions of log entries — a DataFrame problem, not a driver loop; the
+    bounded collect fetches only the live-file list, i.e. the reader's scan
+    manifest).
+    """
+    import json as _json
+
+    from genesapi_cli_spark.io import load, session_nonce
+
+    base = (
+        f"{_CLOG_PATH}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+        f"_{session_nonce(spark)}"
+    )
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.repartition(_CLOG_GEN0_FILES).write.mode("overwrite").parquet(f"{base}/gen0")
+    gen0_files = sorted(
+        r.f
+        for r in spark.read.parquet(f"{base}/gen0")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    spark.read.parquet(*gen0_files).repartition(1).write.mode("overwrite").parquet(
+        f"{base}/gen1"
+    )
+    gen1_files = sorted(
+        r.f
+        for r in spark.read.parquet(f"{base}/gen1")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    os.makedirs(f"{base}/log", exist_ok=True)
+    with open(f"{base}/log/00000.json", "w") as fh:
+        fh.write(_json.dumps({"version": 0, "adds": gen0_files, "removes": []}))
+    with open(f"{base}/log/00001.json", "w") as fh:
+        fh.write(
+            _json.dumps({"version": 1, "adds": gen1_files, "removes": gen0_files})
+        )
+
+    log = spark.read.json(f"{base}/log")
+    adds = log.select(
+        "version", F.explode("adds").alias("path")
+    )
+    removes = log.select(F.explode("removes").alias("rpath")).distinct()
+    live = adds.join(
+        removes, F.col("path") == F.col("rpath"), "left_anti"
+    )
+    n_versions = log.agg(F.count(F.lit(1)).cast("int").alias("nv")).collect()[0].nv
+    n_tomb = removes.count()
+    live_paths = sorted(r.path for r in live.select("path").collect())
+    snap = spark.read.parquet(*live_paths)
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("user_id").cast("bigint").alias("sum_users"),
+    ).select(
+        F.lit(n_versions).cast("int").alias("n_versions"),
+        F.lit(len(live_paths)).cast("int").alias("n_live_files"),
+        F.lit(int(n_tomb)).cast("int").alias("n_tombstones"),
+        "n_rows",
+        "sum_users",
+    )

@@ -56,6 +56,7 @@ SKIP: set[str] = {
     "q_layout_edges",
     "q_layout_zorder",
     "q_scan_dpp",
+    "q_source_commit_log",
 }
 
 

@@ -359,3 +359,38 @@ def test_mix_shift_effects_sum_to_overall_delta(spark):
     total_effect = sum(r.mix_micro + r.rate_micro for r in rows) / 1e6
     # each of the 2*|segments| terms is snapped to 1e-6 cents
     assert abs(total_effect - delta) < len(rows) * 2e-6 + 1e-6
+
+
+def test_generalize_release_meets_k_or_suppresses(spark):
+    """Every released group reaches k, except total suppression when even
+    the global table is below k; levels are consistent with sizes."""
+    from genesapi_cli_spark.operators.scans import _GEN_K
+
+    rows = REGISTRY["q_privacy_generalize"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    total = sum(r.n for r in rows)
+    for r in rows:
+        if r.level == "nation":
+            assert r.released_group_size == r.n >= _GEN_K
+            assert r.released_key == str(r.nationkey)
+        elif r.level == "region":
+            assert r.released_group_size >= _GEN_K
+            assert r.n < _GEN_K
+        else:
+            assert r.released_key == "*"
+            assert r.released_group_size == total
+
+
+def test_commit_log_replay_is_lossless_and_idempotent(spark):
+    """Replaying the commit log yields the full logical table (count +
+    checksum) and a second run returns identical values (overwrite scratch,
+    no accretion)."""
+    from genesapi_cli_spark.io import load as _load
+
+    q = REGISTRY["q_source_commit_log"].fn
+    r1 = q(spark, SMOKE_SF_DIR).collect()[0]
+    r2 = q(spark, SMOKE_SF_DIR).collect()[0]
+    assert r1 == r2
+    ev = _load(spark, SMOKE_SF_DIR, "events")
+    assert r1.n_rows == ev.count()
+    assert r1.n_live_files == 1 and r1.n_versions == 2
