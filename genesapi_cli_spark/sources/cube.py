@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from genesapi_cli_spark.registry import register
@@ -395,4 +395,79 @@ def q_source_cube_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json("dims").alias("dims_json"),
         )
         .orderBy("region_id", "dims_json")
+    )
+
+
+# --- q_genesis_yoy ------------------------------------------------------------
+
+#: Multi-year cube fixture: one statistic, one measure, two regions, three
+#: years, one confidential cell ('-', lock flag x) — the smallest series that
+#: exercises YoY with a locked gap (same record grammar as SAMPLE_CUBE_TEXT).
+YOY_CUBE_TEXT = """\
+K;DQ;FACH-SCHL;GHH-ART;TS-GED;KTX;PROD-STAND
+D;DQ;12411BJ001;;N;Bevoelkerungsstand;01.01.2024
+K;DQA;NAME;RHF-BSR;RHF-ACHSE
+D;DQA;DINSG;1;1
+K;DQZ;NAME;ZI-RHF-BSR
+D;DQZ;JAHR;2
+K;DQI;NAME;ME-NAME;DST;TYP
+D;DQI;BEVSTD;Anzahl;JAHRESSUMME;GANZ
+K;QEI;FACH-SCHL;ZI-WERT;WERT;QUALITAET;GESPERRT
+D;QEI;01001;2014;1000;e;
+D;QEI;01001;2015;1100;e;
+D;QEI;01001;2016;1210;e;
+D;QEI;01002;2014;500;e;
+D;QEI;01002;2015;-;x;
+D;QEI;01002;2016;600;e;
+"""
+
+
+_YOY_ORACLE = """
+SELECT * FROM (VALUES
+  ('01001', 2015, CAST(1100 AS DOUBLE), CAST(1000 AS DOUBLE),
+   CAST(1000 AS BIGINT)),
+  ('01001', 2016, CAST(1210 AS DOUBLE), CAST(1100 AS DOUBLE),
+   CAST(1000 AS BIGINT)),
+  ('01002', 2015, CAST(NULL AS DOUBLE), CAST(500 AS DOUBLE),
+   CAST(NULL AS BIGINT)),
+  ('01002', 2016, CAST(600 AS DOUBLE), CAST(NULL AS DOUBLE),
+   CAST(NULL AS BIGINT))
+) AS t(region_id, year, value_cur, value_prev, yoy_bp)
+"""
+
+
+@register("q_genesis_yoy", oracle=_YOY_ORACLE)
+def q_genesis_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year change of a GENESIS statistic per region — the derived
+    time-series read the reference's consumers (datenguide's GraphQL layer)
+    compute over synced cubes, expressed directly on the parsed fact
+    relation: per region, lag the measure by year and report the YoY delta in
+    exact integer BASIS POINTS ((cur·10⁴) div prev − 10⁴). Confidential cells
+    (GENESIS lock flags, parsed to NULL by the shared cube parser) propagate:
+    a locked year yields NULL YoY both for itself and the following year —
+    never a fabricated rate over a suppressed value.
+
+    Scale shape: one lag window partitioned by (region, measure) ordered by
+    year — across ALL cubes of a full GENESIS sync this is millions of
+    independent tiny series, the embarrassingly-parallel case. The fixture is
+    a fixed literal (same VALUES-oracle pattern as q_source_cube_text), so
+    the relation is deterministic end to end.
+    """
+    facts = parse_cube_text(spark, YOY_CUBE_TEXT)
+    w = Window.partitionBy("region_id", "measure").orderBy("year")
+    lagged = facts.select(
+        "region_id",
+        "year",
+        F.col("value").alias("value_cur"),
+        F.lag("value").over(w).alias("value_prev"),
+    ).filter(F.col("year") > 2014)
+    return lagged.select(
+        "region_id",
+        "year",
+        "value_cur",
+        "value_prev",
+        F.expr(
+            "CAST((CAST(value_cur AS BIGINT) * 10000)"
+            " div CAST(value_prev AS BIGINT) - 10000 AS BIGINT)"
+        ).alias("yoy_bp"),
     )

@@ -545,36 +545,12 @@ _CLOG_PATH = "/tmp/genesapi_spark/commit_log"
 _CLOG_GEN0_FILES = 4
 
 
-_CLOG_ORACLE = f"""
-SELECT 2 AS n_versions,
-       1 AS n_live_files,
-       {_CLOG_GEN0_FILES} AS n_tombstones,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(user_id) AS BIGINT) AS sum_users
-FROM events
-"""
-
-
-@register("q_source_commit_log", oracle=_CLOG_ORACLE)
-def q_source_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lakehouse TABLE-FORMAT COMMIT-LOG replay (the Delta/Iceberg core,
-    reduced to its relational essence): version 0 adds the table's initial
-    {_CLOG_GEN0_FILES} parquet files, version 1 compacts them into one file
-    (adds it, tombstones all four); the current snapshot is computed by
-    REPLAYING the JSON log relationally — explode adds, explode removes,
-    live = adds ANTI-JOIN removes — and the certificate reads ONLY the live
-    files and proves the snapshot equals the logical table (row count +
-    checksum), with version/file/tombstone counts pinned.
-
-    This is exactly how a 100 TB lakehouse table isolates readers from
-    writers: readers resolve the log head, not the directory listing, so a
-    concurrent compactor never double-counts or drops rows. The log here is
-    real JSON on disk (session-nonce scratch), read back through Spark's JSON
-    source; the anti-join replay is the plan a metadata layer runs at scale
-    (millions of log entries — a DataFrame problem, not a driver loop; the
-    bounded collect fetches only the live-file list, i.e. the reader's scan
-    manifest).
-    """
+def _build_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the 2-version scratch table + JSON commit log (gen0 = 4 files,
+    gen1 = their compaction; v1 tombstones all of v0) and return the log as
+    a DataFrame. Shared by q_source_commit_log (head replay) and
+    q_source_time_travel (as-of replay); session-nonce scratch, overwrite-
+    idempotent."""
     import json as _json
 
     from genesapi_cli_spark.io import load, session_nonce
@@ -609,8 +585,41 @@ def q_source_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write(
             _json.dumps({"version": 1, "adds": gen1_files, "removes": gen0_files})
         )
+    return spark.read.json(f"{base}/log")
 
-    log = spark.read.json(f"{base}/log")
+
+
+_CLOG_ORACLE = f"""
+SELECT 2 AS n_versions,
+       1 AS n_live_files,
+       {_CLOG_GEN0_FILES} AS n_tombstones,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events
+"""
+
+
+@register("q_source_commit_log", oracle=_CLOG_ORACLE)
+def q_source_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse TABLE-FORMAT COMMIT-LOG replay (the Delta/Iceberg core,
+    reduced to its relational essence): version 0 adds the table's initial
+    {_CLOG_GEN0_FILES} parquet files, version 1 compacts them into one file
+    (adds it, tombstones all four); the current snapshot is computed by
+    REPLAYING the JSON log relationally — explode adds, explode removes,
+    live = adds ANTI-JOIN removes — and the certificate reads ONLY the live
+    files and proves the snapshot equals the logical table (row count +
+    checksum), with version/file/tombstone counts pinned.
+
+    This is exactly how a 100 TB lakehouse table isolates readers from
+    writers: readers resolve the log head, not the directory listing, so a
+    concurrent compactor never double-counts or drops rows. The log here is
+    real JSON on disk (session-nonce scratch), read back through Spark's JSON
+    source; the anti-join replay is the plan a metadata layer runs at scale
+    (millions of log entries — a DataFrame problem, not a driver loop; the
+    bounded collect fetches only the live-file list, i.e. the reader's scan
+    manifest).
+    """
+    log = _build_commit_log(spark, sf_dir)
     adds = log.select(
         "version", F.explode("adds").alias("path")
     )
@@ -632,3 +641,63 @@ def q_source_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "sum_users",
     )
+
+
+# --- q_source_time_travel -----------------------------------------------------
+
+_TT_ORACLE = f"""
+SELECT 0 AS version, {_CLOG_GEN0_FILES} AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events
+UNION ALL
+SELECT 1 AS version, 1 AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events
+"""
+
+
+@register("q_source_time_travel", oracle=_TT_ORACLE)
+def q_source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the commit log: resolve the table snapshot AS OF each
+    version v (live files = adds with version ≤ v ANTI-JOIN removes with
+    version ≤ v) and certify that every historical snapshot returns the SAME
+    logical table (row count + checksum) while its physical file count
+    changes ({_CLOG_GEN0_FILES} files at v0, 1 after the v1 compaction) —
+    the reproducibility guarantee lakehouse readers rely on: a compaction
+    commit must be invisible to `VERSION AS OF` reads.
+
+    Scale shape: the as-of predicate is a pushed filter on the log relation
+    before the same anti-join replay as q_source_commit_log; per-version
+    snapshot stats are one aggregate over the resolved files. At 100 TB the
+    log is itself a partitioned table and `version ≤ v` prunes log
+    partitions — time travel never lists directories.
+    """
+    log = _build_commit_log(spark, sf_dir)
+    out = []
+    for v in (0, 1):
+        lv = log.filter(F.col("version") <= v)
+        adds = lv.select(F.explode("adds").alias("path"))
+        removes = lv.select(F.explode("removes").alias("rpath")).distinct()
+        live = sorted(
+            r.path
+            for r in adds.join(
+                removes, F.col("path") == F.col("rpath"), "left_anti"
+            )
+            .select("path")
+            .collect()
+        )
+        snap = spark.read.parquet(*live)
+        out.append(
+            snap.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("user_id").cast("bigint").alias("sum_users"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(len(live)).cast("int").alias("n_files"),
+                "n_rows",
+                "sum_users",
+            )
+        )
+    return out[0].unionAll(out[1])

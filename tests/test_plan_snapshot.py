@@ -57,6 +57,7 @@ SKIP: set[str] = {
     "q_layout_zorder",
     "q_scan_dpp",
     "q_source_commit_log",
+    "q_source_time_travel",
 }
 
 

@@ -394,3 +394,26 @@ def test_commit_log_replay_is_lossless_and_idempotent(spark):
     ev = _load(spark, SMOKE_SF_DIR, "events")
     assert r1.n_rows == ev.count()
     assert r1.n_live_files == 1 and r1.n_versions == 2
+
+
+def test_time_travel_snapshots_agree_across_compaction(spark):
+    """Both versions return the same logical table; file counts differ as
+    pinned (4 -> 1)."""
+    rows = {
+        r.version: r
+        for r in REGISTRY["q_source_time_travel"].fn(spark, SMOKE_SF_DIR).collect()
+    }
+    assert rows[0].n_rows == rows[1].n_rows
+    assert rows[0].sum_users == rows[1].sum_users
+    assert rows[0].n_files == 4 and rows[1].n_files == 1
+
+
+def test_genesis_yoy_locked_cells_never_fabricate_rates(spark):
+    """A locked (NULL) year produces NULL YoY for itself and its successor;
+    unlocked consecutive years produce the exact basis-point delta."""
+    rows = REGISTRY["q_genesis_yoy"].fn(spark, SMOKE_SF_DIR).collect()
+    by = {(r.region_id, r.year): r for r in rows}
+    assert by[("01001", 2015)].yoy_bp == 1000
+    assert by[("01001", 2016)].yoy_bp == 1000
+    assert by[("01002", 2015)].yoy_bp is None
+    assert by[("01002", 2016)].yoy_bp is None
