@@ -1846,3 +1846,107 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cutoff_rank"),
     )
+
+
+# --- q_corpus_ess -------------------------------------------------------------
+
+_ESS_CLIP_MICRO = 5_000_000  # importance-weight clip at 5.0 (micro units)
+
+
+_ESS_ORACLE = f"""
+WITH src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS k FROM src
+), w AS (
+  SELECT source, n_s,
+         CAST(FLOOR(CAST(n_docs AS DOUBLE) / (k * n_s) * 1000000 + 0.5)
+              AS BIGINT) AS w_micro
+  FROM src, tot
+), cw AS (
+  SELECT source, n_s, w_micro,
+         LEAST(w_micro, {_ESS_CLIP_MICRO}) AS wc_micro
+  FROM w
+), s AS (
+  SELECT CAST(SUM(n_s * w_micro) AS BIGINT) AS s1,
+         CAST(SUM(n_s * w_micro * w_micro) AS BIGINT) AS s2,
+         CAST(SUM(n_s * wc_micro) AS BIGINT) AS c1,
+         CAST(SUM(n_s * wc_micro * wc_micro) AS BIGINT) AS c2,
+         CAST(MAX(w_micro) AS BIGINT) AS max_w_micro
+  FROM cw
+)
+SELECT n_docs, k, max_w_micro,
+       FLOOR(CAST(s1 AS DOUBLE) * s1 / s2 * 10000 + 0.5) / 10000 AS ess,
+       FLOOR(CAST(s1 AS DOUBLE) * s1 / s2 / n_docs * 10000 + 0.5) / 10000
+         AS ess_ratio,
+       FLOOR(CAST(c1 AS DOUBLE) * c1 / c2 * 10000 + 0.5) / 10000
+         AS ess_clipped
+FROM s, tot
+"""
+
+
+@register("q_corpus_ess", oracle=_ESS_ORACLE)
+def q_corpus_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling health check: reweight the corpus toward a
+    UNIFORM source mix (w_s = target share / observed share) and report the
+    effective sample size ESS = (Σw)²/Σw² — the number that tells a data-
+    mixing pipeline whether its reweighting silently collapsed the corpus
+    onto a few documents (ESS ≪ N means the target mix is unattainable by
+    weighting alone and needs real upsampling). The clipped variant (w ≤ 5)
+    shows the standard variance/bias trade; max weight is the diagnostic.
+
+    Exactness: weights snap to integer micros per SOURCE (k values), so all
+    ESS sums are exact bigints (n_s·w² ≤ 1e6·(5e6)² < bigint only with
+    clip... unclipped w_micro is bounded by N/(k·1) ≤ 1e6·N — the per-source
+    floor n_s ≥ 1 caps w at N·10⁶/k; sums run as bigint here because at this
+    table's scale n_s·w_micro² ≤ 1e19 stays in range, and the docstring
+    contract at 100 TB moves s2 to decimal(38,0) — same plan).
+
+    Scale shape: one source-keyed aggregate, then arithmetic over k rows.
+    """
+    src = load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    tot = src.agg(
+        F.sum("n_s").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    w = src.crossJoin(F.broadcast(tot)).select(
+        "n_s",
+        "n_docs",
+        "k",
+        F.floor(
+            F.col("n_docs").cast("double") / (F.col("k") * F.col("n_s")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    cw = w.withColumn(
+        "wc_micro", F.least(F.col("w_micro"), F.lit(_ESS_CLIP_MICRO))
+    )
+    s = cw.agg(
+        F.sum(F.col("n_s") * F.col("w_micro")).cast("bigint").alias("s1"),
+        F.sum(F.col("n_s") * F.col("w_micro") * F.col("w_micro"))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.col("n_s") * F.col("wc_micro")).cast("bigint").alias("c1"),
+        F.sum(F.col("n_s") * F.col("wc_micro") * F.col("wc_micro"))
+        .cast("bigint")
+        .alias("c2"),
+        F.max("w_micro").cast("bigint").alias("max_w_micro"),
+    )
+    r4_ = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        "k",
+        "max_w_micro",
+        r4_(F.col("s1").cast("double") * F.col("s1") / F.col("s2")).alias("ess"),
+        r4_(
+            F.col("s1").cast("double") * F.col("s1") / F.col("s2") / F.col("n_docs")
+        ).alias("ess_ratio"),
+        r4_(F.col("c1").cast("double") * F.col("c1") / F.col("c2")).alias(
+            "ess_clipped"
+        ),
+    )

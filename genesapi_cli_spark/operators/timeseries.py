@@ -3803,3 +3803,145 @@ def q_events_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("out_of_control"),
     )
+
+
+# --- q_window_conformal ---------------------------------------------------------
+
+_CONF_ALPHA_BP = 2000  # miscoverage 20% in basis points → 80% intervals
+
+
+_CONFORMAL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+), fc AS (
+  SELECT event_type, day_idx, cents,
+         LAG(cents, {_SNAIVE_LAG}) OVER (
+           PARTITION BY event_type ORDER BY day_idx
+         ) AS yhat
+  FROM daily
+), resid AS (
+  SELECT event_type, day_idx, ABS(cents - yhat) AS r,
+         (MIN(day_idx) OVER (PARTITION BY event_type)
+          + MAX(day_idx) OVER (PARTITION BY event_type) + 1) // 2 AS mid
+  FROM fc WHERE yhat IS NOT NULL
+), cal AS (
+  SELECT event_type, r,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY r, day_idx
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM resid WHERE day_idx < mid
+), qhat AS (
+  SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal, r AS q_hat_cents
+  FROM cal
+  WHERE rk = LEAST(
+    CAST(CEIL((10000 - {_CONF_ALPHA_BP}) / 10000.0 * (n_cal + 1)) AS BIGINT),
+    n_cal)
+), test AS (
+  SELECT event_type, r FROM resid WHERE day_idx >= mid
+)
+SELECT t.event_type, q.n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       q.q_hat_cents,
+       CAST(SUM(CASE WHEN t.r <= q.q_hat_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       FLOOR(CAST(SUM(CASE WHEN t.r <= q.q_hat_cents THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS coverage_r4
+FROM test t JOIN qhat q ON q.event_type = t.event_type
+GROUP BY t.event_type, q.n_cal, q.q_hat_cents
+"""
+
+
+@register("q_window_conformal", oracle=_CONFORMAL_ORACLE)
+def q_window_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around the seasonal-naive
+    forecaster: calibrate on each series' first half (the ceil((n+1)(1−α))
+    smallest absolute residual is the distribution-free 80% band half-width),
+    then certify EMPIRICAL COVERAGE on the held-out second half — the
+    finite-sample-valid uncertainty wrapper (conformal prediction) that turns
+    any point forecaster (q_window_snaive_backtest) into calibrated
+    intervals without distributional assumptions.
+
+    Exactness: residuals are exact bigint cents; the conformal quantile is an
+    ORDER STATISTIC (rank selection, day tie-break), not an interpolated
+    percentile, so the band edge is an exact integer both engines agree on;
+    the temporal split point is integer midpoint arithmetic.
+
+    Scale shape: facts collapse to the daily table once; ranking and
+    counting ride windows over the same series partitioning; the per-series
+    q̂ relation (|series| rows) joins back broadcast-sized. Conformal
+    calibration at 100 TB is exactly this: order statistics per series,
+    embarrassingly parallel.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+            F.expr(_CENTS).alias("c"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    wp = Window.partitionBy("event_type")
+    resid = (
+        daily.withColumn("yhat", F.lag("cents", _SNAIVE_LAG).over(w))
+        .filter(F.col("yhat").isNotNull())
+        .select(
+            "event_type",
+            "day_idx",
+            F.abs(F.col("cents") - F.col("yhat")).alias("r"),
+            F.expr(
+                "(MIN(day_idx) OVER (PARTITION BY event_type)"
+                " + MAX(day_idx) OVER (PARTITION BY event_type) + 1) div 2"
+            ).alias("mid"),
+        )
+    )
+    cal = (
+        resid.filter(F.col("day_idx") < F.col("mid"))
+        .withColumn(
+            "rk", F.row_number().over(w.orderBy("r", "day_idx"))
+        )
+        .withColumn("n_cal", F.count(F.lit(1)).over(wp))
+    )
+    target = F.least(
+        F.ceil(
+            (10000 - _CONF_ALPHA_BP) / 10000.0 * (F.col("n_cal") + 1)
+        ).cast("bigint"),
+        F.col("n_cal").cast("bigint"),
+    )
+    qhat = cal.filter(F.col("rk") == target).select(
+        F.col("event_type").alias("qet"),
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.col("r").alias("q_hat_cents"),
+    )
+    test = resid.filter(F.col("day_idx") >= F.col("mid"))
+    covered = F.when(F.col("r") <= F.col("q_hat_cents"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(qhat), F.col("event_type") == F.col("qet"))
+        .groupBy("event_type", "n_cal", "q_hat_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(covered).cast("bigint").alias("n_covered"),
+            (
+                F.floor(
+                    F.sum(covered).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("coverage_r4"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            "q_hat_cents",
+            "n_covered",
+            "coverage_r4",
+        )
+    )

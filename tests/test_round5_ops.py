@@ -417,3 +417,23 @@ def test_genesis_yoy_locked_cells_never_fabricate_rates(spark):
     assert by[("01001", 2016)].yoy_bp == 1000
     assert by[("01002", 2015)].yoy_bp is None
     assert by[("01002", 2016)].yoy_bp is None
+
+
+def test_ess_bounds_and_clip_monotonicity(spark):
+    """1 <= ESS <= N; clipping can only RAISE effective sample size (weights
+    get more uniform); ratio matches ess/n."""
+    r = REGISTRY["q_corpus_ess"].fn(spark, SMOKE_SF_DIR).collect()[0]
+    assert 1.0 <= r.ess <= r.n_docs + 1e-9
+    assert r.ess_clipped >= r.ess - 1e-9
+    assert abs(r.ess_ratio - r.ess / r.n_docs) < 2e-4
+
+
+def test_conformal_quantile_is_a_calibration_residual(spark):
+    """q_hat is an actual calibration residual (order statistic, not
+    interpolated) and coverage = n_covered/n_test."""
+    rows = REGISTRY["q_window_conformal"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_covered <= r.n_test
+        assert abs(r.coverage_r4 - r.n_covered / r.n_test) < 1e-4
+        assert r.q_hat_cents >= 0
