@@ -2056,3 +2056,61 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alloc"),
     )
+
+
+# --- q_quality_checksum ---------------------------------------------------------
+
+_CKSUM_ORACLE = """
+WITH rows_ AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         ('0x' || substr(sha256(
+            CAST(o_orderkey AS VARCHAR) || '|' ||
+            CAST(o_custkey AS VARCHAR) || '|' ||
+            CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+            || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+          ), 1, 15))::BIGINT AS h
+  FROM orders
+)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_fold,
+       CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_fold
+FROM rows_ GROUP BY month
+"""
+
+
+@register("q_quality_checksum", oracle=_CKSUM_ORACLE)
+def q_quality_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the migration/replication equality
+    certificate: per month, a canonical row string (key fields joined with
+    '|', money as integer cents, dates ISO) hashes through sha256 to a 60-bit
+    integer, folded two ways — XOR (order- and overflow-free; any single
+    changed row flips it) and an exact decimal(38,0) SUM (catches the
+    XOR-blind case of an even number of identical corruptions). Two lakes
+    agree on every (month, n_rows, xor_fold, sum_fold) row ⟺ the table
+    migrated losslessly — without ever shipping the rows.
+
+    Scale shape: stateless projection (hash) + one month-keyed aggregate with
+    map-side combine; both folds are mergeable, so per-partition partials
+    compose across 100 TB and across engines (this oracle IS the cross-engine
+    run). The sum fold is emitted as a string because exact 38-digit integers
+    exceed every engine-portable numeric wire type.
+    """
+    orders = load(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("bigint")
+    return (
+        orders.select(F.trunc("o_orderdate", "month").alias("month"), h.alias("h"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("bigint").alias("xor_fold"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("sum_fold"),
+        )
+    )

@@ -3945,3 +3945,143 @@ def q_window_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_r4",
         )
     )
+
+
+# --- q_window_sax ---------------------------------------------------------------
+
+_SAX_BP_MICRO = 674_500  # ±0.6745 = standard-normal quartile breakpoints
+
+
+_SAX_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+), st AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS s2
+  FROM daily GROUP BY event_type
+), z AS (
+  SELECT d.event_type, d.day_idx,
+         FLOOR((d.cents - CAST(s1 AS DOUBLE) / n)
+               / SQRT((CAST(n * s2 - s1 * s1 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (n - 1)))
+               * 1000000 + 0.5) AS z_micro
+  FROM daily d JOIN st USING (event_type)
+), sym AS (
+  SELECT event_type, day_idx,
+         CASE WHEN z_micro < -{_SAX_BP_MICRO} THEN 'a'
+              WHEN z_micro < 0 THEN 'b'
+              WHEN z_micro < {_SAX_BP_MICRO} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM z
+), words AS (
+  SELECT event_type,
+         sym || LEAD(sym, 1) OVER w || LEAD(sym, 2) OVER w AS word
+  FROM sym
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+), wc AS (
+  SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM words WHERE word IS NOT NULL GROUP BY event_type, word
+), top AS (
+  SELECT event_type, word, c,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY c DESC, word
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_motifs,
+         SUM(c) OVER (PARTITION BY event_type) AS n_words
+  FROM wc
+)
+SELECT event_type, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_motifs AS BIGINT) AS n_motifs,
+       word AS top_word, c AS top_count
+FROM top WHERE rk = 1
+"""
+
+
+@register("q_window_sax", oracle=_SAX_ORACLE)
+def q_window_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Symbolic Aggregate approXimation) of each revenue
+    series: z-normalize per series, quantize into the 4-symbol normal-
+    quartile alphabet a|b|c|d, slide a 3-symbol word over the sequence, and
+    report each series' motif vocabulary and dominant motif — the
+    dimensionality-reduction front end of classic time-series motif/anomaly
+    mining (a recurring 'ccc' means a flat regime; a dominant 'ada' is a
+    spike habit).
+
+    Exactness: moments are exact decimal(38,0) sums (cents² at 100 TB
+    exceeds bigint); z snaps to integer micros BEFORE the alphabet CASE, and
+    the breakpoints are the SAME integer literals (±674500 micros) on both
+    engines — symbolization is pure integer comparison. Word assembly is
+    LEAD over the day ordering; motif ranking ties break lexicographically.
+
+    Scale shape: facts → daily table (one shuffle); the z pass joins the
+    per-series moment row back broadcast-sized; words/motifs ride the series
+    partitioning end to end. Millions of independent series parallelize
+    embarrassingly — SAX at scale is exactly this plan.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+            F.expr(_CENTS).alias("c"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    st = daily.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("s2"),
+    )
+    z_micro = F.floor(
+        (F.col("cents") - F.col("s1").cast("double") / F.col("n"))
+        / F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+        * 1000000
+        + F.lit(0.5)
+    )
+    sym = (
+        daily.join(F.broadcast(st), F.col("event_type") == F.col("et"))
+        .select("event_type", "day_idx", z_micro.alias("zm"))
+        .select(
+            "event_type",
+            "day_idx",
+            F.when(F.col("zm") < -_SAX_BP_MICRO, "a")
+            .when(F.col("zm") < 0, "b")
+            .when(F.col("zm") < _SAX_BP_MICRO, "c")
+            .otherwise("d")
+            .alias("sym"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    words = sym.select(
+        "event_type",
+        F.concat(
+            F.col("sym"), F.lead("sym", 1).over(w), F.lead("sym", 2).over(w)
+        ).alias("word"),
+    ).filter(F.col("word").isNotNull())
+    wc = words.groupBy("event_type", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wp = Window.partitionBy("event_type")
+    top = wc.select(
+        "event_type",
+        "word",
+        "c",
+        F.row_number().over(wp.orderBy(F.desc("c"), "word")).alias("rk"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_motifs"),
+        F.sum("c").over(wp).cast("bigint").alias("n_words"),
+    )
+    return top.filter(F.col("rk") == 1).select(
+        "event_type",
+        "n_words",
+        "n_motifs",
+        F.col("word").alias("top_word"),
+        F.col("c").alias("top_count"),
+    )

@@ -437,3 +437,65 @@ def test_conformal_quantile_is_a_calibration_residual(spark):
         assert r.n_covered <= r.n_test
         assert abs(r.coverage_r4 - r.n_covered / r.n_test) < 1e-4
         assert r.q_hat_cents >= 0
+
+
+def test_checksum_detects_a_single_row_change(spark):
+    """Recomputing the fold with one row's cents perturbed must change the
+    month's xor fold (the certificate's sensitivity contract)."""
+    from genesapi_cli_spark.io import load as _load
+
+    rows = REGISTRY["q_quality_checksum"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows and all(r.n_rows > 0 for r in rows)
+    orders = _load(spark, SMOKE_SF_DIR, "orders")
+    # perturb: +1 cent on the minimum orderkey's row
+    perturbed = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey")
+            == orders.agg(F.min("o_orderkey")).collect()[0][0],
+            F.col("o_totalprice") + 0.01,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("bigint")
+    alt = {
+        r.month: r.x
+        for r in perturbed.select(
+            F.trunc("o_orderdate", "month").alias("month"), h.alias("h")
+        )
+        .groupBy("month")
+        .agg(F.expr("bit_xor(h)").alias("x"))
+        .collect()
+    }
+    orig = {r.month: r.xor_fold for r in rows}
+    assert sum(1 for m in orig if orig[m] != alt[m]) == 1
+
+
+def test_sax_words_cover_series_and_alphabet_is_closed(spark):
+    """n_words = n_days - 2 per series (full 3-window coverage) and the top
+    word uses only the a-d alphabet."""
+    from genesapi_cli_spark.io import load as _load
+    from genesapi_cli_spark.operators.timeseries import _DAY_US
+
+    rows = REGISTRY["q_window_sax"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    ev = _load(spark, SMOKE_SF_DIR, "events")
+    days = {
+        r.event_type: r.nd
+        for r in ev.select(
+            "event_type", F.expr(f"ts_us div {_DAY_US}").alias("d")
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("d").alias("nd"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_words == days[r.event_type] - 2
+        assert set(r.top_word) <= set("abcd")
+        assert r.top_count >= 1 and r.n_motifs >= 1
