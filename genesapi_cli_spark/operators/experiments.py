@@ -1596,3 +1596,129 @@ def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cutoff_us - F.col("last_seen_us")).cast("bigint").alias("recency_us"),
         F.coalesce(F.col("label"), F.lit(0)).cast("int").alias("label"),
     )
+
+
+# --- q_events_mannwhitney -------------------------------------------------------
+
+_MW_Z_CRIT_MICRO = 1_959_964  # two-sided 5% normal critical value, micro units
+
+
+_MW_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id % 2 AS arm, {_CENTS} AS v
+  FROM events WHERE event_type = 'purchase'
+), vals AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0_v,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM obs GROUP BY v
+), ranked AS (
+  SELECT v, n0_v, t,
+         COALESCE(SUM(t) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM vals
+), agg AS (
+  SELECT CAST(SUM(n0_v) AS BIGINT) AS n1,
+         CAST(SUM(t - n0_v) AS BIGINT) AS n2,
+         CAST(SUM(n0_v * (2 * cum_before + t + 1)) AS BIGINT) AS r1_x2,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(FLOOR((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                   - CAST(n1 AS DOUBLE) * n2 / 2)
+                  / SQRT(CAST(n1 AS DOUBLE) * n2 / 12
+                         * ((n1 + n2 + 1)
+                            - CAST(tie_term AS DOUBLE)
+                              / ((n1 + n2) * (n1 + n2 - 1))))
+                  * 1000000 + 0.5) AS BIGINT) AS z_micro,
+       CAST(CASE WHEN ABS(FLOOR((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                   - CAST(n1 AS DOUBLE) * n2 / 2)
+                  / SQRT(CAST(n1 AS DOUBLE) * n2 / 12
+                         * ((n1 + n2 + 1)
+                            - CAST(tie_term AS DOUBLE)
+                              / ((n1 + n2) * (n1 + n2 - 1))))
+                  * 1000000 + 0.5)) > {_MW_Z_CRIT_MICRO}
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM agg
+"""
+
+
+@register("q_events_mannwhitney", oracle=_MW_ORACLE)
+def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between experiment arms on purchase
+    value — the nonparametric companion to q_events_ttest_welch for the
+    heavy-tailed metrics where mean tests mislead. Ranks are NEVER assigned
+    row-by-row: the test collapses to the VALUE DISTRIBUTION (per distinct
+    cents value: arm-0 count and total count), so tie-averaged rank sums
+    come from one cumulative window over DISTINCT values —
+    2·R₁ = Σ_v n₀ᵥ·(2·cum_before(v) + tᵥ + 1), an exact integer. The
+    tie-corrected normal approximation gives z.
+
+    Exactness: U and 2R₁ are exact bigints (the ×2 carries half-ranks as
+    integers); the variance uses the standard tie correction from exact
+    integer Σ(t³−t); z snaps to micros; significance compares snapped
+    integers against the 1.96 literal.
+
+    Scale shape: one aggregate to the distinct-value distribution (bounded
+    by the value domain, not the row count — integer cents), one cumulative
+    window over that small relation, one final row. This is how exact rank
+    statistics are computed at 100 TB — never a global row sort.
+    """
+    ev = load(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("arm"), F.expr(_CENTS).alias("v")
+    )
+    vals = obs.groupBy("v").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0_v"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v",
+        "n0_v",
+        "t",
+        F.coalesce(F.sum("t").over(wcum), F.lit(0)).alias("cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum("n0_v").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("n0_v")).cast("bigint").alias("n2"),
+        F.sum(F.col("n0_v") * (2 * F.col("cum_before") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    z = (
+        (u1_x2.cast("double") / 2 - F.col("n1").cast("double") * F.col("n2") / 2)
+        / F.sqrt(
+            F.col("n1").cast("double")
+            * F.col("n2")
+            / 12
+            * (
+                (F.col("n1") + F.col("n2") + 1)
+                - F.col("tie_term").cast("double")
+                / (
+                    (F.col("n1") + F.col("n2"))
+                    * (F.col("n1") + F.col("n2") - 1)
+                )
+            )
+        )
+    )
+    z_micro = F.floor(z * 1000000 + F.lit(0.5)).cast("bigint")
+    return agg.select(
+        "n1",
+        "n2",
+        u1_x2.cast("bigint").alias("u1_x2"),
+        z_micro.alias("z_micro"),
+        F.when(F.abs(z_micro) > _MW_Z_CRIT_MICRO, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("significant"),
+    )

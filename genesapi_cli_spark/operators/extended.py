@@ -2114,3 +2114,95 @@ def q_quality_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("sum_fold"),
         )
     )
+
+
+# --- q_feature_woe --------------------------------------------------------------
+
+_WOE_ORACLE = """
+WITH base AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT segment,
+         CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+         CAST(SUM(bad) AS BIGINT) AS n_bad
+  FROM base GROUP BY segment
+), tot AS (
+  SELECT CAST(SUM(n_good) AS BIGINT) AS tg, CAST(SUM(n_bad) AS BIGINT) AS tb
+  FROM seg
+), woe AS (
+  SELECT segment, n_good, n_bad,
+         CAST(FLOOR(LN((CAST(n_good AS DOUBLE) / tg)
+                       / (CAST(n_bad AS DOUBLE) / tb))
+                    * 1000000 + 0.5) AS BIGINT) AS woe_micro,
+         CAST(n_good AS DOUBLE) / tg - CAST(n_bad AS DOUBLE) / tb AS dpct
+  FROM seg, tot
+)
+SELECT segment, n_good, n_bad, woe_micro,
+       CAST(FLOOR(dpct * (woe_micro / 1000000.0) * 1000000 + 0.5) AS BIGINT)
+         AS iv_micro
+FROM woe
+"""
+
+
+@register("q_feature_woe", oracle=_WOE_ORACLE)
+def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence + Information Value per category — the credit-
+    scoring feature screen: for each customer segment, WoE = ln(share of
+    goods / share of bads) against the binary target "order finalized"
+    (o_orderstatus = 'F'), and the segment's IV contribution
+    (p_good − p_bad)·WoE. IV sums over segments rank features for model
+    inclusion (the classic <0.02 useless / >0.3 strong bands); WoE is the
+    monotone encoding scorecards use directly.
+
+    Parity: good/bad shares are ratios of exact integers; ln snaps to micros
+    BEFORE the IV product, and the product snaps again — both engines
+    multiply identical snapped integers.
+
+    Scale shape: one conditional-sum aggregate per segment (single scan,
+    map-side combine), totals fan back broadcast; at 100 TB the same plan
+    runs per (feature, bin) over hundreds of candidate features in one
+    grouping-sets pass.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("segment")
+        .agg(
+            F.sum(1 - F.col("bad")).cast("bigint").alias("n_good"),
+            F.sum("bad").cast("bigint").alias("n_bad"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n_good").cast("bigint").alias("tg"),
+        F.sum("n_bad").cast("bigint").alias("tb"),
+    )
+    pg = F.col("n_good").cast("double") / F.col("tg")
+    pb = F.col("n_bad").cast("double") / F.col("tb")
+    woe_micro = F.floor(F.log(pg / pb) * 1000000 + F.lit(0.5)).cast("bigint")
+    w = seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_good",
+        "n_bad",
+        woe_micro.alias("woe_micro"),
+        (pg - pb).alias("dpct"),
+    )
+    return w.select(
+        "segment",
+        "n_good",
+        "n_bad",
+        "woe_micro",
+        F.floor(
+            F.col("dpct") * (F.col("woe_micro") / 1000000.0) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("iv_micro"),
+    )

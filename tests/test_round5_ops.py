@@ -499,3 +499,46 @@ def test_sax_words_cover_series_and_alphabet_is_closed(spark):
         assert r.n_words == days[r.event_type] - 2
         assert set(r.top_word) <= set("abcd")
         assert r.top_count >= 1 and r.n_motifs >= 1
+
+
+def test_mannwhitney_matches_scipy_free_reference(spark):
+    """2*R1 over the value distribution equals the row-level tie-averaged
+    rank sum computed directly in Python (small-N ground truth)."""
+    from genesapi_cli_spark.io import load as _load
+
+    r = REGISTRY["q_events_mannwhitney"].fn(spark, SMOKE_SF_DIR).collect()[0]
+    ev = (
+        _load(spark, SMOKE_SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("v"),
+        )
+        .collect()
+    )
+    import collections
+
+    vals = sorted(set(x.v for x in ev))
+    cnt = collections.Counter(x.v for x in ev)
+    start, rank2 = 0, {}
+    for v in vals:
+        t = cnt[v]
+        rank2[v] = 2 * start + t + 1  # 2 * average rank
+        start += t
+    r1_x2 = sum(rank2[x.v] for x in ev if x.arm == 0)
+    n1 = sum(1 for x in ev if x.arm == 0)
+    assert r.u1_x2 == r1_x2 - n1 * (n1 + 1)
+    assert r.n1 == n1 and r.n2 == len(ev) - n1
+
+
+def test_woe_iv_signs_are_consistent(spark):
+    """WoE > 0 iff the segment is good-heavy relative to the corpus, and
+    every IV contribution is non-negative (it is (pg-pb)*ln(pg/pb))."""
+    rows = REGISTRY["q_feature_woe"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    tg = sum(r.n_good for r in rows)
+    tb = sum(r.n_bad for r in rows)
+    for r in rows:
+        dp = r.n_good / tg - r.n_bad / tb
+        assert (r.woe_micro > 0) == (dp > 0) or abs(dp) < 1e-12
+        assert r.iv_micro >= 0
