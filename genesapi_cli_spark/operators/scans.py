@@ -1300,3 +1300,101 @@ def q_privacy_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("released_group_size"),
     )
+
+
+# --- q_privacy_synth_marginals --------------------------------------------------
+
+_SYNTH_ORACLE = """
+WITH real_ AS (
+  SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_real
+  FROM customer GROUP BY segment, nationkey
+), rm AS (
+  SELECT segment, CAST(SUM(n_real) AS BIGINT) AS row_m FROM real_
+  GROUP BY segment
+), cm AS (
+  SELECT nationkey, CAST(SUM(n_real) AS BIGINT) AS col_m FROM real_
+  GROUP BY nationkey
+), tot AS (
+  SELECT CAST(SUM(n_real) AS BIGINT) AS n FROM real_
+), synth AS (
+  SELECT rm.segment, cm.nationkey,
+         CAST(FLOOR(CAST(rm.row_m AS DOUBLE) * cm.col_m / tot.n + 0.5)
+              AS BIGINT) AS n_synth
+  FROM rm CROSS JOIN cm CROSS JOIN tot
+)
+SELECT s.segment,
+       CAST(SUM(s.n_synth) AS BIGINT) AS synth_row_total,
+       MAX(rm.row_m) AS real_row_total,
+       CAST(SUM(ABS(s.n_synth - COALESCE(r.n_real, 0))) AS BIGINT)
+         AS l1_cell_error
+FROM synth s
+JOIN rm ON rm.segment = s.segment
+LEFT JOIN real_ r
+  ON r.segment = s.segment AND r.nationkey = s.nationkey
+GROUP BY s.segment
+"""
+
+
+@register("q_privacy_synth_marginals", oracle=_SYNTH_ORACLE)
+def q_privacy_synth_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-preserving synthetic contingency table (the independence
+    baseline of privacy-preserving synthesis, one IPF round): release
+    synth(seg, nation) = round(row_marginal · col_marginal / N) instead of
+    the real cell counts — individuals are never released, only the two
+    1-way marginals the synthesizer fits. The certificate reports, per
+    segment, how far the synthetic row total drifts from the real marginal
+    (rounding residue only) and the L1 cell error — the utility-vs-privacy
+    number a release review reads next to q_privacy_kanon.
+
+    Parity: marginals are exact integers; each synthetic cell is ONE
+    round-half-up of an exact-integer ratio — identical on both engines.
+
+    Scale shape: two marginal aggregates + a |segments|×|nations| broadcast
+    cross of the tiny marginal relations; the real table is scanned once.
+    At 100 TB synthesis fits higher-order marginals the same way — shrinking
+    aggregates crossed back, never row-level generation on the driver.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    real = cust.groupBy("segment", "nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_real")
+    )
+    rm = real.groupBy("segment").agg(F.sum("n_real").cast("bigint").alias("row_m"))
+    cm = real.groupBy("nationkey").agg(
+        F.sum("n_real").cast("bigint").alias("col_m")
+    )
+    tot = real.agg(F.sum("n_real").cast("bigint").alias("n"))
+    synth = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("segment").alias("s_segment"),
+            F.col("nationkey").alias("s_nationkey"),
+            "row_m",
+            F.floor(
+                F.col("row_m").cast("double") * F.col("col_m") / F.col("n")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("n_synth"),
+        )
+    )
+    return (
+        synth.join(
+            real,
+            (F.col("s_segment") == F.col("segment"))
+            & (F.col("s_nationkey") == F.col("nationkey")),
+            "left",
+        )
+        .groupBy(F.col("s_segment").alias("segment"))
+        .agg(
+            F.sum("n_synth").cast("bigint").alias("synth_row_total"),
+            F.max("row_m").cast("bigint").alias("real_row_total"),
+            F.sum(F.abs(F.col("n_synth") - F.coalesce(F.col("n_real"), F.lit(0))))
+            .cast("bigint")
+            .alias("l1_cell_error"),
+        )
+    )

@@ -1871,3 +1871,137 @@ def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(unconv))
         .select("keeper_vec", "n_vecs", "n_dropped", "n_unconverged")
     )
+
+
+# --- q_sim_hamming --------------------------------------------------------------
+
+_HAM_N_PLANES = 16
+_HAM_MAX_DIST = 3
+
+
+def _ham_planes() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(20260815)
+    return rng.standard_normal((_HAM_N_PLANES, EMBEDDING_DIM)).tolist()
+
+
+_HPLANES = _ham_planes()
+
+
+def _ham_sig_expr(emb_name: str) -> Column:
+    acc = F.lit(0).cast("bigint")
+    for j, plane in enumerate(_HPLANES):
+        proj = dot_lit_expr(emb_name, plane)
+        acc = acc + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast(
+            "bigint"
+        )
+    return acc
+
+
+def _ham_sig_sql(emb: str) -> str:
+    terms = []
+    for j, plane in enumerate(_HPLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({emb}, {lit}) >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _ham_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, emb, nrm, CAST({_ham_sig_sql('emb')} AS BIGINT) AS sg FROM e
+), q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, sg AS qsg FROM sig
+  WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS cand_id, emb AS cemb, nrm AS cnrm, sg AS csg FROM sig
+  WHERE vec_id >= 10
+), cand AS (
+  SELECT query_id, cand_id,
+         CAST(bit_count(xor(qsg, csg)) AS INT) AS hamming,
+         FLOOR(list_dot_product(qemb, cemb) / (qnrm * cnrm) * 10000 + 0.5)
+           / 10000 AS cos_r
+  FROM q CROSS JOIN c
+  WHERE bit_count(xor(qsg, csg)) <= {_HAM_MAX_DIST}
+), best AS (
+  SELECT query_id, cand_id, hamming, cos_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_r DESC, cand_id
+         ) AS rk
+  FROM cand
+)
+SELECT query_id, cand_id AS best_id, hamming, cos_r
+FROM best WHERE rk = 1
+"""
+
+
+@register("q_sim_hamming", oracle=_ham_oracle())
+def q_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding ANN: pack {_HAM_N_PLANES} sign-random-projection bits
+    into ONE integer signature per vector, generate candidates by HAMMING
+    RADIUS (bit_count(xor) ≤ {_HAM_MAX_DIST} — one xor + popcount per pair,
+    no floats), then rerank the tiny candidate set by exact rounded cosine —
+    the binary-quantization retrieval stack (a signature is 64× smaller than
+    the float vector, and the candidate scan is pure ALU work that vectorizes
+    perfectly in whole-stage codegen).
+
+    Complements q_sim_ann_lsh (bucket equality = hamming radius 0 on 4 bits):
+    the radius probe trades more candidate comparisons for recall without
+    re-bucketing. Signature construction uses the same left-to-right
+    fixed-order dot products as the bucket family — identical signs on both
+    engines, no rounding needed; the rerank snaps cosine to 4 decimals.
+
+    Scale shape: signatures are a stateless projection stored next to the
+    vectors (at 100 TB: a bigint column, index-lite); the query side
+    broadcasts; candidate filtering never touches the float vectors until
+    the rerank. Radius queries at scale add multi-index (split the signature
+    into bands — q_multimodal_ahash's pigeonhole) — same relational shape.
+    """
+    e = shared_normed_embeddings(spark, sf_dir)
+    sig = e.select("vec_id", "emb", "nrm", _ham_sig_expr("emb").alias("sg"))
+    q = sig.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("sg").alias("qsg"),
+    )
+    c = sig.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+        F.col("sg").alias("csg"),
+    )
+    ham = F.expr("CAST(bit_count(qsg ^ csg) AS INT)")
+    cand = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _HAM_MAX_DIST)
+        .select(
+            "query_id",
+            "cand_id",
+            "hamming",
+            (
+                F.floor(
+                    dot_expr("qemb", "cemb")
+                    / (F.col("qnrm") * F.col("cnrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), "cand_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("cand_id").alias("best_id"), "hamming", "cos_r")
+    )

