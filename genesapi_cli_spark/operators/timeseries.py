@@ -4085,3 +4085,199 @@ def q_window_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("word").alias("top_word"),
         F.col("c").alias("top_count"),
     )
+
+
+# --- q_window_hurst -------------------------------------------------------------
+
+_HURST_SIZES = (4, 8, 16)
+
+
+_HURST_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+), ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY day_idx
+         ) - 1 AS rnk
+  FROM daily
+), blocks AS (
+  SELECT event_type, n, rnk // n AS block_id, rnk % n AS t, cents
+  FROM ranked, (SELECT unnest([{", ".join(str(n) for n in _HURST_SIZES)}]) AS n)
+), full_blocks AS (
+  SELECT event_type, n, block_id, t, cents,
+         CAST(SUM(cents) OVER (
+           PARTITION BY event_type, n, block_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum,
+         CAST(SUM(cents) OVER (
+           PARTITION BY event_type, n, block_id
+         ) AS BIGINT) AS s_blk,
+         COUNT(*) OVER (PARTITION BY event_type, n, block_id) AS blk_len
+  FROM blocks
+), z AS (
+  SELECT event_type, n, block_id,
+         n * cum - (t + 1) * s_blk AS nz,
+         n * cents - s_blk AS dev
+  FROM full_blocks WHERE blk_len = n
+), rs AS (
+  SELECT event_type, n, block_id,
+         CAST(MAX(nz) - MIN(LEAST(nz, 0)) AS BIGINT) AS rn,
+         CAST(SUM(CAST(dev AS DECIMAL(38,0)) * dev) AS DECIMAL(38,0)) AS q
+  FROM z GROUP BY event_type, n, block_id
+), rs_val AS (
+  SELECT event_type, n,
+         FLOOR(rn * SQRT(CAST(n AS DOUBLE) / CAST(q AS DOUBLE))
+               * 10000 + 0.5) / 10000 AS rs_r
+  FROM rs WHERE q > 0
+), pts AS (
+  SELECT event_type, n,
+         FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS x,
+         FLOOR(LN(
+           CAST(SUM(CAST(rs_r AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*)
+         ) * 1000000 + 0.5) / 1000000 AS y
+  FROM rs_val GROUP BY event_type, n
+), ols AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(18,7))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,7))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(18,7))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(18,7))) AS DOUBLE) AS sxx
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, CAST(k AS BIGINT) AS n_sizes,
+       FLOOR((k * sxy - sx * sy) / (k * sxx - sx * sx) * 10000 + 0.5) / 10000
+         AS hurst_r4
+FROM ols
+"""
+
+
+@register("q_window_hurst", oracle=_HURST_ORACLE)
+def q_window_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis per revenue series:
+    split each series into non-overlapping blocks of n ∈ {_HURST_SIZES},
+    per block compute the rescaled range R/S of cumulative deviations, and
+    fit H as the OLS slope of ln(mean R/S) against ln(n) — the long-memory
+    diagnostic (H≈0.5 random walk, H>0.5 trending/persistent, H<0.5
+    mean-reverting) that decides whether naive CIs on a metric are lies.
+
+    Exactness: the cumulative deviation is carried as n·Z_t = n·cumsum −
+    t·blocksum (EXACT bigint — no mean division inside the range), the
+    dispersion as Σ(n·x − blocksum)² in decimal(38,0); R/S = Rn·√(n/Q)
+    collapses the n's exactly, snapped to 4 decimals per block before the
+    exact-decimal mean; the 3-point OLS reuses the q_text_zipf closed form
+    on micro-snapped lns. Partial trailing blocks drop on both engines
+    (blk_len = n), zero-dispersion blocks are excluded (Q > 0).
+
+    Scale shape: the fact table collapses to daily once; block assignment is
+    integer math on the series rank; every window partitions by (series, n,
+    block) — bounded, parallel; the fit runs on ≤3 rows per series. R/S at
+    100 TB is exactly this plan with more sizes.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+            F.expr(_CENTS).alias("c"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    ranked = daily.select(
+        "event_type",
+        "cents",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day_idx")
+            )
+            - 1
+        ).alias("rnk"),
+    )
+    sizes = ",".join(str(n) for n in _HURST_SIZES)
+    blocks = ranked.select(
+        "event_type",
+        "cents",
+        "rnk",
+        F.explode(F.expr(f"array({sizes})")).alias("n"),
+    ).select(
+        "event_type",
+        "n",
+        F.expr("rnk div n").alias("block_id"),
+        (F.col("rnk") % F.col("n")).alias("t"),
+        "cents",
+    )
+    wb = Window.partitionBy("event_type", "n", "block_id")
+    wcum = wb.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    fb = blocks.select(
+        "event_type",
+        "n",
+        "block_id",
+        "t",
+        "cents",
+        F.sum("cents").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cents").over(wb).cast("bigint").alias("s_blk"),
+        F.count(F.lit(1)).over(wb).alias("blk_len"),
+    ).filter(F.col("blk_len") == F.col("n"))
+    z = fb.select(
+        "event_type",
+        "n",
+        "block_id",
+        (F.col("n") * F.col("cum") - (F.col("t") + 1) * F.col("s_blk")).alias(
+            "nz"
+        ),
+        (F.col("n") * F.col("cents") - F.col("s_blk")).alias("dev"),
+    )
+    rs = z.groupBy("event_type", "n", "block_id").agg(
+        (F.max("nz") - F.min(F.least(F.col("nz"), F.lit(0))))
+        .cast("bigint")
+        .alias("rn"),
+        F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev")).alias("q"),
+    )
+    rs_r = (
+        F.floor(
+            F.col("rn")
+            * F.sqrt(F.col("n").cast("double") / F.col("q").cast("double"))
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    snap6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    pts = (
+        rs.filter(F.col("q") > 0)
+        .select("event_type", "n", rs_r.alias("rs_r"))
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(F.col("rs_r").cast(DEC)).cast("double").alias("sum_rs"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .select(
+            "event_type",
+            snap6(F.log(F.col("n").cast("double"))).alias("x"),
+            snap6(F.log(F.col("sum_rs") / F.col("nb"))).alias("y"),
+        )
+    )
+    ols = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    return ols.select(
+        "event_type",
+        F.col("k").cast("bigint").alias("n_sizes"),
+        (
+            F.floor(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("hurst_r4"),
+    )

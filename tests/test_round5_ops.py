@@ -576,3 +576,13 @@ def test_hamming_candidates_respect_radius_and_rerank_is_exact(spark):
     assert all(0 <= r.hamming <= _HAM_MAX_DIST for r in rows)
     assert all(-1.0 <= r.cos_r <= 1.0 for r in rows)
     assert len({r.query_id for r in rows}) == len(rows)  # one best per query
+
+
+def test_hurst_is_in_unit_range_and_uses_all_sizes(spark):
+    """H lands in (0, 1) for revenue series and all block sizes contribute
+    (the series are long enough at the smoke SF for every size)."""
+    rows = REGISTRY["q_window_hurst"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.hurst_r4 < 1.0
+        assert r.n_sizes >= 2
