@@ -43,9 +43,13 @@ def main() -> int:
     # minimum floor matters for the ~0.25s/query stage-barrier floor the
     # round-3 review measured. On a real cluster this knob is left high and
     # AQE owns it (session.py scale notes). Override via SPARK_GRAFT_SHUFFLE.
+    # Round-5 re-measure: 4 post-AQE partitions beat 8 by ~9% on the full
+    # 380-query suite (152.7s vs 167-179s, same host, same protocol) with no
+    # real per-query regression — at sf0.1 almost every shuffle fits one
+    # partition and the extra tasks are pure scheduling tax.
     spark = build_session(
         app_name="genesapi-bench",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4")),
     )
 
     # Engine warmup so the first measured query of each kind isn't charged

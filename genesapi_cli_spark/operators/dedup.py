@@ -1950,3 +1950,182 @@ def q_corpus_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ess_clipped"
         ),
     )
+
+
+# --- q_dedup_prefix_filter ------------------------------------------------------
+
+_PF_TAU_NUM, _PF_TAU_DEN = 1, 2  # Jaccard threshold τ = 1/2 as an exact ratio
+
+
+_PREFIX_FILTER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS parts, lower(text) AS lt
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         ('0x' || substr(sha256(unnest(
+           CASE WHEN len(parts) >= 3
+                THEN list_transform(range(1, len(parts) - 1),
+                     i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2]))
+                ELSE [lt] END
+         )), 1, 15))::BIGINT AS g
+  FROM t
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM sh GROUP BY doc_id
+), freq AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY g
+), ordered AS (
+  SELECT h.doc_id, h.lang, h.g, z.s,
+         ROW_NUMBER() OVER (
+           PARTITION BY h.doc_id ORDER BY f.df, h.g
+         ) AS rn
+  FROM sh h JOIN freq f ON f.g = h.g JOIN sizes z ON z.doc_id = h.doc_id
+), prefix AS (
+  SELECT doc_id, lang, g, s FROM ordered
+  WHERE rn <= s - CAST(CEIL(s * 1.0 / 2) AS BIGINT) + 1
+), cand AS (
+  SELECT DISTINCT a.lang, a.doc_id AS da, b.doc_id AS db, a.s AS sa, b.s AS sb
+  FROM prefix a JOIN prefix b
+    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.lang, c.da, c.db, c.sa, c.sb,
+         CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN sh ta ON ta.doc_id = c.da
+  JOIN sh tb ON tb.doc_id = c.db AND tb.g = ta.g
+  GROUP BY c.lang, c.da, c.db, c.sa, c.sb
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN 2 * i >= sa + sb - i THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches,
+       CAST(MIN(CASE WHEN 2 * i >= sa + sb - i THEN da ELSE NULL END)
+            AS BIGINT) AS min_match_doc
+FROM inter GROUP BY lang
+"""
+
+
+@register("q_dedup_prefix_filter", oracle=_PREFIX_FILTER_ORACLE)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via PREFIX FILTERING (the PPJoin family
+    — the provably-complete alternative to MinHash-LSH's probabilistic
+    recall): order each document's 3-gram shingle set by ascending global
+    frequency, keep only the first s − ⌈τ·s⌉ + 1 shingles (the prefix), and
+    generate candidates ONLY from prefix collisions — any pair with Jaccard
+    ≥ τ MUST share a prefix element (pigeonhole on the rarest shingles), so
+    the candidate set is complete while joining on a rare subset instead of
+    every shingle (q_dedup_ngram_jaccard) or a sketch (q_dedup_near_minhash).
+    Verification is the exact integer test 2·|A∩B| ≥ |A|+|B|−|A∩B| ⟺ J ≥ ½.
+
+    Shingles are sha256-prefix hashed to bigints IDENTICALLY on both engines
+    (the portable-minhash convention), so the (df, g) prefix ORDER — and
+    therefore the candidate count certificate, not just the match count — is
+    engine-portable. Word-level prefixes degenerate on small vocabularies
+    (every pair shares common words); 3-gram shingles keep document
+    frequencies near 1 and the prefix join selective — measured 9s → ~1s at
+    sf0.1 for exactly that reason.
+
+    Scale shape: the shingle-frequency table broadcasts; prefixes are rare by
+    construction, so the candidate join's key skew is inverted — the hottest
+    shingles never enter it. Verification joins candidates back through the
+    shingle table, grouped map-side. Per-lang certificate: candidates
+    generated vs pairs confirmed — the prune-power number that justifies the
+    technique at 100 TB.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(F.lower("text"), " ").alias("parts"),
+        F.lower("text").alias("lt"),
+    )
+    gram = F.concat_ws(
+        " ",
+        F.expr("parts[i - 1]"),
+        F.expr("parts[i]"),
+        F.expr("parts[i + 1]"),
+    )
+    multi = (
+        base.filter(F.size("parts") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            "parts",
+            F.explode(F.sequence(F.lit(1), F.size("parts") - 2)).alias("i"),
+        )
+        .select("doc_id", "lang", gram.alias("gs"))
+    )
+    single = base.filter(F.size("parts") < 3).select(
+        "doc_id", "lang", F.col("lt").alias("gs")
+    )
+    sh = (
+        multi.unionAll(single)
+        .select(
+            "doc_id",
+            "lang",
+            F.conv(F.substring(F.sha2(F.col("gs"), 256), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy(F.col("doc_id").alias("sd")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    freq = sh.groupBy(F.col("g").alias("fg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    ordered = (
+        sh.join(F.broadcast(freq), F.col("g") == F.col("fg"))
+        .join(sizes, F.col("doc_id") == F.col("sd"))
+        .select(
+            "doc_id",
+            "lang",
+            "g",
+            "s",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("df", "g"))
+            .alias("rn"),
+        )
+    )
+    prefix = ordered.filter(
+        F.col("rn")
+        <= F.col("s") - F.ceil(F.col("s") * _PF_TAU_NUM / _PF_TAU_DEN) + 1
+    ).localCheckpoint(eager=False)
+    pb = prefix.select(
+        F.col("lang").alias("lb"),
+        F.col("doc_id").alias("db"),
+        F.col("g").alias("gb"),
+        F.col("s").alias("sb"),
+    )
+    cand = (
+        prefix.join(
+            pb,
+            (F.col("g") == F.col("gb"))
+            & (F.col("lang") == F.col("lb"))
+            & (F.col("doc_id") < F.col("db")),
+        )
+        .select(
+            "lang",
+            F.col("doc_id").alias("da"),
+            "db",
+            F.col("s").alias("sa"),
+            "sb",
+        )
+        .distinct()
+    )
+    ta = sh.select(F.col("doc_id").alias("ia"), F.col("g").alias("ka"))
+    tb = sh.select(F.col("doc_id").alias("ib"), F.col("g").alias("kb"))
+    inter = (
+        cand.join(ta, F.col("da") == F.col("ia"))
+        .join(tb, (F.col("db") == F.col("ib")) & (F.col("ka") == F.col("kb")))
+        .groupBy("lang", "da", "db", "sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    is_match = 2 * F.col("i") >= F.col("sa") + F.col("sb") - F.col("i")
+    return inter.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(is_match, 1).otherwise(0)).cast("bigint").alias("n_matches"),
+        F.min(F.when(is_match, F.col("da"))).cast("bigint").alias("min_match_doc"),
+    )

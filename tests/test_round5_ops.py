@@ -586,3 +586,39 @@ def test_hurst_is_in_unit_range_and_uses_all_sizes(spark):
     for r in rows:
         assert 0.0 < r.hurst_r4 < 1.0
         assert r.n_sizes >= 2
+
+
+def test_prefix_filter_is_complete_vs_brute_force(spark):
+    """The prefix-filter match count per lang equals the brute-force count of
+    token-set pairs with Jaccard >= 1/2 (completeness is the whole point of
+    the technique)."""
+    from genesapi_cli_spark.io import load as _load
+
+    rows = {
+        r.lang: r
+        for r in REGISTRY["q_dedup_prefix_filter"].fn(spark, SMOKE_SF_DIR).collect()
+    }
+    docs = _load(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    def shingles(text):
+        parts = text.lower().split(" ")
+        if len(parts) < 3:
+            return {text.lower()}
+        return {" ".join(parts[i : i + 3]) for i in range(len(parts) - 2)}
+
+    by_lang: dict = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, []).append((d.doc_id, shingles(d.text)))
+    for lang, items in by_lang.items():
+        brute = 0
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                a, b = items[i][1], items[j][1]
+                inter = len(a & b)
+                if 2 * inter >= len(a) + len(b) - inter:
+                    brute += 1
+        got = rows[lang].n_matches if lang in rows else 0
+        assert got == brute, (lang, got, brute)
+        if lang in rows:
+            assert rows[lang].n_candidates >= rows[lang].n_matches
