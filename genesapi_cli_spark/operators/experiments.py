@@ -1722,3 +1722,109 @@ def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("significant"),
     )
+
+
+# --- q_events_cem ----------------------------------------------------------------
+
+_CEM_ORACLE = f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INTEGER) AS treated,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN {_CENTS} ELSE 0 END) AS BIGINT) AS spend
+  FROM events GROUP BY user_id
+), binned AS (
+  -- coarsen: activity volume in buckets of 5 events, capped at 6 bins
+  SELECT treated, LEAST(n_events // 5, 5) AS bin, spend FROM users
+), cells AS (
+  SELECT bin,
+         CAST(SUM(treated) AS BIGINT) AS n_t,
+         CAST(COUNT(*) - SUM(treated) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN treated = 1 THEN spend ELSE 0 END) AS BIGINT)
+           AS s_t,
+         CAST(SUM(CASE WHEN treated = 0 THEN spend ELSE 0 END) AS BIGINT)
+           AS s_c
+  FROM binned GROUP BY bin
+), matched AS (
+  SELECT bin, n_t, n_c, s_t, s_c FROM cells WHERE n_t > 0 AND n_c > 0
+), att AS (
+  SELECT CAST(SUM(n_t) AS BIGINT) AS n_matched_t,
+         CAST(SUM(n_c) AS BIGINT) AS n_matched_c,
+         CAST(FLOOR(SUM((CAST(s_t AS DOUBLE) / n_t
+                         - CAST(s_c AS DOUBLE) / n_c) * n_t)
+                    / SUM(n_t) * 10000 + 0.5) AS BIGINT) AS att_r4_cents,
+         CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+         CAST((SELECT COUNT(*) FROM matched) AS BIGINT) AS n_matched_cells
+  FROM matched
+)
+SELECT n_cells, n_matched_cells, n_matched_t, n_matched_c, att_r4_cents
+FROM att
+"""
+
+
+@register("q_events_cem", oracle=_CEM_ORACLE)
+def q_events_cem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened Exact Matching (CEM) estimate of the treatment effect on
+    spend: coarsen the confounder (activity volume) into bins, keep only
+    bins containing BOTH arms (exact matching on the coarsened stratum),
+    and weight each bin's arm-mean contrast by its treated count — the
+    ATT under the CEM weighting scheme. The observational-causal rung
+    between the raw contrast (confounded by activity) and q_events_cuped
+    (variance reduction for randomized data): matching makes the arms
+    comparable WITHIN strata before differencing.
+
+    Exactness: user aggregates, bin counts and spend sums are exact
+    bigints; each bin's contrast is a difference of exact-integer ratios
+    (bit-identical doubles); the treated-weighted ATT snaps to r4 cents.
+    Unmatched-cell counts are the pruning certificate (how much support
+    the matching discarded).
+
+    Scale shape: one user-keyed aggregate collapses the fact table, one
+    bin-keyed aggregate collapses users to ≤6 cells, and the estimate is
+    arithmetic over those cells — the entire causal adjustment costs two
+    map-side-combinable shuffles regardless of corpus size. More
+    confounders = a wider coarsened key, same plan.
+    """
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.expr(_CENTS)).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("spend"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        F.least(F.expr("n_events div 5"), F.lit(5)).alias("bin"),
+        "spend",
+    )
+    cells = users.groupBy("bin").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("treated")).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("spend")).otherwise(0))
+        .cast("bigint")
+        .alias("s_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("spend")).otherwise(0))
+        .cast("bigint")
+        .alias("s_c"),
+    ).localCheckpoint(eager=False)
+    matched = cells.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    n_cells = cells.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    contrast = (
+        F.col("s_t").cast("double") / F.col("n_t")
+        - F.col("s_c").cast("double") / F.col("n_c")
+    )
+    att = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_cells"),
+        F.sum("n_t").cast("bigint").alias("n_matched_t"),
+        F.sum("n_c").cast("bigint").alias("n_matched_c"),
+        F.floor(
+            F.sum(contrast * F.col("n_t")) / F.sum("n_t") * 10000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("att_r4_cents"),
+    )
+    return att.crossJoin(F.broadcast(n_cells)).select(
+        "n_cells", "n_matched_cells", "n_matched_t", "n_matched_c", "att_r4_cents"
+    )

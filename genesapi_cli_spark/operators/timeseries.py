@@ -4281,3 +4281,222 @@ def q_window_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("hurst_r4"),
     )
+
+
+# --- q_window_matrix_profile ------------------------------------------------------
+
+_MP_M = 7        # subsequence length (one week of daily points)
+_MP_EXCL = 4     # exclusion zone: ignore overlapping trivial matches |i-j| < 4
+
+
+def _mp_pair_sums(prefix_a: str, prefix_b: str) -> str:
+    return " + ".join(f"{prefix_a}{k} * {prefix_b}{k}" for k in range(_MP_M))
+
+
+_MP_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+), seq AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY day_idx
+         ) - 1 AS i
+  FROM daily
+), win AS (
+  SELECT event_type, i,
+         {", ".join(f"LEAD(cents, {k}) OVER (PARTITION BY event_type ORDER BY i) AS v{k}" for k in range(_MP_M))}
+  FROM (SELECT event_type, i, cents FROM seq) t
+  QUALIFY v{_MP_M - 1} IS NOT NULL
+), st AS (
+  SELECT event_type, i,
+         {" + ".join(f"v{k}" for k in range(_MP_M))} AS s1,
+         {" + ".join(f"v{k} * v{k}" for k in range(_MP_M))} AS s2,
+         {", ".join(f"v{k}" for k in range(_MP_M))}
+  FROM win
+), pairs AS (
+  SELECT a.event_type, a.i AS ia, b.i AS ib,
+         {_MP_M} * ({_mp_pair_sums("a.v", "b.v")}) - a.s1 * b.s1 AS num,
+         CAST({_MP_M} * a.s2 - a.s1 * a.s1 AS DOUBLE)
+           * ({_MP_M} * b.s2 - b.s1 * b.s1) AS dd
+  FROM st a JOIN st b
+    ON a.event_type = b.event_type AND b.i - a.i >= {_MP_EXCL}
+), dist AS (
+  SELECT event_type, ia, ib,
+         FLOOR(SQRT(GREATEST(
+                 2 * {_MP_M} * (1 - num / SQRT(dd)), 0))
+               * 10000 + 0.5) / 10000 AS d_r4
+  FROM pairs WHERE dd > 0
+), motif AS (
+  SELECT event_type, ia AS motif_i, ib AS motif_j, d_r4 AS motif_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY d_r4, ia, ib
+         ) AS rk
+  FROM dist
+), profile AS (
+  SELECT event_type, i, MIN(d_r4) AS p
+  FROM (
+    SELECT event_type, ia AS i, d_r4 FROM dist
+    UNION ALL
+    SELECT event_type, ib AS i, d_r4 FROM dist
+  ) GROUP BY event_type, i
+), discord AS (
+  SELECT event_type, i AS discord_i, p AS discord_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY p DESC, i
+         ) AS rk
+  FROM profile
+), nw AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_windows FROM st
+  GROUP BY event_type
+)
+SELECT m.event_type, nw.n_windows,
+       CAST(m.motif_i AS BIGINT) AS motif_i,
+       CAST(m.motif_j AS BIGINT) AS motif_j,
+       m.motif_dist,
+       CAST(d.discord_i AS BIGINT) AS discord_i,
+       d.discord_dist
+FROM motif m
+JOIN discord d ON d.event_type = m.event_type AND d.rk = 1
+JOIN nw ON nw.event_type = m.event_type
+WHERE m.rk = 1
+"""
+
+
+@register("q_window_matrix_profile", oracle=_MP_ORACLE)
+def q_window_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile of each revenue series (subsequence length {_MP_M},
+    exclusion zone {_MP_EXCL}): for every window position, the z-normalized
+    distance to its nearest non-trivial neighbor — reporting the MOTIF (the
+    closest repeating weekly pattern) and the DISCORD (the week most unlike
+    every other) per series. The matrix-profile primitive underlies modern
+    motif discovery, anomaly detection and regime segmentation; here it is
+    expressed as a windowed self-join, not a specialized index.
+
+    Exactness: windows are {_MP_M} integer-cents columns (LEAD projections);
+    the pair distance d² = 2m(1 − corr) is computed from EXACT integer
+    sufficient statistics (m·Σxy − ΣxΣy over bigints), with only the final
+    sqrt/divide in double, snapped to 4 decimals BEFORE min/argmin; ties
+    break on integer positions. Zero-variance windows are excluded on both
+    engines (dd > 0).
+
+    Scale shape: the pair join is per-series (equi-key event_type) with a
+    band predicate — O(L²/2) pairs per series of length L, embarrassingly
+    parallel across millions of series, each pair a flat 7-term codegen
+    projection (no arrays, no UDFs). For single very-long series the
+    exclusion-band join graduates to the STOMP recurrence over tiled
+    diagonal blocks — same sufficient statistics, blocked differently.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+            F.expr(_CENTS).alias("c"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    seq = daily.select(
+        "event_type", "cents", (F.row_number().over(w) - 1).alias("i")
+    )
+    wi = Window.partitionBy("event_type").orderBy("i")
+    win = seq.select(
+        "event_type",
+        "i",
+        *[F.lead("cents", k).over(wi).alias(f"v{k}") for k in range(_MP_M)],
+    ).filter(F.col(f"v{_MP_M - 1}").isNotNull())
+    st = win.select(
+        "event_type",
+        "i",
+        F.expr(" + ".join(f"v{k}" for k in range(_MP_M))).alias("s1"),
+        F.expr(" + ".join(f"v{k} * v{k}" for k in range(_MP_M))).alias("s2"),
+        *[F.col(f"v{k}") for k in range(_MP_M)],
+    ).localCheckpoint(eager=False)
+    b = st.select(
+        F.col("event_type").alias("bet"),
+        F.col("i").alias("ib"),
+        F.col("s1").alias("t1"),
+        F.col("s2").alias("t2"),
+        *[F.col(f"v{k}").alias(f"w{k}") for k in range(_MP_M)],
+    )
+    num = F.expr(
+        f"{_MP_M} * ({_mp_pair_sums('v', 'w')}) - s1 * t1"
+    )
+    dd = F.expr(
+        f"CAST({_MP_M} * s2 - s1 * s1 AS DOUBLE) * ({_MP_M} * t2 - t1 * t1)"
+    )
+    pairs = st.join(
+        b,
+        (F.col("event_type") == F.col("bet"))
+        & (F.col("ib") - F.col("i") >= _MP_EXCL),
+    ).select(
+        "event_type",
+        F.col("i").alias("ia"),
+        "ib",
+        num.alias("num"),
+        dd.alias("dd"),
+    )
+    d_r4 = (
+        F.floor(
+            F.sqrt(
+                F.greatest(
+                    2 * _MP_M * (1 - F.col("num") / F.sqrt(F.col("dd"))),
+                    F.lit(0.0),
+                )
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    dist = (
+        pairs.filter(F.col("dd") > 0)
+        .select("event_type", "ia", "ib", d_r4.alias("d_r4"))
+        .localCheckpoint(eager=False)
+    )
+    wmot = Window.partitionBy("event_type").orderBy("d_r4", "ia", "ib")
+    motif = (
+        dist.withColumn("rk", F.row_number().over(wmot))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("ia").cast("bigint").alias("motif_i"),
+            F.col("ib").cast("bigint").alias("motif_j"),
+            F.col("d_r4").alias("motif_dist"),
+        )
+    )
+    profile = (
+        dist.select("event_type", F.col("ia").alias("i"), "d_r4")
+        .unionAll(dist.select("event_type", F.col("ib").alias("i"), "d_r4"))
+        .groupBy("event_type", "i")
+        .agg(F.min("d_r4").alias("p"))
+    )
+    wdis = Window.partitionBy("event_type").orderBy(F.desc("p"), "i")
+    discord = (
+        profile.withColumn("rk", F.row_number().over(wdis))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("event_type").alias("det"),
+            F.col("i").cast("bigint").alias("discord_i"),
+            F.col("p").alias("discord_dist"),
+        )
+    )
+    nw = st.groupBy(F.col("event_type").alias("net")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows")
+    )
+    return (
+        motif.join(discord, F.col("event_type") == F.col("det"))
+        .join(F.broadcast(nw), F.col("event_type") == F.col("net"))
+        .select(
+            "event_type",
+            "n_windows",
+            "motif_i",
+            "motif_j",
+            "motif_dist",
+            "discord_i",
+            "discord_dist",
+        )
+    )

@@ -622,3 +622,56 @@ def test_prefix_filter_is_complete_vs_brute_force(spark):
         assert got == brute, (lang, got, brute)
         if lang in rows:
             assert rows[lang].n_candidates >= rows[lang].n_matches
+
+
+def test_cem_att_matches_hand_computation(spark):
+    """The weighted ATT equals a direct pandas-free recomputation from the
+    per-user aggregates (matching + weighting contract)."""
+    from genesapi_cli_spark.io import load as _load
+
+    r = REGISTRY["q_events_cem"].fn(spark, SMOKE_SF_DIR).collect()[0]
+    ev = _load(spark, SMOKE_SF_DIR, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"),
+                ).otherwise(0)
+            ).alias("spend"),
+        )
+        .collect()
+    )
+    cells: dict = {}
+    for u in users:
+        b = min(u.n // 5, 5)
+        t = u.user_id % 2
+        c = cells.setdefault(b, [0, 0, 0, 0])  # n_t, n_c, s_t, s_c
+        if t == 1:
+            c[0] += 1
+            c[2] += u.spend
+        else:
+            c[1] += 1
+            c[3] += u.spend
+    matched = {b: c for b, c in cells.items() if c[0] > 0 and c[1] > 0}
+    num = sum((c[2] / c[0] - c[3] / c[1]) * c[0] for c in matched.values())
+    den = sum(c[0] for c in matched.values())
+    import math
+
+    assert r.att_r4_cents == math.floor(num / den * 10000 + 0.5)
+    assert r.n_cells == len(cells) and r.n_matched_cells == len(matched)
+
+
+def test_matrix_profile_motif_beats_discord(spark):
+    """The motif distance is <= the discord's profile value per series, and
+    the motif pair respects the exclusion zone."""
+    from genesapi_cli_spark.operators.timeseries import _MP_EXCL
+
+    rows = REGISTRY["q_window_matrix_profile"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.motif_dist <= r.discord_dist
+        assert r.motif_j - r.motif_i >= _MP_EXCL
+        assert 0 <= r.motif_i < r.n_windows and 0 <= r.discord_i < r.n_windows
