@@ -1169,3 +1169,112 @@ def q_graph_recs_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _RECS_K)
     )
+
+
+# --- q_graph_ktruss ------------------------------------------------------------
+
+_TRUSS_K = 3  # 3-truss: every surviving edge closes >= 1 triangle
+
+
+_KTRUSS_ORACLE = f"""{_EDGES_SQL}, sup1 AS (
+  SELECT e.pa, e.pb, CAST(COUNT(t.a) AS BIGINT) AS support
+  FROM edges e
+  LEFT JOIN (
+    SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.pa = e1.pb
+    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+  ) t ON (t.a = e.pa AND t.b = e.pb)
+      OR (t.b = e.pa AND t.c = e.pb)
+      OR (t.a = e.pa AND t.c = e.pb)
+  GROUP BY e.pa, e.pb
+), keep1 AS (
+  SELECT pa, pb FROM sup1 WHERE support >= {_TRUSS_K - 2}
+), sup2 AS (
+  SELECT e.pa, e.pb, CAST(COUNT(t.a) AS BIGINT) AS support
+  FROM keep1 e
+  LEFT JOIN (
+    SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+    FROM keep1 e1
+    JOIN keep1 e2 ON e2.pa = e1.pb
+    JOIN keep1 e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+  ) t ON (t.a = e.pa AND t.b = e.pb)
+      OR (t.b = e.pa AND t.c = e.pb)
+      OR (t.a = e.pa AND t.c = e.pb)
+  GROUP BY e.pa, e.pb
+), keep2 AS (
+  SELECT pa, pb FROM sup2 WHERE support >= {_TRUSS_K - 2}
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM keep1) AS n_after_r1,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM keep2) AS n_after_r2,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM keep1)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM keep2) AS n_unconverged
+"""
+
+
+@register("q_graph_ktruss", oracle=_KTRUSS_ORACLE)
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_TRUSS_K}-truss peeling of the co-purchase graph (every edge must
+    close ≥ {_TRUSS_K - 2} triangle): two unrolled support-count/peel rounds
+    with a declarative convergence certificate (n_unconverged = edges still
+    dropped in round 2; 0 ⟺ the 2-round schedule reached the fixpoint) — the
+    community-core primitive one rung above q_graph_kcore (degree is a weak
+    tie signal; triangle support is cohesion), and the same
+    fixed-unroll-plus-certificate discipline as q_dedup_clusters.
+
+    Per-EDGE support comes from the oriented a<b<c triangle join: each
+    triangle credits its three edges via one UNION-ALL of projections, so
+    support is a hash aggregate on the edge key — no per-edge subqueries.
+    The left join keeps 0-support edges visible to the peel.
+
+    Scale shape: the wedge join bounds fan-out by the middle node's oriented
+    out-degree (q_graph_triangles' property); each round is 2 joins + 1
+    aggregate + 1 filter over the (shrinking) edge relation. At 100 TB,
+    rounds become passes over a persisted edge table with the support column
+    updated in place — identical relational algebra.
+    """
+    edges0 = shared_copurchase_edges(spark, sf_dir).select("pa", "pb")
+
+    def peel(edges: DataFrame) -> DataFrame:
+        e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+        e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+        tri = (
+            e1.join(e2, F.col("b") == F.col("b2"))
+            .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+            .select("a", "b", "c")
+        )
+        credit = (
+            tri.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+            .unionAll(tri.select(F.col("b").alias("ca"), F.col("c").alias("cb")))
+            .unionAll(tri.select(F.col("a").alias("ca"), F.col("c").alias("cb")))
+            .groupBy("ca", "cb")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        )
+        return (
+            edges.join(
+                credit,
+                (F.col("pa") == F.col("ca")) & (F.col("pb") == F.col("cb")),
+                "left",
+            )
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= _TRUSS_K - 2)
+            .select("pa", "pb")
+            .localCheckpoint(eager=False)
+        )
+
+    keep1 = peel(edges0)
+    keep2 = peel(keep1)
+    n0 = edges0.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n1 = keep1.agg(F.count(F.lit(1)).cast("bigint").alias("n_after_r1"))
+    n2 = keep2.agg(F.count(F.lit(1)).cast("bigint").alias("n_after_r2"))
+    return (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "n_edges",
+            "n_after_r1",
+            "n_after_r2",
+            (F.col("n_after_r1") - F.col("n_after_r2")).alias("n_unconverged"),
+        )
+    )

@@ -1012,3 +1012,91 @@ def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(
         _patchify, schema="doc_id long, py long, px long, psum long"
     )
+
+
+# --- q_multimodal_shot_detect ----------------------------------------------------
+
+_SHOT_FRAME_BYTES = 16
+_SHOT_DELTA_MIN = 150  # boundary: |energy(frame) - energy(prev)| exceeds this
+
+
+_SHOT_ORACLE = f"""
+WITH frames AS (
+  SELECT doc_id, lang, f AS frame_idx,
+         ({" + ".join(f"ascii(substr(text, f * {_SHOT_FRAME_BYTES} + {k + 1}, 1))" for k in range(_SHOT_FRAME_BYTES))})
+           AS energy
+  FROM documents,
+       UNNEST(range(0, n_chars // {_SHOT_FRAME_BYTES})) AS t(f)
+), deltas AS (
+  SELECT doc_id, lang, frame_idx,
+         ABS(energy - LAG(energy) OVER (
+           PARTITION BY doc_id ORDER BY frame_idx
+         )) AS d
+  FROM frames
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d > {_SHOT_DELTA_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundaries,
+       CAST(MAX(d) AS BIGINT) AS max_delta
+FROM deltas GROUP BY lang
+"""
+
+
+@register("q_multimodal_shot_detect", oracle=_SHOT_ORACLE)
+def q_multimodal_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection plumbing for video assets: chunk each payload
+    into fixed {_SHOT_FRAME_BYTES}-byte 'frames', compute per-frame energy
+    (byte sum — with a real codec this is the luma histogram in the same
+    slot), and flag boundaries where the frame-to-frame energy delta exceeds
+    the cut threshold — the temporal-segmentation pass a video curation
+    pipeline runs before per-shot sampling (q_multimodal_framesample) and
+    captioning, certified per language with frame/boundary counts and the
+    maximum observed cut strength.
+
+    Exactness: energy is an exact integer byte sum via a FLAT
+    {_SHOT_FRAME_BYTES}-term ascii projection (whole-stage codegen — the
+    q_multimodal_ahash rule: never a HOF lambda), the delta is integer LAG
+    arithmetic, and the threshold is a shared literal.
+
+    Scale shape: frame explosion is a narrow in-row fan-out (payload dies in
+    the same stage — only (doc, frame_idx, energy) reaches the Exchange);
+    the LAG window partitions per asset; the rollup is map-side combined.
+    Real decoders slot into the same plan as a mapInPandas stage emitting
+    (doc, frame_idx, histogram) — the relational shell is codec-agnostic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    energy = " + ".join(
+        f"ascii(substring(text, f * {_SHOT_FRAME_BYTES} + {k + 1}, 1))"
+        for k in range(_SHOT_FRAME_BYTES)
+    )
+    frames = (
+        docs.filter(F.col("n_chars") >= _SHOT_FRAME_BYTES)
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.col("n_chars") / _SHOT_FRAME_BYTES).cast("long") - 1,
+                )
+            ).alias("f"),
+        )
+        .select("doc_id", "lang", F.col("f").alias("frame_idx"), F.expr(energy).alias("energy"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.select(
+        "doc_id",
+        "lang",
+        F.abs(F.col("energy") - F.lag("energy").over(w)).alias("d"),
+    )
+    return deltas.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("d") > _SHOT_DELTA_MIN, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boundaries"),
+        F.max("d").cast("bigint").alias("max_delta"),
+    )

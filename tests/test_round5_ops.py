@@ -675,3 +675,21 @@ def test_matrix_profile_motif_beats_discord(spark):
         assert r.motif_dist <= r.discord_dist
         assert r.motif_j - r.motif_i >= _MP_EXCL
         assert 0 <= r.motif_i < r.n_windows and 0 <= r.discord_i < r.n_windows
+
+
+def test_ktruss_is_monotone_and_certified(spark):
+    """Edge counts never grow across peel rounds, and the certificate
+    equals the round-2 drop count."""
+    r = REGISTRY["q_graph_ktruss"].fn(spark, SMOKE_SF_DIR).collect()[0]
+    assert r.n_edges >= r.n_after_r1 >= r.n_after_r2 >= 0
+    assert r.n_unconverged == r.n_after_r1 - r.n_after_r2
+
+
+def test_shot_detect_boundaries_bounded_by_frames(spark):
+    """Boundaries are strictly fewer than frames (the first frame of each
+    doc has no delta) and max_delta is achievable by 16 ascii bytes."""
+    rows = REGISTRY["q_multimodal_shot_detect"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_boundaries < r.n_frames
+        assert 0 <= r.max_delta <= 16 * 255
