@@ -2005,3 +2005,216 @@ def q_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("query_id", F.col("cand_id").alias("best_id"), "hamming", "cos_r")
     )
+
+
+# --- q_sim_mmr -------------------------------------------------------------------
+
+_MMR_POOL = 20      # relevance prefilter pool per query
+_MMR_K = 3          # diversified selections per query
+_MMR_LAMBDA10 = 7   # λ = 0.7 carried as integer tenths
+
+
+def _mmr_oracle() -> str:
+    cos_s = (
+        "CAST(FLOOR(list_dot_product({a}, {b}) / ({an} * {bn}) * 10000 + 0.5)"
+        " AS BIGINT)"
+    )
+    rel = cos_s.format(a="q.qemb", b="c.cemb", an="q.qnrm", bn="c.cnrm")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS cand_id, emb AS cemb, nrm AS cnrm FROM e WHERE vec_id >= 10
+), scored AS (
+  SELECT q.query_id, c.cand_id, c.cemb, c.cnrm,
+         {rel} AS rel_s,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id ORDER BY {rel} DESC, c.cand_id
+         ) AS prn
+  FROM q CROSS JOIN c
+), pool AS (
+  SELECT * FROM scored WHERE prn <= {_MMR_POOL}
+), s1 AS (
+  SELECT query_id, cand_id, cemb, cnrm, rel_s,
+         CAST(0 AS BIGINT) AS div_s, 1 AS sel_rank
+  FROM pool WHERE prn = 1
+), d2 AS (
+  SELECT p.query_id, p.cand_id, p.cemb, p.cnrm, p.rel_s,
+         MAX({cos_s.format(a="p.cemb", b="s.cemb", an="p.cnrm", bn="s.cnrm")})
+           AS div_s
+  FROM pool p JOIN s1 s ON s.query_id = p.query_id
+  WHERE p.cand_id <> s.cand_id
+  GROUP BY p.query_id, p.cand_id, p.cemb, p.cnrm, p.rel_s
+), s2 AS (
+  SELECT query_id, cand_id, cemb, cnrm, rel_s, div_s, 2 AS sel_rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY {_MMR_LAMBDA10} * rel_s - {10 - _MMR_LAMBDA10} * div_s DESC,
+               cand_id
+    ) AS rn FROM d2
+  ) WHERE rn = 1
+), sel12 AS (
+  SELECT query_id, cand_id, cemb, cnrm FROM s1
+  UNION ALL SELECT query_id, cand_id, cemb, cnrm FROM s2
+), d3 AS (
+  SELECT p.query_id, p.cand_id, p.rel_s,
+         MAX({cos_s.format(a="p.cemb", b="s.cemb", an="p.cnrm", bn="s.cnrm")})
+           AS div_s
+  FROM pool p JOIN sel12 s ON s.query_id = p.query_id
+  WHERE p.cand_id NOT IN (
+    SELECT cand_id FROM sel12 w WHERE w.query_id = p.query_id
+  )
+  GROUP BY p.query_id, p.cand_id, p.rel_s
+), s3 AS (
+  SELECT query_id, cand_id, rel_s, div_s, 3 AS sel_rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY {_MMR_LAMBDA10} * rel_s - {10 - _MMR_LAMBDA10} * div_s DESC,
+               cand_id
+    ) AS rn FROM d3
+  ) WHERE rn = 1
+)
+SELECT query_id, sel_rank, cand_id,
+       rel_s / 10000.0 AS rel_r4, div_s / 10000.0 AS div_r4
+FROM (
+  SELECT query_id, sel_rank, cand_id, rel_s, div_s FROM s1
+  UNION ALL SELECT query_id, sel_rank, cand_id, rel_s, div_s FROM s2
+  UNION ALL SELECT query_id, sel_rank, cand_id, rel_s, div_s FROM s3
+)
+"""
+
+
+@register("q_sim_mmr", oracle=_mmr_oracle())
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (λ=0.7): per query, greedily
+    pick {_MMR_K} results from the top-{_MMR_POOL} relevance pool, each round
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    diversification stage RAG retrieval runs after ANN recall so the context
+    window isn't {_MMR_K} near-copies of the same paragraph. The greedy
+    rounds are UNROLLED into the plan (the q_graph_pagerank /
+    q_dedup_clusters discipline): each round is one join to the selected
+    set, one max-aggregate, one per-query argmax window — no driver loop.
+
+    Exactness: cosines snap to 4 decimals and then live as 1e-4-grid
+    BIGINTS; the MMR score 7·rel − 3·div is pure integer arithmetic, so
+    argmax ordering (ties → cand_id) is bit-portable; only the output
+    rescales to doubles.
+
+    Scale shape: the relevance pool is a per-query top-k window (the ANN
+    stage's output at 100 TB); every MMR round touches pool×selected ≤
+    {_MMR_POOL}·{_MMR_K} rows per query — the whole diversification costs
+    O(k·pool) dot products per query regardless of corpus size.
+    """
+    e = shared_normed_embeddings(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    def cos_s(a, b, an, bn):
+        return F.floor(
+            dot_expr(a, b) / (F.col(an) * F.col(bn)) * 10000 + F.lit(0.5)
+        ).cast("bigint")
+
+    rel = cos_s("qemb", "cemb", "qnrm", "cnrm")
+    wq = Window.partitionBy("query_id")
+    pool = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("query_id", "cand_id", "cemb", "cnrm", rel.alias("rel_s"))
+        .withColumn(
+            "prn",
+            F.row_number().over(wq.orderBy(F.desc("rel_s"), "cand_id")),
+        )
+        .filter(F.col("prn") <= _MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
+    s1 = pool.filter(F.col("prn") == 1).select(
+        "query_id",
+        "cand_id",
+        "cemb",
+        "cnrm",
+        "rel_s",
+        F.lit(0).cast("bigint").alias("div_s"),
+        F.lit(1).alias("sel_rank"),
+    )
+
+    def next_round(selected: DataFrame, r: int) -> DataFrame:
+        s = selected.select(
+            F.col("query_id").alias("sq"),
+            F.col("cand_id").alias("sc"),
+            F.col("cemb").alias("semb"),
+            F.col("cnrm").alias("snrm"),
+        )
+        divs = (
+            pool.join(s, F.col("query_id") == F.col("sq"))
+            .filter(F.col("cand_id") != F.col("sc"))
+            .join(
+                s.select(
+                    F.col("sq").alias("xq"), F.col("sc").alias("xc")
+                ),
+                (F.col("query_id") == F.col("xq"))
+                & (F.col("cand_id") == F.col("xc")),
+                "left_anti",
+            )
+            .select(
+                "query_id",
+                "cand_id",
+                "cemb",
+                "cnrm",
+                "rel_s",
+                cos_s("cemb", "semb", "cnrm", "snrm").alias("d"),
+            )
+            .groupBy("query_id", "cand_id", "cemb", "cnrm", "rel_s")
+            .agg(F.max("d").alias("div_s"))
+        )
+        score = (
+            _MMR_LAMBDA10 * F.col("rel_s")
+            - (10 - _MMR_LAMBDA10) * F.col("div_s")
+        )
+        return (
+            divs.withColumn(
+                "rn",
+                F.row_number().over(
+                    wq.orderBy(score.desc(), "cand_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                "cemb",
+                "cnrm",
+                "rel_s",
+                "div_s",
+                F.lit(r).alias("sel_rank"),
+            )
+        )
+
+    s2 = next_round(s1, 2).localCheckpoint(eager=False)
+    s3 = next_round(s1.unionByName(s2), 3)
+    out_cols = ["query_id", "sel_rank", "cand_id", "rel_s", "div_s"]
+    all_sel = (
+        s1.select(*out_cols)
+        .unionByName(s2.select(*out_cols))
+        .unionByName(s3.select(*out_cols))
+    )
+    return all_sel.select(
+        "query_id",
+        "sel_rank",
+        "cand_id",
+        (F.col("rel_s") / 10000.0).alias("rel_r4"),
+        (F.col("div_s") / 10000.0).alias("div_r4"),
+    )

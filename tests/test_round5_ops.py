@@ -693,3 +693,18 @@ def test_shot_detect_boundaries_bounded_by_frames(spark):
     for r in rows:
         assert r.n_boundaries < r.n_frames
         assert 0 <= r.max_delta <= 16 * 255
+
+
+def test_mmr_selections_are_distinct_and_first_is_most_relevant(spark):
+    """Per query: 3 distinct selections; rank 1 is the relevance argmax
+    (div=0); later ranks never beat rank 1 on pure relevance."""
+    rows = REGISTRY["q_sim_mmr"].fn(spark, SMOKE_SF_DIR).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.sel_rank] = r
+    for qid, sel in by_q.items():
+        assert set(sel) == {1, 2, 3}
+        assert len({s.cand_id for s in sel.values()}) == 3
+        assert sel[1].div_r4 == 0.0
+        assert sel[1].rel_r4 >= sel[2].rel_r4 - 1e-9 or sel[2].div_r4 > 0
+        assert sel[1].rel_r4 >= max(s.rel_r4 for s in sel.values()) - 1e-9
