@@ -4500,3 +4500,284 @@ def q_window_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "discord_dist",
         )
     )
+
+
+# --- q_window_periodogram ---------------------------------------------------------
+
+_PGRAM_PERIODS = (7, 30)
+
+
+def _pgram_trig_rows(period: int) -> list[tuple[int, int, int]]:
+    """(phase, cos_micro, sin_micro) literals for one period — the SAME
+    snapped integers are embedded in the Spark plan and the oracle SQL, so
+    trig enters both engines as identical constants."""
+    import math
+
+    rows = []
+    for ph in range(period):
+        ang = 2.0 * math.pi * ph / period
+        rows.append(
+            (
+                ph,
+                math.floor(math.cos(ang) * 1000000 + 0.5),
+                math.floor(math.sin(ang) * 1000000 + 0.5),
+            )
+        )
+    return rows
+
+
+def _pgram_values_sql() -> str:
+    rows = []
+    for p in _PGRAM_PERIODS:
+        for ph, c, s in _pgram_trig_rows(p):
+            rows.append(f"({p}, {ph}, {c}, {s})")
+    return ",\n  ".join(rows)
+
+
+_PGRAM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+), seq AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY day_idx
+         ) - 1 AS t
+  FROM daily
+), st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1
+  FROM seq GROUP BY event_type
+), trig(period, phase, c_micro, s_micro) AS (
+  VALUES
+  {_pgram_values_sql()}
+), proj AS (
+  SELECT q.event_type, g.period,
+         CAST(SUM((q.cents * st.n - st.s1) * g.c_micro) AS BIGINT) AS sc,
+         CAST(SUM((q.cents * st.n - st.s1) * g.s_micro) AS BIGINT) AS ss,
+         MAX(st.n) AS n
+  FROM seq q
+  JOIN st ON st.event_type = q.event_type
+  JOIN trig g ON g.phase = q.t % g.period
+  GROUP BY q.event_type, g.period
+)
+SELECT event_type, CAST(period AS BIGINT) AS period, n,
+       FLOOR((CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
+             / (CAST(n AS DOUBLE) * n * n * 1e12) * 10 + 0.5) / 10
+         AS power_r1
+FROM proj
+"""
+
+
+@register("q_window_periodogram", oracle=_PGRAM_ORACLE)
+def q_window_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-frequency periodogram (Goertzel-style single-bin DFT) of each
+    revenue series at the calendar periods that matter (weekly, monthly):
+    spectral power |Σ (x_t − x̄)·e^{{-2πi·t/P}}|² per series and period — the
+    frequency-domain seasonality detector next to the lag-domain
+    q_window_seasonality/q_window_autocorr (a strong weekly line with a flat
+    monthly one says: deseasonalize by 7, don't fit a 30-day term).
+
+    Portability: cos/sin enter BOTH engines as the same 1e-6-snapped integer
+    LITERALS — because t·2π/P only takes P distinct angles (t mod P), each
+    period contributes a P-row trig table joined on the phase, and the
+    projection is exact integer arithmetic ((x·n − Σx)·c_micro sums in
+    bigint); only the final normalized power is floated, snapped to 0.1.
+
+    Scale shape: the trig table is a ≤30-row broadcast; centering uses the
+    per-series (n, Σx) row — no second pass over the data; the projection is
+    one hash aggregate keyed by (series, period). A full FFT at 100 TB is a
+    different machine — but pipelines almost always want POWER AT KNOWN
+    CALENDAR PERIODS, and that is exactly this one-pass join.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+            F.expr(_CENTS).alias("c"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    seq = daily.select(
+        "event_type", "cents", (F.row_number().over(w) - 1).alias("t")
+    )
+    st = seq.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+    )
+    trig_rows = [
+        (p, ph, c, s)
+        for p in _PGRAM_PERIODS
+        for (ph, c, s) in _pgram_trig_rows(p)
+    ]
+    trig = spark.createDataFrame(
+        trig_rows, "period int, phase int, c_micro long, s_micro long"
+    )
+    proj = (
+        seq.join(F.broadcast(st), F.col("event_type") == F.col("et"))
+        .join(
+            F.broadcast(trig),
+            F.col("phase") == F.col("t") % F.col("period"),
+        )
+        .groupBy("event_type", "period")
+        .agg(
+            F.sum(
+                (F.col("cents") * F.col("n") - F.col("s1")) * F.col("c_micro")
+            )
+            .cast("bigint")
+            .alias("sc"),
+            F.sum(
+                (F.col("cents") * F.col("n") - F.col("s1")) * F.col("s_micro")
+            )
+            .cast("bigint")
+            .alias("ss"),
+            F.max("n").alias("n"),
+        )
+    )
+    power = (
+        F.floor(
+            (
+                F.col("sc").cast("double") * F.col("sc")
+                + F.col("ss").cast("double") * F.col("ss")
+            )
+            / (F.col("n").cast("double") * F.col("n") * F.col("n") * 1e12)
+            * 10
+            + F.lit(0.5)
+        )
+        / 10
+    )
+    return proj.select(
+        "event_type",
+        F.col("period").cast("bigint").alias("period"),
+        "n",
+        power.alias("power_r1"),
+    )
+
+
+# --- q_events_survival_ci ----------------------------------------------------------
+
+_SURVCI_ORACLE = f"""
+WITH life AS (
+  SELECT user_id,
+         (MAX(epoch_us(ts)) // {_DAY_US} - MIN(epoch_us(ts)) // {_DAY_US}) // 7
+           AS weeks
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT weeks, w FROM life, UNNEST(range(0, 8)) AS t(w)
+), risk AS (
+  SELECT w AS week,
+         CAST(SUM(CASE WHEN weeks >= w THEN 1 ELSE 0 END) AS BIGINT) AS n_risk,
+         CAST(SUM(CASE WHEN weeks = w THEN 1 ELSE 0 END) AS BIGINT) AS n_die
+  FROM grid GROUP BY w
+), haz AS (
+  SELECT week, n_risk, n_die,
+         FLOOR(LN(CAST(n_risk - n_die AS DOUBLE) / n_risk) * 1000000 + 0.5)
+           AS ln_micro,
+         FLOOR(CAST(n_die AS DOUBLE) / (CAST(n_risk AS DOUBLE) * (n_risk - n_die))
+               * 1000000000 + 0.5) AS g_nano
+  FROM risk WHERE n_risk > n_die
+), cum AS (
+  SELECT week, n_risk, n_die,
+         SUM(ln_micro) OVER (
+           ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cln,
+         SUM(g_nano) OVER (
+           ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cg
+  FROM haz
+)
+SELECT week, n_risk, n_die,
+       FLOOR(EXP(CAST(cln AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000
+         AS survival_r4,
+       GREATEST(FLOOR((EXP(CAST(cln AS DOUBLE) / 1000000)
+                       - 1.959964 * EXP(CAST(cln AS DOUBLE) / 1000000)
+                         * SQRT(CAST(cg AS DOUBLE) / 1000000000))
+                      * 10000 + 0.5) / 10000, 0.0) AS lo_r4,
+       LEAST(FLOOR((EXP(CAST(cln AS DOUBLE) / 1000000)
+                    + 1.959964 * EXP(CAST(cln AS DOUBLE) / 1000000)
+                      * SQRT(CAST(cg AS DOUBLE) / 1000000000))
+                   * 10000 + 0.5) / 10000, 1.0) AS hi_r4
+FROM cum
+"""
+
+
+@register("q_events_survival_ci", oracle=_SURVCI_ORACLE)
+def q_events_survival_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival with the GREENWOOD 95% confidence band: S(w)
+    via the micro-snapped ln-sum (q_events_survival's product trick) and
+    var(S) = S²·Σ d/(n(n−d)) via a nano-snapped cumulative Greenwood term —
+    the uncertainty the plain curve hides (a retention 'drop' inside the
+    band is noise, not churn). Both cumulative terms ride ONE window; the
+    band is a stateless projection; extinction weeks are excluded on both
+    engines (n_risk > n_die, where the variance is undefined anyway).
+
+    Parity: each ln and each Greenwood increment is an exact-integer ratio
+    snapped to a fixed grid BEFORE the cumulative sums, so both engines
+    accumulate identical integers; the normal quantile is the shared
+    1.959964 literal; the band clamps to [0, 1] with identical snapped
+    comparisons.
+
+    Scale shape: identical to q_events_survival — one user aggregate, an
+    8-row grid fold, windows over 8 rows. The CI adds one column, not one
+    pass.
+    """
+    ev = load(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.expr(
+            f"CAST((MAX(ts_us) div {_DAY_US} - MIN(ts_us) div {_DAY_US}) div 7"
+            " AS BIGINT)"
+        ).alias("weeks")
+    )
+    grid = life.select(
+        "weeks", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("week")
+    )
+    risk = grid.groupBy("week").agg(
+        F.sum(F.when(F.col("weeks") >= F.col("week"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_risk"),
+        F.sum(F.when(F.col("weeks") == F.col("week"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_die"),
+    )
+    haz = risk.filter(F.col("n_risk") > F.col("n_die")).select(
+        "week",
+        "n_risk",
+        "n_die",
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("n_die")).cast("double")
+                / F.col("n_risk")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).alias("ln_micro"),
+        F.floor(
+            F.col("n_die").cast("double")
+            / (F.col("n_risk").cast("double") * (F.col("n_risk") - F.col("n_die")))
+            * 1000000000
+            + F.lit(0.5)
+        ).alias("g_nano"),
+    )
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    cum = haz.select(
+        "week",
+        "n_risk",
+        "n_die",
+        F.sum("ln_micro").over(w).alias("cln"),
+        F.sum("g_nano").over(w).alias("cg"),
+    )
+    s_hat = F.exp(F.col("cln").cast("double") / 1000000)
+    half = F.lit(1.959964) * s_hat * F.sqrt(F.col("cg").cast("double") / 1000000000)
+    r4_ = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return cum.select(
+        "week",
+        "n_risk",
+        "n_die",
+        r4_(s_hat).alias("survival_r4"),
+        F.greatest(r4_(s_hat - half), F.lit(0.0)).alias("lo_r4"),
+        F.least(r4_(s_hat + half), F.lit(1.0)).alias("hi_r4"),
+    )

