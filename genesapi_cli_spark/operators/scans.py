@@ -1398,3 +1398,131 @@ def q_privacy_synth_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l1_cell_error"),
         )
     )
+
+
+# --- q_agg_raking ---------------------------------------------------------------
+
+_RAKE_ORACLE = """
+WITH cell AS (
+  SELECT c_mktsegment AS seg, c_nationkey % 5 AS ng,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY seg, ng
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(COUNT(DISTINCT seg) AS BIGINT) AS ks,
+         CAST(COUNT(DISTINCT ng) AS BIGINT) AS kn
+  FROM cell
+), r1 AS (
+  -- round 1: scale rows so every segment marginal hits the uniform target
+  SELECT seg, ng, n,
+         CAST(FLOOR(n * (CAST(nn AS DOUBLE) / ks)
+                    / SUM(n) OVER (PARTITION BY seg) * 1000000 + 0.5)
+              AS BIGINT) AS w1_micro
+  FROM cell, tot
+), r2 AS (
+  -- round 2: scale columns so every nation-group marginal hits its target
+  SELECT seg, ng, n,
+         CAST(FLOOR(w1_micro * (CAST(nn AS DOUBLE) / kn)
+                    / (SUM(w1_micro) OVER (PARTITION BY ng) / 1000000.0)
+                    / 1000000.0 * 1000000 + 0.5) AS BIGINT) AS w2_micro
+  FROM r1, tot
+), seg_err AS (
+  SELECT seg,
+         ABS(SUM(w2_micro) - (SELECT CAST(FLOOR(CAST(nn AS DOUBLE) / ks
+                                              * 1000000 + 0.5) AS BIGINT)
+                              FROM tot)) AS err
+  FROM r2 GROUP BY seg
+)
+SELECT CAST((SELECT COUNT(*) FROM cell) AS BIGINT) AS n_cells,
+       CAST((SELECT MAX(err) FROM seg_err) AS BIGINT) AS max_seg_err_micro,
+       CAST(SUM(w2_micro) AS BIGINT) AS total_weight_micro,
+       CAST(SUM(n) AS BIGINT) AS n_customers
+FROM r2
+"""
+
+
+@register("q_agg_raking", oracle=_RAKE_ORACLE)
+def q_agg_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (iterative proportional fitting, 2 unrolled rounds):
+    adjust the (segment × nation-group) cell weights so both marginals
+    approach uniform targets — row-scale then column-scale, the weighting
+    step every survey/calibration pipeline runs when the sample's mix
+    disagrees with the population's. Round 2's residual segment-marginal
+    error is the convergence certificate (raking converges geometrically;
+    one more round per remaining digit).
+
+    Parity: cell counts are exact integers; each round's scale factor is a
+    ratio of exact values and the resulting weight SNAPS to integer micros
+    before the next round consumes it — both engines iterate identical
+    integers, the q_sim_mmr discipline applied to IPF.
+
+    Scale shape: cells aggregate once (map-side combined); each raking round
+    is one window-sum over the tiny cell relation (|segments|×|groups| rows)
+    — at 100 TB with high-cardinality margins the windows become joins
+    against marginal tables, same algebra.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).alias("ng"),
+    )
+    cell = cust.groupBy("seg", "ng").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cell.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.countDistinct("seg").cast("bigint").alias("ks"),
+        F.countDistinct("ng").cast("bigint").alias("kn"),
+    )
+    ws = Window.partitionBy("seg")
+    wn = Window.partitionBy("ng")
+    r1 = cell.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "ng",
+        "n",
+        "nn",
+        "ks",
+        "kn",
+        F.floor(
+            F.col("n")
+            * (F.col("nn").cast("double") / F.col("ks"))
+            / F.sum("n").over(ws)
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w1_micro"),
+    )
+    r2 = r1.select(
+        "seg",
+        "ng",
+        "n",
+        "nn",
+        "ks",
+        F.floor(
+            F.col("w1_micro")
+            * (F.col("nn").cast("double") / F.col("kn"))
+            / (F.sum("w1_micro").over(wn) / 1000000.0)
+            / 1000000.0
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w2_micro"),
+    )
+    target = F.floor(
+        F.col("nn").cast("double") / F.col("ks") * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    seg_err = r2.groupBy("seg", "nn", "ks").agg(
+        F.abs(F.sum("w2_micro") - F.max(target)).alias("err")
+    )
+    summary = r2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("w2_micro").cast("bigint").alias("total_weight_micro"),
+        F.sum("n").cast("bigint").alias("n_customers"),
+    )
+    max_err = seg_err.agg(
+        F.max("err").cast("bigint").alias("max_seg_err_micro")
+    )
+    return summary.crossJoin(F.broadcast(max_err)).select(
+        "n_cells", "max_seg_err_micro", "total_weight_micro", "n_customers"
+    )

