@@ -1828,3 +1828,168 @@ def q_events_cem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return att.crossJoin(F.broadcast(n_cells)).select(
         "n_cells", "n_matched_cells", "n_matched_t", "n_matched_c", "att_r4_cents"
     )
+
+
+# --- q_events_fdr_bh ---------------------------------------------------------------
+
+_BH_Q_BP = 1000  # FDR level q = 0.10 in basis points
+
+#: Abramowitz-Stegun 7.1.26 constants — the SAME literals in both engines, so
+#: the normal-CDF approximation is the identical double-op sequence.
+_AS_P = 0.3275911
+_AS_B = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _phi_tail_sql(z: str) -> str:
+    """2-sided p-value 2·(1−Φ(|z|)) via erfc(|z|/√2)/... expressed with the
+    A&S 7.1.26 erf polynomial: p = erfc(|z|/sqrt(2)) (two-sided normal)."""
+    x = f"(ABS({z}) / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = (
+        f"((((({_AS_B[4]} * {t} + {_AS_B[3]}) * {t} + {_AS_B[2]}) * {t}"
+        f" + {_AS_B[1]}) * {t} + {_AS_B[0]}) * {t})"
+    )
+    return f"({poly} * EXP(-({x}) * ({x})))"
+
+
+_FDR_ORACLE = f"""
+WITH base AS (
+  SELECT c_nationkey AS nation, o_custkey % 2 AS arm,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cell AS (
+  SELECT nation,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 0 THEN s ELSE 0 END) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 1 THEN s ELSE 0 END) AS BIGINT) AS s1
+  FROM base GROUP BY nation
+), z AS (
+  SELECT nation, n0, n1,
+         (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+         / SQRT(CAST(s0 + s1 AS DOUBLE) / (n0 + n1)
+                * (1 - CAST(s0 + s1 AS DOUBLE) / (n0 + n1))
+                * (1.0 / n0 + 1.0 / n1)) AS zv
+  FROM cell
+  WHERE n0 > 0 AND n1 > 0 AND s0 + s1 > 0 AND s0 + s1 < n0 + n1
+), p AS (
+  SELECT nation,
+         CAST(FLOOR(zv * 1000000 + 0.5) AS BIGINT) AS z_micro,
+         CAST(FLOOR({_phi_tail_sql("zv")} * 1000000 + 0.5) AS BIGINT)
+           AS p_micro
+  FROM z
+), ranked AS (
+  SELECT nation, z_micro, p_micro,
+         ROW_NUMBER() OVER (ORDER BY p_micro, nation) AS rk,
+         COUNT(*) OVER () AS m
+  FROM p
+), thresh AS (
+  SELECT COALESCE(MAX(CASE WHEN p_micro * 10000 * m
+                                <= {_BH_Q_BP} * rk * 1000000
+                           THEN rk END), 0) AS k_star
+  FROM ranked
+)
+SELECT nation, z_micro, p_micro, CAST(rk AS BIGINT) AS rk,
+       CAST(CASE WHEN rk <= k_star THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM ranked, thresh
+"""
+
+
+@register("q_events_fdr_bh", oracle=_FDR_ORACLE)
+def q_events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FAMILY of hypothesis tests —
+    the multiple-comparisons step every experimentation platform needs when
+    one experiment reads out 25 per-nation conversion contrasts: two-arm
+    pooled z per nation, two-sided p via the Abramowitz-Stegun erf
+    polynomial (SHARED literal constants, so both engines run the identical
+    double sequence), then the BH step-up rule: reject the k smallest
+    p-values where k is the largest rank with p_(k) ≤ q·k/m (q = 0.10) —
+    the integer cross-multiplied form p·10⁴·m ≤ q_bp·k·10⁶ keeps the
+    decision exact on both engines.
+
+    Scale shape: one conditional-sum aggregate to |tests| rows; the BH
+    ranking and threshold live in two windows over that tiny relation. At
+    1000s of concurrent metrics this is the same plan keyed by
+    (experiment, metric).
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_custkey") % 2).alias("arm"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("s"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nation")
+    )
+    cell = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("nation")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n0"),
+            F.sum(F.when(F.col("arm") == 0, F.col("s")).otherwise(0))
+            .cast("bigint")
+            .alias("s0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("arm") == 1, F.col("s")).otherwise(0))
+            .cast("bigint")
+            .alias("s1"),
+        )
+    )
+    pooled = (F.col("s0") + F.col("s1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    zv = (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s0").cast("double") / F.col("n0")
+    ) / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    z = cell.filter(
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("s0") + F.col("s1") > 0)
+        & (F.col("s0") + F.col("s1") < F.col("n0") + F.col("n1"))
+    ).select("nation", zv.alias("zv"))
+    x = F.abs(F.col("zv")) / 1.4142135623730951
+    t = 1.0 / (1.0 + _AS_P * x)
+    poly = (
+        (((_AS_B[4] * t + _AS_B[3]) * t + _AS_B[2]) * t + _AS_B[1]) * t
+        + _AS_B[0]
+    ) * t
+    p_two = poly * F.exp(-x * x)
+    p = z.select(
+        "nation",
+        F.floor(F.col("zv") * 1000000 + F.lit(0.5)).cast("bigint").alias("z_micro"),
+        F.floor(p_two * 1000000 + F.lit(0.5)).cast("bigint").alias("p_micro"),
+    )
+    wall = Window.orderBy("p_micro", "nation")
+    ranked = p.select(
+        "nation",
+        "z_micro",
+        "p_micro",
+        F.row_number().over(wall).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    k_star = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_micro") * 10000 * F.col("m")
+                    <= _BH_Q_BP * F.col("rk").cast("bigint") * 1000000,
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k_star")
+    )
+    return ranked.crossJoin(F.broadcast(k_star)).select(
+        "nation",
+        "z_micro",
+        "p_micro",
+        F.col("rk").cast("bigint").alias("rk"),
+        F.when(F.col("rk") <= F.col("k_star"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejected"),
+    )

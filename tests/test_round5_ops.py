@@ -762,3 +762,17 @@ def test_kneser_ney_probabilities_are_proper(spark):
     for r in rows:
         assert 0 < r.p_kn_micro <= 1_000_000
         assert r.rk in (1, 2, 3) and r.c >= 1
+
+
+def test_bh_rejections_are_a_p_value_prefix(spark):
+    """BH rejects exactly the rk <= k* prefix of the sorted p-values, and
+    every rejected p is <= every accepted p."""
+    rows = REGISTRY["q_events_fdr_bh"].fn(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    rej = sorted(r.rk for r in rows if r.rejected == 1)
+    acc = [r.rk for r in rows if r.rejected == 0]
+    assert rej == list(range(1, len(rej) + 1))
+    if rej and acc:
+        max_rej_p = max(r.p_micro for r in rows if r.rejected == 1)
+        min_acc_p = min(r.p_micro for r in rows if r.rejected == 0)
+        assert max_rej_p <= min_acc_p
