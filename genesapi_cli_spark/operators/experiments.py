@@ -1993,3 +1993,132 @@ def q_events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rejected"),
     )
+
+
+# --- q_docs_kruskal ----------------------------------------------------------
+
+#: chi-square 95% critical value for df = 4 (5 languages), in micro units —
+#: the SAME literal on both engines so the significance bit compares
+#: identically snapped integers.
+_KW_CHI2_CRIT_MICRO = 9_487_729
+
+
+_KW_ORACLE = """
+WITH lv AS (
+  SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, n_chars
+), vt AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM lv GROUP BY v
+), ranked AS (
+  SELECT v, t,
+         COALESCE(SUM(t) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM vt
+), grp AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_g,
+         CAST(SUM(c * (2 * cum_before + t + 1)) AS BIGINT) AS r2_g
+  FROM lv JOIN ranked USING (v) GROUP BY lang
+), ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term,
+         CAST(SUM(t) AS BIGINT) AS nn
+  FROM ranked
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(CAST(r2_g AS DOUBLE) * r2_g / (4 * n_g)
+                       AS DECIMAL(27,7))) AS DOUBLE) AS r_term
+  FROM grp
+)
+SELECT k, nn AS n_docs,
+       FLOOR((12.0 * r_term / (CAST(nn AS DOUBLE) * (nn + 1)) - 3.0 * (nn + 1))
+             * 10000 + 0.5) / 10000 AS h_r4,
+       FLOOR((12.0 * r_term / (CAST(nn AS DOUBLE) * (nn + 1)) - 3.0 * (nn + 1))
+             / (1.0 - CAST(tie_term AS DOUBLE)
+                      / (CAST(nn AS DOUBLE) * nn * nn - nn))
+             * 10000 + 0.5) / 10000 AS h_corr_r4,
+       CAST(CASE WHEN FLOOR((12.0 * r_term / (CAST(nn AS DOUBLE) * (nn + 1))
+                             - 3.0 * (nn + 1))
+                            / (1.0 - CAST(tie_term AS DOUBLE)
+                                     / (CAST(nn AS DOUBLE) * nn * nn - nn))
+                            * 1000000 + 0.5) > 9487729
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM tot, ties
+"""
+
+
+@register("q_docs_kruskal", oracle=_KW_ORACLE)
+def q_docs_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of document length across the 5 languages —
+    the nonparametric k-group companion to q_docs_anova (and the k-group
+    generalization of q_events_mannwhitney): does the length DISTRIBUTION
+    differ by language when heavy tails make the F test unreliable?
+
+    Like Mann-Whitney, ranks are never assigned row-by-row: the statistic
+    collapses to the VALUE DISTRIBUTION. Per (lang, length) counts join the
+    per-length tie-averaged rank (2·rank carried as the exact integer
+    2·cum_before + t + 1 from ONE cumulative window over distinct lengths),
+    giving each group's doubled rank sum 2·R_g as an exact bigint. Then
+    H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) with the tie correction
+    1 − Σ(t³−t)/(N³−N); R_g²/n_g crosses the final 5-row aggregate as an
+    exact decimal(27,7) (the q_docs_anova s²/n pattern), H/H_corr snap r4,
+    and the significance bit compares micro-snapped H_corr against the
+    shared df=4 chi-square literal.
+
+    Scale shape: one (lang, length) aggregate, one length aggregate, one
+    cumulative window over DISTINCT lengths (bounded by the value domain,
+    not row count), a broadcast-sized join, and a 5-row rollup — exact rank
+    statistics with no global row sort, the only shape that survives 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    lv = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vt = lv.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vt.select(
+        "v", "t", F.coalesce(F.sum("t").over(wcum), F.lit(0)).alias("cum_before")
+    )
+    grp = (
+        lv.join(F.broadcast(ranked), "v")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * (2 * F.col("cum_before") + F.col("t") + 1))
+            .cast("bigint")
+            .alias("r2_g"),
+        )
+    )
+    ties = ranked.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_term"),
+        F.sum("t").cast("bigint").alias("nn"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.expr("CAST(CAST(r2_g AS DOUBLE) * r2_g / (4 * n_g) AS DECIMAL(27,7))")
+        )
+        .cast("double")
+        .alias("r_term"),
+    )
+    j = tot.crossJoin(F.broadcast(ties))
+    h = 12.0 * F.col("r_term") / (
+        F.col("nn").cast("double") * (F.col("nn") + 1)
+    ) - 3.0 * (F.col("nn") + 1)
+    corr = 1.0 - F.col("tie_term").cast("double") / (
+        F.col("nn").cast("double") * F.col("nn") * F.col("nn") - F.col("nn")
+    )
+    h_corr = h / corr
+    return j.select(
+        "k",
+        F.col("nn").alias("n_docs"),
+        (F.floor(h * 10000 + F.lit(0.5)) / 10000).alias("h_r4"),
+        (F.floor(h_corr * 10000 + F.lit(0.5)) / 10000).alias("h_corr_r4"),
+        F.when(
+            F.floor(h_corr * 1000000 + F.lit(0.5)) > _KW_CHI2_CRIT_MICRO, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("significant"),
+    )

@@ -2206,3 +2206,99 @@ def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("iv_micro"),
     )
+
+
+# --- q_feature_target_encode -------------------------------------------------
+
+_TE_PRIOR_M = 20  # pseudo-observations of the global rate in the smoothed encoding
+
+
+_TE_ORACLE = f"""
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cell AS (
+  SELECT seg, y, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM base GROUP BY seg, y
+), segstat AS (
+  SELECT seg, y, n_rows,
+         CAST(SUM(n_rows) OVER (PARTITION BY seg) AS BIGINT) AS n_g,
+         CAST(SUM(y * n_rows) OVER (PARTITION BY seg) AS BIGINT) AS s_g,
+         CAST(SUM(n_rows) OVER () AS BIGINT) AS n_all,
+         CAST(SUM(y * n_rows) OVER () AS BIGINT) AS s_all
+  FROM cell
+)
+SELECT seg, CAST(y AS BIGINT) AS y, n_rows,
+       CAST(s_g - y AS BIGINT) AS loo_num,
+       CAST(n_g - 1 AS BIGINT) AS loo_den,
+       FLOOR(CAST(s_g - y AS DOUBLE) / (n_g - 1) * 10000 + 0.5) / 10000
+         AS loo_rate_r4,
+       FLOOR((CAST(s_g - y AS DOUBLE)
+              + {_TE_PRIOR_M} * (CAST(s_all AS DOUBLE) / n_all))
+             / (n_g - 1 + {_TE_PRIOR_M}) * 10000 + 0.5) / 10000
+         AS smooth_rate_r4
+FROM segstat
+"""
+
+
+@register("q_feature_target_encode", oracle=_TE_ORACLE)
+def q_feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of market segment against order
+    outcome (finalized vs not) — the standard high-cardinality categorical
+    encoder for gradient-boosting features, built the only way that is
+    leakage-safe: each row's own label is excluded from its category rate,
+    and a prior of m = 20 pseudo-observations of the global rate shrinks
+    small categories toward the mean.
+
+    The key observation that makes this a 100 TB operator: within a
+    (category, label) cell the LOO encoding is CONSTANT — (s_g − y)/(n_g − 1)
+    depends only on the cell — so the encoder never touches rows. The query
+    emits the (segment, y) ENCODER TABLE (counts + exact integer
+    numerator/denominator + r4-snapped plain and smoothed rates); training
+    joins it back broadcast. The naive per-row formulation shuffles the fact
+    table; this one is two hash aggregates over |segments|·2 cells.
+
+    Parity: n/s per segment and globally are exact bigints from one window
+    over the tiny cell relation; both rates are single double expressions of
+    identical integers (the prior literal m = 20 is shared), snapped r4.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    cell = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("seg", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    wseg = Window.partitionBy("seg")
+    wall = Window.partitionBy()
+    segstat = cell.select(
+        "seg",
+        "y",
+        "n_rows",
+        F.sum("n_rows").over(wseg).cast("bigint").alias("n_g"),
+        F.sum(F.col("y") * F.col("n_rows")).over(wseg).cast("bigint").alias("s_g"),
+        F.sum("n_rows").over(wall).cast("bigint").alias("n_all"),
+        F.sum(F.col("y") * F.col("n_rows")).over(wall).cast("bigint").alias("s_all"),
+    )
+    loo_num = (F.col("s_g") - F.col("y")).cast("bigint")
+    loo_den = (F.col("n_g") - 1).cast("bigint")
+    loo_rate = loo_num.cast("double") / (F.col("n_g") - 1)
+    smooth = (
+        loo_num.cast("double")
+        + _TE_PRIOR_M * (F.col("s_all").cast("double") / F.col("n_all"))
+    ) / (F.col("n_g") - 1 + _TE_PRIOR_M)
+    return segstat.select(
+        "seg",
+        F.col("y").cast("bigint").alias("y"),
+        "n_rows",
+        loo_num.alias("loo_num"),
+        loo_den.alias("loo_den"),
+        (F.floor(loo_rate * 10000 + F.lit(0.5)) / 10000).alias("loo_rate_r4"),
+        (F.floor(smooth * 10000 + F.lit(0.5)) / 10000).alias("smooth_rate_r4"),
+    )

@@ -4891,3 +4891,132 @@ def q_orders_trading_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.crossJoin(F.broadcast(g)).select(
         "month", "cents", "n_orders", adj.alias("adjusted_cents_r1")
     )
+
+
+# --- q_window_macd -----------------------------------------------------------
+
+# Dyadic/quarternary EWMA weights keep every smoothed numerator an EXACT
+# bigint: fast line α=1/2 over 8 days (weights 2^7..2^0, full-window sum 255),
+# slow line α=1/4 over 8 days (weights 3^k·4^(7−k), full-window sum
+# 4^8 − 3^8 = 58975), signal α=1/2 over 4 MACD values (weights 8 4 2 1,
+# sum 15). Rows are emitted only once ALL lags exist (rn ≥ 11), so the
+# denominators are compile-time literals and the only float op is the final
+# division of identical integers — bit-exact on both engines.
+_MACD_DEPTH = 8
+_MACD_FAST_W = [1 << (_MACD_DEPTH - 1 - k) for k in range(_MACD_DEPTH)]
+_MACD_SLOW_W = [3**k * 4 ** (_MACD_DEPTH - 1 - k) for k in range(_MACD_DEPTH)]
+_MACD_SIG_W = [8, 4, 2, 1]
+_MACD_FD = sum(_MACD_FAST_W)   # 255
+_MACD_SD = sum(_MACD_SLOW_W)   # 58975
+_MACD_GD = sum(_MACD_SIG_W)    # 15
+
+_MACD_FAST_NUM = " + ".join(
+    f"LAG(cents, {k}) OVER w * {_MACD_FAST_W[k]}" for k in range(_MACD_DEPTH)
+)
+_MACD_SLOW_NUM = " + ".join(
+    f"LAG(cents, {k}) OVER w * {_MACD_SLOW_W[k]}" for k in range(_MACD_DEPTH)
+)
+_MACD_SIG_NUM = " + ".join(
+    f"LAG(macd_num, {j}) OVER w2 * {_MACD_SIG_W[j]}" for j in range(4)
+)
+
+_MACD_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, o_orderdate AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_orderpriority, o_orderdate
+), lines AS (
+  SELECT priority, d,
+         ROW_NUMBER() OVER w AS rn,
+         ({_MACD_FAST_NUM}) * {_MACD_SD}
+           - ({_MACD_SLOW_NUM}) * {_MACD_FD} AS macd_num
+  FROM daily
+  WINDOW w AS (PARTITION BY priority ORDER BY d)
+), sig AS (
+  SELECT priority, d, rn, macd_num,
+         {_MACD_SIG_NUM} AS sig_num
+  FROM lines
+  WINDOW w2 AS (PARTITION BY priority ORDER BY d)
+)
+SELECT priority, d, macd_num, sig_num,
+       CAST(macd_num AS DOUBLE) / {_MACD_FD * _MACD_SD * 100} AS macd,
+       CAST(sig_num AS DOUBLE) / {_MACD_FD * _MACD_SD * _MACD_GD * 100}
+         AS signal,
+       CAST(macd_num * {_MACD_GD} - sig_num AS DOUBLE)
+         / {_MACD_FD * _MACD_SD * _MACD_GD * 100} AS histogram
+FROM sig
+WHERE rn >= {_MACD_DEPTH + 3}
+"""
+
+
+@register("q_window_macd", oracle=_MACD_ORACLE)
+def q_window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (moving-average convergence/divergence) over each priority
+    class's daily revenue series: fast EWMA minus slow EWMA, a signal EWMA
+    of that difference, and the histogram (momentum) — the classic
+    crossover/trend indicator, here as the finance-flavored member of the
+    indicator family next to q_window_bollinger and q_window_rsi.
+
+    Parity engineering: dyadic (α=1/2) and quarternary (α=1/4) weight
+    ladders make the fast/slow numerators exact bigints, and the MACD line
+    is put over the common denominator 255·58975 so the SIGNAL smoothing
+    (α=1/2 over 4 MACD values) stays in exact integer arithmetic too —
+    max |sig_num| ≈ 15·(255·59k·max daily cents) ≈ 1e17, inside int64.
+    Rows emit only once every lag exists (rn ≥ 11), so denominators are
+    literals and each float column is ONE division of identical integers:
+    bit-exact, no tolerance.
+
+    Scale shape: one map-side-combined daily aggregate (rows bounded by
+    |priority|·|days|, not order count), then TWO window projections over
+    the SAME (priority, date) sort — Spark plans one Exchange+Sort and the
+    second Window reuses the order. State is O(depth) per series; at 100 TB
+    with per-(ticker, day) bars this is the same plan keyed by ticker."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("d")
+    fast = None
+    slow = None
+    for k in range(_MACD_DEPTH):
+        lagc = F.lag("cents", k).over(w) if k else F.col("cents")
+        fterm = lagc * _MACD_FAST_W[k]
+        sterm = lagc * _MACD_SLOW_W[k]
+        fast = fterm if fast is None else fast + fterm
+        slow = sterm if slow is None else slow + sterm
+    lines = daily.select(
+        "priority",
+        "d",
+        F.row_number().over(w).alias("rn"),
+        (fast * _MACD_SD - slow * _MACD_FD).alias("macd_num"),
+    )
+    w2 = Window.partitionBy("priority").orderBy("d")
+    sig = None
+    for j in range(4):
+        lagm = F.lag("macd_num", j).over(w2) if j else F.col("macd_num")
+        term = lagm * _MACD_SIG_W[j]
+        sig = term if sig is None else sig + term
+    out = lines.select("priority", "d", "rn", "macd_num", sig.alias("sig_num"))
+    d_macd = float(_MACD_FD * _MACD_SD * 100)
+    d_sig = float(_MACD_FD * _MACD_SD * _MACD_GD * 100)
+    return out.filter(F.col("rn") >= _MACD_DEPTH + 3).select(
+        "priority",
+        "d",
+        "macd_num",
+        "sig_num",
+        (F.col("macd_num").cast("double") / d_macd).alias("macd"),
+        (F.col("sig_num").cast("double") / d_sig).alias("signal"),
+        (
+            (F.col("macd_num") * _MACD_GD - F.col("sig_num")).cast("double")
+            / d_sig
+        ).alias("histogram"),
+    )
