@@ -3042,3 +3042,97 @@ def q_agg_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap((w_b - w_a) * r_a).alias("mix_micro"),
         snap(w_b * (r_b - r_a)).alias("rate_micro"),
     )
+
+
+# --- q_agg_hill ---------------------------------------------------------------
+
+_HILL_K = 50  # tail order statistics per priority class
+
+
+_HILL_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+), ranked AS (
+  SELECT priority, cents,
+         row_number() OVER (
+           PARTITION BY priority ORDER BY cents DESC, o_orderkey
+         ) AS rn
+  FROM o
+), thresh AS (
+  SELECT priority,
+         CAST(MAX(CASE WHEN rn = {_HILL_K} + 1 THEN cents END) AS BIGINT)
+           AS thresh_cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ranked GROUP BY priority
+), terms AS (
+  SELECT r.priority, t.thresh_cents, t.n,
+         CAST(LN(CAST(r.cents AS DOUBLE) / t.thresh_cents) AS DECIMAL(18,7))
+           AS term
+  FROM ranked r JOIN thresh t ON r.priority = t.priority
+  WHERE r.rn <= {_HILL_K}
+)
+SELECT priority, n, thresh_cents,
+       CAST(SUM(term) AS DOUBLE) AS sum_log_ratio,
+       FLOOR({_HILL_K} / CAST(SUM(term) AS DOUBLE) * 10000 + 0.5) / 10000
+         AS alpha_r4
+FROM terms
+GROUP BY priority, n, thresh_cents
+"""
+
+
+@register("q_agg_hill", oracle=_HILL_ORACLE)
+def q_agg_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index α per priority class —
+    the heavy-tail diagnostic behind capacity planning and whale-risk
+    screens (α < 2: infinite variance, means mislead; q_agg_trimmed /
+    q_agg_winsorized are then the right summaries, and this query is the
+    certificate telling you so): α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over each
+    class's top-k order values.
+
+    Parity engineering: order statistics rank on exact integer cents with
+    key tie-break; each log-ratio is ONE double op sequence (int→double
+    divide, then LN) identical on both engines, snapped to decimal(18,7)
+    per term so the k-term sum is order-independent; α snaps r4.
+
+    Scale shape: the top-(k+1) per class comes from one ranking window —
+    at 100 TB this becomes the bounded per-group top-k pattern
+    (q_topk_per_group), never a global sort; the estimator itself touches
+    only 5·k rows.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("priority").orderBy(F.desc("cents"), "o_orderkey")
+    ranked = o.select("priority", "cents", F.row_number().over(w).alias("rn"))
+    thresh = ranked.groupBy("priority").agg(
+        F.max(F.when(F.col("rn") == _HILL_K + 1, F.col("cents")))
+        .cast("bigint")
+        .alias("thresh_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    terms = (
+        ranked.filter(F.col("rn") <= _HILL_K)
+        .join(F.broadcast(thresh), "priority")
+        .select(
+            "priority",
+            "thresh_cents",
+            "n",
+            F.log(F.col("cents").cast("double") / F.col("thresh_cents"))
+            .cast("decimal(18,7)")
+            .alias("term"),
+        )
+    )
+    return terms.groupBy("priority", "n", "thresh_cents").agg(
+        F.sum("term").cast("double").alias("sum_log_ratio"),
+        (
+            F.floor(
+                _HILL_K / F.sum("term").cast("double") * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("alpha_r4"),
+    )

@@ -1278,3 +1278,120 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_after_r1") - F.col("n_after_r2")).alias("n_unconverged"),
         )
     )
+
+
+# --- q_graph_walk_sample -----------------------------------------------------
+
+_WALK_START_MOD = 7  # start a walk from every 7th node id
+
+
+def _walk_hash_sql(start: str, step: int, nbr: str) -> str:
+    """60-bit portable hash driving the 'random' neighbor choice — the SAME
+    sha256 prefix on both engines, keyed by (start, step, neighbor) so each
+    step of each walk draws independently."""
+    s = (
+        f"CAST({start} AS VARCHAR) || '-{step}-' || CAST({nbr} AS VARCHAR)"
+    )
+    return f"('0x' || substr(sha256({s}), 1, 15))::BIGINT"
+
+
+_WALK_ORACLE = f"""{_EDGES_SQL}, sym AS (
+  SELECT pa AS a, pb AS b FROM edges
+  UNION ALL
+  SELECT pb AS a, pa AS b FROM edges
+), starts AS (
+  SELECT DISTINCT a AS start FROM sym WHERE a % {_WALK_START_MOD} = 0
+), s1 AS (
+  SELECT start, min_by(b, h) AS hop1 FROM (
+    SELECT s.start, e.b, {_walk_hash_sql('s.start', 1, 'e.b')} AS h
+    FROM starts s JOIN sym e ON e.a = s.start
+  ) GROUP BY start
+), s2 AS (
+  SELECT start, hop1, min_by(b, h) AS hop2 FROM (
+    SELECT s.start, s.hop1, e.b, {_walk_hash_sql('s.start', 2, 'e.b')} AS h
+    FROM s1 s JOIN sym e ON e.a = s.hop1
+  ) GROUP BY start, hop1
+), s3 AS (
+  SELECT start, hop1, hop2, min_by(b, h) AS hop3 FROM (
+    SELECT s.start, s.hop1, s.hop2, e.b, {_walk_hash_sql('s.start', 3, 'e.b')} AS h
+    FROM s2 s JOIN sym e ON e.a = s.hop2
+  ) GROUP BY start, hop1, hop2
+)
+SELECT start, hop1, hop2, hop3,
+       CAST(1 + (CASE WHEN hop1 <> start THEN 1 ELSE 0 END)
+              + (CASE WHEN hop2 <> start AND hop2 <> hop1 THEN 1 ELSE 0 END)
+              + (CASE WHEN hop3 <> start AND hop3 <> hop1 AND hop3 <> hop2
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+FROM s3
+"""
+
+
+def _walk_hash_col(start, step: int, nbr) -> Column:
+    s = F.concat(
+        start.cast("string"), F.lit(f"-{step}-"), nbr.cast("string")
+    )
+    return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("bigint")
+
+
+@register("q_graph_walk_sample", oracle=_WALK_ORACLE)
+def q_graph_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-step 'random' walks from a node sample over the
+    co-purchase graph — the sampling primitive under node2vec/DeepWalk
+    embeddings and graph-local exploration, made exactly reproducible: at
+    each step the walker takes the neighbor minimizing a 60-bit sha256 of
+    (start, step, neighbor), i.e. a hash-seeded uniform draw both engines
+    agree on bit-for-bit. Emits each walk's path and how many distinct
+    nodes it visited (walk locality — revisit-heavy walks flag tight
+    clusters).
+
+    Spark-first: each step is one equi-join frontier→edges plus one
+    min_by hash aggregate keyed by the walk — NO per-walk loops, no RNG
+    state, and every step of every walk advances in the same 3 unrolled
+    stages regardless of walk count (the q_graph_kcore unrolled-rounds
+    design). At 100 TB the frontier join partitions by current node and
+    the aggregate by walk id; hub fan-out is bounded by true degree.
+    """
+    edges = shared_copurchase_edges(spark, sf_dir)
+    sym = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionAll(
+        edges.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+    )
+    starts = (
+        sym.filter(F.col("a") % _WALK_START_MOD == 0)
+        .select(F.col("a").alias("start"))
+        .distinct()
+    )
+    cur = starts
+    hops: list[str] = []
+    for step in (1, 2, 3):
+        # fresh column names per step: re-joining the same sym lineage
+        # would otherwise make the join ambiguous (self-join detection)
+        sym_t = sym.select(
+            F.col("a").alias(f"a{step}"), F.col("b").alias(f"b{step}")
+        )
+        frontier = F.col(hops[-1]) if hops else F.col("start")
+        cand = cur.join(sym_t, frontier == F.col(f"a{step}")).select(
+            *(["start"] + hops),
+            F.col(f"b{step}").alias("nbr"),
+            _walk_hash_col(F.col("start"), step, F.col(f"b{step}")).alias("h"),
+        )
+        hop = f"hop{step}"
+        cur = cand.groupBy(*(["start"] + hops)).agg(
+            F.min_by("nbr", "h").alias(hop)
+        )
+        hops.append(hop)
+    uniq = (
+        F.lit(1)
+        + F.when(F.col("hop1") != F.col("start"), 1).otherwise(0)
+        + F.when(
+            (F.col("hop2") != F.col("start")) & (F.col("hop2") != F.col("hop1")), 1
+        ).otherwise(0)
+        + F.when(
+            (F.col("hop3") != F.col("start"))
+            & (F.col("hop3") != F.col("hop1"))
+            & (F.col("hop3") != F.col("hop2")),
+            1,
+        ).otherwise(0)
+    )
+    return cur.select(
+        "start", "hop1", "hop2", "hop3", uniq.cast("bigint").alias("n_unique")
+    )

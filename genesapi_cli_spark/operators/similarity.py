@@ -2218,3 +2218,123 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rel_s") / 10000.0).alias("rel_r4"),
         (F.col("div_s") / 10000.0).alias("div_r4"),
     )
+
+
+# --- q_sim_knn_classify -------------------------------------------------------
+
+_KNN_K = 5        # neighbors voting
+_KNN_TEST_MOD = 5  # test split: vec_id % 5 == 0 (~20%)
+
+_KNN_ORACLE = f"""
+WITH q8 AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(GREATEST(LEAST(floor(CAST(x AS DOUBLE) * 127 + 0.5), 127), -127)
+                     AS DOUBLE)) AS qv
+  FROM embeddings
+), p AS (
+  SELECT q.vec_id AS qid, q.label AS true_label, c.label AS cand_label,
+         c.vec_id AS cand_id,
+         CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS qdot
+  FROM q8 q JOIN q8 c ON c.vec_id % {_KNN_TEST_MOD} <> 0
+  WHERE q.vec_id % {_KNN_TEST_MOD} = 0
+), top AS (
+  SELECT qid, true_label, cand_label,
+         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, cand_id) AS rn
+  FROM p
+), votes AS (
+  SELECT qid, true_label, cand_label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM top WHERE rn <= {_KNN_K}
+  GROUP BY qid, true_label, cand_label
+), pred AS (
+  SELECT qid, true_label, cand_label AS pred_label,
+         row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, cand_label) AS vr
+  FROM votes
+)
+SELECT true_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       FLOOR(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS acc_r4
+FROM pred WHERE vr = 1
+GROUP BY true_label
+"""
+
+
+@register("q_sim_knn_classify", oracle=_KNN_ORACLE)
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification accuracy over the embedding table — the
+    evaluation harness that tells you whether an embedding space is any
+    good before you spend a training run on it: hold out every 5th vector,
+    classify it by majority vote of its 5 nearest train vectors, report
+    per-class accuracy. Completes the retrieval-eval family
+    (q_sim_recall measures ANN recall, q_sim_triplet_eval margin quality;
+    this measures downstream label quality).
+
+    Exactness: scoring runs on int8-quantized dots (the q_sim_quantized
+    quantizer — floor(x·127+0.5) clamps, integer dot ≤ 64·127² per pair),
+    so neighbor ranking has NO float tolerance; ties break by candidate id,
+    votes break by (count desc, label asc) — both engines pick identical
+    neighbors and identical predictions, and the accuracy table matches
+    bit-for-bit.
+
+    Scale shape: the test side broadcasts against the train corpus (at
+    100 TB: IVF/LSH-bucket the candidate join exactly as q_sim_ivf does —
+    the vote/accuracy tail of the plan is unchanged); top-k is a per-query
+    window over bounded fan-in, votes and accuracy are two hash aggregates.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q8 = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.greatest(
+                F.least(F.floor(x.cast("double") * 127 + 0.5), F.lit(127).cast("long")),
+                F.lit(-127).cast("long"),
+            ),
+        ).alias("qv"),
+    )
+    q = q8.filter(F.col("vec_id") % _KNN_TEST_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("qa"),
+    )
+    c = q8.filter(F.col("vec_id") % _KNN_TEST_MOD != 0).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("qv").alias("qb"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "true_label",
+        "cand_label",
+        "cand_id",
+        dot_expr("qa", "qb").cast("long").alias("qdot"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("qdot"), "cand_id")
+    top = pairs.select(
+        "qid", "true_label", "cand_label", F.row_number().over(wq).alias("rn")
+    ).filter(F.col("rn") <= _KNN_K)
+    votes = top.groupBy("qid", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("cnt"), "cand_label")
+    pred = votes.select(
+        "qid",
+        "true_label",
+        F.col("cand_label").alias("pred_label"),
+        F.row_number().over(wv).alias("vr"),
+    ).filter(F.col("vr") == 1)
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        correct.cast("bigint").alias("n_correct"),
+        (
+            F.floor(correct.cast("double") / F.count(F.lit(1)) * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("acc_r4"),
+    )
