@@ -2302,3 +2302,99 @@ def q_feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(loo_rate * 10000 + F.lit(0.5)) / 10000).alias("loo_rate_r4"),
         (F.floor(smooth * 10000 + F.lit(0.5)) / 10000).alias("smooth_rate_r4"),
     )
+
+
+# --- q_sample_systematic -------------------------------------------------------
+
+_SYS_INTERVAL = 37  # take every 37th row of the hash-ordered frame
+
+
+_SYS_ORACLE = f"""
+WITH o AS (
+  SELECT c_mktsegment AS seg,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         ('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           AS hkey,
+         o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), ranked AS (
+  SELECT seg, cents,
+         row_number() OVER (PARTITION BY seg ORDER BY hkey, o_orderkey) AS rn
+  FROM o
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rn % {_SYS_INTERVAL} = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       CAST((COUNT(*) + {_SYS_INTERVAL - 1}) // {_SYS_INTERVAL} AS BIGINT)
+         AS expected,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN rn % {_SYS_INTERVAL} = 1 THEN cents ELSE 0 END)
+            AS BIGINT) AS sampled_cents,
+       FLOOR(CAST(SUM(CASE WHEN rn % {_SYS_INTERVAL} = 1 THEN cents ELSE 0 END)
+                  AS DOUBLE) * {_SYS_INTERVAL} / SUM(cents) * 10000 + 0.5)
+         / 10000 AS spend_ratio_r4
+FROM ranked
+GROUP BY seg
+"""
+
+
+@register("q_sample_systematic", oracle=_SYS_ORACLE)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling per stratum — order each segment's orders by a
+    deterministic 60-bit hash (a reproducible 'random' shuffle), then take
+    every 37th row. Survey statistics' second classic design next to
+    q_sample_stratified (Bernoulli-by-hash): systematic draws give BOUNDED
+    sample size per stratum (⌈n/37⌉ exactly — no binomial variance), which
+    is what capacity-planned downstream stages (labeling budgets, eval
+    sets) actually need. The certificate emits per stratum the achieved
+    vs expected count and the spend-representativeness ratio (sampled
+    spend × 37 / total spend ≈ 1 when the draw is unbiased).
+
+    Parity: hash order is the shared sha256-prefix bigint with key
+    tie-break; counts/cents exact; the only float is the final snapped
+    ratio. Scale shape: one window per stratum (at 100 TB: the rank comes
+    from a per-partition scan count when the frame is hash-bucketed —
+    or keep hash-Bernoulli sampling, whose rate certificate is
+    q_sample_hash; the point of THIS query is the fixed-size guarantee).
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "seg",
+        "cents",
+        "o_orderkey",
+        F.conv(F.substring(F.sha2(F.col("o_orderkey").cast("string"), 256), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hkey"),
+    )
+    w = Window.partitionBy("seg").orderBy("hkey", "o_orderkey")
+    ranked = o.select("seg", "cents", F.row_number().over(w).alias("rn"))
+    sampled = F.col("rn") % _SYS_INTERVAL == 1
+    s_cnt = F.sum(F.when(sampled, 1).otherwise(0))
+    s_cents = F.sum(F.when(sampled, F.col("cents")).otherwise(0))
+    return ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        s_cnt.cast("bigint").alias("n_sampled"),
+        F.floor((F.count(F.lit(1)) + _SYS_INTERVAL - 1) / _SYS_INTERVAL)
+        .cast("bigint")
+        .alias("expected"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        s_cents.cast("bigint").alias("sampled_cents"),
+        (
+            F.floor(
+                s_cents.cast("double")
+                * _SYS_INTERVAL
+                / F.sum("cents")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("spend_ratio_r4"),
+    )

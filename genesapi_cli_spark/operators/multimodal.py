@@ -1100,3 +1100,91 @@ def q_multimodal_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_boundaries"),
         F.max("d").cast("bigint").alias("max_delta"),
     )
+
+
+# --- q_multimodal_colorhist ---------------------------------------------------
+
+_CHIST_BINS = 16  # byte-value histogram bins (values >> 4)
+
+_CHIST_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, lang, text,
+         unnest(range(1, octet_length(encode(text)) + 1)) AS p
+  FROM documents
+), b AS (
+  SELECT doc_id, lang, ascii(substr(text, p::INT, 1)) // {256 // _CHIST_BINS} AS bin
+  FROM pos
+), db AS (
+  SELECT doc_id, lang, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY doc_id, lang, bin
+)
+SELECT lang, CAST(bin AS BIGINT) AS bin,
+       CAST(SUM(cnt) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(cnt) AS BIGINT) AS max_doc_count
+FROM db GROUP BY lang, bin
+"""
+
+
+def _colorhist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 16-bin byte-value histogram per payload: numpy
+    bincount over (bytes >> 4) — the exact batch shape of a color/tonal
+    histogram extractor on decoded pixel data, with the codec replaced by
+    the raw payload bytes the oracle can recount. Emits only non-empty
+    bins (narrow sparse rows), never the payload."""
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_lang, out_bin, out_cnt = [], [], [], []
+        for doc_id, lang, payload in zip(
+            pdf["doc_id"], pdf["lang"], pdf["payload"]
+        ):
+            a = np.frombuffer(bytes(payload), dtype=np.uint8)
+            if a.size == 0:
+                continue
+            hist = np.bincount(a >> 4, minlength=_CHIST_BINS)
+            nz = np.nonzero(hist)[0]
+            out_doc.extend([doc_id] * nz.size)
+            out_lang.extend([lang] * nz.size)
+            out_bin.extend(nz.tolist())
+            out_cnt.extend(hist[nz].tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "lang": pd.Series(out_lang, dtype="object"),
+                "bin": pd.Series(out_bin, dtype="int64"),
+                "cnt": pd.Series(out_cnt, dtype="int64"),
+            }
+        )
+
+
+@register("q_multimodal_colorhist", oracle=_CHIST_ORACLE)
+def q_multimodal_colorhist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-value (color/tonal) histograms over binary payloads: an
+    Arrow-batched ``mapInPandas`` stage bincounts each payload's bytes into
+    16 bins (value >> 4) and emits sparse per-doc (bin, count) rows; the
+    per-language histogram rollup — total bytes, docs touching the bin, and
+    the largest single-doc concentration — then aggregates JVM-side. This
+    is the decode→histogram→rollup shape of image tonal analysis and of
+    corpus byte-composition screens (e.g. detecting base64 blobs or binary
+    junk inside a 'text' corpus by their flat byte spectrum).
+
+    The UDF is pure vectorized numpy (one bincount per payload, no
+    per-byte Python); payloads never outlive the Arrow stage — only the
+    narrow sparse histogram rows shuffle. The oracle recounts every bin
+    from character codes (ASCII corpus ⇒ byte = code), value-proving the
+    binning arithmetic end to end. At 100 TB the stage parallelizes per
+    input split and the rollup is one map-side-combined aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id", "lang", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    hist = assets.mapInPandas(
+        _colorhist, schema="doc_id long, lang string, bin long, cnt long"
+    )
+    return hist.groupBy("lang", "bin").agg(
+        F.sum("cnt").cast("bigint").alias("n_bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("cnt").cast("bigint").alias("max_doc_count"),
+    )

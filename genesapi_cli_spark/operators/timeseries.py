@@ -5020,3 +5020,182 @@ def q_window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
             / d_sig
         ).alias("histogram"),
     )
+
+
+# --- q_window_pacf -----------------------------------------------------------
+
+_PACF_MIN_N = 12  # series shorter than this don't support a lag-3 fit
+
+
+_PACF_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, {_CENTS} AS c FROM events
+), lagged AS (
+  SELECT user_id, c,
+         LAG(c, 1) OVER w AS l1,
+         LAG(c, 2) OVER w AS l2,
+         LAG(c, 3) OVER w AS l3
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), moms AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q,
+         CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c * l1 ELSE 0 END) AS BIGINT) AS p1,
+         CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c + l1 ELSE 0 END) AS BIGINT) AS ab1,
+         CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c * l2 ELSE 0 END) AS BIGINT) AS p2,
+         CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c + l2 ELSE 0 END) AS BIGINT) AS ab2,
+         CAST(SUM(CASE WHEN l3 IS NOT NULL THEN c * l3 ELSE 0 END) AS BIGINT) AS p3,
+         CAST(SUM(CASE WHEN l3 IS NOT NULL THEN c + l3 ELSE 0 END) AS BIGINT) AS ab3
+  FROM lagged GROUP BY user_id
+), nums AS (
+  SELECT user_id, n,
+         n * n * p1 - n * s * ab1 + (n - 1) * s * s AS c1s,
+         n * n * p2 - n * s * ab2 + (n - 2) * s * s AS c2s,
+         n * n * p3 - n * s * ab3 + (n - 3) * s * s AS c3s,
+         n * n * q - n * s * s AS c0s
+  FROM moms
+  WHERE n >= {_PACF_MIN_N}
+), rho AS (
+  SELECT user_id, n,
+         CAST(c1s AS DOUBLE) / c0s AS r1,
+         CAST(c2s AS DOUBLE) / c0s AS r2,
+         CAST(c3s AS DOUBLE) / c0s AS r3
+  FROM nums
+  WHERE c0s > 0 AND ABS(c1s) < c0s
+), lvl2 AS (
+  SELECT user_id, n, r1, r2, r3,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS f22
+  FROM rho
+), lvl3 AS (
+  SELECT user_id, n, r1, r2, r3, f22,
+         r1 * (1.0 - f22) AS f21,
+         1.0 - r1 * (1.0 - f22) * r1 - f22 * r2 AS d3
+  FROM lvl2
+)
+SELECT user_id, n,
+       FLOOR(r1 * 10000 + 0.5) / 10000 AS pacf1_r4,
+       FLOOR(f22 * 10000 + 0.5) / 10000 AS pacf2_r4,
+       FLOOR((r3 - f21 * r2 - f22 * r1) / d3 * 10000 + 0.5) / 10000 AS pacf3_r4
+FROM lvl3
+WHERE FLOOR(ABS(d3) * 1000000000) >= 1
+"""
+
+
+@register("q_window_pacf", oracle=_PACF_ORACLE)
+def q_window_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-3) of each user's value series via
+    Durbin-Levinson — the AR-order identification tool (the PACF cutoff
+    picks p in AR(p)) completing the dependence family over
+    q_window_autocorr: PACF at lag k is the correlation left AFTER the
+    shorter lags are regressed out.
+
+    Exact path: one window projection carries 3 lags; all autocovariances
+    reduce to integer co-moment sums scaled by n² —
+    n²·c_k = n²·P_k − n·S·(A_k+B_k) + (n−k)·S² — exact bigints (per-user
+    n ≤ ~10², cents ≤ ~6·10⁴ keeps every product < 10¹⁶; longer/richer
+    series at full scale would widen these to decimal(38,0), the
+    q_events_bot_screen lesson). ρ_k is one int→double division, the
+    Durbin-Levinson recursion (φ22, then φ33) is a fixed closed-form double
+    sequence identical on both engines, snapped r4. Degenerate series are
+    excluded by INTEGER predicates (c0 > 0, |c1| < c0); the level-3
+    denominator guard snaps to nano-units so both engines drop the same
+    near-singular rows.
+
+    Scale shape: one Exchange+Sort serving 3 LAGs, one hash aggregate to
+    per-series sufficient statistics, then pure projection — the mergeable
+    co-moment pattern; series count, not length, bounds the output.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.col("ts_us").alias("us"), "event_id", F.expr(_CENTS).alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = e.select(
+        "user_id",
+        "c",
+        F.lag("c", 1).over(w).alias("l1"),
+        F.lag("c", 2).over(w).alias("l2"),
+        F.lag("c", 3).over(w).alias("l3"),
+    )
+
+    def pair_sums(lcol: str):
+        prod = F.sum(
+            F.when(F.col(lcol).isNotNull(), F.col("c") * F.col(lcol)).otherwise(0)
+        ).cast("bigint")
+        both = F.sum(
+            F.when(F.col(lcol).isNotNull(), F.col("c") + F.col(lcol)).otherwise(0)
+        ).cast("bigint")
+        return prod, both
+
+    p1, ab1 = pair_sums("l1")
+    p2, ab2 = pair_sums("l2")
+    p3, ab3 = pair_sums("l3")
+    moms = lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+        p1.alias("p1"),
+        ab1.alias("ab1"),
+        p2.alias("p2"),
+        ab2.alias("ab2"),
+        p3.alias("p3"),
+        ab3.alias("ab3"),
+    )
+    n, s = F.col("n"), F.col("s")
+    nums = moms.filter(n >= _PACF_MIN_N).select(
+        "user_id",
+        "n",
+        (n * n * F.col("p1") - n * s * F.col("ab1") + (n - 1) * s * s).alias("c1s"),
+        (n * n * F.col("p2") - n * s * F.col("ab2") + (n - 2) * s * s).alias("c2s"),
+        (n * n * F.col("p3") - n * s * F.col("ab3") + (n - 3) * s * s).alias("c3s"),
+        (n * n * F.col("q") - n * s * s).alias("c0s"),
+    )
+    rho = nums.filter(
+        (F.col("c0s") > 0) & (F.abs(F.col("c1s")) < F.col("c0s"))
+    ).select(
+        "user_id",
+        "n",
+        (F.col("c1s").cast("double") / F.col("c0s")).alias("r1"),
+        (F.col("c2s").cast("double") / F.col("c0s")).alias("r2"),
+        (F.col("c3s").cast("double") / F.col("c0s")).alias("r3"),
+    )
+    lvl2 = rho.select(
+        "user_id",
+        "n",
+        "r1",
+        "r2",
+        "r3",
+        ((F.col("r2") - F.col("r1") * F.col("r1")) / (1.0 - F.col("r1") * F.col("r1"))).alias(
+            "f22"
+        ),
+    )
+    lvl3 = lvl2.select(
+        "user_id",
+        "n",
+        "r1",
+        "r2",
+        "r3",
+        "f22",
+        (F.col("r1") * (1.0 - F.col("f22"))).alias("f21"),
+        (
+             1.0
+            - F.col("r1") * (1.0 - F.col("f22")) * F.col("r1")
+            - F.col("f22") * F.col("r2")
+        ).alias("d3"),
+    )
+    return lvl3.filter(F.floor(F.abs(F.col("d3")) * 1000000000) >= 1).select(
+        "user_id",
+        "n",
+        (F.floor(F.col("r1") * 10000 + F.lit(0.5)) / 10000).alias("pacf1_r4"),
+        (F.floor(F.col("f22") * 10000 + F.lit(0.5)) / 10000).alias("pacf2_r4"),
+        (
+            F.floor(
+                (F.col("r3") - F.col("f21") * F.col("r2") - F.col("f22") * F.col("r1"))
+                / F.col("d3")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("pacf3_r4"),
+    )
