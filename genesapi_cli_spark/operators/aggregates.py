@@ -3136,3 +3136,126 @@ def q_agg_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("alpha_r4"),
     )
+
+
+# --- q_agg_eb_shrinkage --------------------------------------------------------
+
+_EB_ORACLE = """
+WITH base AS (
+  SELECT p_brand AS brand,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), g AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(ret) AS BIGINT) AS s_g
+  FROM base GROUP BY brand
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS nn, CAST(SUM(s_g) AS BIGINT) AS ss,
+         CAST(SUM(CAST(CAST(s_g AS DOUBLE) * s_g / n_g AS DECIMAL(27,7)))
+              AS DOUBLE) AS rate_term
+  FROM g
+), prior AS (
+  SELECT nn, ss,
+         CAST(ss AS DOUBLE) / nn AS mu,
+         (rate_term - CAST(ss AS DOUBLE) * ss / nn) / nn AS var_hat
+  FROM tot
+), m AS (
+  SELECT nn, ss, mu,
+         CASE WHEN var_hat > 0
+              THEN GREATEST(mu * (1.0 - mu) / var_hat - 1.0, 1.0)
+              ELSE 1000000.0 END AS big_m
+  FROM prior
+)
+SELECT g.brand, g.n_g AS n, g.s_g AS s,
+       FLOOR(CAST(g.s_g AS DOUBLE) / g.n_g * 10000 + 0.5) / 10000 AS raw_r4,
+       FLOOR((g.s_g + m.big_m * m.mu) / (g.n_g + m.big_m) * 10000 + 0.5)
+         / 10000 AS post_r4,
+       FLOOR(g.n_g / (g.n_g + m.big_m) * 10000 + 0.5) / 10000 AS weight_r4
+FROM g, m
+"""
+
+
+@register("q_agg_eb_shrinkage", oracle=_EB_ORACLE)
+def q_agg_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-brand return rates —
+    the estimator every scorecard needs when group sizes vary by orders of
+    magnitude: small groups' raw rates are noise, so each rate is pulled
+    toward the global mean with strength learned FROM THE DATA by method
+    of moments (prior pseudo-count M = µ(1−µ)/var̂ − 1, where var̂ is the
+    weighted between-group rate variance). Complements
+    q_feature_target_encode (fixed prior m) with the learned-prior
+    version, and q_agg_raking (margin calibration) on the estimation side.
+
+    Parity engineering: per-group (n, s) are exact bigints; the variance
+    crossing Σ s²/n rides the q_docs_anova decimal(27,7) pattern; µ, var̂,
+    M are one shared double sequence (degenerate zero-variance case pinned
+    to a shared literal M = 10⁶); posterior and shrink weight snap r4.
+
+    Scale shape: one hash aggregate to |groups| rows, a 1-row prior
+    crossed back broadcast — the two-pass sufficient-statistics shape that
+    holds at any scale; the fact table is read once.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    g = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("ret").cast("bigint").alias("s_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("nn"),
+        F.sum("s_g").cast("bigint").alias("ss"),
+        F.sum(
+            F.expr("CAST(CAST(s_g AS DOUBLE) * s_g / n_g AS DECIMAL(27,7))")
+        )
+        .cast("double")
+        .alias("rate_term"),
+    )
+    mu = F.col("ss").cast("double") / F.col("nn")
+    var_hat = (
+        F.col("rate_term") - F.col("ss").cast("double") * F.col("ss") / F.col("nn")
+    ) / F.col("nn")
+    m = tot.select(
+        mu.alias("mu"),
+        F.when(
+            var_hat > 0,
+            F.greatest(
+                mu * (1.0 - mu) / var_hat - 1.0, F.lit(1.0)
+            ),
+        )
+        .otherwise(F.lit(1000000.0))
+        .alias("big_m"),
+    )
+    j = g.crossJoin(F.broadcast(m))
+    return j.select(
+        "brand",
+        F.col("n_g").alias("n"),
+        F.col("s_g").alias("s"),
+        (
+            F.floor(F.col("s_g").cast("double") / F.col("n_g") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("raw_r4"),
+        (
+            F.floor(
+                (F.col("s_g") + F.col("big_m") * F.col("mu"))
+                / (F.col("n_g") + F.col("big_m"))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("post_r4"),
+        (
+            F.floor(
+                F.col("n_g") / (F.col("n_g") + F.col("big_m")) * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("weight_r4"),
+    )

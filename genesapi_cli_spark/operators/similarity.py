@@ -2338,3 +2338,156 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("acc_r4"),
     )
+
+
+# --- q_sim_silhouette ----------------------------------------------------------
+
+_SIL_ORACLE = """
+WITH q8 AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(GREATEST(LEAST(floor(CAST(x AS DOUBLE) * 127 + 0.5), 127), -127)
+                     AS DOUBLE)) AS qv
+  FROM embeddings
+), ce AS (
+  SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS sd,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM q8, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i)
+  GROUP BY label, i
+), cl AS (
+  SELECT label AS clabel, CAST(SUM(sd * sd) AS BIGINT) AS s2,
+         CAST(MAX(m) AS BIGINT) AS m
+  FROM ce GROUP BY label
+), dots AS (
+  SELECT p.vec_id, p.label AS own, c.label AS clabel,
+         CAST(SUM(p.qv[c.i] * c.sd) AS BIGINT) AS dt
+  FROM q8 p, ce c
+  GROUP BY p.vec_id, p.label, c.label
+), px AS (
+  SELECT vec_id, CAST(list_dot_product(qv, qv) AS BIGINT) AS x2 FROM q8
+), dist AS (
+  SELECT d.vec_id, d.own, d.clabel,
+         SQRT(CAST(p.x2 * l.m * l.m - 2 * l.m * d.dt + l.s2 AS DOUBLE)) / l.m
+           AS dv
+  FROM dots d JOIN px p ON p.vec_id = d.vec_id
+  JOIN cl l ON l.clabel = d.clabel
+), ab AS (
+  SELECT vec_id, own,
+         MAX(CASE WHEN clabel = own THEN dv END) AS a,
+         MIN(CASE WHEN clabel <> own THEN dv END) AS b
+  FROM dist GROUP BY vec_id, own
+), s AS (
+  SELECT vec_id, own,
+         CAST(CASE WHEN GREATEST(a, b) > 0 THEN (b - a) / GREATEST(a, b)
+                   ELSE 0.0 END AS DECIMAL(18,7)) AS sil
+  FROM ab
+)
+SELECT own AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       FLOOR(CAST(SUM(sil) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+         AS mean_sil_r4,
+       CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+FROM s GROUP BY own
+"""
+
+
+@register("q_sim_silhouette", oracle=_SIL_ORACLE)
+def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label — the
+    clustering-quality certificate for an embedding space: for each point,
+    a = distance to its own label's centroid, b = distance to the nearest
+    other centroid, s = (b−a)/max(a,b); negative s marks points sitting
+    closer to a foreign cluster (label noise / collapsed clusters). With
+    q_sim_knn_classify (accuracy) and q_sim_triplet_eval (margins) this
+    closes the embedding-eval triad. The simplified form IS the scale
+    form: classic silhouette is O(n²) pairwise; against centroids it is
+    O(n·k) and loses almost nothing for convex clusters.
+
+    Exactness: distances come out of integer arithmetic end to end — int8
+    vectors (the shared quantizer), integer centroid SUMS (never float
+    means: d² to the mean rescales by m² as m²·|x|² − 2m·(x·S) + |S|²,
+    all exact bigints < 2⁵³), ONE sqrt per (point, centroid) (IEEE sqrt
+    is correctly rounded — identical on both engines), per-point s
+    snapped to decimal(18,7) before the exact mean.
+
+    Scale shape: centroid sums are one posexplode + (label, dim) hash
+    aggregate (the q_sim_centroid plan); point×centroid scoring joins the
+    exploded points against a BROADCAST k×dim centroid table and
+    hash-aggregates the dot — n·k·dim multiply-adds with no shuffle of
+    the big side beyond the per-point rollup.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q8 = spread(emb).select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.greatest(
+                F.least(F.floor(x.cast("double") * 127 + 0.5), F.lit(127).cast("long")),
+                F.lit(-127).cast("long"),
+            ),
+        ).alias("qv"),
+    )
+    pts = q8.select(
+        "vec_id", "label", F.posexplode("qv").alias("pos", "xd")
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("i"), "xd")
+    ce = pts.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("xd").cast("bigint").alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    cl = ce.groupBy("clabel").agg(
+        F.sum(F.col("sd") * F.col("sd")).cast("bigint").alias("s2"),
+        F.max("m").cast("bigint").alias("m"),
+    )
+    dots = (
+        pts.join(F.broadcast(ce), "i")
+        .groupBy("vec_id", F.col("label").alias("own"), "clabel")
+        .agg(F.sum(F.col("xd") * F.col("sd")).cast("bigint").alias("dt"))
+    )
+    px = q8.select("vec_id", dot_expr("qv", "qv").cast("bigint").alias("x2"))
+    dist = (
+        dots.join(px, "vec_id")
+        .join(F.broadcast(cl), "clabel")
+        .select(
+            "vec_id",
+            "own",
+            "clabel",
+            (
+                F.sqrt(
+                    (
+                        F.col("x2") * F.col("m") * F.col("m")
+                        - 2 * F.col("m") * F.col("dt")
+                        + F.col("s2")
+                    ).cast("double")
+                )
+                / F.col("m")
+            ).alias("dv"),
+        )
+    )
+    ab = dist.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("clabel") == F.col("own"), F.col("dv"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("own"), F.col("dv"))).alias("b"),
+    )
+    sil = ab.select(
+        "vec_id",
+        "own",
+        F.when(
+            F.greatest("a", "b") > 0,
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,7)")
+        .alias("sil"),
+    )
+    return sil.groupBy(F.col("own").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        (
+            F.floor(
+                F.sum("sil").cast("double") / F.count(F.lit(1)) * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("mean_sil_r4"),
+        F.sum(F.when(F.col("sil") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_misfit"),
+    )

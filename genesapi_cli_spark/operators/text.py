@@ -3090,3 +3090,123 @@ def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("rk") <= 3).select(
         "lang", F.col("rk").cast("bigint").alias("rk"), "w1", "w2", "c", "p_kn_micro"
     )
+
+
+# --- q_text_jsd ----------------------------------------------------------------
+
+_JSD_LN2 = "0.6931471805599453"  # shared ln(2) literal for the one-sided mass
+
+
+_JSD_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), sc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY source, tok
+), ns AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY source
+), shared AS (
+  SELECT a.source AS sa, b.source AS sb, na.n AS n_a, nb.n AS n_b,
+         a.c AS ca, b.c AS cb
+  FROM sc a JOIN sc b ON a.tok = b.tok AND a.source < b.source
+  JOIN ns na ON na.source = a.source
+  JOIN ns nb ON nb.source = b.source
+), terms AS (
+  SELECT sa, sb, n_a, n_b, ca, cb,
+         CAST(CAST(ca AS DOUBLE) / n_a
+              * LN(2.0 * ca * n_b / (CAST(ca AS DOUBLE) * n_b
+                                     + CAST(cb AS DOUBLE) * n_a))
+              AS DECIMAL(18,7)) AS tp,
+         CAST(CAST(cb AS DOUBLE) / n_b
+              * LN(2.0 * cb * n_a / (CAST(ca AS DOUBLE) * n_b
+                                     + CAST(cb AS DOUBLE) * n_a))
+              AS DECIMAL(18,7)) AS tq
+  FROM shared
+)
+SELECT sa, sb,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_tokens,
+       FLOOR(0.5 * (CAST(SUM(tp) AS DOUBLE) + CAST(SUM(tq) AS DOUBLE)
+                    + {_JSD_LN2} * (CAST(MAX(n_a) - SUM(ca) AS DOUBLE) / MAX(n_a))
+                    + {_JSD_LN2} * (CAST(MAX(n_b) - SUM(cb) AS DOUBLE) / MAX(n_b)))
+             * 10000 + 0.5) / 10000 AS jsd_r4
+FROM terms
+GROUP BY sa, sb
+"""
+
+
+@register("q_text_jsd", oracle=_JSD_ORACLE)
+def q_text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every pair of source
+    unigram distributions — the symmetric, bounded corpus-distance matrix
+    that drives source-mixing decisions (q_corpus_mix picks weights; this
+    measures how redundant or complementary two sources actually are).
+    Complements q_text_kl_drift (each source vs the global mix,
+    asymmetric) with the full 190-pair source×source geometry.
+
+    The scalable formulation: tokens present in BOTH sources come from one
+    equi-join on token (never a per-pair full-outer or a vocab×pairs
+    grid), and the entire one-sided tail collapses to a CLOSED FORM —
+    when q(t)=0, ln(p/m) = ln 2 exactly, so the missing-mass contribution
+    is ln2·(1 − Σ_shared p), computable from the shared-token integer
+    sums alone. JSD = ½[Σ tp + Σ tq + ln2·(miss_p + miss_q)].
+
+    Parity: token counts and totals are exact bigints; each shared-token
+    term is one double sequence over exact integer ratios
+    (p/m = 2·c_a·n_b/(c_a·n_b + c_b·n_a)) snapped to decimal(18,7) so the
+    vocabulary-sized sum is order-independent; ln 2 is a shared literal.
+
+    Scale shape: one token-count aggregate, one self-equi-join on token
+    (fan-out = sources co-containing the token, bounded by |sources|),
+    one (pair) aggregate. At 100 TB with 10k sources, block the pair
+    space by LSH over source term-vectors first (q_dedup_near_minhash's
+    banding) and run this exact JSD only within candidate blocks.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    sc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ns = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = sc.select(
+        F.col("source").alias("sa"), F.col("tok").alias("ta"), F.col("c").alias("ca")
+    )
+    b = sc.select(
+        F.col("source").alias("sb"), F.col("tok").alias("tb"), F.col("c").alias("cb")
+    )
+    na = ns.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+    nb = ns.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
+    shared = (
+        a.join(b, (F.col("ta") == F.col("tb")) & (F.col("sa") < F.col("sb")))
+        .join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+    )
+    ln2 = float(_JSD_LN2)
+    denom = F.col("ca").cast("double") * F.col("n_b") + F.col("cb").cast(
+        "double"
+    ) * F.col("n_a")
+    tp = (
+        F.col("ca").cast("double")
+        / F.col("n_a")
+        * F.log(F.lit(2.0) * F.col("ca") * F.col("n_b") / denom)
+    ).cast("decimal(18,7)")
+    tq = (
+        F.col("cb").cast("double")
+        / F.col("n_b")
+        * F.log(F.lit(2.0) * F.col("cb") * F.col("n_a") / denom)
+    ).cast("decimal(18,7)")
+    terms = shared.select(
+        "sa", "sb", "n_a", "n_b", "ca", "cb", tp.alias("tp"), tq.alias("tq")
+    )
+    jsd = 0.5 * (
+        F.sum("tp").cast("double")
+        + F.sum("tq").cast("double")
+        + ln2
+        * ((F.max("n_a") - F.sum("ca")).cast("double") / F.max("n_a"))
+        + ln2
+        * ((F.max("n_b") - F.sum("cb")).cast("double") / F.max("n_b"))
+    )
+    return terms.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_tokens"),
+        (F.floor(jsd * 10000 + F.lit(0.5)) / 10000).alias("jsd_r4"),
+    )
