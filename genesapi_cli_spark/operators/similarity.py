@@ -2224,6 +2224,7 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_K = 5        # neighbors voting
 _KNN_TEST_MOD = 5  # test split: vec_id % 5 == 0 (~20%)
+_KNN_BLOCKS = 8   # train-side hash blocks for the Arrow matmul stage
 
 _KNN_ORACLE = f"""
 WITH q8 AS (
@@ -2279,10 +2280,13 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors and identical predictions, and the accuracy table matches
     bit-for-bit.
 
-    Scale shape: the test side broadcasts against the train corpus (at
-    100 TB: IVF/LSH-bucket the candidate join exactly as q_sim_ivf does —
-    the vote/accuracy tail of the plan is unchanged); top-k is a per-query
-    window over bounded fan-in, votes and accuracy are two hash aggregates.
+    Scale shape: train vectors split into hash blocks and each block is
+    scored by ONE cogrouped Arrow int64 matmul against the replicated test
+    matrix (the q_sim_knn_graph pattern — each side ships once; no
+    |test|·|train| pair materialization), emitting only per-block top-k;
+    a global window re-ranks 5·blocks rows per query, then votes and
+    accuracy are two hash aggregates. At 100 TB swap the hash blocks for
+    IVF/LSH buckets (q_sim_ivf) — the vote/accuracy tail is unchanged.
     """
     emb = load(spark, sf_dir, "embeddings")
     q8 = emb.select(
@@ -2306,15 +2310,63 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cand_label"),
         F.col("qv").alias("qb"),
     )
-    pairs = c.crossJoin(F.broadcast(q)).select(
-        "qid",
-        "true_label",
-        "cand_label",
-        "cand_id",
-        dot_expr("qa", "qb").cast("long").alias("qdot"),
+    # Scoring runs as cogrouped Arrow blocks (the q_sim_knn_graph /
+    # q_sim_maxsim execution pattern): train vectors split into
+    # _KNN_BLOCKS hash blocks, the (small) test matrix replicates to each,
+    # and ONE int64 matmul scores the whole block — a JVM pair join here
+    # materializes |test|·|train| array pairs (13.7s at sf0.1); the block
+    # matmul ships each side once and emits only the per-block top-k
+    # (5·blocks rows per query), which a cheap global window re-ranks.
+    # Semantics are IDENTICAL: exact integer dots, (qdot DESC, cand_id)
+    # order — train ids sort ascending per block and the stable argsort
+    # settles ties on the smaller cand_id, matching the oracle contract.
+    import numpy as np
+    import pandas as pd
+
+    def block_knn(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series([], dtype="int64"),
+                "true_label": pd.Series([], dtype="int32"),
+                "cand_label": pd.Series([], dtype="int32"),
+                "cand_id": pd.Series([], dtype="int64"),
+                "qdot": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(cdf) == 0 or len(qdf) == 0:
+            return empty
+        cdf = cdf.sort_values("cand_id")
+        t_mat = np.stack(cdf["qb"].to_numpy()).astype(np.int64)
+        q_mat = np.stack(qdf["qa"].to_numpy()).astype(np.int64)
+        dots = t_mat @ q_mat.T  # exact int64, |dot| <= 64 * 127^2
+        k = min(_KNN_K, len(cdf))
+        order = np.argsort(-dots, axis=0, kind="stable")[:k]  # k x m
+        m = len(qdf)
+        qidx = np.tile(np.arange(m), k)
+        cidx = order.ravel()
+        return pd.DataFrame(
+            {
+                "qid": qdf["qid"].to_numpy()[qidx],
+                "true_label": qdf["true_label"].to_numpy()[qidx],
+                "cand_label": cdf["cand_label"].to_numpy()[cidx],
+                "cand_id": cdf["cand_id"].to_numpy()[cidx],
+                "qdot": dots[cidx, qidx],
+            }
+        )
+
+    blocks = spark.range(_KNN_BLOCKS).select(F.col("id").cast("int").alias("blk"))
+    qrep = q.crossJoin(F.broadcast(blocks))
+    cblk = c.withColumn("blk", (F.col("cand_id") % _KNN_BLOCKS).cast("int"))
+    local_top = (
+        cblk.groupBy("blk")
+        .cogroup(qrep.groupBy("blk"))
+        .applyInPandas(
+            block_knn,
+            schema="qid long, true_label int, cand_label int, cand_id long, qdot long",
+        )
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("qdot"), "cand_id")
-    top = pairs.select(
+    top = local_top.select(
         "qid", "true_label", "cand_label", F.row_number().over(wq).alias("rn")
     ).filter(F.col("rn") <= _KNN_K)
     votes = top.groupBy("qid", "true_label", "cand_label").agg(
