@@ -3259,3 +3259,171 @@ def q_agg_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("weight_r4"),
     )
+
+
+# --- q_agg_ols2 ----------------------------------------------------------------
+
+_OLS2_ORACLE = """
+WITH x AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS x1,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS x2
+  FROM lineitem GROUP BY l_orderkey
+), base AS (
+  SELECT o.o_orderpriority AS priority,
+         x.x1, x.x2,
+         CAST(FLOOR(o.o_totalprice + 0.5) AS BIGINT) AS y
+  FROM orders o JOIN x ON o.o_orderkey = x.l_orderkey
+), m AS (
+  SELECT priority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+         CAST(SUM(x2 * x2) AS BIGINT) AS sx2x2,
+         CAST(SUM(x1 * x2) AS BIGINT) AS sx1x2,
+         CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS sx2y,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM base GROUP BY priority
+), s AS (
+  SELECT priority, n, sx1, sx2, sy,
+         CAST(n * sx1x1 - sx1 * sx1 AS BIGINT) AS s11,
+         CAST(n * sx2x2 - sx2 * sx2 AS BIGINT) AS s22,
+         CAST(n * sx1x2 - sx1 * sx2 AS BIGINT) AS s12,
+         CAST(n * sx1y - sx1 * sy AS BIGINT) AS s1y,
+         CAST(n * sx2y - sx2 * sy AS BIGINT) AS s2y,
+         CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS syy_c
+  FROM m
+), b AS (
+  SELECT priority, n, sx1, sx2, sy, s1y, s2y, syy_c,
+         CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12 AS det,
+         (CAST(s1y AS DOUBLE) * s22 - CAST(s2y AS DOUBLE) * s12) AS b1n,
+         (CAST(s2y AS DOUBLE) * s11 - CAST(s1y AS DOUBLE) * s12) AS b2n
+  FROM s
+)
+SELECT priority, n,
+       FLOOR(b1n / det * 10000 + 0.5) / 10000 AS b1_r4,
+       FLOOR(b2n / det * 10000 + 0.5) / 10000 AS b2_r4,
+       FLOOR((sy - b1n / det * sx1 - b2n / det * sx2) / n * 10000 + 0.5)
+         / 10000 AS b0_r4,
+       FLOOR((b1n / det * s1y + b2n / det * s2y) / syy_c * 10000 + 0.5)
+         / 10000 AS r2_r4
+FROM b
+WHERE ABS(det) > 0.5 AND syy_c > 0
+"""
+
+
+@register("q_agg_ols2", oracle=_OLS2_ORACLE)
+def q_agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS per priority class — order value regressed on
+    line-item count and total quantity via the 2×2 normal equations
+    (Cramer solve), the multiple-regression upgrade of q_agg_linreg and
+    the closed-form core of distributed GLM fitting: everything reduces
+    to ONE pass of sufficient statistics (Σx, Σx², Σxy cross-moments) per
+    group, merged associatively — the same mergeable-moments contract
+    q_agg_moments_merge certifies.
+
+    Parity engineering: y in whole dollars and integer regressors keep
+    every n-scaled centered moment (n·Σab − Σa·Σb) an exact bigint
+    (max ≈ 1.6·10¹⁷ at sf0.1's n ≈ 3·10⁴, documented headroom to int64);
+    only Σy² crosses to double (Sy² would overflow), and determinant /
+    coefficients / R² are one shared IEEE sequence over exact integers,
+    snapped r4. Near-singular classes are dropped by |det| > 0.5 — for
+    integer moments a true-zero det is the only value below 1.
+
+    Scale shape: one per-order aggregate (map-side combined), one
+    per-class moments aggregate, then constant algebra — two shuffles of
+    narrow rows regardless of data size; at 100 TB with k regressors the
+    same plan carries the k(k+3)/2 moment columns.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x1"),
+        F.sum(F.expr("CAST(FLOOR(l_quantity + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias("y"),
+    )
+    base = orders.join(x, orders.o_orderkey == x.l_orderkey).select(
+        "priority", "x1", "x2", "y"
+    )
+    m = base.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    s = m.select(
+        "priority",
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        (n * F.col("sx1x1") - F.col("sx1") * F.col("sx1")).cast("bigint").alias("s11"),
+        (n * F.col("sx2x2") - F.col("sx2") * F.col("sx2")).cast("bigint").alias("s22"),
+        (n * F.col("sx1x2") - F.col("sx1") * F.col("sx2")).cast("bigint").alias("s12"),
+        (n * F.col("sx1y") - F.col("sx1") * F.col("sy")).cast("bigint").alias("s1y"),
+        (n * F.col("sx2y") - F.col("sx2") * F.col("sy")).cast("bigint").alias("s2y"),
+        (
+            n.cast("double") * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+        ).alias("syy_c"),
+    )
+    det = F.col("s11").cast("double") * F.col("s22") - F.col("s12").cast(
+        "double"
+    ) * F.col("s12")
+    b1n = F.col("s1y").cast("double") * F.col("s22") - F.col("s2y").cast(
+        "double"
+    ) * F.col("s12")
+    b2n = F.col("s2y").cast("double") * F.col("s11") - F.col("s1y").cast(
+        "double"
+    ) * F.col("s12")
+    b = s.select(
+        "priority",
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy_c",
+        det.alias("det"),
+        b1n.alias("b1n"),
+        b2n.alias("b2n"),
+    )
+    b1 = F.col("b1n") / F.col("det")
+    b2 = F.col("b2n") / F.col("det")
+    return b.filter((F.abs(F.col("det")) > 0.5) & (F.col("syy_c") > 0)).select(
+        "priority",
+        "n",
+        (F.floor(b1 * 10000 + F.lit(0.5)) / 10000).alias("b1_r4"),
+        (F.floor(b2 * 10000 + F.lit(0.5)) / 10000).alias("b2_r4"),
+        (
+            F.floor(
+                (F.col("sy") - b1 * F.col("sx1") - b2 * F.col("sx2"))
+                / F.col("n")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("b0_r4"),
+        (
+            F.floor(
+                (b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy_c") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("r2_r4"),
+    )

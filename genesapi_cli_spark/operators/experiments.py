@@ -2122,3 +2122,258 @@ def q_docs_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("significant"),
     )
+
+
+# --- q_docs_levene -----------------------------------------------------------
+
+#: F(4, ∞) upper-5% critical value in micro units — a shared literal (df₂ is
+#: in the hundreds-to-thousands here, where the quantile is within ~0.02 of
+#: the asymptote; both engines compare the SAME snapped F to the SAME bar).
+_BF_F_CRIT_MICRO = 2_372_000
+
+
+_LEVENE_ORACLE = """
+WITH med AS (
+  SELECT lang, CAST(2 * median(n_chars) AS BIGINT) AS med2
+  FROM documents GROUP BY lang
+), z AS (
+  SELECT d.lang, ABS(2 * d.n_chars - m.med2) AS zv
+  FROM documents d JOIN med m ON d.lang = m.lang
+), g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(zv) AS BIGINT) AS s,
+         CAST(SUM(zv * zv) AS BIGINT) AS q
+  FROM z GROUP BY lang
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(q) AS BIGINT) AS qq,
+         CAST(SUM(CAST(CAST(s AS DOUBLE) * s / n AS DECIMAL(27,7))) AS DOUBLE)
+           AS grp_term
+  FROM g
+)
+SELECT k, nn AS n_docs,
+       FLOOR((grp_term - CAST(ss AS DOUBLE) * ss / nn) / (k - 1)
+             / ((CAST(qq AS DOUBLE) - grp_term) / (nn - k))
+             * 10000 + 0.5) / 10000 AS f_bf_r4,
+       CAST(CASE WHEN FLOOR((grp_term - CAST(ss AS DOUBLE) * ss / nn) / (k - 1)
+                            / ((CAST(qq AS DOUBLE) - grp_term) / (nn - k))
+                            * 1000000 + 0.5) > 2372000
+            THEN 1 ELSE 0 END AS BIGINT) AS heteroscedastic
+FROM t
+"""
+
+
+@register("q_docs_levene", oracle=_LEVENE_ORACLE)
+def q_docs_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance equality of
+    document length across languages — the assumption check BEHIND
+    q_docs_anova: the F test trusts equal group variances, and this is the
+    robust way to test exactly that (deviations from the group MEDIAN, so
+    heavy tails don't masquerade as variance differences). Statistically it
+    is one-way ANOVA applied to |x − median_g|, and the implementation
+    shares q_docs_anova's machinery verbatim.
+
+    Parity engineering: group medians of integer lengths land on k or
+    k + ½, so 2·median is an exact integer on both engines and the
+    deviations z = |2x − 2·med| stay in exact bigint arithmetic (a factor
+    4 on variances that cancels in F); per-group (n, Σz, Σz²) are exact,
+    s²/n crosses the final rollup as decimal(27,7), F snaps r4 and the
+    decision bit compares micro-snapped F against a shared literal.
+
+    Scale shape: one exact-median aggregate per group (at 100 TB: the
+    value-distribution rank trick of q_docs_kruskal replaces the sort),
+    one broadcast join back, one moments aggregate, one 5-row rollup.
+    """
+    docs = load(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(
+        (2 * F.expr("percentile(n_chars, 0.5)")).cast("bigint").alias("med2")
+    )
+    z = docs.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(2 * F.col("n_chars") - F.col("med2")).alias("zv")
+    )
+    g = z.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("zv").cast("bigint").alias("s"),
+        F.sum(F.col("zv") * F.col("zv")).cast("bigint").alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum("q").cast("bigint").alias("qq"),
+        F.sum(F.expr("CAST(CAST(s AS DOUBLE) * s / n AS DECIMAL(27,7))"))
+        .cast("double")
+        .alias("grp_term"),
+    )
+    f_bf = (
+        (F.col("grp_term") - F.col("ss").cast("double") * F.col("ss") / F.col("nn"))
+        / (F.col("k") - 1)
+        / (
+            (F.col("qq").cast("double") - F.col("grp_term"))
+            / (F.col("nn") - F.col("k"))
+        )
+    )
+    return t.select(
+        "k",
+        F.col("nn").alias("n_docs"),
+        (F.floor(f_bf * 10000 + F.lit(0.5)) / 10000).alias("f_bf_r4"),
+        F.when(F.floor(f_bf * 1000000 + F.lit(0.5)) > _BF_F_CRIT_MICRO, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("heteroscedastic"),
+    )
+
+
+# --- q_attribution_shapley -----------------------------------------------------
+
+_SHAP_ORACLE = """
+WITH fp AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS p_us
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), exposure AS (
+  SELECT e.user_id,
+         CAST(BIT_OR(CASE e.event_type WHEN 'view' THEN 1
+                     WHEN 'click' THEN 2 WHEN 'signup' THEN 4 END) AS BIGINT)
+           AS mask
+  FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+  WHERE e.event_type IN ('view', 'click', 'signup')
+    AND (fp.p_us IS NULL OR epoch_us(e.ts) < fp.p_us)
+  GROUP BY e.user_id
+), users AS (
+  SELECT u.user_id, COALESCE(x.mask, 0) AS mask,
+         CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END AS conv
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN exposure x ON u.user_id = x.user_id
+  LEFT JOIN fp ON u.user_id = fp.user_id
+), c AS (
+  SELECT CAST(SUM(CASE WHEN mask = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN mask = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN mask = 2 THEN conv ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN mask = 3 THEN conv ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN mask = 4 THEN conv ELSE 0 END) AS BIGINT) AS c4,
+         CAST(SUM(CASE WHEN mask = 5 THEN conv ELSE 0 END) AS BIGINT) AS c5,
+         CAST(SUM(CASE WHEN mask = 6 THEN conv ELSE 0 END) AS BIGINT) AS c6,
+         CAST(SUM(CASE WHEN mask = 7 THEN conv ELSE 0 END) AS BIGINT) AS c7
+  FROM users
+), v AS (
+  SELECT c0 AS v0, c0 + c1 AS v1, c0 + c2 AS v2, c0 + c4 AS v4,
+         c0 + c1 + c2 + c3 AS v3, c0 + c1 + c4 + c5 AS v5,
+         c0 + c2 + c4 + c6 AS v6,
+         c0 + c1 + c2 + c3 + c4 + c5 + c6 + c7 AS v7
+  FROM c
+)
+SELECT 'view' AS channel,
+       CAST(2 * (v1 - v0) + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6) AS BIGINT)
+         AS phi_x6,
+       FLOOR(CAST(2 * (v1 - v0) + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6)
+                  AS DOUBLE) / 6 * 10000 + 0.5) / 10000 AS phi_r4,
+       CAST(v7 - v0 AS BIGINT) AS total_attr
+FROM v
+UNION ALL
+SELECT 'click',
+       CAST(2 * (v2 - v0) + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5) AS BIGINT),
+       FLOOR(CAST(2 * (v2 - v0) + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5)
+                  AS DOUBLE) / 6 * 10000 + 0.5) / 10000,
+       CAST(v7 - v0 AS BIGINT)
+FROM v
+UNION ALL
+SELECT 'signup',
+       CAST(2 * (v4 - v0) + (v6 - v2) + (v5 - v1) + 2 * (v7 - v3) AS BIGINT),
+       FLOOR(CAST(2 * (v4 - v0) + (v6 - v2) + (v5 - v1) + 2 * (v7 - v3)
+                  AS DOUBLE) / 6 * 10000 + 0.5) / 10000,
+       CAST(v7 - v0 AS BIGINT)
+FROM v
+"""
+
+
+@register("q_attribution_shapley", oracle=_SHAP_ORACLE)
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the 3 marketing channels
+    (view / click / signup exposure before first purchase) — the
+    game-theoretic upgrade of q_attribution_linear: each channel is
+    credited its average marginal contribution across all 3! orderings,
+    with v(S) = conversions reachable using only channels in S (the
+    subset-sum coalition value over exact exposure sets). Organic
+    conversions (empty exposure set) stay unattributed — v(∅) is the
+    baseline — and the three values sum exactly to v(full) − v(∅)
+    (Shapley efficiency, visible in the output).
+
+    Exactness: everything is INTEGER — per-user exposure masks are a
+    BIT_OR over pre-first-purchase events (µs time compare), the 8
+    coalition values are subset sums of conversion counts, and with
+    weights {2,1,1,2}/6 each 6·φ is an exact bigint; φ snaps r4 only for
+    display. No sampling, no Monte-Carlo permutations: with bounded
+    channel sets the 2³ mask table IS the sufficient statistic.
+
+    Scale shape: one filtered aggregate to per-user masks (events read
+    once, first-purchase side broadcast), one 8-cell rollup, then
+    constant-time closed-form algebra — channel count, not user count,
+    drives the Shapley stage; at 10 channels the mask table is 1024 rows
+    and the same plan holds.
+    """
+    ev = load(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_us"))
+    )
+    chan = F.when(F.col("event_type") == "view", 1).when(
+        F.col("event_type") == "click", 2
+    ).when(F.col("event_type") == "signup", 4)
+    exposure = (
+        ev.filter(F.col("event_type").isin("view", "click", "signup"))
+        .join(F.broadcast(fp), "user_id", "left")
+        .filter(F.col("p_us").isNull() | (F.col("ts_us") < F.col("p_us")))
+        .groupBy("user_id")
+        .agg(F.bit_or(chan).cast("bigint").alias("mask"))
+    )
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .join(F.broadcast(exposure), "user_id", "left")
+        .join(F.broadcast(fp.select("user_id", F.lit(1).alias("conv"))), "user_id", "left")
+        .select(
+            F.coalesce(F.col("mask"), F.lit(0)).alias("mask"),
+            F.coalesce(F.col("conv"), F.lit(0)).alias("conv"),
+        )
+    )
+    c = users.agg(
+        *[
+            F.sum(F.when(F.col("mask") == m, F.col("conv")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{m}")
+            for m in range(8)
+        ]
+    )
+    v = c.select(
+        F.col("c0").alias("v0"),
+        (F.col("c0") + F.col("c1")).alias("v1"),
+        (F.col("c0") + F.col("c2")).alias("v2"),
+        (F.col("c0") + F.col("c1") + F.col("c2") + F.col("c3")).alias("v3"),
+        (F.col("c0") + F.col("c4")).alias("v4"),
+        (F.col("c0") + F.col("c1") + F.col("c4") + F.col("c5")).alias("v5"),
+        (F.col("c0") + F.col("c2") + F.col("c4") + F.col("c6")).alias("v6"),
+        (
+            F.col("c0") + F.col("c1") + F.col("c2") + F.col("c3")
+            + F.col("c4") + F.col("c5") + F.col("c6") + F.col("c7")
+        ).alias("v7"),
+    )
+    phi_view = "2 * (v1 - v0) + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6)"
+    phi_click = "2 * (v2 - v0) + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5)"
+    phi_signup = "2 * (v4 - v0) + (v6 - v2) + (v5 - v1) + 2 * (v7 - v3)"
+    return v.selectExpr(
+        f"""stack(3,
+            'view',   CAST({phi_view} AS BIGINT),
+            'click',  CAST({phi_click} AS BIGINT),
+            'signup', CAST({phi_signup} AS BIGINT)
+        ) AS (channel, phi_x6)""",
+        "CAST(v7 - v0 AS BIGINT) AS total_attr",
+    ).select(
+        "channel",
+        "phi_x6",
+        (F.floor(F.col("phi_x6").cast("double") / 6 * 10000 + F.lit(0.5)) / 10000)
+        .alias("phi_r4"),
+        "total_attr",
+    )
