@@ -2398,3 +2398,244 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("spend_ratio_r4"),
     )
+
+
+# --- q_feature_auc ----------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH feat AS (
+  SELECT o.o_orderkey,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS f_price_cents,
+         l.n_lines, l.qty_units
+  FROM orders o
+  JOIN (SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_units
+        FROM lineitem GROUP BY l_orderkey) l
+    ON o.o_orderkey = l.l_orderkey
+), long AS (
+  SELECT 'f_price_cents' AS feature, f_price_cents AS v, label FROM feat
+  UNION ALL
+  SELECT 'f_n_lines' AS feature, n_lines AS v, label FROM feat
+  UNION ALL
+  SELECT 'f_qty_units' AS feature, qty_units AS v, label FROM feat
+), vals AS (
+  SELECT feature, v,
+         CAST(SUM(label) AS BIGINT) AS n1_v,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM long GROUP BY feature, v
+), ranked AS (
+  SELECT feature, v, n1_v, t,
+         COALESCE(SUM(t) OVER (
+           PARTITION BY feature
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM vals
+), agg AS (
+  SELECT feature,
+         CAST(SUM(n1_v) AS BIGINT) AS n_pos,
+         CAST(SUM(t - n1_v) AS BIGINT) AS n_neg,
+         CAST(SUM(n1_v * (2 * cum_before + t + 1)) AS BIGINT) AS r1_x2
+  FROM ranked GROUP BY feature
+)
+SELECT feature, n_pos, n_neg,
+       CAST(FLOOR(CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / (2.0 * n_pos * n_neg) * 1000000 + 0.5) AS BIGINT)
+         AS auc_micro,
+       CAST(FLOOR((CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+                   / (2.0 * n_pos * n_neg) * 2 - 1) * 1000000 + 0.5) AS BIGINT)
+         AS gini_micro
+FROM agg
+"""
+
+
+@register("q_feature_auc", oracle=_AUC_ORACLE)
+def q_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature ROC AUC against a binary target — the single-feature
+    discrimination screen every tabular-ML feature store runs before
+    training (and the leakage detector: AUC ≈ 1 means the feature IS the
+    label). AUC equals the Mann-Whitney U statistic normalized by
+    n_pos·n_neg, so ranks are never assigned row-by-row: the statistic
+    collapses to the VALUE DISTRIBUTION per feature — per distinct value:
+    positive count and total count — and one cumulative window over
+    DISTINCT values gives the tie-averaged positive rank sum as an exact
+    integer, 2·R₁ = Σ_v n1ᵥ·(2·cum_before(v) + tᵥ + 1) (same machinery as
+    q_events_mannwhitney, reused for the ML metric). Gini = 2·AUC − 1.
+
+    Scale shape: one lineitem aggregate (map-side combined), one join to
+    orders on the shared orderkey, a 3-way unpivot into (feature, value)
+    rows, then a groupBy on (feature, value) whose output is |features| ×
+    |distinct values| — tiny — and a window over that tiny relation. At
+    1000 features the unpivot widens but the plan is unchanged; no per-row
+    ranking ever happens. Exact: counts and 2·R₁ are bigints; the single
+    double division is the identical IEEE sequence on both engines.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty_units"),
+    )
+    feat = orders.join(per_order, orders.o_orderkey == per_order.l_orderkey).select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("f_price_cents"),
+        "n_lines",
+        "qty_units",
+    )
+    long = feat.selectExpr(
+        "stack(3, 'f_price_cents', f_price_cents,"
+        " 'f_n_lines', n_lines, 'f_qty_units', qty_units) AS (feature, v)",
+        "label",
+    )
+    vals = long.groupBy("feature", "v").agg(
+        F.sum("label").cast("bigint").alias("n1_v"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vals.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    agg = ranked.groupBy("feature").agg(
+        F.sum("n1_v").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t") - F.col("n1_v")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("n1_v") * (2 * F.col("cum_before") + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("r1_x2"),
+    )
+    auc = (
+        (F.col("r1_x2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (2.0 * F.col("n_pos") * F.col("n_neg"))
+    )
+    return agg.select(
+        "feature",
+        "n_pos",
+        "n_neg",
+        F.floor(auc * 1000000 + F.lit(0.5)).cast("bigint").alias("auc_micro"),
+        F.floor((auc * 2 - 1) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("gini_micro"),
+    )
+
+
+# --- q_feature_ece ----------------------------------------------------------
+
+_ECE_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), mx AS (
+  SELECT CAST(MAX(cents) AS BIGINT) AS max_cents FROM scored
+), binned AS (
+  SELECT label, cents, max_cents,
+         LEAST(9, CAST(FLOOR(CAST(cents AS DOUBLE) * 10 / max_cents)
+                       AS BIGINT)) AS bin
+  FROM scored CROSS JOIN mx
+), cells AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         CAST(MAX(max_cents) AS BIGINT) AS max_cents
+  FROM binned GROUP BY bin
+), gaps AS (
+  SELECT bin, n, n_pos,
+         CAST(FLOOR(CAST(sum_cents AS DOUBLE) / n / max_cents * 1000000
+                    + 0.5) AS BIGINT) AS conf_micro,
+         CAST(FLOOR(CAST(n_pos AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)
+           AS acc_micro
+  FROM cells
+)
+SELECT bin, n, n_pos, conf_micro, acc_micro,
+       ABS(acc_micro - conf_micro) AS gap_micro,
+       CAST(FLOOR(CAST(SUM(n * ABS(acc_micro - conf_micro)) OVER () AS DOUBLE)
+                  / SUM(n) OVER () + 0.5) AS BIGINT) AS ece_micro
+FROM gaps
+"""
+
+
+@register("q_feature_ece", oracle=_ECE_ORACLE)
+def q_feature_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error — the reliability-diagram certificate for
+    a probabilistic score (here the normalized order value standing in for
+    a model score): 10 fixed-width confidence bins, per-bin confidence
+    (mean score) vs accuracy (positive rate), ECE = Σ n_b·|acc_b − conf_b|
+    / N. The score is exact integer cents over a broadcast scalar max, so
+    per-bin sums are bigints; the only doubles are two per-bin divisions
+    (identical IEEE sequence on both engines) and every emitted value is
+    micro-snapped BEFORE the cross-bin total, so the final window SUM adds
+    exact bigints — no float accumulation across bins.
+
+    Scale shape: one scalar max (broadcast), one map-side-combined
+    aggregate to ≤10 cells, two windows over 10 rows. The 100 TB plan is
+    identical with (model, segment) prepended to the bin key.
+    """
+    orders = load(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    mx = scored.agg(F.max("cents").cast("bigint").alias("max_cents"))
+    binned = scored.crossJoin(F.broadcast(mx)).select(
+        "label",
+        "cents",
+        "max_cents",
+        F.least(
+            F.lit(9),
+            F.floor(F.col("cents").cast("double") * 10 / F.col("max_cents"))
+            .cast("bigint"),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.max("max_cents").cast("bigint").alias("max_cents"),
+    )
+    gaps = cells.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.floor(
+            F.col("sum_cents").cast("double")
+            / F.col("n")
+            / F.col("max_cents")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("conf_micro"),
+        F.floor(
+            F.col("n_pos").cast("double") / F.col("n") * 1000000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("acc_micro"),
+    )
+    wall = Window.partitionBy()
+    gap = F.abs(F.col("acc_micro") - F.col("conf_micro"))
+    return gaps.select(
+        "bin",
+        "n",
+        "n_pos",
+        "conf_micro",
+        "acc_micro",
+        gap.alias("gap_micro"),
+        F.floor(
+            F.sum(F.col("n") * gap).over(wall).cast("double")
+            / F.sum("n").over(wall)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ece_micro"),
+    )

@@ -3210,3 +3210,106 @@ def q_text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_shared_tokens"),
         (F.floor(jsd * 10000 + F.lit(0.5)) / 10000).alias("jsd_r4"),
     )
+
+
+# --- q_text_watermark -------------------------------------------------------
+
+#: z threshold in micro units for flagging a doc as watermarked (z > 2).
+_WM_Z_CRIT_MICRO = 2_000_000
+
+_WM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), marked AS (
+  SELECT doc_id, source,
+         CASE WHEN substr(sha256(tok), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE 0 END AS green
+  FROM toks WHERE LENGTH(tok) > 0
+), per_doc AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(green) AS BIGINT) AS n_green
+  FROM marked GROUP BY doc_id, source
+), z AS (
+  SELECT doc_id, source, n_tok, n_green,
+         CAST(FLOOR(CAST(2 * n_green - n_tok AS DOUBLE) / SQRT(CAST(n_tok AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS z_micro
+  FROM per_doc
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN z_micro > {_WM_Z_CRIT_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(SUM(z_micro) AS BIGINT) AS sum_z_micro,
+       CAST(MAX(z_micro) AS BIGINT) AS max_z_micro
+FROM z GROUP BY source
+"""
+
+
+@register("q_text_watermark", oracle=_WM_ORACLE)
+def q_text_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list watermark detection (Kirchenbauer-style, hash-seeded token
+    partition): every token is deterministically assigned green/red by the
+    first hex digit of its sha256 (p_green = 1/2 — sha2 hex matches
+    DuckDB's sha256 byte-for-byte), a watermarked generator would
+    over-sample green tokens, and the per-doc one-proportion z-score
+    (2g − n)/√n flags docs with z > 2. The per-source rollup (doc counts,
+    flag counts, exact z-sums) is the corpus screen a training-data
+    pipeline runs to quarantine synthetic/model-generated sources before
+    mixing.
+
+    Exactness: n and g are bigints; z is one sqrt + one division
+    (identical IEEE sequence both engines) snapped to micro units, and
+    the source rollup sums only bigints — no float accumulation.
+
+    Scale shape: tokenize → per-doc aggregate (map-side combined, keyed by
+    doc_id so the explode never shuffles raw tokens: partial agg collapses
+    each doc locally) → per-source aggregate over |docs| rows. At 100 TB
+    the plan is the same two hash aggregates; the hash is JVM-side
+    whole-stage codegen, no Python.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    )
+    marked = toks.filter(F.length("tok") > 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.substring(F.sha2(F.col("tok"), 256), 1, 1).isin(
+                "0", "1", "2", "3", "4", "5", "6", "7"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("green"),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+        F.sum("green").cast("bigint").alias("n_green"),
+    )
+    z = per_doc.select(
+        "source",
+        F.floor(
+            (2 * F.col("n_green") - F.col("n_tok")).cast("double")
+            / F.sqrt(F.col("n_tok").cast("double"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("z_micro"),
+    )
+    return z.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("z_micro") > _WM_Z_CRIT_MICRO, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("z_micro").cast("bigint").alias("sum_z_micro"),
+        F.max("z_micro").cast("bigint").alias("max_z_micro"),
+    )

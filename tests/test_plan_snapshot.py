@@ -22,7 +22,11 @@ import os
 import pytest
 
 import genesapi_cli_spark
-from genesapi_cli_spark.plans.inspect import formatted_plan
+from genesapi_cli_spark.plans.inspect import (
+    FINGERPRINT_SKIP as SKIP,
+    formatted_plan,
+    plan_fingerprint as _fingerprint,
+)
 from genesapi_cli_spark.registry import REGISTRY
 
 from .conftest import ORACLE_SF_DIR
@@ -30,40 +34,6 @@ from .conftest import ORACLE_SF_DIR
 genesapi_cli_spark.load_all()
 
 SNAPSHOT_PATH = os.path.join(os.path.dirname(__file__), "plan_snapshot.json")
-
-#: plan operators whose counts define the fingerprint.
-FINGERPRINT_OPS = [
-    "Exchange (",
-    "Sort (",
-    "Window (",
-    "BroadcastHashJoin",
-    "SortMergeJoin",
-    "ShuffledHashJoin",
-    "BroadcastNestedLoopJoin",
-    "CartesianProduct",
-    "Expand (",
-    "Generate (",
-]
-
-#: queries whose fn() performs real side effects at plan-construction time
-#: (multi-generation parquet writes, saveAsTable, layout-stats collects) —
-#: fingerprinting them would run the writes, not just plan the query. The
-#: former driver-iteration entry (q_dedup_clusters) left this set in round
-#: 4 when its loop was unrolled into one action-free plan.
-SKIP: set[str] = {
-    "q_layout_bucketed",
-    "q_layout_compaction",
-    "q_layout_edges",
-    "q_layout_zorder",
-    "q_scan_dpp",
-    "q_source_commit_log",
-    "q_source_time_travel",
-}
-
-
-def _fingerprint(plan: str) -> dict[str, int]:
-    fp = {op.rstrip(" (").strip(): plan.count(op) for op in FINGERPRINT_OPS}
-    return {k: v for k, v in fp.items() if v}
 
 
 def _load_snapshot() -> dict:
