@@ -5199,3 +5199,189 @@ def q_window_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("pacf3_r4"),
     )
+
+
+# --- q_window_ar2 -----------------------------------------------------------
+
+_AR2_MIN_N = 12  # series shorter than this don't support an AR(2) fit
+
+
+_AR2_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, {_CENTS} AS c FROM events
+), lagged AS (
+  SELECT user_id, c,
+         LAG(c, 1) OVER wa AS l1,
+         LAG(c, 2) OVER wa AS l2,
+         ROW_NUMBER() OVER wd AS rnd
+  FROM e
+  WINDOW wa AS (PARTITION BY user_id ORDER BY us, event_id),
+         wd AS (PARTITION BY user_id ORDER BY us DESC, event_id DESC)
+), moms AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q,
+         CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c * l1 ELSE 0 END) AS BIGINT) AS p1,
+         CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c + l1 ELSE 0 END) AS BIGINT) AS ab1,
+         CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c * l2 ELSE 0 END) AS BIGINT) AS p2,
+         CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c + l2 ELSE 0 END) AS BIGINT) AS ab2,
+         CAST(SUM(CASE WHEN rnd = 1 THEN c ELSE 0 END) AS BIGINT) AS x_last,
+         CAST(SUM(CASE WHEN rnd = 1 THEN l1 ELSE 0 END) AS BIGINT) AS x_prev
+  FROM lagged GROUP BY user_id
+), nums AS (
+  SELECT user_id, n, s, x_last, x_prev,
+         n * n * p1 - n * s * ab1 + (n - 1) * s * s AS c1s,
+         n * n * p2 - n * s * ab2 + (n - 2) * s * s AS c2s,
+         n * n * q - n * s * s AS c0s
+  FROM moms
+  WHERE n >= {_AR2_MIN_N}
+), rho AS (
+  SELECT user_id, n, s, x_last, x_prev,
+         CAST(c1s AS DOUBLE) / c0s AS r1,
+         CAST(c2s AS DOUBLE) / c0s AS r2
+  FROM nums
+  WHERE c0s > 0 AND ABS(c1s) < c0s
+), fit AS (
+  SELECT user_id, n, s, x_last, x_prev, r1, r2,
+         r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+  FROM rho
+  WHERE FLOOR(ABS(1.0 - r1 * r1) * 1000000000) >= 1
+)
+SELECT user_id, n,
+       FLOOR(phi1 * 10000 + 0.5) / 10000 AS phi1_r4,
+       FLOOR(phi2 * 10000 + 0.5) / 10000 AS phi2_r4,
+       FLOOR((1.0 - phi1 * r1 - phi2 * r2) * 10000 + 0.5) / 10000
+         AS resid_ratio_r4,
+       FLOOR((CAST(s AS DOUBLE) / n
+              + phi1 * (CAST(x_last AS DOUBLE) - CAST(s AS DOUBLE) / n)
+              + phi2 * (CAST(x_prev AS DOUBLE) - CAST(s AS DOUBLE) / n))
+             * 10000 + 0.5) / 10000 AS forecast_r4
+FROM fit
+"""
+
+
+@register("q_window_ar2", oracle=_AR2_ORACLE)
+def q_window_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) fit per user series + one-step-ahead forecast — the
+    parametric follow-through to q_window_pacf's order identification:
+    φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²), in-sample residual
+    variance RATIO 1 − φ₁r₁ − φ₂r₂ (the fit-quality certificate: ≈1 means
+    AR(2) explains nothing), and the forecast μ + φ₁(xₙ−μ) + φ₂(xₙ₋₁−μ)
+    from the series' last two values.
+
+    Exact path: same n²-scaled integer co-moments as q_window_pacf
+    (bigints throughout); the last two observations come from a desc
+    ROW_NUMBER in the SAME window projection (one Exchange, two Sorts —
+    no join-back pass over the series). The Yule-Walker solve and the
+    forecast are one fixed double sequence, identical on both engines,
+    snapped r4; near-unit-root series are dropped by the nano-snapped
+    1−r₁² guard so both engines exclude identical rows.
+
+    Scale shape: Exchange(user) → Sort asc (2 LAGs) + Sort desc (rn) →
+    one hash aggregate to sufficient statistics → projection. Forecast
+    backtesting over history re-uses the identical plan with a cutoff
+    filter; series count bounds every relation after the aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.col("ts_us").alias("us"), "event_id", F.expr(_CENTS).alias("c")
+    )
+    wa = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    lagged = e.select(
+        "user_id",
+        "c",
+        F.lag("c", 1).over(wa).alias("l1"),
+        F.lag("c", 2).over(wa).alias("l2"),
+        F.row_number().over(wd).alias("rnd"),
+    )
+
+    def _pair(lcol: str):
+        prod = F.sum(
+            F.when(F.col(lcol).isNotNull(), F.col("c") * F.col(lcol)).otherwise(0)
+        ).cast("bigint")
+        both = F.sum(
+            F.when(F.col(lcol).isNotNull(), F.col("c") + F.col(lcol)).otherwise(0)
+        ).cast("bigint")
+        return prod, both
+
+    p1, ab1 = _pair("l1")
+    p2, ab2 = _pair("l2")
+    moms = lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+        p1.alias("p1"),
+        ab1.alias("ab1"),
+        p2.alias("p2"),
+        ab2.alias("ab2"),
+        F.sum(F.when(F.col("rnd") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("x_last"),
+        F.sum(F.when(F.col("rnd") == 1, F.col("l1")).otherwise(0))
+        .cast("bigint")
+        .alias("x_prev"),
+    )
+    n, s = F.col("n"), F.col("s")
+    nums = moms.filter(n >= _AR2_MIN_N).select(
+        "user_id",
+        "n",
+        "s",
+        "x_last",
+        "x_prev",
+        (n * n * F.col("p1") - n * s * F.col("ab1") + (n - 1) * s * s).alias("c1s"),
+        (n * n * F.col("p2") - n * s * F.col("ab2") + (n - 2) * s * s).alias("c2s"),
+        (n * n * F.col("q") - n * s * s).alias("c0s"),
+    )
+    rho = nums.filter(
+        (F.col("c0s") > 0) & (F.abs(F.col("c1s")) < F.col("c0s"))
+    ).select(
+        "user_id",
+        "n",
+        "s",
+        "x_last",
+        "x_prev",
+        (F.col("c1s").cast("double") / F.col("c0s")).alias("r1"),
+        (F.col("c2s").cast("double") / F.col("c0s")).alias("r2"),
+    )
+    r1, r2 = F.col("r1"), F.col("r2")
+    fit = rho.filter(
+        F.floor(F.abs(1.0 - r1 * r1) * 1000000000) >= 1
+    ).select(
+        "user_id",
+        "n",
+        "s",
+        "x_last",
+        "x_prev",
+        "r1",
+        "r2",
+        (r1 * (1.0 - r2) / (1.0 - r1 * r1)).alias("phi1"),
+        ((r2 - r1 * r1) / (1.0 - r1 * r1)).alias("phi2"),
+    )
+    mu = s.cast("double") / n
+    phi1, phi2 = F.col("phi1"), F.col("phi2")
+    return fit.select(
+        "user_id",
+        "n",
+        (F.floor(phi1 * 10000 + F.lit(0.5)) / 10000).alias("phi1_r4"),
+        (F.floor(phi2 * 10000 + F.lit(0.5)) / 10000).alias("phi2_r4"),
+        (
+            F.floor((1.0 - phi1 * r1 - phi2 * r2) * 10000 + F.lit(0.5)) / 10000
+        ).alias("resid_ratio_r4"),
+        (
+            F.floor(
+                (
+                    mu
+                    + phi1 * (F.col("x_last").cast("double") - mu)
+                    + phi2 * (F.col("x_prev").cast("double") - mu)
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("forecast_r4"),
+    )
