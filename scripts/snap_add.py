@@ -29,7 +29,7 @@ from genesapi_cli_spark.registry import REGISTRY
 from genesapi_cli_spark.session import build_session
 
 SNAPSHOT_PATH = os.path.join(HERE, "tests", "plan_snapshot.json")
-ORACLE_SF_DIR = "/root/testdata/sf0.01"
+from tests.conftest import ORACLE_SF_DIR  # noqa: E402 — single source of truth
 
 
 def main() -> int:
