@@ -2328,9 +2328,10 @@ WITH s AS (
 )
 SELECT n_name AS nation,
        CAST(MAX(n_supp) AS BIGINT) AS n_suppliers,
-       CAST(MIN(CASE WHEN cum * 10000 >= {_COVERAGE_BP} * tot THEN rk END)
-            AS BIGINT) AS k_half,
-       FLOOR(CAST(MIN(CASE WHEN cum * 10000 >= {_COVERAGE_BP} * tot THEN rk END)
+       CAST(MIN(CASE WHEN cum::HUGEINT * 10000 >= {_COVERAGE_BP} * tot::HUGEINT
+                THEN rk END) AS BIGINT) AS k_half,
+       FLOOR(CAST(MIN(CASE WHEN cum::HUGEINT * 10000 >= {_COVERAGE_BP} * tot::HUGEINT
+                      THEN rk END)
                   * 100 AS DOUBLE) / MAX(n_supp) * 10000 + 0.5) / 10000
          AS k_half_pct_r4
 FROM ranked
@@ -2349,7 +2350,10 @@ def q_agg_topn_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity engineering: k_half = MIN rank where cum·10⁴ ≥ 5000·tot —
     integer cross-multiplied over exact cents with the deterministic
-    (cents DESC, suppkey) rank order; only the final share divides.
+    (cents DESC, suppkey) rank order; only the final share divides. The
+    cross-multiply runs in 128-bit integers (Spark decimal(38,0), DuckDB
+    HUGEINT): at SF 10⁵ a nation's total cents ≈ 6e15 and ×10⁴ passes
+    int64 — the q_events_bot_screen span-overflow class.
 
     Scale shape: one (nation, supplier) aggregate, one per-nation ranked
     window, one rollup sharing the partitioning."""
@@ -2376,8 +2380,9 @@ def q_agg_topn_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w_all).alias("tot"),
         F.count(F.lit(1)).over(w_all).alias("n_supp"),
     )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
     k_half = F.min(
-        F.when(F.col("cum") * 10000 >= _COVERAGE_BP * F.col("tot"), F.col("rk"))
+        F.when(d38("cum") * 10000 >= _COVERAGE_BP * d38("tot"), F.col("rk"))
     )
     return (
         ranked.groupBy(F.col("n_name").alias("nation"))

@@ -761,8 +761,9 @@ WITH pts AS (
   SELECT MAX(ca) AS na, MAX(cb) AS nb FROM cum
 )
 SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-       CAST(MAX(ABS(ca * nb - cb * na)) AS BIGINT) AS d_num,
-       FLOOR(CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE) / (na * nb) * 10000 + 0.5)
+       CAST(MAX(ABS(ca::HUGEINT * nb - cb::HUGEINT * na)) AS BIGINT) AS d_num,
+       FLOOR(CAST(MAX(ABS(ca::HUGEINT * nb - cb::HUGEINT * na)) AS DOUBLE)
+             / (na::HUGEINT * nb) * 10000 + 0.5)
          / 10000 AS d_r4
 FROM cum CROSS JOIN tot
 GROUP BY na, nb
@@ -779,7 +780,11 @@ def q_events_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     as MAX|ca·Nb − cb·Na| in exact integers (the float D = sup|F_a−F_b|
     follows by ONE double division), so there is no accumulated-float
     ECDF anywhere and ties in `v` collapse into one support point on both
-    engines identically.
+    engines identically. The cross-multiply runs 128-bit (Spark
+    decimal(38,0), DuckDB HUGEINT): at 10¹² event rows ca·Nb ~ 10²³
+    passes int64 — the q_events_bot_screen span-overflow class (the
+    reported d_num column stays bigint; past 2⁶³ the cast fails loudly
+    instead of wrapping, and the report column itself would need widening).
 
     Scale shape: one hash aggregate collapses the fact to its distinct
     value support, then one global ordered window computes both running
@@ -804,19 +809,17 @@ def q_events_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("db").over(w).cast("bigint").alias("cb"),
     )
     tot = cum.agg(F.max("ca").alias("na"), F.max("cb").alias("nb"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    cross = F.abs(d38("ca") * d38("nb") - d38("cb") * d38("na"))
     return (
         cum.join(F.broadcast(tot))
         .groupBy("na", "nb")
         .agg(
-            F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
-            .cast("bigint")
-            .alias("d_num"),
+            F.max(cross).cast("bigint").alias("d_num"),
             (
                 F.floor(
-                    F.max(
-                        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
-                    ).cast("double")
-                    / (F.col("na") * F.col("nb"))
+                    F.max(cross).cast("double")
+                    / (d38("na") * d38("nb")).cast("double")
                     * 10000
                     + F.lit(0.5)
                 )

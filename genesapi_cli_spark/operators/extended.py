@@ -925,8 +925,8 @@ WITH rev AS (
   FROM rev
 ), classed AS (
   SELECT l_partkey, cents, cum_cents, tot_cents,
-         CASE WHEN cum_cents * 10000 <= {_ABC_A_BP} * tot_cents THEN 'A'
-              WHEN cum_cents * 10000 <= {_ABC_B_BP} * tot_cents THEN 'B'
+         CASE WHEN cum_cents::HUGEINT * 10000 <= {_ABC_A_BP} * tot_cents::HUGEINT THEN 'A'
+              WHEN cum_cents::HUGEINT * 10000 <= {_ABC_B_BP} * tot_cents::HUGEINT THEN 'B'
               ELSE 'C' END AS abc_class
   FROM ranked
 )
@@ -950,7 +950,9 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: class boundaries are exact INTEGER cross-multiplied predicates
     on cumulative cents (cum·10⁴ ≤ bp·total — no float share ever decides a
     class), with a tie-broken ranking (cents DESC, partkey); only the
-    reported share is a snapped double.
+    reported share is a snapped double. The cross-multiply runs 128-bit
+    (Spark decimal(38,0), DuckDB HUGEINT): total cents at SF 10⁵ ≈ 6e15,
+    ×10⁴ passes int64 — the q_events_bot_screen span-overflow class.
 
     Scale shape: one (partkey) hash agg collapses the facts; the cumulative
     window runs over the part-level table ordered by revenue — a single
@@ -977,12 +979,13 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w_cum).cast("bigint").alias("cum_cents"),
         F.sum("cents").over(w_all).cast("bigint").alias("tot_cents"),
     )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
     classed = ranked.withColumn(
         "abc_class",
         F.when(
-            F.col("cum_cents") * 10000 <= _ABC_A_BP * F.col("tot_cents"), "A"
+            d38("cum_cents") * 10000 <= _ABC_A_BP * d38("tot_cents"), "A"
         )
-        .when(F.col("cum_cents") * 10000 <= _ABC_B_BP * F.col("tot_cents"), "B")
+        .when(d38("cum_cents") * 10000 <= _ABC_B_BP * d38("tot_cents"), "B")
         .otherwise("C"),
     )
     return classed.groupBy("abc_class").agg(
@@ -1333,8 +1336,8 @@ WITH rev1 AS ({_ABC_MIG_SQL_PERIOD.format(lo='1996-01-01 00:00:00', hi='1997-01-
 rev2 AS ({_ABC_MIG_SQL_PERIOD.format(lo='1997-01-01 00:00:00', hi='1998-01-01 00:00:00')}),
 c1 AS (
   SELECT l_partkey,
-         CASE WHEN cum * 10000 <= 8000 * tot THEN 'A'
-              WHEN cum * 10000 <= 9500 * tot THEN 'B' ELSE 'C' END AS cls
+         CASE WHEN cum::HUGEINT * 10000 <= 8000 * tot::HUGEINT THEN 'A'
+              WHEN cum::HUGEINT * 10000 <= 9500 * tot::HUGEINT THEN 'B' ELSE 'C' END AS cls
   FROM (SELECT l_partkey, cents,
                SUM(cents) OVER (ORDER BY cents DESC, l_partkey
                                 ROWS UNBOUNDED PRECEDING) AS cum,
@@ -1342,8 +1345,8 @@ c1 AS (
         FROM rev1)
 ), c2 AS (
   SELECT l_partkey,
-         CASE WHEN cum * 10000 <= 8000 * tot THEN 'A'
-              WHEN cum * 10000 <= 9500 * tot THEN 'B' ELSE 'C' END AS cls
+         CASE WHEN cum::HUGEINT * 10000 <= 8000 * tot::HUGEINT THEN 'A'
+              WHEN cum::HUGEINT * 10000 <= 9500 * tot::HUGEINT THEN 'B' ELSE 'C' END AS cls
   FROM (SELECT l_partkey, cents,
                SUM(cents) OVER (ORDER BY cents DESC, l_partkey
                                 ROWS UNBOUNDED PRECEDING) AS cum,
@@ -1395,18 +1398,14 @@ def q_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.unboundedPreceding, 0
         )
         w_tot = Window.partitionBy()
+        # 128-bit cross-multiply (decimal(38,0) / HUGEINT): yearly total
+        # cents ×10⁴ passes int64 at SF 10⁵ — the bot_screen overflow class.
+        cum38 = F.sum("cents").over(w_cum).cast("decimal(38,0)")
+        tot38 = F.sum("cents").over(w_tot).cast("decimal(38,0)")
         return rev.select(
             "l_partkey",
-            F.when(
-                F.sum("cents").over(w_cum) * 10000
-                <= 8000 * F.sum("cents").over(w_tot),
-                "A",
-            )
-            .when(
-                F.sum("cents").over(w_cum) * 10000
-                <= 9500 * F.sum("cents").over(w_tot),
-                "B",
-            )
+            F.when(cum38 * 10000 <= 8000 * tot38, "A")
+            .when(cum38 * 10000 <= 9500 * tot38, "B")
             .otherwise("C")
             .alias(out),
         )
@@ -2438,6 +2437,7 @@ WITH feat AS (
          CAST(SUM(t - n1_v) AS BIGINT) AS n_neg,
          CAST(SUM(n1_v * (2 * cum_before + t + 1)) AS BIGINT) AS r1_x2
   FROM ranked GROUP BY feature
+  HAVING SUM(n1_v) > 0 AND SUM(t - n1_v) > 0
 )
 SELECT feature, n_pos, n_neg,
        CAST(FLOOR(CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE)
@@ -2510,7 +2510,10 @@ def q_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("r1_x2"),
-    )
+    ).filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    # Degenerate-class guard: a feature partition whose labels are all 0 or
+    # all 1 has AUC undefined (0/0); DuckDB's FLOOR('nan'/'inf') casts and
+    # Spark's floor(NaN)→null diverge, so both engines drop the row instead.
     auc = (
         (F.col("r1_x2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
         / (2.0 * F.col("n_pos") * F.col("n_neg"))

@@ -616,12 +616,19 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_affinity_pairs -------------------------------------------------------
 
-_AFFINITY_ORACLE = """
+_AFFINITY_MAX_BASKET = 64  # whale-basket cap: Σk² fan-out bound, both engines
+
+_AFFINITY_ORACLE = f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), ok AS (
+  SELECT l_orderkey FROM items
+  GROUP BY l_orderkey HAVING COUNT(*) <= {_AFFINITY_MAX_BASKET}
+), kept AS (
+  SELECT i.l_orderkey, i.l_partkey FROM items i JOIN ok USING (l_orderkey)
 ), pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
-  FROM items a JOIN items b
+  FROM kept a JOIN kept b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY a.l_partkey, b.l_partkey
 )
@@ -640,23 +647,23 @@ def q_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join key is the basket id, so pair fan-out is Σ k_i² over basket
     sizes — bounded when baskets are (TPC-H ~4-7 items), NOT O(n²). The
     100 TB hazard is a whale basket (one order with 10⁵ items → 10¹⁰
-    pairs): the production guard is capping or sampling baskets above K
-    items before the self-join, the exact analogue of the dedup family's
-    stop-shingle cap. Distinct-items first so duplicate lineitems of the
-    same part don't inflate counts. spread(l_orderkey) both parallelizes the
-    local single-row-group scan AND pre-partitions on the basket key, so the
+    pairs): baskets above {_AFFINITY_MAX_BASKET} distinct items are DROPPED
+    before the pair explode — ENFORCED in both engines (size(parts) ≤ K here,
+    HAVING COUNT(*) ≤ K in the oracle), the exact analogue of the dedup
+    family's stop-shingle cap and q_graph_jaccard's top-8 adjacency cap.
+    Distinct-items first so duplicate lineitems of the same part don't
+    inflate counts. spread(l_orderkey) both parallelizes the local
+    single-row-group scan AND pre-partitions on the basket key, so the
     collect_set aggregate needs no further shuffle.
     """
     li = spread(load(spark, sf_dir, "lineitem"), "l_orderkey")
     # In-row pair generation beats the orderkey self-join here (measured
     # 1.5s vs 1.8s warm, 2 shuffles vs 4): collect each basket once, emit
     # ordered pairs with a slice/transform HOF. The collect_set holds ONE
-    # basket in executor memory — bounded by the basket cap, which is where
-    # the whale-basket guard plugs in (filter size(parts) <= K before the
-    # pair explode).
+    # basket in executor memory — bounded by the whale-basket cap below.
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
+    ).filter(F.size("parts") <= _AFFINITY_MAX_BASKET)
     pairs = baskets.select(
         F.explode(
             F.expr(

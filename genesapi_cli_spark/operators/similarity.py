@@ -1877,36 +1877,73 @@ def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HAM_N_PLANES = 16
 _HAM_MAX_DIST = 3
+_HAM_EMB_SCALE = 10_000_000  # emb quantizer: floor(x·1e7 + 0.5), exact int64
+_HAM_PLANE_SCALE = 10_000  # plane quantizer: floor(p·1e4 + 0.5)
 
 
-def _ham_planes() -> list[list[float]]:
+def _ham_planes_int():
+    """Sign-random-projection hyperplanes QUANTIZED to int64 (floor(p·1e4+0.5)):
+    with integer planes AND integer-quantized embeddings, every projection is
+    exact integer arithmetic (|term| ≤ 1e7·5e4, 64-term sum ≪ 2^53), so the
+    sign is order-independent — numpy's blocked matmul, Spark's fold, and
+    DuckDB's list_dot_product all agree bit-for-bit with no fold-order pact."""
     import numpy as np
 
     rng = np.random.default_rng(20260815)
-    return rng.standard_normal((_HAM_N_PLANES, EMBEDDING_DIM)).tolist()
+    p = rng.standard_normal((_HAM_N_PLANES, EMBEDDING_DIM))
+    return np.floor(p * _HAM_PLANE_SCALE + 0.5).astype(np.int64)
 
 
-_HPLANES = _ham_planes()
+_HPLANES_INT = _ham_planes_int()
 
 
-def _ham_sig_expr(emb_name: str) -> Column:
-    acc = F.lit(0).cast("bigint")
-    for j, plane in enumerate(_HPLANES):
-        proj = dot_lit_expr(emb_name, plane)
-        acc = acc + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast(
-            "bigint"
-        )
-    return acc
-
-
-def _ham_sig_sql(emb: str) -> str:
+def _ham_sig_sql() -> str:
     terms = []
-    for j, plane in enumerate(_HPLANES):
-        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+    for j in range(_HAM_N_PLANES):
+        lit = "[" + ", ".join(str(int(v)) for v in _HPLANES_INT[j]) + "]"
         terms.append(
-            f"CASE WHEN list_dot_product({emb}, {lit}) >= 0 THEN {1 << j} ELSE 0 END"
+            f"CASE WHEN list_dot_product(ei, CAST({lit} AS DOUBLE[])) >= 0"
+            f" THEN {1 << j} ELSE 0 END"
         )
     return " + ".join(terms)
+
+
+#: Session memo of the signed relation (vec_id, emb, nrm, sg) — one Arrow
+#: matmul pass per (session, sf_dir), shared by the query and candidate
+#: branches (and any future radius/multi-index consumer). At 100 TB the
+#: signature is a persisted bigint column next to the vectors.
+_HAM_SIG_MEMO: dict = {}
+
+
+def _shared_ham_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _HAM_SIG_MEMO.get(key)
+    if df is not None:
+        return df
+    import numpy as np
+    import pandas as pd
+
+    planes_t = _HPLANES_INT.T  # dim x n_planes
+    pow2 = (np.int64(1) << np.arange(_HAM_N_PLANES, dtype=np.int64))
+
+    def sig_batches(it):
+        for pdf in it:
+            if len(pdf):
+                e = np.stack(pdf["emb"].to_numpy())  # n x dim float64
+                ei = np.floor(e * _HAM_EMB_SCALE + 0.5).astype(np.int64)
+                proj = ei @ planes_t  # ONE exact int64 matmul = all 16 planes
+                sg = ((proj >= 0).astype(np.int64) * pow2).sum(axis=1)
+                out = pdf.assign(sg=sg)
+            else:
+                out = pdf.assign(sg=pd.Series([], dtype="int64"))
+            yield out[["vec_id", "emb", "nrm", "sg"]]
+
+    e = shared_normed_embeddings(spark, sf_dir)
+    df = e.select("vec_id", "emb", "nrm").mapInPandas(
+        sig_batches, "vec_id bigint, emb array<double>, nrm double, sg bigint"
+    ).localCheckpoint(eager=False)
+    _HAM_SIG_MEMO[key] = df
+    return df
 
 
 def _ham_oracle() -> str:
@@ -1915,8 +1952,12 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+), ei AS (
+  SELECT vec_id, emb, nrm,
+         list_transform(emb, x -> FLOOR(x * {_HAM_EMB_SCALE} + 0.5)) AS ei
+  FROM e
 ), sig AS (
-  SELECT vec_id, emb, nrm, CAST({_ham_sig_sql('emb')} AS BIGINT) AS sg FROM e
+  SELECT vec_id, emb, nrm, CAST({_ham_sig_sql()} AS BIGINT) AS sg FROM ei
 ), q AS (
   SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, sg AS qsg FROM sig
   WHERE vec_id < 10
@@ -1963,9 +2004,16 @@ def q_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; candidate filtering never touches the float vectors until
     the rerank. Radius queries at scale add multi-index (split the signature
     into bands — q_multimodal_ahash's pigeonhole) — same relational shape.
+
+    Signature construction is ONE Arrow int64 matmul per batch
+    (n×dim @ dim×16, the q_sim_knn_classify execution pattern): planes and
+    embeddings are integer-quantized, so the projection is exact integer
+    arithmetic and the sign matches DuckDB with no fold-order dependence —
+    replacing 16 per-row interpreted 64-term projection expressions
+    (2.9 s → sub-second at sf0.1). The signed relation is session-memoized
+    (_HAM_SIG_MEMO), the persisted-signature-column analog at 100 TB.
     """
-    e = shared_normed_embeddings(spark, sf_dir)
-    sig = e.select("vec_id", "emb", "nrm", _ham_sig_expr("emb").alias("sg"))
+    sig = _shared_ham_signatures(spark, sf_dir)
     q = sig.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
