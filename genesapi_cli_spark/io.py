@@ -35,6 +35,25 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Session memo of loaded table DataFrames, keyed by (application, sf_dir,
+#: table, source mtime). DataFrames are immutable and the testdata lake is
+#: read-only, so re-analyzing the same parquet scan on every query invocation
+#: is pure Py4J/analysis tax (~0.13-0.16 s per load on this host — the bulk
+#: of the per-query invocation floor SCALE.md 6f decomposes). The mtime in
+#: the key makes a rewritten path (test fixtures) refresh instead of serving
+#: a stale plan; non-statable paths (object stores) memoize on path alone.
+#: The memo never crosses sessions (applicationId key) and holds one entry
+#: per table per sf_dir — O(10) per session.
+_LOAD_MEMO: dict = {}
+
+
+def _src_stamp(path: str) -> object:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. ``events.ts`` is normalized to THREE columns regardless
@@ -54,7 +73,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
        is mandatory: float /1000 on ~1.7e18 ns loses precision (> 2^53).
     """
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, sf_dir, name, _src_stamp(path))
+    cached = _LOAD_MEMO.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts", "")
         if ts_type in ("bigint", "long"):
@@ -67,6 +91,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
             ).withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+    _LOAD_MEMO[key] = df
     return df
 
 
@@ -100,9 +125,23 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     No-op when the input already has >= defaultParallelism partitions: at
     cluster scale inputs arrive pre-split, and an unconditional repartition
     of 100 TB would be a catastrophic full shuffle.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) costs a full
+    plan→RDD conversion (~0.15-0.19 s of Py4J/analysis per call on this
+    host), so the result is cached ON the DataFrame object: the memoized
+    ``load`` returns the same Python object per (session, sf_dir, table),
+    making every later spread of that table free. Transient inputs (already
+    transformed DataFrames) just re-probe — the attribute dies with them.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    n = getattr(df, "_graft_nparts", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        try:
+            df._graft_nparts = n
+        except AttributeError:
+            pass
+    if n >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
 

@@ -1967,14 +1967,19 @@ def q_events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(p_two * 1000000 + F.lit(0.5)).cast("bigint").alias("p_micro"),
     )
     wall = Window.orderBy("p_micro", "nation")
+    wg = Window.partitionBy()
     ranked = p.select(
         "nation",
         "z_micro",
         "p_micro",
         F.row_number().over(wall).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+        F.count(F.lit(1)).over(wg).alias("m"),
     )
-    k_star = ranked.agg(
+    # k* as a SECOND global window over the same single-partition sort (the
+    # relation is |tests| rows): no 1-row aggregate job and no broadcast
+    # crossJoin — two stage barriers fewer than the agg+join formulation.
+    final = ranked.withColumn(
+        "k_star",
         F.coalesce(
             F.max(
                 F.when(
@@ -1982,11 +1987,11 @@ def q_events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     <= _BH_Q_BP * F.col("rk").cast("bigint") * 1000000,
                     F.col("rk"),
                 )
-            ),
+            ).over(wg),
             F.lit(0),
-        ).alias("k_star")
+        ),
     )
-    return ranked.crossJoin(F.broadcast(k_star)).select(
+    return final.select(
         "nation",
         "z_micro",
         "p_micro",

@@ -1512,17 +1512,18 @@ def q_agg_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.floor(
         F.col("nn").cast("double") / F.col("ks") * 1000000 + F.lit(0.5)
     ).cast("bigint")
-    seg_err = r2.groupBy("seg", "nn", "ks").agg(
-        F.abs(F.sum("w2_micro") - F.max(target)).alias("err")
+    # Per-segment residual as ONE MORE window over the seg partitioning the
+    # rounds already shuffle on, then a single global reduction — the old
+    # three-branch formulation (seg_err agg + summary agg + crossJoin)
+    # recomputed the whole scan→window chain once per branch.
+    with_err = r2.select(
+        "n",
+        "w2_micro",
+        F.abs(F.sum("w2_micro").over(ws) - target).alias("seg_err"),
     )
-    summary = r2.agg(
+    return with_err.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("seg_err").cast("bigint").alias("max_seg_err_micro"),
         F.sum("w2_micro").cast("bigint").alias("total_weight_micro"),
         F.sum("n").cast("bigint").alias("n_customers"),
-    )
-    max_err = seg_err.agg(
-        F.max("err").cast("bigint").alias("max_seg_err_micro")
-    )
-    return summary.crossJoin(F.broadcast(max_err)).select(
-        "n_cells", "max_seg_err_micro", "total_weight_micro", "n_customers"
-    )
+    ).select("n_cells", "max_seg_err_micro", "total_weight_micro", "n_customers")

@@ -4506,6 +4506,10 @@ def q_window_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PGRAM_PERIODS = (7, 30)
 
+#: Session memo of the constant ≤37-row trig table (createDataFrame costs
+#: ~0.15 s of driver serialization per call; the table never changes).
+_PGRAM_TRIG_MEMO: dict = {}
+
 
 def _pgram_trig_rows(period: int) -> list[tuple[int, int, int]]:
     """(phase, cos_micro, sin_micro) literals for one period — the SAME
@@ -4602,24 +4606,32 @@ def q_window_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("cents"))
     )
     w = Window.partitionBy("event_type").orderBy("day_idx")
+    wp = Window.partitionBy("event_type")
+    # (n, Σx) as plain window aggregates over the SAME event_type partition
+    # the ranking already shuffles on — no separate per-series aggregate, no
+    # broadcast join back, no duplicated window subtree (3 fewer stage
+    # barriers; measured 1.39 s → sub-second at sf0.1).
     seq = daily.select(
-        "event_type", "cents", (F.row_number().over(w) - 1).alias("t")
+        "event_type",
+        "cents",
+        (F.row_number().over(w) - 1).alias("t"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+        F.sum("cents").over(wp).cast("bigint").alias("s1"),
     )
-    st = seq.groupBy(F.col("event_type").alias("et")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("s1"),
-    )
-    trig_rows = [
-        (p, ph, c, s)
-        for p in _PGRAM_PERIODS
-        for (ph, c, s) in _pgram_trig_rows(p)
-    ]
-    trig = spark.createDataFrame(
-        trig_rows, "period int, phase int, c_micro long, s_micro long"
-    )
+    key = (spark.sparkContext.applicationId, "pgram_trig")
+    trig = _PGRAM_TRIG_MEMO.get(key)
+    if trig is None:
+        trig_rows = [
+            (p, ph, c, s)
+            for p in _PGRAM_PERIODS
+            for (ph, c, s) in _pgram_trig_rows(p)
+        ]
+        trig = spark.createDataFrame(
+            trig_rows, "period int, phase int, c_micro long, s_micro long"
+        )
+        _PGRAM_TRIG_MEMO[key] = trig
     proj = (
-        seq.join(F.broadcast(st), F.col("event_type") == F.col("et"))
-        .join(
+        seq.join(
             F.broadcast(trig),
             F.col("phase") == F.col("t") % F.col("period"),
         )
