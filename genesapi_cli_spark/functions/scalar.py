@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load
+from genesapi_cli_spark.io import load, spread
 from genesapi_cli_spark.registry import oracle_r4, r4, register
 
 # --- q_fn_string ------------------------------------------------------------
@@ -268,8 +268,13 @@ def q_fn_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (DuckDB rounds to 5, Spark ANSI try_cast yields NULL), so the
     generated dirt avoids that case; whole numbers, whitespace-padded,
     scientific notation, invalid dates, and garbage all agree.
+
+    spread() parallelizes the parse: three try_casts (one a full date
+    parse) per row are CPU work that would otherwise serialize on the
+    local single-row-group scan; pre-partitioning on the grouping key
+    also feeds the aggregate shuffle-free.
     """
-    orders = load(spark, sf_dir, "orders")
+    orders = spread(load(spark, sf_dir, "orders"), "o_orderpriority")
     k = F.col("o_orderkey")
     s_int = (
         F.when(k % 4 == 0, k.cast("string"))

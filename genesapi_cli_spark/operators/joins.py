@@ -993,6 +993,10 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_IV_DAY_US}")
             ).alias("e")
         )
+        # one interval relation feeds both self-join sides (the fact join +
+        # agg would otherwise run twice when ReuseExchange doesn't fire
+        # across the alias subtrees)
+        .localCheckpoint(eager=False)
     )
     a = iv.alias("a")
     b = iv.alias("b")

@@ -2502,6 +2502,9 @@ def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     the big side beyond the per-point rollup.
     """
     emb = load(spark, sf_dir, "embeddings")
+    # Lazy checkpoint: the quantized relation feeds BOTH the exploded
+    # centroid/dot subtree and the |x|² projection — one quantize pass,
+    # not two (ReuseExchange does not fire across the posexplode subtree).
     q8 = spread(emb).select(
         "vec_id",
         "label",
@@ -2512,7 +2515,7 @@ def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(-127).cast("long"),
             ),
         ).alias("qv"),
-    )
+    ).localCheckpoint(eager=False)
     pts = q8.select(
         "vec_id", "label", F.posexplode("qv").alias("pos", "xd")
     ).select("vec_id", "label", (F.col("pos") + 1).alias("i"), "xd")
@@ -2531,7 +2534,7 @@ def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     px = q8.select("vec_id", dot_expr("qv", "qv").cast("bigint").alias("x2"))
     dist = (
-        dots.join(px, "vec_id")
+        dots.join(F.broadcast(px), "vec_id")
         .join(F.broadcast(cl), "clabel")
         .select(
             "vec_id",

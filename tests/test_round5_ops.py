@@ -568,7 +568,6 @@ def test_hamming_candidates_respect_radius_and_rerank_is_exact(spark):
     from genesapi_cli_spark.operators.similarity import (
         _HAM_MAX_DIST,
         shared_normed_embeddings,
-        _ham_sig_expr,
     )
 
     rows = REGISTRY["q_sim_hamming"].fn(spark, SMOKE_SF_DIR).collect()
