@@ -47,9 +47,14 @@ def main() -> int:
     # 380-query suite (152.7s vs 167-179s, same host, same protocol) with no
     # real per-query regression — at sf0.1 almost every shuffle fits one
     # partition and the extra tasks are pure scheduling tax.
+    # Round-6 re-measure: 2 beats 4 by another ~8% (33.5/34.4 s vs 36.4 s on
+    # a 59-query every-7th subset, same host back-to-back); 1 measured equal
+    # to 2 within noise — 2 kept so genuinely parallel shuffles still get
+    # two-way overlap. As before: a real cluster leaves this HIGH and AQE
+    # owns coalescing; this knob only trims the local stage-barrier floor.
     spark = build_session(
         app_name="genesapi-bench",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "2")),
     )
 
     # Engine warmup so the first measured query of each kind isn't charged
