@@ -3432,3 +3432,137 @@ def q_agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("r2_r4"),
     )
+
+
+# --- q_feature_vif ------------------------------------------------------------
+
+_VIF_ORACLE = """
+WITH x AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS x1,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS x2
+  FROM lineitem GROUP BY l_orderkey
+), base AS (
+  SELECT x1, x2, CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS x3
+  FROM orders JOIN x ON o_orderkey = l_orderkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x3) AS BIGINT) AS s3,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11, CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x3 * x3) AS BIGINT) AS s33, CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x1 * x3) AS BIGINT) AS s13, CAST(SUM(x2 * x3) AS BIGINT) AS s23
+  FROM base
+), c AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1 AS c11,
+         CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2 AS c22,
+         CAST(n AS DOUBLE) * s33 - CAST(s3 AS DOUBLE) * s3 AS c33,
+         CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2 AS c12,
+         CAST(n AS DOUBLE) * s13 - CAST(s1 AS DOUBLE) * s3 AS c13,
+         CAST(n AS DOUBLE) * s23 - CAST(s2 AS DOUBLE) * s3 AS c23
+  FROM m
+), r AS (
+  SELECT n, feature, r2
+  FROM c, LATERAL (VALUES
+    ('f_n_lines',
+     (c13 * c13 * c22 + c12 * c12 * c33 - 2 * c12 * c13 * c23)
+       / (c11 * (c22 * c33 - c23 * c23))),
+    ('f_qty_units',
+     (c23 * c23 * c11 + c12 * c12 * c33 - 2 * c12 * c23 * c13)
+       / (c22 * (c11 * c33 - c13 * c13))),
+    ('f_price_whole',
+     (c13 * c13 * c22 + c23 * c23 * c11 - 2 * c13 * c23 * c12)
+       / (c33 * (c11 * c22 - c12 * c12)))
+  ) AS t(feature, r2)
+)
+SELECT feature, n,
+       CAST(FLOOR(r2 * 1000000 + 0.5) AS BIGINT) AS r2_micro,
+       FLOOR(1.0 / (1.0 - r2) * 10000 + 0.5) / 10000 AS vif_r4
+FROM r
+WHERE r2 < 0.999999
+"""
+
+
+@register("q_feature_vif", oracle=_VIF_ORACLE)
+def q_feature_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance Inflation Factor for each of three order-level features —
+    the multicollinearity screen a feature store runs before shipping a
+    linear/GLM feature set (VIF_j = 1/(1−R²_j), R²_j from regressing
+    feature j on the others; VIF > 5-10 means the coefficient for j is
+    unstable and the feature is redundant). Completes the feature-screen
+    family: q_feature_auc (signal), q_feature_ece (calibration),
+    q_feature_lift (targeting), this (redundancy).
+
+    Closed form, one pass: for two regressors + intercept,
+    R²_j = (c_aj²·c_bb + c_bj²·c_aa − 2·c_aj·c_bj·c_ab) /
+           (c_jj·(c_aa·c_bb − c_ab²)) over the centered cross-moment matrix
+    c_pq = n·Σx_p x_q − Σx_p·Σx_q — six moments from ONE aggregate serve
+    all three rotations (the q_agg_ols2 machinery, rotated).
+
+    Parity: raw moments are exact bigints (whole-dollar price keeps Σx3²
+    ≤ 5·10¹⁶ at sf0.1); the centered matrix and the R² combination run as
+    one shared IEEE double sequence on both engines, micro-snapped.
+    Near-perfect collinearity (R² → 1) is filtered identically before the
+    VIF division.
+
+    Scale shape: one per-order aggregate (map-side combined), one global
+    10-column moments row, then constant algebra — at 100 TB with k
+    features the same plan carries k(k+3)/2 moment columns and the
+    rotation count grows, the data passes do not.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x1"),
+        F.sum(F.expr("CAST(FLOOR(l_quantity + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias("x3")
+    )
+    base = orders.join(x, orders.o_orderkey == x.l_orderkey).select("x1", "x2", "x3")
+    m = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("x3").cast("bigint").alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x3") * F.col("x3")).cast("bigint").alias("s33"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).cast("bigint").alias("s13"),
+        F.sum(F.col("x2") * F.col("x3")).cast("bigint").alias("s23"),
+    )
+    nD = F.col("n").cast("double")
+    c = m.select(
+        "n",
+        (nD * F.col("s11") - F.col("s1").cast("double") * F.col("s1")).alias("c11"),
+        (nD * F.col("s22") - F.col("s2").cast("double") * F.col("s2")).alias("c22"),
+        (nD * F.col("s33") - F.col("s3").cast("double") * F.col("s3")).alias("c33"),
+        (nD * F.col("s12") - F.col("s1").cast("double") * F.col("s2")).alias("c12"),
+        (nD * F.col("s13") - F.col("s1").cast("double") * F.col("s3")).alias("c13"),
+        (nD * F.col("s23") - F.col("s2").cast("double") * F.col("s3")).alias("c23"),
+    )
+    rows = c.selectExpr(
+        "n",
+        "stack(3,"
+        " 'f_n_lines',"
+        " (c13 * c13 * c22 + c12 * c12 * c33 - 2 * c12 * c13 * c23)"
+        "   / (c11 * (c22 * c33 - c23 * c23)),"
+        " 'f_qty_units',"
+        " (c23 * c23 * c11 + c12 * c12 * c33 - 2 * c12 * c23 * c13)"
+        "   / (c22 * (c11 * c33 - c13 * c13)),"
+        " 'f_price_whole',"
+        " (c13 * c13 * c22 + c23 * c23 * c11 - 2 * c13 * c23 * c12)"
+        "   / (c33 * (c11 * c22 - c12 * c12))"
+        ") AS (feature, r2)",
+    )
+    return rows.filter(F.col("r2") < 0.999999).select(
+        "feature",
+        "n",
+        F.floor(F.col("r2") * 1000000 + F.lit(0.5)).cast("bigint").alias("r2_micro"),
+        (F.floor(1.0 / (1.0 - F.col("r2")) * 10000 + F.lit(0.5)) / 10000).alias(
+            "vif_r4"
+        ),
+    )

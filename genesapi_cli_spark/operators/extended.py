@@ -2642,3 +2642,103 @@ def q_feature_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ece_micro"),
     )
+
+
+# --- q_feature_lift -----------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH scored AS (
+  SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT label,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey) AS rk,
+         COUNT(*) OVER () AS nn
+  FROM scored
+), cells AS (
+  SELECT CAST(((rk - 1) * 10) // nn AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(MAX(nn) AS BIGINT) AS nn
+  FROM ranked GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS p FROM cells
+)
+SELECT decile, n, n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_pos,
+       CAST(FLOOR(CAST(n_pos AS DOUBLE) * nn / (CAST(n AS DOUBLE) * p)
+                  * 1000000 + 0.5) AS BIGINT) AS lift_micro,
+       CAST(FLOOR(CAST(SUM(n_pos) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / p * 1000000 + 0.5) AS BIGINT) AS cum_gain_micro
+FROM cells CROSS JOIN tot
+"""
+
+
+@register("q_feature_lift", oracle=_LIFT_ORACLE)
+def q_feature_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / decile lift table — the model-eval chart next to
+    q_feature_auc (threshold-free rank quality) and q_feature_ece
+    (calibration): rank rows by score (order value standing in for a model
+    score), cut into 10 equal-count deciles, and report per-decile lift
+    (decile positive rate / overall positive rate) and cumulative gain
+    (share of all positives captured so far) — "calling the top 20% of this
+    list reaches X% of responders", the number campaign planners act on.
+
+    Parity: decile assignment is pure integer arithmetic over a
+    deterministic (cents DESC, orderkey) rank — ((rk−1)·10) div N — so both
+    engines cut identical deciles; counts are bigints and the two reported
+    ratios are single snapped double divisions.
+
+    Scale shape: one global ranked window over the scored relation (a
+    range-partitioned sort at scale — ranks over ~10⁸ scored rows, not
+    facts), a ≤10-row aggregate, one window over those 10 rows. At 100 TB
+    with per-model/per-segment charts the rank window partitions by those
+    keys — same plan.
+    """
+    orders = load(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w_rank = Window.orderBy(F.desc("cents"), "o_orderkey")
+    w_all = Window.partitionBy()
+    ranked = scored.select(
+        "label",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("nn"),
+    )
+    cells = ranked.groupBy(
+        F.expr("((rk - 1) * 10) div nn").cast("bigint").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.max("nn").cast("bigint").alias("nn"),
+    )
+    tot = cells.agg(F.sum("n_pos").cast("bigint").alias("p"))
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum_pos = F.sum("n_pos").over(w_cum).cast("bigint")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "n_pos",
+        cum_pos.alias("cum_pos"),
+        F.floor(
+            F.col("n_pos").cast("double")
+            * F.col("nn")
+            / (F.col("n").cast("double") * F.col("p"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lift_micro"),
+        F.floor(cum_pos.cast("double") / F.col("p") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cum_gain_micro"),
+    )

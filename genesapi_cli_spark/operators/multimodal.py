@@ -1230,3 +1230,133 @@ def q_multimodal_colorhist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.max("cnt").cast("bigint").alias("max_doc_count"),
     )
+
+
+# --- q_multimodal_phash -------------------------------------------------------
+
+_PHASH_FRAMES = 16  # leading 16 full subframes (256 bytes) feed the DCT
+_PHASH_SCALE = 10_000  # cos quantizer: floor(cos·1e4 + 0.5)
+
+
+def _phash_cos_rows() -> list[tuple[int, int, int]]:
+    """Quantized DCT-II basis (k = 1..15 over 16 samples, DC skipped):
+    cq[k][n] = floor(cos(π(2n+1)k/32)·1e4 + 0.5). Generated ONCE in Python
+    and embedded as the same integer literals in both engines (the
+    q_sim_hamming plane / q_window_periodogram trig discipline), so no
+    cross-engine cos() agreement is ever needed."""
+    import math
+
+    out = []
+    for k in range(1, _PHASH_FRAMES):
+        for n in range(_PHASH_FRAMES):
+            cq = math.floor(
+                math.cos(math.pi * (2 * n + 1) * k / (2 * _PHASH_FRAMES))
+                * _PHASH_SCALE
+                + 0.5
+            )
+            out.append((k, n, cq))
+    return out
+
+
+_PHASH_COS = _phash_cos_rows()
+
+#: Session memo of the constant 240-row DCT basis table (createDataFrame
+#: costs ~0.15 s of driver serialization per call; the basis never changes).
+_PHASH_COS_MEMO: dict = {}
+
+
+def _phash_oracle() -> str:
+    values = ",\n    ".join(f"({k}, {n}, {cq})" for k, n, cq in _PHASH_COS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, text, octet_length(encode(text)) AS nb FROM documents
+), frames AS (
+  SELECT doc_id, lang, f AS n,
+         ({" + ".join(f"ascii(substr(text, f * 16 + {i + 1}, 1))" for i in range(16))})
+           AS bsum
+  FROM d, UNNEST(range(0, {_PHASH_FRAMES})) AS t(f)
+  WHERE nb >= {_PHASH_FRAMES * 16}
+), basis(k, n, cq) AS (
+  VALUES
+    {values}
+), coef AS (
+  SELECT f.doc_id, f.lang, b.k,
+         CAST(SUM(f.bsum * b.cq) AS BIGINT) AS c
+  FROM frames f JOIN basis b ON b.n = f.n
+  GROUP BY f.doc_id, f.lang, b.k
+), h AS (
+  SELECT doc_id, lang,
+         CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << (k - 1))
+                       ELSE 0 END) AS BIGINT) AS h15
+  FROM coef GROUP BY doc_id, lang
+), buckets AS (
+  SELECT lang, h15, CAST(COUNT(*) AS BIGINT) AS bucket
+  FROM h GROUP BY lang, h15
+)
+SELECT lang,
+       CAST(SUM(bucket) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_hashes,
+       CAST(MAX(bucket) AS BIGINT) AS max_bucket
+FROM buckets GROUP BY lang
+"""
+
+
+@register("q_multimodal_phash", oracle=_phash_oracle())
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral perceptual hash (pHash-style) over binary payloads: DCT-II
+    of the leading {_PHASH_FRAMES}-subframe energy sequence, sign-threshold
+    the 15 AC coefficients into a 15-bit hash, and certify the per-language
+    bucket structure (docs, distinct hashes, largest collision bucket) —
+    the frequency-domain near-dup signature next to q_multimodal_ahash's
+    spatial block hash (pHash survives brightness/scaling perturbations
+    that flip aHash bits; with a real image codec the same plan consumes
+    8×8 luma DCT instead of byte-sum frames).
+
+    Exactness: frame energies come from the family-shared Arrow subframe
+    relation (shared_payload_frames — the fourth consumer of the memo);
+    the DCT basis is integer-quantized in Python and embedded as identical
+    literals in both engines, so every coefficient is an exact bigint
+    (|c| ≤ 16·2032·10⁴) and the sign threshold needs no tolerance.
+
+    Scale shape: subframe relation → broadcast 240-row basis join →
+    (doc, k) hash aggregate → (doc) bit-pack aggregate → per-lang rollup;
+    the payload never leaves the shared Arrow stage, and everything after
+    is map-side-combinable. At 100 TB the hash column persists next to the
+    asset and the bucket rollup IS the dedup candidate index.
+    """
+    sub = shared_payload_frames(spark, sf_dir)
+    frames = sub.filter(
+        (F.col("sub_idx") < _PHASH_FRAMES) & (F.col("n_samples") == SUBFRAME)
+    ).select("doc_id", "lang", F.col("sub_idx").alias("n"), "bsum")
+    full = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf")).filter(
+        F.col("nf") == _PHASH_FRAMES
+    )
+    key = (spark.sparkContext.applicationId, "phash_cos")
+    basis = _PHASH_COS_MEMO.get(key)
+    if basis is None:
+        basis = spark.createDataFrame(_PHASH_COS, "k int, n int, cq long")
+        _PHASH_COS_MEMO[key] = basis
+    coef = (
+        frames.join(F.broadcast(full.select("doc_id")), "doc_id")
+        .join(F.broadcast(basis), "n")
+        .groupBy("doc_id", "lang", "k")
+        .agg(F.sum(F.col("bsum") * F.col("cq")).cast("bigint").alias("c"))
+    )
+    h = coef.groupBy("doc_id", "lang").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), k - 1)"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+        )
+        .cast("bigint")
+        .alias("h15")
+    )
+    buckets = h.groupBy("lang", "h15").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket")
+    )
+    return buckets.groupBy("lang").agg(
+        F.sum("bucket").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+        F.max("bucket").cast("bigint").alias("max_bucket"),
+    )

@@ -5338,3 +5338,115 @@ def q_window_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("forecast_r4"),
     )
+
+
+# --- q_events_page_hinkley ------------------------------------------------------
+
+_PH_LAMBDA_MICRO = 100_000_000_000  # alarm threshold: 1e5 value-cents of excursion, micro
+_PH_DELTA_CENTS = 0  # drift magnitude hyper-parameter (0 = pure mean-shift)
+
+_PH_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY epoch_us(ts), event_id) AS t,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM events
+), term AS (
+  SELECT event_type, t, s,
+         CAST(FLOOR(CAST(s AS DOUBLE) / t * 1000000 + 0.5) AS BIGINT)
+           AS mean_micro
+  FROM seq
+), mstat AS (
+  SELECT event_type, t,
+         s * 1000000 - {_PH_DELTA_CENTS} * 1000000 * t
+           - SUM(mean_micro) OVER (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM term
+), ph AS (
+  SELECT event_type, t, m,
+         m - MIN(m) OVER (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+  FROM mstat
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN ph > {_PH_LAMBDA_MICRO} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       CAST(MIN(CASE WHEN ph > {_PH_LAMBDA_MICRO} THEN t END) AS BIGINT)
+         AS first_alarm_t,
+       CAST(MAX(ph) AS BIGINT) AS max_ph_micro
+FROM ph GROUP BY event_type
+"""
+
+
+@register("q_events_page_hinkley", oracle=_PH_ORACLE)
+def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift detector over each event type's value stream —
+    the sequential drift test a data-quality pipeline runs on a metric feed
+    (the streaming sibling of q_window_cusum / q_window_changepoint):
+    m_T = Σ_{{t≤T}} (x_t − x̄_t − δ) with x̄_t the running mean, alarm when
+    m_T − min_{{s≤T}} m_s exceeds λ. Reports per stream: alarms fired, the
+    first alarm's position, and the maximum excursion.
+
+    Parity engineering: the only division (the running mean S_t/t) is
+    micro-snapped PER TERM to an exact bigint before the cumulative sum, so
+    m and the running minimum are EXACT integers on both engines — no float
+    accumulation anywhere (the dec_sum discipline applied to a sequential
+    statistic). Order is the deterministic (ts, event_id) tie-break.
+
+    Scale shape: two stacked cumulative windows per stream (one sort,
+    shared partition spec — Spark plans a single Exchange+Sort and chained
+    WindowExecs), then a map-side-combined rollup. Per-stream micro-sums
+    stay under int64 to ~10¹⁰ events/stream; past that the relief valve is
+    the decimal(38,0) cast (q_events_bot_screen pattern). In Structured
+    Streaming the same statistic is the applyInPandasWithState per-key
+    fold (q_stream_stateful_profile's slot).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    seq = ev.select(
+        "event_type",
+        F.expr(_CENTS).alias("c"),
+        F.row_number().over(w).alias("t"),
+        F.sum(F.expr(_CENTS)).over(wcum).cast("bigint").alias("s"),
+    )
+    term = seq.select(
+        "event_type",
+        "t",
+        "s",
+        F.floor(F.col("s").cast("double") / F.col("t") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("mean_micro"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mstat = term.select(
+        "event_type",
+        "t",
+        (
+            F.col("s") * 1000000
+            - F.lit(_PH_DELTA_CENTS) * 1000000 * F.col("t")
+            - F.sum("mean_micro").over(w2)
+        ).alias("m"),
+    )
+    ph = mstat.select(
+        "event_type",
+        "t",
+        (F.col("m") - F.min("m").over(w2)).alias("ph"),
+    )
+    return ph.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ph") > _PH_LAMBDA_MICRO, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alarms"),
+        F.min(F.when(F.col("ph") > _PH_LAMBDA_MICRO, F.col("t")))
+        .cast("bigint")
+        .alias("first_alarm_t"),
+        F.max("ph").cast("bigint").alias("max_ph_micro"),
+    )
