@@ -26,6 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -83,6 +84,93 @@ def user_running_profile(events: DataFrame) -> DataFrame:
             _update_user_profile,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- streaming Page-Hinkley drift detector -----------------------------------
+
+PH_STATE_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("s", LongType()),
+        StructField("msum", LongType()),
+        StructField("m_min", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("first_alarm_t", LongType()),
+        StructField("max_ph", LongType()),
+    ]
+)
+
+PH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("first_alarm_t", LongType()),
+        StructField("max_ph_micro", LongType()),
+    ]
+)
+
+
+def _ph_fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Fold one stream's micro-batch into the persisted Page-Hinkley state —
+    the applyInPandasWithState twin of the batch q_events_page_hinkley
+    (operators/timeseries.py): identical integer-micro arithmetic, so after
+    the last micro-batch the state equals the batch query's row exactly.
+    Requires per-key event-time-ordered delivery (the standard contract for
+    a sequential detector fed from a log); rows within a micro-batch are
+    sorted here, ordering ACROSS micro-batches belongs to the source.
+    """
+    import math
+
+    from genesapi_cli_spark.operators.timeseries import _PH_LAMBDA_MICRO
+
+    (event_type,) = key
+    t, s, msum, m_min, n_alarms, first_alarm_t, max_ph = (
+        state.get if state.exists else (0, 0, 0, None, 0, None, 0)
+    )
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"])
+    for v in rows["value"]:
+        c = int(math.floor(v * 100 + 0.5))
+        t += 1
+        s += c
+        msum += int(math.floor(s / t * 1_000_000 + 0.5))
+        m = s * 1_000_000 - msum
+        m_min = m if m_min is None else min(m_min, m)
+        ph = m - m_min
+        max_ph = max(max_ph, ph)
+        if ph > _PH_LAMBDA_MICRO:
+            n_alarms += 1
+            if first_alarm_t is None:
+                first_alarm_t = t
+    state.update((t, s, msum, m_min, n_alarms, first_alarm_t, max_ph))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n": [t],
+            "n_alarms": [n_alarms],
+            "first_alarm_t": [first_alarm_t],
+            "max_ph_micro": [max_ph],
+        }
+    )
+
+
+def page_hinkley_stream(events: DataFrame) -> DataFrame:
+    """Mount the sequential drift detector on a (batch or streaming) events
+    DataFrame: per event_type, state = the seven Page-Hinkley sufficient
+    statistics; each emitted row is that stream's current verdict. At scale
+    state is O(|streams|) and partitions across executors with the key."""
+    return (
+        events.select("event_type", "ts_us", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _ph_fold,
+            outputStructType=PH_OUTPUT_SCHEMA,
+            stateStructType=PH_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -418,3 +418,78 @@ def test_python_streaming_datasource_replays_events(spark, tmp_path):
         assert n_batches >= 2, f"expected multiple micro-batches, got {n_batches}"
     finally:
         q.stop()
+
+
+def test_page_hinkley_stream_equals_batch(spark, tmp_path):
+    """Stateful streaming Page-Hinkley across time-ordered micro-batches must
+    equal the batch q_events_page_hinkley exactly — the sequential-detector
+    analog of the stateful-profile equivalence, with EXACT integer state (no
+    float tolerance anywhere). Files are dropped one per micro-batch in
+    event-time order (the sequential detector's delivery contract)."""
+    import json as _json
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+    from genesapi_cli_spark.streaming.stateful import page_hinkley_stream
+
+    genesapi_cli_spark.load_all()
+
+    ev = (
+        load(spark, SMOKE_SF_DIR, "events")
+        .select("event_id", "ts_us", "event_type", "value")
+        .orderBy("ts_us", "event_id")
+        .collect()
+    )
+    cut = ev[len(ev) // 2].ts_us
+    src = tmp_path / "ph_src"
+    src.mkdir()
+
+    def dump(rows, name):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "event_id": r.event_id,
+                        "ts_us": r.ts_us,
+                        "user_id": 0,
+                        "event_type": r.event_type,
+                        "value": r.value,
+                        "props": None,
+                    }
+                )
+                for r in rows
+            )
+        )
+
+    import os
+    import time as _time
+
+    dump([r for r in ev if r.ts_us <= cut], "b1.json")
+    dump([r for r in ev if r.ts_us > cut], "b2.json")
+    # file source orders micro-batches by modification time: make the
+    # earlier time-range strictly older so batch order == event-time order
+    now = _time.time()
+    os.utime(src / "b1.json", (now - 100, now - 100))
+    os.utime(src / "b2.json", (now, now))
+    stream = events_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory(page_hinkley_stream(stream), "t_ph", output_mode="update")
+    try:
+        rows = spark.sql("SELECT * FROM t_ph").collect()
+        got = {}
+        for r in rows:  # update-mode sink: keep the latest (largest n) per key
+            if r.event_type not in got or r.n > got[r.event_type][0]:
+                got[r.event_type] = (
+                    r.n,
+                    r.n_alarms,
+                    r.first_alarm_t,
+                    r.max_ph_micro,
+                )
+        exp = {
+            r.event_type: (r.n, r.n_alarms, r.first_alarm_t, r.max_ph_micro)
+            for r in REGISTRY["q_events_page_hinkley"]
+            .fn(spark, SMOKE_SF_DIR)
+            .collect()
+        }
+        assert got == exp
+    finally:
+        q.stop()
