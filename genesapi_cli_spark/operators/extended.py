@@ -2742,3 +2742,95 @@ def q_feature_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_gain_micro"),
     )
+
+
+# --- q_feature_pr_auc -----------------------------------------------------------
+
+_AP_ORACLE = """
+WITH scored AS (
+  SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT label,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey) AS rk,
+         SUM(label) OVER (ORDER BY cents DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+  FROM scored
+), terms AS (
+  SELECT CAST(FLOOR(CAST(cum_pos AS DOUBLE) / rk * 1000000 + 0.5) AS BIGINT)
+           AS prec_micro
+  FROM ranked WHERE label = 1
+)
+SELECT CAST((SELECT COUNT(*) FROM ranked) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_pos,
+       CAST(FLOOR(CAST(SUM(prec_micro) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         AS ap_micro,
+       CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM ranked) * 1000000 + 0.5) AS BIGINT)
+         AS baseline_micro
+FROM terms
+HAVING COUNT(*) > 0
+"""
+
+
+@register("q_feature_pr_auc", oracle=_AP_ORACLE)
+def q_feature_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision (the area under the precision-recall curve by the
+    step-interpolation every ranking library reports) of the score/label
+    setup the rest of the feature-screen family shares: AP =
+    mean over positives of precision@their-rank. The PR view complements
+    q_feature_auc's ROC view — under class imbalance ROC-AUC flatters a
+    ranker while AP exposes it, which is why retrieval and rare-event
+    models gate on AP. baseline_micro = the positive prevalence (a random
+    ranker's AP) anchors the comparison on one row.
+
+    Parity: ranks and cumulative positive counts are exact integers over
+    the deterministic (cents DESC, orderkey) order; precision@k is
+    micro-snapped PER POSITIVE before the sum (the dec_sum discipline),
+    so the final mean divides one exact bigint by the positive count.
+
+    Scale shape: one global ranked window (rank + running sum share the
+    sort), a filter to positives, a 1-row rollup. Per-model/per-segment
+    variants partition the window — same plan.
+    """
+    orders = load(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.orderBy(F.desc("cents"), "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    ranked = scored.select(
+        "label",
+        F.row_number().over(w).alias("rk"),
+        F.sum("label").over(wcum).alias("cum_pos"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    terms = ranked.filter(F.col("label") == 1).select(
+        "n",
+        F.floor(
+            F.col("cum_pos").cast("double") / F.col("rk") * 1000000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("prec_micro"),
+    )
+    return terms.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+        F.floor(
+            F.sum("prec_micro").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ap_micro"),
+        F.floor(
+            F.count(F.lit(1)).cast("double") / F.max("n") * 1000000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("baseline_micro"),
+    ).select(
+        F.col("n").cast("bigint").alias("n"), "n_pos", "ap_micro", "baseline_micro"
+    )

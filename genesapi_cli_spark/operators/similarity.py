@@ -2579,3 +2579,143 @@ def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_misfit"),
     )
+
+
+# --- q_sim_kmeans_step ------------------------------------------------------------
+
+_KM_K = 4  # seeds = vec_id 0..3 (deterministic farthest-point init is a variant)
+
+_KM_Q8_SQL = """
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(GREATEST(LEAST(floor(CAST(x AS DOUBLE) * 127 + 0.5), 127),
+                              -127) AS DOUBLE)) AS qv
+  FROM embeddings
+"""
+
+_KM_ORACLE = f"""
+WITH q8 AS ({_KM_Q8_SQL}
+), seeds AS (
+  SELECT vec_id AS cid, qv AS sv FROM q8 WHERE vec_id < {_KM_K}
+), scored AS (
+  SELECT e.vec_id, e.qv, s.cid,
+         CAST(list_dot_product(e.qv, e.qv)
+              - 2 * list_dot_product(e.qv, s.sv)
+              + list_dot_product(s.sv, s.sv) AS BIGINT) AS d2
+  FROM q8 e CROSS JOIN seeds s
+), best AS (
+  SELECT vec_id, qv, cid, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), dims AS (
+  SELECT cid, d, CAST(SUM(CAST(qv[CAST(d AS INT)] AS BIGINT)) AS BIGINT) AS sdim,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM best, UNNEST(range(1, 65)) AS t(d)
+  GROUP BY cid, d
+), shift AS (
+  SELECT dims.cid,
+         CAST(SUM((sdim - m * CAST(sv[CAST(d AS INT)] AS BIGINT))
+                  * (sdim - m * CAST(sv[CAST(d AS INT)] AS BIGINT)))
+              AS BIGINT) AS shift2_scaled,
+         CAST(MAX(m) AS BIGINT) AS m
+  FROM dims JOIN seeds ON seeds.cid = dims.cid
+  GROUP BY dims.cid
+)
+SELECT b.cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS m,
+       CAST(SUM(b.d2) AS BIGINT) AS inertia,
+       CAST(MAX(sh.shift2_scaled) AS BIGINT) AS shift2_scaled
+FROM best b JOIN shift sh ON sh.cid = b.cid
+GROUP BY b.cid
+"""
+
+
+@register("q_sim_kmeans_step", oracle=_KM_ORACLE)
+def q_sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXACT Lloyd iteration of k-means over the embedding table
+    (assignment + re-centering + movement certificate) — the distributed
+    clustering step q_sim_centroid (the M-step alone) and
+    q_sim_semantic_clusters (graph-based alternative) bracket: assign every
+    vector to its nearest of {_KM_K} deterministic seeds, report per
+    cluster the size, the inertia contribution (Σ min-d²), and the
+    m²-scaled squared centroid movement |S − m·c_old|² — the convergence
+    signal a k-means driver loops on (movement/m² → 0).
+
+    Exactness: int8-quantized vectors (the shared quantizer) make every
+    distance d² = |x|² − 2x·c + |c|² an exact bigint (≤ 64·254²), argmin
+    ties break on cluster id, and the movement stays m-scaled so NO
+    division exists anywhere — both engines agree bit-for-bit.
+
+    Scale shape: assignment is a broadcast of k seed vectors against a
+    linear scan (the IVF-assign shape — at 100 TB with large k, LSH/IVF
+    prunes the candidate centroids, same plan); re-centering is the
+    posexplode + (cluster, dim) map-side-combined aggregate of
+    q_sim_centroid; the whole iteration is two shuffles of narrow rows.
+    Looping = re-seeding from S/m and resubmitting — each iteration is
+    this exact plan (unrolled like q_graph_pagerank when iteration count
+    is fixed).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q8 = spread(emb, "vec_id").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.greatest(
+                F.least(F.floor(x.cast("double") * 127 + 0.5), F.lit(127).cast("long")),
+                F.lit(-127).cast("long"),
+            ),
+        ).alias("qv"),
+    )
+    seeds = q8.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("sv")
+    )
+    d2 = (
+        dot_expr("qv", "qv")
+        - 2 * dot_expr("qv", "sv")
+        + dot_expr("sv", "sv")
+    ).cast("bigint")
+    scored = q8.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "qv", "cid", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "cid", "d2")
+        .localCheckpoint(eager=False)
+    )
+    dims = (
+        best.select("cid", F.posexplode("qv").alias("pos", "xd"))
+        .groupBy("cid", (F.col("pos") + 1).alias("d"))
+        .agg(
+            F.sum("xd").cast("bigint").alias("sdim"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+    )
+    sdims = seeds.select(
+        "cid", F.posexplode("sv").alias("pos", "sd")
+    ).select("cid", (F.col("pos") + 1).alias("d"), "sd")
+    shift = (
+        dims.join(F.broadcast(sdims), ["cid", "d"])
+        .groupBy("cid")
+        .agg(
+            F.sum(
+                (F.col("sdim") - F.col("m") * F.col("sd"))
+                * (F.col("sdim") - F.col("m") * F.col("sd"))
+            )
+            .cast("bigint")
+            .alias("shift2_scaled")
+        )
+    )
+    return (
+        best.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("d2").cast("bigint").alias("inertia"),
+        )
+        .join(
+            F.broadcast(shift.select(F.col("cid").alias("cluster_id"), "shift2_scaled")),
+            "cluster_id",
+        )
+    )
