@@ -797,14 +797,26 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("tb"),
         F.col("p_size").alias("sb"),
     )
+    # Two provable no-ops that dodge quadratic DP work: (1) a length-delta
+    # prefilter — |len(a)−len(b)| ≤ d is NECESSARY for edit distance ≤ d —
+    # runs as a codegen integer compare in the join's residual predicate;
+    # (2) Spark's bounded levenshtein(a, b, threshold) early-exits the DP
+    # once the bound is exceeded (returns -1, which the ≤ filter drops —
+    # identical surviving set). The oracle keeps the unbounded form.
     pairs = a.join(
         b,
         (F.col("p_type") == F.col("tb"))
         & (F.col("p_size") == F.col("sb"))
-        & (F.col("ka") < F.col("kb")),
-    ).select("p_type", F.levenshtein("na", "nb").alias("dist"))
+        & (F.col("ka") < F.col("kb"))
+        & (
+            F.abs(F.length("na") - F.length("nb")) <= _FUZZY_MAX_DIST
+        ),
+    ).select(
+        "p_type",
+        F.levenshtein("na", "nb", _FUZZY_MAX_DIST).alias("dist"),
+    )
     return (
-        pairs.filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        pairs.filter((F.col("dist") >= 0) & (F.col("dist") <= _FUZZY_MAX_DIST))
         .groupBy("p_type", "dist")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
