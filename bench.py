@@ -47,14 +47,17 @@ def main() -> int:
     # 380-query suite (152.7s vs 167-179s, same host, same protocol) with no
     # real per-query regression — at sf0.1 almost every shuffle fits one
     # partition and the extra tasks are pure scheduling tax.
-    # Round-6 re-measure: 2 beats 4 by another ~8% (33.5/34.4 s vs 36.4 s on
-    # a 59-query every-7th subset, same host back-to-back); 1 measured equal
-    # to 2 within noise — 2 kept so genuinely parallel shuffles still get
-    # two-way overlap. As before: a real cluster leaves this HIGH and AQE
-    # owns coalescing; this knob only trims the local stage-barrier floor.
+    # Round-6 re-measure: 2-3 beat 4 by ~5-8% on the 59-query every-7th
+    # subset (31-34 s vs 36.4 s, same host back-to-back), but per-query
+    # A/B shows 2 costs the sort-heavy per-group windows ~0.4 s each
+    # (q_agg_trimmed 1.97 vs 1.48, q_agg_weighted_median 1.86 vs 1.25,
+    # q_tpch_q21 2.35 vs 1.91 — three returnflag groups want ≥3 sort
+    # partitions). 3 keeps the small-query win AND the group parallelism.
+    # As before: a real cluster leaves this HIGH and AQE owns coalescing;
+    # this knob only trims the local stage-barrier floor.
     spark = build_session(
         app_name="genesapi-bench",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "2")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "3")),
     )
 
     # Engine warmup so the first measured query of each kind isn't charged
