@@ -55,6 +55,22 @@ def _src_stamp(path: str) -> object:
         return None
 
 
+def derived_memo_key(spark: SparkSession, sf_dir: str, *tables: str) -> tuple:
+    """Memo key for session-memoized DERIVED relations (shared_ranked_cents,
+    shared_payload_frames, shared_copurchase_edges, …): (application,
+    sf_dir, source stamp per underlying table). ``_LOAD_MEMO`` keys on the
+    source mtime/size precisely so a rewritten path refreshes; a derived
+    memo keyed on (application, sf_dir) alone would keep serving frozen
+    rows after the dataset at that path is rewritten mid-session (test
+    fixtures, regenerated data). Including the same stamps here makes every
+    derived memo exactly as fresh as the loads it was built from."""
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        tuple(_src_stamp(f"{sf_dir}/{t}.parquet") for t in tables),
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. ``events.ts`` is normalized to THREE columns regardless
     of the physical parquet layout:

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load, spread
+from genesapi_cli_spark.io import derived_memo_key, load, spread
 from genesapi_cli_spark.registry import DEC, dec_avg, dec_sum, oracle_dec_avg, oracle_dec_sum, register
 
 # ---------------------------------------------------------------------------
@@ -1934,7 +1934,7 @@ _RANKED_CENTS_MEMO: dict = {}
 
 
 def shared_ranked_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = derived_memo_key(spark, sf_dir, "lineitem")
     df = _RANKED_CENTS_MEMO.get(key)
     if df is None:
         li = load(spark, sf_dir, "lineitem")

@@ -34,7 +34,7 @@ import operator
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load, spread
+from genesapi_cli_spark.io import derived_memo_key, load, spread
 from genesapi_cli_spark.operators.similarity import as_double, dot_expr
 from genesapi_cli_spark.registry import register
 
@@ -839,7 +839,7 @@ _BANDS_MEMO: dict = {}
 
 
 def shared_portable_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = derived_memo_key(spark, sf_dir, "documents")
     df = _BANDS_MEMO.get(key)
     if df is None:
         docs = spread(load(spark, sf_dir, "documents"), "doc_id")

@@ -2693,11 +2693,19 @@ def q_feature_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines cut identical deciles; counts are bigints and the two reported
     ratios are single snapped double divisions.
 
-    Scale shape: one global ranked window over the scored relation (a
-    range-partitioned sort at scale — ranks over ~10⁸ scored rows, not
-    facts), a ≤10-row aggregate, one window over those 10 rows. At 100 TB
-    with per-model/per-segment charts the rank window partitions by those
-    keys — same plan.
+    Scale shape — tie-block decomposition, NO fact-level global window:
+    the global rank over (cents DESC, orderkey) equals the row count of
+    all strictly-higher cents blocks (``start``, a cumulative sum over the
+    DISTINCT-cents relation — domain-bounded: at most one row per possible
+    price in cents, independent of fact count) plus the intra-block
+    row_number over a window PARTITIONED BY cents. So the only
+    unpartitioned window runs over the collapsed value distribution, the
+    per-row ranking is fully parallel across cents partitions, and the
+    join-back on cents reuses the window's hash partitioning (one
+    exchange, verified in the plan snapshot). Bit-identical to the single
+    global sort because o_orderkey is unique within a block. Same
+    machinery as q_feature_auc / q_events_mannwhitney value-distribution
+    ranks; collapse-first precedent q_abc_classification.
     """
     orders = load(spark, sf_dir, "orders")
     scored = orders.select(
@@ -2707,12 +2715,27 @@ def q_feature_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    w_rank = Window.orderBy(F.desc("cents"), "o_orderkey")
-    w_all = Window.partitionBy()
-    ranked = scored.select(
+    blocks = scored.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn")
+    )
+    w_off = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # total N rides the same sorted pass as the offsets — no second
+    # aggregate over blocks, no crossJoin, no duplicated subtree.
+    offs = blocks.select(
+        "cents",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("start"),
+        F.sum("bn").over(w_tot).cast("bigint").alias("nn"),
+    )
+    w_intra = Window.partitionBy("cents").orderBy("o_orderkey")
+    ranked = scored.join(offs, "cents").select(
         "label",
-        F.row_number().over(w_rank).alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("nn"),
+        "nn",
+        (F.col("start") + F.row_number().over(w_intra)).alias("rk"),
     )
     cells = ranked.groupBy(
         F.expr("((rk - 1) * 10) div nn").cast("bigint").alias("decile")
@@ -2721,10 +2744,14 @@ def q_feature_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("label").cast("bigint").alias("n_pos"),
         F.max("nn").cast("bigint").alias("nn"),
     )
-    tot = cells.agg(F.sum("n_pos").cast("bigint").alias("p"))
     w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_p = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum_pos = F.sum("n_pos").over(w_cum).cast("bigint")
-    return cells.crossJoin(F.broadcast(tot)).select(
+    # total positives P rides the same ≤10-row sorted pass as cum_pos —
+    # no second aggregate over cells, no crossJoin re-derivation.
+    return cells.withColumn("p", F.sum("n_pos").over(w_p)).select(
         "decile",
         "n",
         "n_pos",
@@ -2790,9 +2817,17 @@ def q_feature_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-snapped PER POSITIVE before the sum (the dec_sum discipline),
     so the final mean divides one exact bigint by the positive count.
 
-    Scale shape: one global ranked window (rank + running sum share the
-    sort), a filter to positives, a 1-row rollup. Per-model/per-segment
-    variants partition the window — same plan.
+    Scale shape — tie-block decomposition, NO fact-level global window
+    (same machinery as q_feature_lift): global rank = rows in
+    strictly-higher cents blocks (``start``) + intra-block row_number
+    partitioned by cents; the global running positive count decomposes
+    identically into ``pos_before`` + an intra-block cumulative sum over
+    the SAME cents-partitioned window, so rank and cum_pos share one
+    partitioned sort. The only unpartitioned window runs over the
+    collapsed distinct-cents relation (domain-bounded by the price range
+    in cents, not the fact count); N arrives as a broadcast 1-row total.
+    Bit-identical to the single global sort because o_orderkey is unique
+    within a block.
     """
     orders = load(spark, sf_dir, "orders")
     scored = orders.select(
@@ -2802,14 +2837,31 @@ def q_feature_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    w = Window.orderBy(F.desc("cents"), "o_orderkey")
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    ranked = scored.select(
+    blocks = scored.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn"),
+        F.sum("label").cast("bigint").alias("bpos"),
+    )
+    w_off = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # total N rides the same sorted pass as the offsets — no second
+    # aggregate over blocks, no crossJoin, no duplicated subtree.
+    offs = blocks.select(
+        "cents",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("start"),
+        F.coalesce(F.sum("bpos").over(w_off), F.lit(0)).alias("pos_before"),
+        F.sum("bn").over(w_tot).cast("bigint").alias("n"),
+    )
+    w_intra = Window.partitionBy("cents").orderBy("o_orderkey")
+    w_icum = w_intra.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = scored.join(offs, "cents").select(
         "label",
-        F.row_number().over(w).alias("rk"),
-        F.sum("label").over(wcum).alias("cum_pos"),
-        F.count(F.lit(1)).over(wall).alias("n"),
+        "n",
+        (F.col("start") + F.row_number().over(w_intra)).alias("rk"),
+        (F.col("pos_before") + F.sum("label").over(w_icum)).alias("cum_pos"),
     )
     terms = ranked.filter(F.col("label") == 1).select(
         "n",

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load, spread
+from genesapi_cli_spark.io import derived_memo_key, load, spread
 from genesapi_cli_spark.registry import register
 
 #: SQL shared by both graph oracles: the ≥2-support co-purchase edge list,
@@ -85,7 +85,7 @@ _EDGE_MEMO: dict = {}
 
 
 def shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = derived_memo_key(spark, sf_dir, "lineitem")
     df = _EDGE_MEMO.get(key)
     if df is None:
         df = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load
+from genesapi_cli_spark.io import derived_memo_key, load
 from genesapi_cli_spark.registry import oracle_dec_avg, register
 
 
@@ -475,7 +475,7 @@ _FRAMES_MEMO: dict = {}
 
 
 def shared_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = derived_memo_key(spark, sf_dir, "documents")
     df = _FRAMES_MEMO.get(key)
     if df is None:
         docs = load(spark, sf_dir, "documents")

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load, spread
+from genesapi_cli_spark.io import derived_memo_key, load, spread
 from genesapi_cli_spark.registry import DEC, register
 
 
@@ -97,7 +97,7 @@ _NORMED_MEMO: dict = {}
 
 
 def shared_normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = derived_memo_key(spark, sf_dir, "embeddings")
     df = _NORMED_MEMO.get(key)
     if df is None:
         df = (
@@ -1916,7 +1916,7 @@ _HAM_SIG_MEMO: dict = {}
 
 
 def _shared_ham_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = derived_memo_key(spark, sf_dir, "embeddings")
     df = _HAM_SIG_MEMO.get(key)
     if df is not None:
         return df
@@ -2533,8 +2533,11 @@ def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("xd") * F.col("sd")).cast("bigint").alias("dt"))
     )
     px = q8.select("vec_id", dot_expr("qv", "qv").cast("bigint").alias("x2"))
+    # px is O(|embeddings|) — one row per vector — so it must NOT carry a
+    # broadcast hint (at 100 TB that would OOM the driver); AQE picks the
+    # join strategy. The k-row cl relation below keeps its hint.
     dist = (
-        dots.join(F.broadcast(px), "vec_id")
+        dots.join(px, "vec_id")
         .join(F.broadcast(cl), "clabel")
         .select(
             "vec_id",
@@ -2678,11 +2681,24 @@ def q_sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = q8.crossJoin(F.broadcast(seeds)).select(
         "vec_id", "qv", "cid", d2.alias("d2")
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    # argmin via min_by over the unique (d2, cid) order key — map-side
+    # combinable (partial min per input partition, no shuffle+sort of the
+    # n·k scored rows, unlike a row_number window); the q_agg_argmax
+    # pattern. Tie-break identical to the former ORDER BY d2, cid because
+    # cid is distinct within a vec_id group.
     best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qv", "cid", "d2")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(F.struct("cid", "d2", "qv"), F.struct("d2", "cid")).alias(
+                "b"
+            )
+        )
+        .select(
+            "vec_id",
+            F.col("b.qv").alias("qv"),
+            F.col("b.cid").alias("cid"),
+            F.col("b.d2").alias("d2"),
+        )
         .localCheckpoint(eager=False)
     )
     dims = (

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load, spread
+from genesapi_cli_spark.io import derived_memo_key, load, spread
 from genesapi_cli_spark.registry import DEC, oracle_r4, r4, register
 
 # --- q_dedup_exact ----------------------------------------------------------
@@ -276,7 +276,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the oracle; golden-pair behavior (a one-word-changed near-dup pair
     must collide) is additionally pytest-pinned.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = derived_memo_key(spark, sf_dir, "documents")
     cached = _PAIRS_MEMO.get(key)
     if cached is not None:
         return cached

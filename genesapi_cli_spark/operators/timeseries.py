@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import load
+from genesapi_cli_spark.io import derived_memo_key, load
 from genesapi_cli_spark.registry import DEC, dec_sum, oracle_dec_sum, register
 
 #: integer cents snap for the 2-decimal `value` column — exact cross-engine.
@@ -4443,7 +4443,7 @@ _DAILY_CENTS_MEMO: dict = {}
 
 
 def shared_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = derived_memo_key(spark, sf_dir, "events")
     df = _DAILY_CENTS_MEMO.get(key)
     if df is None:
         ev = load(spark, sf_dir, "events")

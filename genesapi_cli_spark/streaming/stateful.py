@@ -138,7 +138,14 @@ def _ph_fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         c = int(math.floor(v * 100 + 0.5))
         t += 1
         s += c
-        msum += int(math.floor(s / t * 1_000_000 + 0.5))
+        # float(s) first — the batch/oracle compute CAST(s AS DOUBLE)/t
+        # (round s to double, THEN divide); Python's int/int true division
+        # rounds the exact rational instead and can differ by 1 ulp once
+        # s exceeds 2^53, which would diverge all downstream integer state.
+        # Same int64 bound as the batch docstring: |s|·1e6 must stay below
+        # 2^63, i.e. |s| < ~9.2e12 cents — certify, don't silently wrap.
+        assert abs(s) < (1 << 63) // 1_000_000, "page-hinkley micro-sum bound"
+        msum += int(math.floor(float(s) / t * 1_000_000 + 0.5))
         m = s * 1_000_000 - msum
         m_min = m if m_min is None else min(m_min, m)
         ph = m - m_min
