@@ -1933,25 +1933,32 @@ ORDER BY l_returnflag
 _RANKED_CENTS_MEMO: dict = {}
 
 
+def build_ranked_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-checkpointed ranked-cents plan — separate from the memoizing
+    wrapper so the plan-snapshot gate can fingerprint the shared subtree
+    itself (consumers only hash the post-checkpoint stump)."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wn = Window.partitionBy("l_returnflag")
+    return c.select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+
 def shared_ranked_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "lineitem")
     df = _RANKED_CENTS_MEMO.get(key)
     if df is None:
-        li = load(spark, sf_dir, "lineitem")
-        c = li.select(
-            "l_returnflag",
-            F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
-                "cents"
-            ),
-        )
-        w = Window.partitionBy("l_returnflag").orderBy("cents")
-        wn = Window.partitionBy("l_returnflag")
-        df = c.select(
-            "l_returnflag",
-            "cents",
-            F.row_number().over(w).alias("rk"),
-            F.count(F.lit(1)).over(wn).alias("n"),
-        ).localCheckpoint(eager=False)
+        df = build_ranked_cents(spark, sf_dir).localCheckpoint(eager=False)
         _RANKED_CENTS_MEMO[key] = df
     return df
 

@@ -838,12 +838,17 @@ def signatures_from_shingles(sh: DataFrame, *keys: str) -> DataFrame:
 _BANDS_MEMO: dict = {}
 
 
+def build_portable_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-checkpointed band plan — separate from the memoizing wrapper
+    so the plan-snapshot gate fingerprints the shared subtree."""
+    return portable_bands(spread(load(spark, sf_dir, "documents"), "doc_id"))
+
+
 def shared_portable_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "documents")
     df = _BANDS_MEMO.get(key)
     if df is None:
-        docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-        df = portable_bands(docs).localCheckpoint(eager=False)
+        df = build_portable_bands(spark, sf_dir).localCheckpoint(eager=False)
         _BANDS_MEMO[key] = df
     return df
 

@@ -84,13 +84,17 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
 _EDGE_MEMO: dict = {}
 
 
+def build_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-checkpointed edge plan — separate from the memoizing wrapper
+    so the plan-snapshot gate fingerprints the shared subtree."""
+    return copurchase_edges(load(spark, sf_dir, "lineitem"))
+
+
 def shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "lineitem")
     df = _EDGE_MEMO.get(key)
     if df is None:
-        df = copurchase_edges(load(spark, sf_dir, "lineitem")).localCheckpoint(
-            eager=False
-        )
+        df = build_copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
         _EDGE_MEMO[key] = df
     return df
 

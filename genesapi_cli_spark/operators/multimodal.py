@@ -474,19 +474,25 @@ def _subframe_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 _FRAMES_MEMO: dict = {}
 
 
+def build_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-checkpointed framing plan — separate from the memoizing
+    wrapper so the plan-snapshot gate fingerprints the shared subtree."""
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.filter(F.length("text") > 0).select(
+        "doc_id", "lang", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return assets.mapInPandas(
+        _subframe_stats,
+        schema="doc_id long, lang string, sub_idx long, n_samples long,"
+        " bsum long, sqsum long",
+    )
+
+
 def shared_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "documents")
     df = _FRAMES_MEMO.get(key)
     if df is None:
-        docs = load(spark, sf_dir, "documents")
-        assets = docs.filter(F.length("text") > 0).select(
-            "doc_id", "lang", F.encode(F.col("text"), "UTF-8").alias("payload")
-        )
-        df = assets.mapInPandas(
-            _subframe_stats,
-            schema="doc_id long, lang string, sub_idx long, n_samples long,"
-            " bsum long, sqsum long",
-        ).localCheckpoint(eager=False)
+        df = build_payload_frames(spark, sf_dir).localCheckpoint(eager=False)
         _FRAMES_MEMO[key] = df
     return df
 
@@ -845,18 +851,34 @@ def q_multimodal_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity engineering: integer bytes, integer running sum, integer
     floor-division — zero floats.
 
-    Scale shape: the global ordered running sum is the one genuinely
-    sequential step; at 100 TB it runs per coarse partition (e.g. per
-    source/date) with per-partition byte offsets composed additively —
-    same math, no global sort. The payload column itself never moves:
+    Scale shape — two-level block-offset composition, NO fact-level global
+    window (the q_feature_lift tie-block machinery with doc_id div 2¹⁶ as
+    the block key, monotone in doc_id so block order = doc order): the
+    per-block byte totals collapse 65536× to a tiny relation, ONE
+    unpartitioned cumulative window over THAT yields each block's byte
+    offset, and the per-row running sum is a window PARTITIONED BY block —
+    fully parallel; cum_bytes = block_offset + intra-block running sum,
+    bit-identical to the single global sort. The join-back on blk reuses
+    the window's hash partitioning. The payload column itself never moves:
     only (doc_id, bytes) enters the window."""
     docs = load(spark, sf_dir, "documents")
-    assets = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("bytes"))
-    sharded = assets.select(
+    assets = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("bytes"),
+        F.expr("doc_id div 65536").alias("blk"),
+    )
+    bsum = assets.groupBy("blk").agg(F.sum("bytes").cast("bigint").alias("bb"))
+    w_off = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bsum.select(
+        "blk", F.coalesce(F.sum("bb").over(w_off), F.lit(0)).alias("boff")
+    )
+    sharded = assets.join(offs, "blk").select(
         "doc_id",
         "bytes",
-        F.expr(f"(SUM(bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1)"
-               f" div {_SHARD_BYTES}").alias("shard_id"),
+        F.expr(
+            f"(boff + SUM(bytes) OVER (PARTITION BY blk ORDER BY doc_id"
+            f" ROWS UNBOUNDED PRECEDING) - 1) div {_SHARD_BYTES}"
+        ).alias("shard_id"),
     )
     return (
         sharded.groupBy("shard_id")

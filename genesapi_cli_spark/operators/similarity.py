@@ -96,21 +96,27 @@ def dot_lit_expr(a: str, coeffs: list[float]) -> Column:
 _NORMED_MEMO: dict = {}
 
 
+def build_normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-checkpointed normed-embeddings plan — separate from the
+    memoizing wrapper so the plan-snapshot gate fingerprints the shared
+    subtree."""
+    return (
+        spread(load(spark, sf_dir, "embeddings"), "vec_id")
+        .select("vec_id", "label", as_double("embedding").alias("emb"))
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            F.sqrt(dot_expr("emb", "emb")).alias("nrm"),
+        )
+    )
+
+
 def shared_normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "embeddings")
     df = _NORMED_MEMO.get(key)
     if df is None:
-        df = (
-            spread(load(spark, sf_dir, "embeddings"), "vec_id")
-            .select("vec_id", "label", as_double("embedding").alias("emb"))
-            .select(
-                "vec_id",
-                "label",
-                "emb",
-                F.sqrt(dot_expr("emb", "emb")).alias("nrm"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        df = build_normed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
         _NORMED_MEMO[key] = df
     return df
 
@@ -1915,16 +1921,15 @@ def _ham_sig_sql() -> str:
 _HAM_SIG_MEMO: dict = {}
 
 
-def _shared_ham_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = derived_memo_key(spark, sf_dir, "embeddings")
-    df = _HAM_SIG_MEMO.get(key)
-    if df is not None:
-        return df
+def _ham_sig_batches():
+    """Arrow batch fn computing all {_HAM_N_PLANES} sign bits in ONE exact
+    int64 matmul per batch — shared by the memoizing wrapper and the
+    snapshot-gate builder."""
     import numpy as np
     import pandas as pd
 
     planes_t = _HPLANES_INT.T  # dim x n_planes
-    pow2 = (np.int64(1) << np.arange(_HAM_N_PLANES, dtype=np.int64))
+    pow2 = np.int64(1) << np.arange(_HAM_N_PLANES, dtype=np.int64)
 
     def sig_batches(it):
         for pdf in it:
@@ -1938,9 +1943,29 @@ def _shared_ham_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out = pdf.assign(sg=pd.Series([], dtype="int64"))
             yield out[["vec_id", "emb", "nrm", "sg"]]
 
+    return sig_batches
+
+
+def build_ham_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-checkpointed signature plan over the UN-checkpointed normed
+    embeddings — for the plan-snapshot gate, so an edit to the Arrow stage
+    or its upstream shows up as a fingerprint diff."""
+    e = build_normed_embeddings(spark, sf_dir)
+    return e.select("vec_id", "emb", "nrm").mapInPandas(
+        _ham_sig_batches(),
+        "vec_id bigint, emb array<double>, nrm double, sg bigint",
+    )
+
+
+def _shared_ham_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = derived_memo_key(spark, sf_dir, "embeddings")
+    df = _HAM_SIG_MEMO.get(key)
+    if df is not None:
+        return df
     e = shared_normed_embeddings(spark, sf_dir)
     df = e.select("vec_id", "emb", "nrm").mapInPandas(
-        sig_batches, "vec_id bigint, emb array<double>, nrm double, sg bigint"
+        _ham_sig_batches(),
+        "vec_id bigint, emb array<double>, nrm double, sg bigint",
     ).localCheckpoint(eager=False)
     _HAM_SIG_MEMO[key] = df
     return df

@@ -262,9 +262,10 @@ _NEAR_MINHASH_ORACLE = f"WITH {near_minhash_oracle_ctes()}\nSELECT doc_a, doc_b 
 _PAIRS_MEMO: dict = {}
 
 
-@register("q_dedup_near_minhash", oracle=_NEAR_MINHASH_ORACLE)
-def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash-LSH over word 3-shingles.
+def build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-checkpointed MinHash-LSH pair plan — separate from the
+    memoizing registry entry so the plan-snapshot gate fingerprints the
+    shared subtree itself (consumers hash the post-checkpoint stump).
 
     Pipeline: explode shingle positions into a flat whole-stage-codegen
     projection, sha256 each 3-word shingle ONCE, derive all 32 minhash
@@ -272,14 +273,8 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (portable: the DuckDB oracle reproduces every value bit-for-bit) → 32
     per-seed MIN aggregates in ONE groupBy (MIN is duplicate-insensitive,
     so no per-doc distinct is needed) → 8 arithmetic band keys →
-    bucket-local pair generation. The ENTIRE candidate set is value-checked
-    by the oracle; golden-pair behavior (a one-word-changed near-dup pair
-    must collide) is additionally pytest-pinned.
+    bucket-local pair generation.
     """
-    key = derived_memo_key(spark, sf_dir, "documents")
-    cached = _PAIRS_MEMO.get(key)
-    if cached is not None:
-        return cached
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     base = docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("parts"))
     p = F.col("parts")
@@ -351,12 +346,27 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
+    return (
         buckets.select(F.explode(pair_array).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+
+
+@register("q_dedup_near_minhash", oracle=_NEAR_MINHASH_ORACLE)
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH over word 3-shingles —
+    see build_minhash_pairs for the full pipeline narration. The ENTIRE
+    candidate set is value-checked by the oracle; golden-pair behavior (a
+    one-word-changed near-dup pair must collide) is additionally
+    pytest-pinned. Session-memoized: q_dedup_clusters and q_dedup_keep
+    consume the same pair relation (the persisted-LSH-pair-table analog).
+    """
+    key = derived_memo_key(spark, sf_dir, "documents")
+    cached = _PAIRS_MEMO.get(key)
+    if cached is not None:
+        return cached
+    pairs = build_minhash_pairs(spark, sf_dir).localCheckpoint(eager=False)
     _PAIRS_MEMO[key] = pairs
     return pairs
 

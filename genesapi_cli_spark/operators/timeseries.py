@@ -4442,21 +4442,26 @@ _PGRAM_TRIG_MEMO: dict = {}
 _DAILY_CENTS_MEMO: dict = {}
 
 
+def build_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-checkpointed daily-rollup plan — separate from the memoizing
+    wrapper so the plan-snapshot gate fingerprints the shared subtree."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+            F.expr(_CENTS).alias("c"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+
+
 def shared_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "events")
     df = _DAILY_CENTS_MEMO.get(key)
     if df is None:
-        ev = load(spark, sf_dir, "events")
-        df = (
-            ev.select(
-                "event_type",
-                F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
-                F.expr(_CENTS).alias("c"),
-            )
-            .groupBy("event_type", "day_idx")
-            .agg(F.sum("c").cast("bigint").alias("cents"))
-            .localCheckpoint(eager=False)
-        )
+        df = build_daily_cents(spark, sf_dir).localCheckpoint(eager=False)
         _DAILY_CENTS_MEMO[key] = df
     return df
 
