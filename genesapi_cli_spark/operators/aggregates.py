@@ -1107,40 +1107,24 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the defining inequality 2·cum ≥ tot is pure integer comparison — no
     interpolation, no floats anywhere, bit-exact across engines.
 
-    Scale shape: facts first collapse to one row per (group, price) — the
-    only full-data shuffle — then the cumulative window and the threshold
-    scan run over the collapsed distribution (|distinct prices| rows). This
-    is the exact-percentile-at-scale pattern when the value domain is
-    bounded (quantized prices), beating a global sort of raw facts.
+    Scale shape: fourth consumer of the shared ranked-cents relation
+    (build_ranked_cents) — the per-flag sorted pass with row-level
+    quantity cumulatives runs ONCE per session for the whole
+    robust-statistics family. Row-level cumulation is equivalent to the
+    oracle's per-price aggregation: within a tie block of equal cents the
+    threshold 2·cum ≥ tot can only first hold at that block's price, so
+    MIN(price) picks the identical crossing. At measured sf the distinct
+    (flag, cents) relation is ~99% of the fact count (prices are
+    near-continuous), so collapsing first buys nothing — sharing the sort
+    does.
     """
-    li = load(spark, sf_dir, "lineitem")
-    per_price = (
-        li.groupBy(
-            "l_returnflag",
-            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-            .cast("bigint")
-            .alias("price_cents"),
-        )
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
-    )
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price_cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("l_returnflag")
-    cum = per_price.select(
-        "l_returnflag",
-        "price_cents",
-        F.sum("qty").over(w_cum).alias("cum_qty"),
-        F.sum("qty").over(w_all).alias("tot_qty"),
-    )
+    ranked = shared_ranked_cents(spark, sf_dir)
     return (
-        cum.filter(2 * F.col("cum_qty") >= F.col("tot_qty"))
+        ranked.filter(2 * F.col("cum_qty") >= F.col("tot_qty"))
         .groupBy("l_returnflag")
         .agg(
-            F.min("price_cents").alias("wmedian_cents"),
-            F.max("tot_qty").alias("tot_qty"),
+            F.min("cents").alias("wmedian_cents"),
+            F.max("tot_qty").cast("bigint").alias("tot_qty"),
         )
     )
 
@@ -1924,11 +1908,13 @@ ORDER BY l_returnflag
 
 
 #: Session memo of the rank-statistics family's common prefix: lineitem
-#: prices as exact cents, ranked per return flag with the group size —
-#: (l_returnflag, cents, rk, n). Consumed by q_agg_trimmed and (twice,
-#: caps + clamp) by q_agg_winsorized; the 600k-row per-group sort runs
-#: once per (session, sf_dir) instead of three times. At 100 TB this is
-#: the sorted/ranked projection a warehouse materializes once for its
+#: prices as exact cents, ranked per return flag with the group size and
+#: the quantity-weight cumulatives — (l_returnflag, cents, rk, n, qty,
+#: cum_qty, tot_qty); all five window columns ride ONE per-flag sort.
+#: Consumed by q_agg_trimmed, (twice, caps + clamp) q_agg_winsorized, and
+#: q_agg_weighted_median; the 600k-row per-group sort runs once per
+#: (session, sf_dir) instead of four times. At 100 TB this is the
+#: sorted/ranked projection a warehouse materializes once for its
 #: robust-statistics suite. Results identical with or without the memo.
 _RANKED_CENTS_MEMO: dict = {}
 
@@ -1943,14 +1929,19 @@ def build_ranked_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
             "cents"
         ),
+        F.col("l_quantity").cast("bigint").alias("qty"),
     )
     w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
     wn = Window.partitionBy("l_returnflag")
     return c.select(
         "l_returnflag",
         "cents",
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(wn).alias("n"),
+        "qty",
+        F.sum("qty").over(wc).alias("cum_qty"),
+        F.sum("qty").over(wn).alias("tot_qty"),
     )
 
 

@@ -1525,8 +1525,14 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stage 3: near-dup via portable LSH bands over stage-2 survivors,
     # keep-first within band group (band-min window instead of a min-agg +
-    # join-back — one shuffle on the band key).
-    bands = portable_bands(d.filter(F.col("s2")).select("doc_id", "lang", "text"))
+    # join-back — one shuffle on the band key). A doc's band values depend
+    # only on its own shingles, so bands(survivors) = the session-shared
+    # whole-corpus band relation (shared_portable_bands — materialized once
+    # for the whole dedup family) inner-joined to the survivor ids: a
+    # narrow-row doc_id shuffle replaces re-running the shingle→sha256→
+    # signature pipeline on the survivor subset.
+    surv = d.filter(F.col("s2")).select("doc_id")
+    bands = shared_portable_bands(spark, sf_dir).join(surv, "doc_id")
     wb = Window.partitionBy("lang", "band", "k1", "k2")
     drop3 = (
         bands.withColumn("bmin_doc", F.min("doc_id").over(wb))

@@ -660,7 +660,21 @@ def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h60")
         )
     )
-    bands = h.select(
+    # Candidate generation stays a band-keyed EQUI-self-join — measured
+    # here, text prefixes are low-entropy so band buckets have whales
+    # (1,338 docs share band 0's all-ones value at sf0.1 → ~0.9M pairs in
+    # one bucket); the q_dedup_near_minhash collect-the-bucket form would
+    # put that whole fan-out in ONE task's array (and OOM it at scale),
+    # while the hash join spreads whale fan-out across tasks. Two plan
+    # fixes instead: (1) the per-doc signature relation is materialized
+    # (localCheckpoint — 2 ints/doc, the persisted-signature-table analog),
+    # so the join's two sides read cached blocks rather than recomputing
+    # the whole hash pipeline twice; (2) the cheap bit_count verification
+    # runs BEFORE the pair distinct, so the distinct shuffles only pairs
+    # that already pass the hamming budget (~10³) instead of every
+    # band-collision candidate (~2.3M at sf0.1).
+    sig = h.localCheckpoint(eager=False)
+    bands = sig.select(
         "doc_id",
         "h60",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
@@ -682,17 +696,17 @@ def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_idx",
         "band_val",
     )
-    cand = (
+    return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AHASH_MAXDIST)
         .distinct()
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"),
-    ).filter(F.col("hamming") <= _AHASH_MAXDIST)
 
 
 # --- q_multimodal_align ------------------------------------------------------
