@@ -2233,6 +2233,96 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_agg_iqr ---------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM c
+), q AS (
+  SELECT l_returnflag,
+         MIN(CASE WHEN 4 * rk >= n THEN cents END) AS q1_cents,
+         MIN(CASE WHEN 2 * rk >= n THEN cents END) AS med_cents,
+         MIN(CASE WHEN 4 * rk >= 3 * n THEN cents END) AS q3_cents
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT c.l_returnflag,
+       CAST(MAX(q.q1_cents) AS BIGINT) AS q1_cents,
+       CAST(MAX(q.med_cents) AS BIGINT) AS med_cents,
+       CAST(MAX(q.q3_cents) AS BIGINT) AS q3_cents,
+       CAST(MAX(q.q3_cents - q.q1_cents) AS BIGINT) AS iqr_cents,
+       CAST(SUM(CASE WHEN 2 * c.cents < 2 * q.q1_cents - 3 * (q.q3_cents - q.q1_cents)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN 2 * c.cents > 2 * q.q3_cents + 3 * (q.q3_cents - q.q1_cents)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM c JOIN q ON c.l_returnflag = q.l_returnflag
+GROUP BY c.l_returnflag
+ORDER BY c.l_returnflag
+"""
+
+
+@register("q_agg_iqr", oracle=_IQR_ORACLE)
+def q_agg_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles + Tukey-fence outlier counts per return flag — the box-plot
+    aggregate (Q1/median/Q3/IQR and how many points sit beyond the 1.5·IQR
+    fences), the robust dispersion profile next to the trimmed/winsorized
+    means and the MAD screen.
+
+    Parity: type-1 (smallest-value-reaching-the-rank) quartiles are pure
+    integer threshold scans (4·rk ≥ n etc.) over the shared ranked-cents
+    relation, and the 1.5·IQR fences stay integral by comparing DOUBLED
+    cents against 2·q1 − 3·IQR / 2·q3 + 3·IQR — no floats anywhere.
+
+    Scale shape: fifth consumer of the shared per-flag sorted pass
+    (build_ranked_cents); quartiles are one conditional-min aggregate over
+    it, the 3-row fence table broadcasts back onto the same relation, and
+    the outlier counts ride one grouped pass."""
+    ranked = shared_ranked_cents(spark, sf_dir)
+    q = ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(4 * F.col("rk") >= F.col("n"), F.col("cents")))
+        .cast("bigint")
+        .alias("q1_cents"),
+        F.min(F.when(2 * F.col("rk") >= F.col("n"), F.col("cents")))
+        .cast("bigint")
+        .alias("med_cents"),
+        F.min(F.when(4 * F.col("rk") >= 3 * F.col("n"), F.col("cents")))
+        .cast("bigint")
+        .alias("q3_cents"),
+    )
+    iqr = F.col("q3_cents") - F.col("q1_cents")
+    joined = ranked.select("l_returnflag", "cents").join(
+        F.broadcast(q), "l_returnflag"
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.max("q1_cents").cast("bigint").alias("q1_cents"),
+            F.max("med_cents").cast("bigint").alias("med_cents"),
+            F.max("q3_cents").cast("bigint").alias("q3_cents"),
+            F.max(iqr).cast("bigint").alias("iqr_cents"),
+            F.sum(
+                F.when(2 * F.col("cents") < 2 * F.col("q1_cents") - 3 * iqr, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low_outliers"),
+            F.sum(
+                F.when(2 * F.col("cents") > 2 * F.col("q3_cents") + 3 * iqr, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_high_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --- q_agg_hhi ---------------------------------------------------------------
 
 _HHI_ORACLE = """

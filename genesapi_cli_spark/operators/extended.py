@@ -2886,3 +2886,467 @@ def q_feature_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("n").cast("bigint").alias("n"), "n_pos", "ap_micro", "baseline_micro"
     )
+
+
+# --- q_feature_ks -----------------------------------------------------------
+
+_KS_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), vals AS (
+  SELECT cents,
+         CAST(SUM(label) AS BIGINT) AS n1_v,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM scored GROUP BY cents
+), cum AS (
+  SELECT cents,
+         SUM(n1_v) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         SUM(t) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tot,
+         SUM(n1_v) OVER () AS p,
+         SUM(t) OVER () AS nn
+  FROM vals
+), diffs AS (
+  SELECT cents, p, nn - p AS q,
+         ABS(cum_pos * (nn - p) - (cum_tot - cum_pos) * p) AS xdiff
+  FROM cum
+), best AS (
+  SELECT cents, p, q, xdiff,
+         ROW_NUMBER() OVER (ORDER BY xdiff DESC, cents) AS rn
+  FROM diffs
+)
+SELECT CAST(p AS BIGINT) AS n_pos,
+       CAST(q AS BIGINT) AS n_neg,
+       CAST(cents AS BIGINT) AS at_cents,
+       CAST(FLOOR(CAST(xdiff AS DOUBLE) / (CAST(p AS DOUBLE) * CAST(q AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS ks_micro
+FROM best WHERE rn = 1
+"""
+
+
+@register("q_feature_ks", oracle=_KS_ORACLE)
+def q_feature_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov separation between the positive and
+    negative classes' score distributions — the credit-scoring industry's
+    default discrimination statistic (the "KS" in every scorecard report):
+    D = max over thresholds |CDF_pos − CDF_neg|, with the achieving score
+    value reported as the natural operating threshold. Completes the
+    feature-screen family (AUC = rank view, PR-AUC = imbalance view,
+    lift = decile view, KS = single-best-cut view).
+
+    Parity: the CDF difference is computed as the CROSS-MULTIPLIED exact
+    integer |cum_pos·N_neg − cum_neg·N_pos| (no per-threshold division),
+    the argmax is deterministic (ties break to the smallest score), and
+    only the reported D gets one micro-snapped double division.
+
+    Scale shape: the q_feature_auc value-distribution machinery — one
+    groupBy collapses facts to distinct score values, every window
+    (cumulative CDF, totals, argmax rank) runs over that domain-bounded
+    relation, never over rows. No fact-level sort exists anywhere.
+    """
+    orders = load(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    vals = scored.groupBy("cents").agg(
+        F.sum("label").cast("bigint").alias("n1_v"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "cents",
+        F.sum("n1_v").over(w_cum).alias("cum_pos"),
+        F.sum("t").over(w_cum).alias("cum_tot"),
+        F.sum("n1_v").over(w_tot).alias("p"),
+        F.sum("t").over(w_tot).alias("nn"),
+    )
+    diffs = cum.select(
+        "cents",
+        "p",
+        (F.col("nn") - F.col("p")).alias("q"),
+        F.abs(
+            F.col("cum_pos") * (F.col("nn") - F.col("p"))
+            - (F.col("cum_tot") - F.col("cum_pos")) * F.col("p")
+        ).alias("xdiff"),
+    )
+    w_best = Window.orderBy(F.desc("xdiff"), "cents")
+    return (
+        diffs.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p").cast("bigint").alias("n_pos"),
+            F.col("q").cast("bigint").alias("n_neg"),
+            F.col("cents").cast("bigint").alias("at_cents"),
+            F.floor(
+                F.col("xdiff").cast("double")
+                / (F.col("p").cast("double") * F.col("q").cast("double"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ks_micro"),
+        )
+    )
+
+
+# --- q_feature_psi ----------------------------------------------------------
+
+_PSI_PIVOT = "1998-01-01"
+
+_PSI_ORACLE = f"""
+WITH scored AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '{_PSI_PIVOT}' THEN 0 ELSE 1 END
+           AS period,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), v AS (
+  SELECT period, cents, CAST(COUNT(*) AS BIGINT) AS c
+  FROM scored GROUP BY period, cents
+), va AS (
+  SELECT cents, c,
+         SUM(c) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS na
+  FROM v WHERE period = 0
+), edges AS (
+  SELECT cents AS edge
+  FROM va, UNNEST(range(CAST((10 * (cum - c)) // na + 1 AS BIGINT),
+                        CAST(LEAST((10 * cum) // na, 9) + 1 AS BIGINT))) AS t(i)
+  WHERE (10 * cum) // na >= (10 * (cum - c)) // na + 1
+    AND (10 * (cum - c)) // na + 1 <= 9
+), bucketed AS (
+  SELECT v.period, v.c,
+         (SELECT COUNT(*) FROM edges e WHERE v.cents > e.edge) AS bucket
+  FROM v
+), cells AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(CASE WHEN period = 0 THEN c END), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN period = 1 THEN c END), 0) AS BIGINT) AS n_b
+  FROM bucketed GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN period = 0 THEN c END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN period = 1 THEN c END) AS BIGINT) AS nb
+  FROM v
+), terms AS (
+  SELECT bucket, n_a, n_b,
+         CAST(FLOOR((CAST(n_a + 1 AS DOUBLE) / (na + 10)
+                     - CAST(n_b + 1 AS DOUBLE) / (nb + 10))
+             * (FLOOR(LN((CAST(n_a + 1 AS DOUBLE) / (na + 10))
+                         / (CAST(n_b + 1 AS DOUBLE) / (nb + 10)))
+                      * 1000000 + 0.5) / 1000000.0)
+             * 1000000 + 0.5) AS BIGINT) AS term_micro
+  FROM cells CROSS JOIN tot
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_a, n_b, term_micro,
+       CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro
+FROM terms
+"""
+
+
+@register("q_feature_psi", oracle=_PSI_ORACLE)
+def q_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time periods of the score
+    distribution — THE production drift alarm for deployed models and
+    training-data mixes: cut the baseline period's scores into 10
+    equal-count buckets, compare each bucket's share across periods,
+    PSI = Σ (p_a − p_b)·ln(p_a/p_b) (rule of thumb: >0.1 investigate,
+    >0.25 retrain). Laplace-smoothed shares ((n+1)/(N+10)) keep empty
+    buckets finite — documented, applied identically in both engines.
+
+    Parity: decile edges are exact integer threshold arithmetic over the
+    baseline's value distribution; bucket membership is value-defined
+    (v > edge, deterministic under ties); each ln ratio of exact rationals
+    is micro-snapped BEFORE the product and each term micro-snapped before
+    the cross-bucket sum, so the final PSI is an exact bigint sum.
+
+    Scale shape: one (period, value) groupBy collapses facts; the edge
+    derivation (cumulative window + block arithmetic — which deciles cross
+    inside this value's run) and everything after runs over the
+    domain-bounded distinct-value relation; the 9-edge array broadcasts.
+    No fact-level sort, no per-row rank.
+    """
+    orders = load(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.when(F.col("o_orderdate") < F.lit(_PSI_PIVOT).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    v = scored.groupBy("period", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    va = (
+        v.filter(F.col("period") == 0)
+        .select(
+            "cents",
+            "c",
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_tot).alias("na"),
+        )
+    )
+    lo = F.expr("(10 * (cum - c)) div na + 1")
+    hi = F.least(F.expr("(10 * cum) div na"), F.lit(9).cast("bigint"))
+    edges = (
+        va.filter((hi >= lo) & (lo <= 9))
+        .select(F.explode(F.sequence(lo, hi)).alias("i"), F.col("cents").alias("edge"))
+    )
+    earr = edges.agg(F.sort_array(F.collect_list("edge")).alias("earr"))
+    bucketed = v.crossJoin(F.broadcast(earr)).select(
+        "period",
+        "c",
+        F.size(F.filter("earr", lambda e: F.col("cents") > e)).alias("bucket"),
+    )
+    cells = bucketed.groupBy("bucket").agg(
+        F.coalesce(F.sum(F.when(F.col("period") == 0, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("period") == 1, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = v.agg(
+        F.sum(F.when(F.col("period") == 0, F.col("c"))).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("period") == 1, F.col("c"))).cast("bigint").alias("nb"),
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("na") + 10)
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("nb") + 10)
+    lnr = F.floor(F.log(pa / pb) * 1000000 + F.lit(0.5)) / 1000000.0
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.floor((pa - pb) * lnr * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    w10 = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return terms.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_a",
+        "n_b",
+        "term_micro",
+        F.sum("term_micro").over(w10).cast("bigint").alias("psi_micro"),
+    )
+
+
+# --- q_feature_iv -----------------------------------------------------------
+
+_IV_ORACLE = """
+WITH scored AS (
+  SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT label,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey) AS rk,
+         COUNT(*) OVER () AS nn
+  FROM scored
+), cells AS (
+  SELECT CAST(((rk - 1) * 10) // nn AS BIGINT) AS decile,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg
+  FROM ranked GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS p, CAST(SUM(n_neg) AS BIGINT) AS q
+  FROM cells
+), terms AS (
+  SELECT decile, n_pos, n_neg,
+         CAST(FLOOR(LN((CAST(n_pos + 1 AS DOUBLE) / (p + 10))
+                       / (CAST(n_neg + 1 AS DOUBLE) / (q + 10)))
+                    * 1000000 + 0.5) AS BIGINT) AS woe_micro,
+         CAST(FLOOR((CAST(n_pos + 1 AS DOUBLE) / (p + 10)
+                     - CAST(n_neg + 1 AS DOUBLE) / (q + 10))
+             * (FLOOR(LN((CAST(n_pos + 1 AS DOUBLE) / (p + 10))
+                         / (CAST(n_neg + 1 AS DOUBLE) / (q + 10)))
+                      * 1000000 + 0.5) / 1000000.0)
+             * 1000000 + 0.5) AS BIGINT) AS iv_term_micro
+  FROM cells CROSS JOIN tot
+)
+SELECT decile, n_pos, n_neg, woe_micro, iv_term_micro,
+       CAST(SUM(iv_term_micro) OVER () AS BIGINT) AS iv_micro
+FROM terms
+"""
+
+
+@register("q_feature_iv", oracle=_IV_ORACLE)
+def q_feature_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value table per score decile — the
+    scorecard-binning readout that ranks candidate features before model
+    fit (rule of thumb: IV < 0.02 useless, > 0.5 suspicious/leaky), the
+    distribution-shape complement of q_feature_auc/q_feature_ks. WoE_i =
+    ln(share-of-positives / share-of-negatives) per bucket, IV = Σ
+    (p_i − q_i)·WoE_i; Laplace smoothing ((n+1)/(N+10)) keeps one-class
+    buckets finite, identically in both engines.
+
+    Parity: deciles come from the same tie-block machinery as
+    q_feature_lift (exact integer ((rk−1)·10) div N); each WoE ln of
+    exact smoothed rationals is micro-snapped before the product and each
+    IV term micro-snapped before the sum, so IV is an exact bigint sum.
+
+    Scale shape: identical to q_feature_lift — block offsets from the
+    collapsed distinct-cents relation, intra-block ranks partitioned by
+    cents, a ≤10-row cells relation, windows only over collapsed inputs.
+    """
+    orders = load(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    blocks = scored.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn")
+    )
+    w_off = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = blocks.select(
+        "cents",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("start"),
+        F.sum("bn").over(w_tot).cast("bigint").alias("nn"),
+    )
+    w_intra = Window.partitionBy("cents").orderBy("o_orderkey")
+    ranked = scored.join(offs, "cents").select(
+        "label",
+        "nn",
+        (F.col("start") + F.row_number().over(w_intra)).alias("rk"),
+    )
+    cells = ranked.groupBy(
+        F.expr("((rk - 1) * 10) div nn").cast("bigint").alias("decile")
+    ).agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("n_neg"),
+    )
+    w10 = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cells = cells.select(
+        "decile",
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(w10).alias("p"),
+        F.sum("n_neg").over(w10).alias("q"),
+    )
+    pi = (F.col("n_pos") + 1).cast("double") / (F.col("p") + 10)
+    qi = (F.col("n_neg") + 1).cast("double") / (F.col("q") + 10)
+    woe = F.floor(F.log(pi / qi) * 1000000 + F.lit(0.5)).cast("bigint")
+    terms = cells.select(
+        "decile",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe_micro"),
+        F.floor((pi - qi) * (woe.cast("double") / 1000000.0) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("iv_term_micro"),
+    )
+    return terms.select(
+        "decile",
+        "n_pos",
+        "n_neg",
+        "woe_micro",
+        "iv_term_micro",
+        F.sum("iv_term_micro").over(w10).cast("bigint").alias("iv_micro"),
+    )
+
+
+# --- q_feature_target_encoding ------------------------------------------------
+
+_TENC_M = 10  # smoothing pseudo-count toward the global prior
+
+_TENC_ORACLE = f"""
+WITH scored AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+  FROM orders
+), g AS (
+  SELECT o_orderkey, label,
+         CAST(SUM(label) OVER (PARTITION BY o_custkey) AS BIGINT) AS sg,
+         CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS ng
+  FROM scored
+), tot AS (
+  SELECT CAST(SUM(label) AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS nn
+  FROM scored
+)
+SELECT o_orderkey,
+       CAST(ng AS BIGINT) AS group_n,
+       CAST(FLOOR(CAST((sg - label) * nn + {_TENC_M} * p AS DOUBLE)
+                  / CAST((ng - 1 + {_TENC_M}) * nn AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS enc_micro
+FROM g CROSS JOIN tot
+"""
+
+
+@register("q_feature_target_encoding", oracle=_TENC_ORACLE)
+def q_feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of a high-cardinality
+    categorical (customer id) against the binary label — the standard
+    leakage-safe way to feed entity ids to tabular models: each row gets
+    its OWN group's positive rate computed WITHOUT itself, shrunk toward
+    the global prior by m=_TENC_M pseudo-counts (enc = (S_g − y_i +
+    m·prior) / (n_g − 1 + m)); rows of singleton groups collapse to the
+    prior exactly.
+
+    Parity: the encoding is the ratio of two EXACT bigints after scaling
+    by the global N ((S_g − y_i)·N + m·P over (n_g − 1 + m)·N — the prior
+    P/N never becomes an intermediate float), micro-snapped after the one
+    division.
+
+    Scale shape: one window partitioned by the entity key delivers both
+    group sufficient statistics (no self-join, no two-pass group-then-
+    join-back); the 1-row global total broadcasts. High-cardinality keys
+    are exactly what the partitioned window wants — parallelism grows
+    with cardinality and no group is large enough to skew.
+    """
+    orders = load(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    wg = Window.partitionBy("o_custkey")
+    g = scored.select(
+        "o_orderkey",
+        "label",
+        F.sum("label").over(wg).cast("bigint").alias("sg"),
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("ng"),
+    )
+    tot = scored.agg(
+        F.sum("label").cast("bigint").alias("p"),
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "o_orderkey",
+        F.col("ng").cast("bigint").alias("group_n"),
+        F.floor(
+            (
+                (F.col("sg") - F.col("label")) * F.col("nn")
+                + _TENC_M * F.col("p")
+            ).cast("double")
+            / ((F.col("ng") - 1 + _TENC_M) * F.col("nn")).cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("enc_micro"),
+    )

@@ -3327,3 +3327,72 @@ def q_text_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("z_micro").cast("bigint").alias("sum_z_micro"),
         F.max("z_micro").cast("bigint").alias("max_z_micro"),
     )
+
+
+# --- q_text_simpson -----------------------------------------------------------
+
+_SIMPSON_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), tc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE LENGTH(tok) > 0 GROUP BY source, tok
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(FLOOR(CAST(SUM(c * (c - 1)) AS DOUBLE)
+                  / (CAST(SUM(c) AS DOUBLE) * (SUM(c) - 1))
+                  * 1000000 + 0.5) AS BIGINT) AS simpson_micro
+FROM tc
+GROUP BY source
+HAVING SUM(c) > 1
+"""
+
+
+@register("q_text_simpson", oracle=_SIMPSON_ORACLE)
+def q_text_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration index per source — the lexical-diversity gauge
+    next to Zipf coverage, Heaps growth, and token entropy: D = Σ c(c−1) /
+    (N(N−1)), the exact probability two tokens drawn WITHOUT replacement
+    are the same type. High D = repetitive/templated text (boilerplate,
+    spam mills); the screen that catches low-diversity sources before they
+    flood a training mix. Degenerate single-token sources are dropped by
+    both engines (N(N−1) = 0).
+
+    Parity: numerator Σ c(c−1) and denominator N(N−1) are exact bigints
+    (c ≤ N ≤ ~10⁹ tokens per source before c(c−1) nears int64 — the
+    decimal escalation documented at q_agg_hhi applies beyond); the
+    reported index is ONE micro-snapped double division.
+
+    Scale shape: one (source, token) count — the only full-data shuffle —
+    then a per-source rollup of the collapsed vocabulary relation;
+    map-side combine on both. The same two-level aggregate the rest of
+    the lexicostatistics family rides."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.floor(
+                F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+                / (
+                    F.sum("c").cast("double")
+                    * (F.sum("c") - 1).cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("simpson_micro"),
+        )
+        .filter(F.col("n_tokens") > 1)
+    )

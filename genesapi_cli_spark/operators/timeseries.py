@@ -5455,3 +5455,139 @@ def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_alarm_t"),
         F.max("ph").cast("bigint").alias("max_ph_micro"),
     )
+
+
+# --- q_window_ljung_box --------------------------------------------------------
+
+_LB_LAGS = 5
+_LB_CRIT_MICRO = 11_070_498  # chi-square(5) 0.95 critical value, micro-snapped
+
+
+def _lb_oracle() -> str:
+    nd, sd, qd = "CAST(n AS DOUBLE)", "CAST(s AS DOUBLE)", "CAST(q AS DOUBLE)"
+    terms = []
+    for k in range(1, _LB_LAGS + 1):
+        num = (
+            f"({nd} * {nd} * CAST(p{k} AS DOUBLE)"
+            f" - {nd} * {sd} * CAST(b{k} AS DOUBLE)"
+            f" + ({nd} - {k}) * {sd} * {sd})"
+        )
+        terms.append(f"({num} / den) * ({num} / den) / ({nd} - {k})")
+    tsum = " + ".join(terms)
+    pcols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN cents * l{k} ELSE 0 END)"
+        f" AS BIGINT) AS p{k},\n         "
+        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN cents + l{k} ELSE 0 END)"
+        f" AS BIGINT) AS b{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    lcols = ",\n         ".join(
+        f"LAG(cents, {k}) OVER (PARTITION BY event_type ORDER BY day_idx) AS l{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+), lagged AS (
+  SELECT event_type, cents,
+         {lcols}
+  FROM daily
+), moms AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS BIGINT) AS q,
+         {pcols}
+  FROM lagged GROUP BY event_type
+), d AS (
+  SELECT *, {nd} * {nd} * {qd} - {nd} * {sd} * {sd} AS den
+  FROM moms WHERE n > {2 * _LB_LAGS}
+)
+SELECT event_type, n AS n_days,
+       CAST(FLOOR({nd} * ({nd} + 2) * ({tsum}) * 1000000 + 0.5) AS BIGINT)
+         AS q_micro,
+       CAST(FLOOR({nd} * ({nd} + 2) * ({tsum}) * 1000000 + 0.5) AS BIGINT)
+         > {_LB_CRIT_MICRO} AS autocorrelated
+FROM d WHERE den > 0
+"""
+
+
+@register("q_window_ljung_box", oracle=_lb_oracle())
+def q_window_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test (m=5 lags) on each event
+    stream's daily-revenue series — the residual-diagnostics gate every
+    forecasting pipeline runs after a fit (and before trusting
+    q_window_holt/q_window_ar2 outputs): Q = n(n+2)·Σ_k r_k²/(n−k),
+    rejected against the chi-square(5) 95% critical value. Completes the
+    inferential family's time-series corner (trend: Mann-Kendall;
+    whiteness: this).
+
+    Parity: each lag-k autocorrelation is the ratio of n²-scaled co-moments
+    (n²P_k − nSB_k + (n−k)S² over n²Q − nS²) whose inputs are EXACT bigint
+    sums; the scaling products exceed int64 for long rich series, so the
+    scaled expressions evaluate in doubles — the IDENTICAL fixed IEEE
+    sequence on both engines (same casts, same association order), then
+    one micro snap of Q. The critical value enters both engines as the
+    same micro-snapped literal. Degenerate series (n ≤ 2m or zero
+    variance) are dropped identically.
+
+    Scale shape: third consumer of the shared daily rollup
+    (build_daily_cents); all five LAGs ride ONE per-stream day-ordered
+    window sort, then one hash aggregate to sufficient statistics — the
+    q_window_ar2 plan with more lags. Relations after the rollup are
+    bounded by streams × days.
+    """
+    daily = shared_daily_cents(spark, sf_dir)
+    wa = Window.partitionBy("event_type").orderBy("day_idx")
+    lag_cols = [
+        F.lag("cents", k).over(wa).alias(f"l{k}")
+        for k in range(1, _LB_LAGS + 1)
+    ]
+    lagged = daily.select("event_type", "cents", *lag_cols)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q"),
+    ]
+    for k in range(1, _LB_LAGS + 1):
+        lk = F.col(f"l{k}")
+        aggs.append(
+            F.sum(F.when(lk.isNotNull(), F.col("cents") * lk).otherwise(0))
+            .cast("bigint")
+            .alias(f"p{k}")
+        )
+        aggs.append(
+            F.sum(F.when(lk.isNotNull(), F.col("cents") + lk).otherwise(0))
+            .cast("bigint")
+            .alias(f"b{k}")
+        )
+    moms = lagged.groupBy("event_type").agg(*aggs).filter(
+        F.col("n") > 2 * _LB_LAGS
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    den = nd * nd * qd - nd * sd * sd
+    d = moms.withColumn("den", den).filter(F.col("den") > 0)
+    tsum = None
+    for k in range(1, _LB_LAGS + 1):
+        num = (
+            nd * nd * F.col(f"p{k}").cast("double")
+            - nd * sd * F.col(f"b{k}").cast("double")
+            + (nd - F.lit(float(k))) * sd * sd
+        )
+        term = (num / F.col("den")) * (num / F.col("den")) / (
+            nd - F.lit(float(k))
+        )
+        tsum = term if tsum is None else tsum + term
+    q_micro = F.floor(nd * (nd + 2) * tsum * 1000000 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return d.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        q_micro.alias("q_micro"),
+        (q_micro > _LB_CRIT_MICRO).alias("autocorrelated"),
+    )
