@@ -3663,3 +3663,71 @@ def q_feature_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vif_r4"
         ),
     )
+
+
+# --- q_agg_discount_lift --------------------------------------------------------
+
+_DLIFT_ORACLE = """
+WITH tagged AS (
+  SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_pts,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), base AS (
+  SELECT CAST(SUM(qty) AS BIGINT) AS q0, CAST(COUNT(*) AS BIGINT) AS n0
+  FROM tagged WHERE disc_pts = 0
+)
+SELECT disc_pts,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(qty) AS BIGINT) AS qty_units,
+       CAST(FLOOR((CAST(SUM(qty) AS DOUBLE) / COUNT(*))
+                  / (CAST(MAX(q0) AS DOUBLE) / MAX(n0))
+                  * 1000000 + 0.5) AS BIGINT) AS qty_lift_micro
+FROM tagged CROSS JOIN base
+GROUP BY disc_pts
+"""
+
+
+@register("q_agg_discount_lift", oracle=_DLIFT_ORACLE)
+def q_agg_discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity lift per discount level — the promotion-effectiveness curve
+    (a discrete demand-elasticity readout): average units per line at each
+    integer discount point, expressed as a ratio against the zero-discount
+    baseline. The table a pricing team reads to see where discounting
+    stops buying volume.
+
+    Parity: quantities are integral and discounts snap to integer
+    percentage points, so every group reduces to exact bigint (n, Σqty);
+    the lift is a ratio of two exact averages — one fixed double sequence,
+    micro-snapped.
+
+    Scale shape: one map-side-combined aggregate over the fact scan keyed
+    by the ~11-value discount domain; the 1-row baseline broadcasts back.
+    At 100 TB per-brand/per-season curves add the keys to BOTH groupings —
+    same plan."""
+    li = load(spark, sf_dir, "lineitem")
+    tagged = li.select(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("disc_pts"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    base = tagged.filter(F.col("disc_pts") == 0).agg(
+        F.sum("qty").cast("bigint").alias("q0"),
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+    )
+    return (
+        tagged.crossJoin(F.broadcast(base))
+        .groupBy("disc_pts")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("qty").cast("bigint").alias("qty_units"),
+            F.floor(
+                (F.sum("qty").cast("double") / F.count(F.lit(1)))
+                / (F.max("q0").cast("double") / F.max("n0"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("qty_lift_micro"),
+        )
+    )

@@ -2385,3 +2385,98 @@ def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("phi_r4"),
         "total_attr",
     )
+
+
+# --- q_events_cohens_d ---------------------------------------------------------
+
+#: Cohen's d closed forms over the six exact arm moments — ONE expression
+#: text evaluated verbatim by BOTH engines (identical IEEE trees), the
+#: q_events_ttest_welch discipline.
+_COHEN_VA = (
+    "((CAST(n_a AS DOUBLE) * s2_a - CAST(s1_a AS DOUBLE) * s1_a)"
+    " / (CAST(n_a AS DOUBLE) * (n_a - 1)))"
+)
+_COHEN_VB = (
+    "((CAST(n_b AS DOUBLE) * s2_b - CAST(s1_b AS DOUBLE) * s1_b)"
+    " / (CAST(n_b AS DOUBLE) * (n_b - 1)))"
+)
+_COHEN_SP = (
+    f"SQRT(((n_a - 1) * {_COHEN_VA} + (n_b - 1) * {_COHEN_VB})"
+    " / (n_a + n_b - 2))"
+)
+_COHEN_D = (
+    f"((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b) / {_COHEN_SP})"
+)
+
+_COHEN_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id % 2 AS arm, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), arms AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s1_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS s1_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS s2_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS s2_b
+  FROM tagged
+)
+SELECT n_a, n_b,
+       FLOOR({_COHEN_SP} * 10000 + 0.5) / 10000 AS pooled_sd_r4,
+       FLOOR({_COHEN_D} * 10000 + 0.5) / 10000 AS cohens_d_r4,
+       FLOOR({_COHEN_D} * SQRT((CAST(n_a AS DOUBLE) + n_b)
+             / (CAST(n_a AS DOUBLE) * n_b)) * 10000 + 0.5) / 10000
+         AS d_se_r4
+FROM arms
+WHERE n_a > 1 AND n_b > 1
+"""
+
+
+@register("q_events_cohens_d", oracle=_COHEN_ORACLE)
+def q_events_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size between the two experiment arms —
+    the number a significance test does NOT give you: q_events_ttest_welch
+    says whether the purchase-value difference is real, this says whether
+    it is LARGE (0.2 small / 0.5 medium / 0.8 large, the thresholds every
+    experiment review quotes), plus its standard error √((n_a+n_b)/n_a·n_b)
+    for the confidence interval. The pair is how mature platforms stop
+    shipping statistically-significant-but-tiny changes.
+
+    Parity: the same six exact integer arm moments as the Welch test (one
+    conditional aggregate pass); pooled SD, d, and the SE evaluate from
+    ONE shared expression text — identical IEEE trees on both engines —
+    snapped r4. Degenerate arms (n ≤ 1) drop identically.
+
+    Scale shape: one map-side-combined hash aggregate over the pushed-down
+    fact scan; the statistics are a 1-row projection.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    tagged = ev.select(
+        (F.col("user_id") % 2).alias("arm"), F.expr(_CENTS).alias("c")
+    )
+    arms = tagged.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s1_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s1_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c") * F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s2_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c") * F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s2_b"),
+    )
+    return arms.filter((F.col("n_a") > 1) & (F.col("n_b") > 1)).select(
+        "n_a",
+        "n_b",
+        F.expr(f"FLOOR({_COHEN_SP} * 10000 + 0.5) / 10000").alias("pooled_sd_r4"),
+        F.expr(f"FLOOR({_COHEN_D} * 10000 + 0.5) / 10000").alias("cohens_d_r4"),
+        F.expr(
+            f"FLOOR({_COHEN_D} * SQRT((CAST(n_a AS DOUBLE) + n_b)"
+            f" / (CAST(n_a AS DOUBLE) * n_b)) * 10000 + 0.5) / 10000"
+        ).alias("d_se_r4"),
+    )

@@ -2760,3 +2760,120 @@ def q_sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
         )
     )
+
+
+# --- q_sim_graph_purity -------------------------------------------------------
+
+
+def _purity_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, emb, nrm, ({_bucket_sql('emb')}) AS bucket FROM e
+), scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         FLOOR(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+               * 10000 + 0.5) / 10000 AS cos_r
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), topk AS (
+  SELECT src, dst, cos_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY src ORDER BY cos_r DESC, dst
+         ) AS rn
+  FROM scored
+), directed AS (
+  SELECT src, dst FROM topk WHERE rn <= {_KNNG_K}
+), mutual AS (
+  SELECT f.src AS a, f.dst AS b
+  FROM directed f JOIN directed r ON r.src = f.dst AND r.dst = f.src
+  WHERE f.src < f.dst
+), labeled AS (
+  SELECT la.label AS la, lb.label AS lb
+  FROM mutual
+  JOIN embeddings la ON la.vec_id = mutual.a
+  JOIN embeddings lb ON lb.vec_id = mutual.b
+), incid AS (
+  SELECT la AS label, CASE WHEN la = lb THEN 1 ELSE 0 END AS intra FROM labeled
+  UNION ALL
+  SELECT lb AS label, CASE WHEN la = lb THEN 1 ELSE 0 END AS intra FROM labeled
+), per AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(SUM(intra) AS BIGINT) AS n_intra2,
+         CAST(SUM(1 - intra) AS BIGINT) AS n_inter
+  FROM incid GROUP BY label
+)
+SELECT label,
+       CAST(n_intra2 / 2 AS BIGINT) AS n_intra,
+       n_inter,
+       CAST(FLOOR(CAST(n_intra2 AS DOUBLE) / (n_intra2 + n_inter)
+                  * 1000000 + 0.5) AS BIGINT) AS purity_micro,
+       CAST(FLOOR(CAST(SUM(n_intra2) OVER () AS DOUBLE)
+                  / SUM(n_intra2 + n_inter) OVER ()
+                  * 1000000 + 0.5) AS BIGINT) AS overall_micro
+FROM per
+WHERE n_intra2 + n_inter > 0
+"""
+
+
+@register("q_sim_graph_purity", oracle=_purity_oracle())
+def q_sim_graph_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the mutual k-NN graph — the embedding-quality
+    certificate that closes the loop between q_sim_knn_graph (structure)
+    and the label column (ground truth): per label, the share of incident
+    mutual edges that stay inside the label (and the overall same-label
+    edge rate). High purity = the embedding geometry respects the label
+    partition (safe to curate/SemDeDup with it); low purity = the labels
+    and the geometry disagree — investigate before trusting either.
+    Intra edges count once as n_intra but twice as incidence (once per
+    endpoint), the standard per-class decomposition.
+
+    Parity: the mutual edge set is the exact q_sim_knn_graph contract
+    (snapped cosine, dst tie-break, both-endpoints-agree filter); purity
+    ratios are exact bigint incidence counts with one micro-snapped
+    division each.
+
+    Scale shape: reuses the knn-graph plan (LSH-bucketed candidate blocks,
+    never all-pairs), then two narrow joins attach endpoint labels and a
+    label-keyed rollup — relations after the graph are bounded by |labels|.
+    """
+    edges = q_sim_knn_graph(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = emb.select(F.col("vec_id").alias("a"), F.col("label").alias("la"))
+    lb = emb.select(F.col("vec_id").alias("b"), F.col("label").alias("lb"))
+    labeled = edges.join(la, "a").join(lb, "b").select("la", "lb")
+    intra = F.when(F.col("la") == F.col("lb"), 1).otherwise(0)
+    incid = labeled.select(F.col("la").alias("label"), intra.alias("intra")).unionAll(
+        labeled.select(F.col("lb").alias("label"), intra.alias("intra"))
+    )
+    per = incid.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.sum("intra").cast("bigint").alias("n_intra2"),
+        F.sum(1 - F.col("intra")).cast("bigint").alias("n_inter"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.filter((F.col("n_intra2") + F.col("n_inter")) > 0).select(
+        "label",
+        F.expr("n_intra2 div 2").cast("bigint").alias("n_intra"),
+        "n_inter",
+        F.floor(
+            F.col("n_intra2").cast("double")
+            / (F.col("n_intra2") + F.col("n_inter"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("purity_micro"),
+        F.floor(
+            F.sum("n_intra2").over(w_all).cast("double")
+            / F.sum(F.col("n_intra2") + F.col("n_inter")).over(w_all)
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("overall_micro"),
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from genesapi_cli_spark.io import load
 from genesapi_cli_spark.registry import register
 
 #: Embedded fixture lines — each exercises one CSV hazard.
@@ -286,3 +287,78 @@ def q_source_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(iso_dow >= 6, 1).otherwise(0).cast("int").alias("is_weekend"),
         F.dayofmonth(F.last_day(F.col("d"))).cast("int").alias("month_len"),
     ).orderBy("d")
+
+
+# --- q_source_format_sniff ------------------------------------------------------
+
+_SNIFF_ORACLE = """
+WITH sniffed AS (
+  SELECT CASE
+           WHEN ltrim(text) LIKE '{%' OR ltrim(text) LIKE '[%' THEN 'json'
+           WHEN ltrim(text) LIKE '<%' THEN 'xml'
+           WHEN LENGTH(text) - LENGTH(replace(text, ',', '')) >= 2 THEN 'csv'
+           ELSE 'plain'
+         END AS fmt,
+         n_chars
+  FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM sniffed
+)
+SELECT fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / MAX(nn) * 1000000 + 0.5)
+            AS BIGINT) AS share_micro
+FROM sniffed CROSS JOIN tot
+GROUP BY fmt
+"""
+
+
+@register("q_source_format_sniff", oracle=_SNIFF_ORACLE)
+def q_source_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based format sniffing over an untyped text-blob column — the
+    ingest-router stage every mixed-source lake runs before parsing:
+    leading '{'/'[' → JSON, leading '<' → XML/HTML, ≥2 commas → CSV-ish,
+    else plain text; the per-format census (count, bytes, share) decides
+    which parser fleet each slice is routed to. Precedence is the
+    documented JSON > XML > CSV > plain ladder, applied identically in
+    both engines (a real router also tries strict parses on a sample —
+    the dialect-proof queries q_source_csv/jsonl/xml are exactly those
+    parsers downstream of this router).
+
+    Parity: pure deterministic string predicates (ltrim prefix, comma
+    count via length difference) and exact bigint rollups; the share is
+    one micro-snapped division by the broadcast total.
+
+    Scale shape: one pushed-down scan, per-row predicates inside
+    whole-stage codegen, one map-side-combined aggregate; the 1-row total
+    broadcasts. The text column dies at the projection — only (fmt,
+    n_chars) reaches the Exchange."""
+    docs = load(spark, sf_dir, "documents")
+    lt = F.ltrim(F.col("text"))
+    sniffed = docs.select(
+        F.when(lt.startswith("{") | lt.startswith("["), "json")
+        .when(lt.startswith("<"), "xml")
+        .when(
+            F.length("text") - F.length(F.regexp_replace("text", ",", "")) >= 2,
+            "csv",
+        )
+        .otherwise("plain")
+        .alias("fmt"),
+        "n_chars",
+    )
+    tot = sniffed.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    return (
+        sniffed.crossJoin(F.broadcast(tot))
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.floor(
+                F.count(F.lit(1)).cast("double") / F.max("nn") * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+    )
