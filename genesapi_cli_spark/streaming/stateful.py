@@ -182,3 +182,108 @@ def page_hinkley_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming fixed-target CUSUM ----------------------------------------------
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("s_run", LongType()),
+        StructField("max_s", LongType()),
+        StructField("min_s", LongType()),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("cusum_scaled", LongType()),
+        StructField("max_cusum_scaled", LongType()),
+        StructField("min_cusum_scaled", LongType()),
+    ]
+)
+
+
+def cusum_stream(events: DataFrame, targets: dict) -> DataFrame:
+    """Online CUSUM against a FIXED per-stream target (integer cents) — the
+    production profile→monitor contract: the retrospective batch CUSUM
+    (q_window_cusum) profiles the historical mean once, then the live
+    detector tracks the running sum of deviations from that frozen target
+    with O(1) integer state per stream. Exact: deviations, running sum,
+    and extremes are int64 end to end (same bound discipline as the batch
+    docstring: |Σ(c−k)| ≤ n·max|c−k| ≪ 2⁶³). Requires per-key event-time-
+    ordered delivery across micro-batches (the sequential-detector
+    contract); rows within a micro-batch are sorted here.
+
+    The extremes are over the POST-OBSERVATION sums S₁..S_t (no phantom
+    S₀=0), so after the final micro-batch the state equals the batch
+    cumulative-window rollup bit for bit — pytest-pinned."""
+    import math
+
+    def _fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (event_type,) = key
+        k = int(targets.get(event_type, 0))
+        t, s, mx, mn = state.get if state.exists else (0, 0, None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for v in rows["value"]:
+            c = int(math.floor(v * 100 + 0.5))
+            t += 1
+            s += c - k
+            mx = s if mx is None else max(mx, s)
+            mn = s if mn is None else min(mn, s)
+        state.update((t, s, mx, mn))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n": [t],
+                "cusum_scaled": [s],
+                "max_cusum_scaled": [mx],
+                "min_cusum_scaled": [mn],
+            }
+        )
+
+    return (
+        events.select("event_type", "ts_us", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def cusum_fixed_target_batch(events: DataFrame, targets: dict) -> DataFrame:
+    """Batch twin of cusum_stream: one cumulative window per stream over the
+    same (ts_us, event_id) order, same fixed integer targets — the relation
+    the equivalence pytest compares the final stream state against."""
+    from pyspark.sql import Window, functions as F
+
+    spark = events.sparkSession
+    tdf = spark.createDataFrame(
+        [(et, int(k)) for et, k in targets.items()], "event_type string, k long"
+    )
+    dev = events.join(F.broadcast(tdf), "event_type").select(
+        "event_type",
+        "ts_us",
+        "event_id",
+        (F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)") - F.col("k")).alias(
+            "d"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cus = dev.select("event_type", F.sum("d").over(w).alias("s"))
+    return cus.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("s").cast("bigint").alias("max_cusum_scaled"),
+        F.min("s").cast("bigint").alias("min_cusum_scaled"),
+    )

@@ -223,3 +223,38 @@ def test_global_window_allowlist_points_at_real_queries():
     for name, reason in GLOBAL_WINDOW_OK.items():
         assert name in REGISTRY, name
         assert len(reason) > 20, f"{name}: bound must be documented"
+
+
+def test_no_new_driver_side_collect_sites():
+    """A .collect() in an operator is a driver-side loop — the opposite of
+    distributed. The adjudicated sites (CLI display, the oracle harness,
+    the cube-text sample, and the layout certificates that must read
+    real file statistics) are pinned; any NEW file acquiring a collect
+    fails here and needs an explicit adjudication."""
+    import re
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)), "genesapi_cli_spark")
+    allowed = {
+        "cli.py",  # terminal display of a LIMITed result
+        "oracle.py",  # the differential harness materializes both sides
+        os.path.join("sources", "cube.py"),  # deterministic 6-row sample
+        os.path.join("sources", "layout.py"),  # file-statistics certificates
+    }
+    offenders = {}
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
+            with open(path) as fh:
+                src = fh.read()
+            hits = [
+                m for m in re.finditer(r"\.collect\(\)", src)
+                if "collect_list" not in src[max(0, m.start() - 20): m.start()]
+            ]
+            if hits and rel not in allowed:
+                offenders[rel] = len(hits)
+    assert not offenders, (
+        f"new driver-side .collect() sites need adjudication: {offenders}"
+    )

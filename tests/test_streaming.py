@@ -493,3 +493,80 @@ def test_page_hinkley_stream_equals_batch(spark, tmp_path):
         assert got == exp
     finally:
         q.stop()
+
+
+def test_cusum_stream_equals_batch(spark, tmp_path):
+    """Stateful streaming fixed-target CUSUM across time-ordered
+    micro-batches must equal the batch cumulative-window rollup exactly —
+    the profile→monitor contract: targets come from a batch profile
+    (per-stream floor-mean cents), then the online detector's final state
+    is bit-identical to the retrospective window over the same rows."""
+    import json as _json
+    import os
+    import time as _time
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.streaming.stateful import (
+        cusum_fixed_target_batch,
+        cusum_stream,
+    )
+
+    genesapi_cli_spark.load_all()
+
+    events = load(spark, SMOKE_SF_DIR, "events")
+    from pyspark.sql import functions as F
+
+    prof = (
+        events.select("event_type", F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"))
+        .groupBy("event_type")
+        .agg(F.expr("SUM(c) div COUNT(*)").alias("k"))
+        .collect()
+    )
+    targets = {r.event_type: int(r.k) for r in prof}
+
+    want = {
+        r.event_type: (r.n, r.max_cusum_scaled, r.min_cusum_scaled)
+        for r in cusum_fixed_target_batch(events, targets).collect()
+    }
+
+    ev = (
+        events.select("event_id", "ts_us", "event_type", "value")
+        .orderBy("ts_us", "event_id")
+        .collect()
+    )
+    cut = ev[len(ev) // 2].ts_us
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+
+    def dump(rows, name):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "event_id": r.event_id,
+                        "ts_us": r.ts_us,
+                        "user_id": 0,
+                        "event_type": r.event_type,
+                        "value": r.value,
+                        "props": None,
+                    }
+                )
+                for r in rows
+            )
+        )
+
+    dump([r for r in ev if r.ts_us <= cut], "b1.json")
+    dump([r for r in ev if r.ts_us > cut], "b2.json")
+    now = _time.time()
+    os.utime(src / "b1.json", (now - 100, now - 100))
+    os.utime(src / "b2.json", (now, now))
+    stream = events_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory(cusum_stream(stream, targets), "t_cusum", output_mode="update")
+    try:
+        rows = spark.sql("SELECT * FROM t_cusum").collect()
+        got = {}
+        for r in rows:  # update mode: the LAST emission per key wins
+            got[r.event_type] = (r.n, r.max_cusum_scaled, r.min_cusum_scaled)
+    finally:
+        q.stop()
+    assert got == want
