@@ -3731,3 +3731,138 @@ def q_agg_discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty_lift_micro"),
         )
     )
+
+
+# --- q_agg_spearman -------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+), xd AS (
+  SELECT flag, x,
+         CAST(2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY flag ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + COUNT(*) + 1 AS BIGINT) AS rx2
+  FROM base GROUP BY flag, x
+), yd AS (
+  SELECT flag, y,
+         CAST(2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY flag ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + COUNT(*) + 1 AS BIGINT) AS ry2
+  FROM base GROUP BY flag, y
+), ranked AS (
+  SELECT base.flag, xd.rx2, yd.ry2
+  FROM base
+  JOIN xd ON base.flag = xd.flag AND base.x = xd.x
+  JOIN yd ON base.flag = yd.flag AND base.y = yd.y
+), m AS (
+  SELECT flag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS DECIMAL(19,0)) AS sx,
+         CAST(SUM(ry2) AS DECIMAL(19,0)) AS sy,
+         CAST(SUM(CAST(rx2 AS DECIMAL(19,0)) * ry2) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(rx2 AS DECIMAL(19,0)) * rx2) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(ry2 AS DECIMAL(19,0)) * ry2) AS DECIMAL(38,0)) AS syy
+  FROM ranked GROUP BY flag
+)
+SELECT flag AS l_returnflag, n,
+       CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS spearman_micro
+FROM m
+WHERE n * sxx > sx * sx AND n * syy > sy * sy
+ORDER BY flag
+"""
+
+
+@register("q_agg_spearman", oracle=_SPEARMAN_ORACLE)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between price and quantity
+    per return flag — the monotone-association screen that catches the
+    nonlinear relationships q_agg_corr's Pearson misses (the standard pair
+    every feature-screen suite reports side by side). With ties, Spearman
+    = Pearson over tie-averaged fractional ranks; ranks are kept EXACT by
+    doubling: rank2 = 2·(rows strictly below) + (ties) + 1, an integer.
+
+    Parity: rank2 values come from the per-group VALUE DISTRIBUTIONS (the
+    q_events_mannwhitney machinery — no row-level sort anywhere), the
+    moments are decimal(38,0)-crossed exact integers (the q_agg_hhi
+    escalation discipline), and the correlation is one identical double
+    formula, micro-snapped. Constant columns drop via the variance guard
+    in both engines.
+
+    Scale shape: sixth consumer of the shared ranked-cents relation —
+    the price side's doubled rank derives from the memoized per-flag
+    row_number with ONE tie-group hash window (rx2 = 2·(min rk in the
+    cents tie block − 1) + block size + 1; no new sort, the identity
+    row_number ↔ tie-averaged rank), and the quantity side is a
+    ~50-value distribution aggregate broadcast back. One moment rollup,
+    decimal-crossed."""
+    ranked_src = shared_ranked_cents(spark, sf_dir).select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("cents").alias("x"),
+        "rk",
+        F.col("qty").alias("y"),
+    )
+    w_tie = Window.partitionBy("flag", "x")
+    with_rx = ranked_src.select(
+        "flag",
+        "y",
+        (
+            2 * (F.min("rk").over(w_tie) - 1)
+            + F.count(F.lit(1)).over(w_tie)
+            + 1
+        )
+        .cast("bigint")
+        .alias("rx2"),
+    )
+    w_y = (
+        Window.partitionBy("flag")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    yd_rel = (
+        ranked_src.groupBy("flag", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .select(
+            "flag",
+            "y",
+            (2 * F.coalesce(F.sum("t").over(w_y), F.lit(0)) + F.col("t") + 1)
+            .cast("bigint")
+            .alias("ry2"),
+        )
+    )
+    ranked = with_rx.join(F.broadcast(yd_rel), ["flag", "y"])
+    xd = F.col("rx2").cast("decimal(19,0)")
+    yd = F.col("ry2").cast("decimal(19,0)")
+    m = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx2").cast("decimal(19,0)").alias("sx"),
+        F.sum("ry2").cast("decimal(19,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.filter((varx > 0) & (vary > 0))
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "n",
+            F.floor(
+                num.cast("double")
+                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("spearman_micro"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -3054,13 +3054,16 @@ FROM terms
 
 @register("q_feature_psi", oracle=_PSI_ORACLE)
 def q_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index between two time periods of the score
-    distribution — THE production drift alarm for deployed models and
-    training-data mixes: cut the baseline period's scores into 10
-    equal-count buckets, compare each bucket's share across periods,
-    PSI = Σ (p_a − p_b)·ln(p_a/p_b) (rule of thumb: >0.1 investigate,
-    >0.25 retrain). Laplace-smoothed shares ((n+1)/(N+10)) keep empty
-    buckets finite — documented, applied identically in both engines.
+    """QUANTILE-binned Population Stability Index between two time periods
+    of the score distribution — the scorecard-monitoring convention
+    (baseline DECILE edges, so every reference bucket holds ~10% of
+    baseline mass), complementing q_quality_psi's equal-WIDTH fixed-bin
+    form (operators/scans.py — the mergeable monitoring-job variant, over
+    events): equal-count edges track drift in the distribution's SHAPE
+    where equal-width bins under-resolve dense regions. PSI =
+    Σ (p_a − p_b)·ln(p_a/p_b) (>0.1 investigate, >0.25 retrain);
+    Laplace-smoothed shares ((n+1)/(N+10)) keep empty buckets finite —
+    documented, applied identically in both engines.
 
     Parity: decile edges are exact integer threshold arithmetic over the
     baseline's value distribution; bucket membership is value-defined
