@@ -3190,10 +3190,14 @@ FROM terms
 
 @register("q_feature_iv", oracle=_IV_ORACLE)
 def q_feature_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weight-of-Evidence / Information Value table per score decile — the
-    scorecard-binning readout that ranks candidate features before model
-    fit (rule of thumb: IV < 0.02 useless, > 0.5 suspicious/leaky), the
-    distribution-shape complement of q_feature_auc/q_feature_ks. WoE_i =
+    """Weight-of-Evidence / Information Value table per score DECILE — the
+    continuous-feature binned form (equal-count bins from the tie-block
+    rank machinery, Laplace-smoothed) next to q_feature_woe's
+    CATEGORICAL form (extended.py:2149 — per customer segment, no
+    binning): scorecards bin every continuous candidate this way before
+    the WoE encode, and the IV band read is the same (IV < 0.02 useless,
+    > 0.5 suspicious/leaky). The distribution-shape complement of
+    q_feature_auc/q_feature_ks. WoE_i =
     ln(share-of-positives / share-of-negatives) per bucket, IV = Σ
     (p_i − q_i)·WoE_i; Laplace smoothing ((n+1)/(N+10)) keeps one-class
     buckets finite, identically in both engines.
