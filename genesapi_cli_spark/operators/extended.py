@@ -2933,9 +2933,11 @@ def q_feature_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative classes' score distributions — the credit-scoring industry's
     default discrimination statistic (the "KS" in every scorecard report):
     D = max over thresholds |CDF_pos − CDF_neg|, with the achieving score
-    value reported as the natural operating threshold. Completes the
-    feature-screen family (AUC = rank view, PR-AUC = imbalance view,
-    lift = decile view, KS = single-best-cut view).
+    value reported as the natural operating threshold (the readout
+    q_events_ks — the same exact cross-multiplied machinery applied to
+    DRIFT between two event streams, experiments.py:774 — does not carry).
+    Completes the feature-screen family (AUC = rank view, PR-AUC =
+    imbalance view, lift = decile view, KS = single-best-cut view).
 
     Parity: the CDF difference is computed as the CROSS-MULTIPLIED exact
     integer |cum_pos·N_neg − cum_neg·N_pos| (no per-threshold division),
