@@ -210,9 +210,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # sa/sb are O(|documents|) — one row per doc — so NO broadcast hint
+    # (at 100 TB it would OOM the driver, the q_sim_silhouette px lesson);
+    # AQE picks the join strategy, and the doc-keyed shuffle is narrow
+    # (two ints per row).
     jac = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard_r",
             F.floor(
@@ -1668,13 +1672,15 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
     )
+    # sz is O(|documents|) — no broadcast hint (driver-OOM class at scale,
+    # the q_sim_silhouette px lesson); AQE picks the strategy.
     pairs = (
         inter.join(
-            F.broadcast(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))),
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
             "doc_a",
         )
         .join(
-            F.broadcast(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))),
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
             "doc_b",
         )
         .select("ni", (F.col("sza") + F.col("szb") - F.col("ni")).alias("un"))

@@ -2350,8 +2350,11 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
     )
+    # dfr is one row per distinct TERM — vocabulary-sized (Heaps growth:
+    # tens of millions of types at corpus scale), so no broadcast hint;
+    # AQE decides, and the term-keyed shuffle reuses tf's grouping key.
     contrib = (
-        tf.join(F.broadcast(dfr), "term")
+        tf.join(dfr, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select("doc_id", r4(idf * tfn, "contrib_r"))
