@@ -1527,3 +1527,85 @@ def q_agg_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w2_micro").cast("bigint").alias("total_weight_micro"),
         F.sum("n").cast("bigint").alias("n_customers"),
     ).select("n_cells", "max_seg_err_micro", "total_weight_micro", "n_customers")
+
+
+# --- q_scan_skew_profile ---------------------------------------------------------
+
+#: a key is flagged for salting when its hottest value carries more than
+#: this multiple of the uniform per-key share
+_SKEW_FLAG_FACTOR = 4
+
+_SKEW_ORACLE = f"""
+WITH longk AS (
+  SELECT 'l_orderkey' AS key_col, l_orderkey AS key_val FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey FROM lineitem
+), per_val AS (
+  SELECT key_col, key_val, CAST(COUNT(*) AS BIGINT) AS c
+  FROM longk GROUP BY key_col, key_val
+)
+SELECT key_col,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       CAST(FLOOR(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c)
+                  * 1000000 + 0.5) AS BIGINT) AS skew_factor_micro,
+       MAX(c) * COUNT(*) > {_SKEW_FLAG_FACTOR} * SUM(c) AS needs_salting
+FROM per_val
+GROUP BY key_col
+ORDER BY key_col
+"""
+
+
+@register("q_scan_skew_profile", oracle=_SKEW_ORACLE)
+def q_scan_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of the fact table — the pre-flight diagnostic
+    that decides WHICH keys get the q_join_skew_salted treatment before a
+    100 TB run: per candidate shuffle key, the row count, distinct count,
+    hottest-key row count, and the skew factor (hottest key's share as a
+    multiple of the uniform share; > 4x flags the key for salting or AQE
+    skew-join). This is the measured counterpart to the skew REMEDIES the
+    repo already ships (q_join_skew_salted, q_agg_salted) — remedies
+    without a detector get applied to the wrong keys.
+
+    Parity: pure integer counting; the skew factor is one micro-snapped
+    double from three exact bigints; the flag compares integers
+    cross-multiplied (no ratio).
+
+    Scale shape: one in-row stack of the key columns (no extra scans — a
+    single pass reads all three), one (key, value) hash aggregate with
+    map-side combine — the same relation a shuffle would build anyway —
+    and a 3-row rollup. At 100 TB this runs as the cheap profiling pass
+    ahead of a join campaign, or incrementally per partition."""
+    li = load(spark, sf_dir, "lineitem")
+    longk = li.selectExpr(
+        "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey,"
+        " 'l_suppkey', l_suppkey) AS (key_col, key_val)"
+    )
+    per_val = longk.groupBy("key_col", "key_val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        per_val.groupBy("key_col")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+            F.floor(
+                F.max("c").cast("double")
+                * F.count(F.lit(1))
+                / F.sum("c")
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("skew_factor_micro"),
+            (
+                F.max("c") * F.count(F.lit(1))
+                > _SKEW_FLAG_FACTOR * F.sum("c")
+            ).alias("needs_salting"),
+        )
+        .orderBy("key_col")
+    )
