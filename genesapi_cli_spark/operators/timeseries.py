@@ -5591,3 +5591,145 @@ def q_window_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_micro.alias("q_micro"),
         (q_micro > _LB_CRIT_MICRO).alias("autocorrelated"),
     )
+
+
+# --- q_events_esd -----------------------------------------------------------------
+
+_ESD_ROUNDS = 3
+
+
+def _esd_oracle() -> str:
+    """Three unrolled ESD rounds: each stage ranks the remaining days by
+    n-scaled absolute deviation (exact integers), removes the per-stream
+    argmax, and updates the moments by subtraction — the same fixed
+    structure the Spark plan unrolls."""
+    stage = """, m{r} AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS BIGINT) AS q
+  FROM c{r} GROUP BY event_type
+), rk{r} AS (
+  SELECT c{r}.event_type, day_idx, cents, n, s, q,
+         ROW_NUMBER() OVER (PARTITION BY c{r}.event_type
+             ORDER BY ABS(n * cents - s) DESC, day_idx) AS rn
+  FROM c{r} JOIN m{r} ON c{r}.event_type = m{r}.event_type
+), p{r} AS (
+  SELECT event_type, day_idx, cents, n,
+         CAST(FLOOR(ABS(n * cents - s)
+              / SQRT(CAST(n AS DOUBLE)
+                     * (CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+                     / (n - 1))
+              * 1000000 + 0.5) AS BIGINT) AS r_micro,
+         {r} AS round
+  FROM rk{r}
+  WHERE rn = 1 AND CAST(n AS DOUBLE) * q > CAST(s AS DOUBLE) * s AND n > 2
+), c{nxt} AS (
+  SELECT c{r}.* FROM c{r}
+  LEFT JOIN p{r} ON c{r}.event_type = p{r}.event_type
+                AND c{r}.day_idx = p{r}.day_idx
+  WHERE p{r}.day_idx IS NULL
+)"""
+    sql = f"""
+WITH c1 AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+)"""
+    for r in range(1, _ESD_ROUNDS + 1):
+        sql += stage.format(r=r, nxt=r + 1)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT event_type, CAST(round AS BIGINT) AS round, day_idx, cents,"
+        f" r_micro, n AS n_at_round FROM p{r}"
+        for r in range(1, _ESD_ROUNDS + 1)
+    )
+    return sql + "\n" + unions
+
+
+@register("q_events_esd", oracle=_esd_oracle())
+def q_events_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD outlier screen (Rosner's test, 3 unrolled rounds) on
+    each stream's daily-revenue series — the MULTI-outlier companion to the
+    single-shot z-score/Hampel screens: each round studentizes the most
+    extreme remaining day (R = |x − x̄|/s over the CURRENT remaining set),
+    removes it, and recomputes the moments — masking-proof where a naive
+    3-sigma rule lets one huge outlier hide another. Output: per (stream,
+    round) the flagged day, its R statistic, and the set size the round
+    tested; the caller compares R against the standard λ table for their α
+    (the one t-quantile piece that is a lookup, not data math).
+
+    Parity: the per-round argmax ranks EXACT n-scaled integer deviations
+    |n·x − s| (ties to the earliest day), the removal updates integer
+    moments by subtraction, and only the reported R is one snapped double
+    per round. Degenerate rounds (zero variance or n ≤ 2) emit nothing in
+    both engines.
+
+    Scale shape: fourth consumer of the shared daily rollup
+    (build_daily_cents); all three rounds run over the streams×days
+    collapsed relation — per-round windows partition by stream, moments
+    are 5-row aggregates, and the unrolled-iteration discipline is
+    q_graph_pagerank's. At 100 TB the rollup is the only fact-scale pass.
+    """
+    daily = shared_daily_cents(spark, sf_dir)
+    cand = daily.select("event_type", "day_idx", "cents")
+    picks = []
+    for r in range(1, _ESD_ROUNDS + 1):
+        m = cand.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q"),
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("n") * F.col("cents") - F.col("s")).desc(), "day_idx"
+        )
+        ranked = (
+            cand.join(F.broadcast(m), "event_type")
+            .withColumn("rn", F.row_number().over(w))
+        )
+        p = (
+            ranked.filter(
+                (F.col("rn") == 1)
+                # n·q exceeds int64 for long rich series — the guard and the
+                # denominator run in doubles, the IDENTICAL cast/association
+                # sequence in both engines (the q_window_ljung_box rationale)
+                & (
+                    F.col("n").cast("double") * F.col("q")
+                    > F.col("s").cast("double") * F.col("s")
+                )
+                & (F.col("n") > 2)
+            )
+            .select(
+                "event_type",
+                F.lit(r).cast("bigint").alias("round"),
+                "day_idx",
+                "cents",
+                F.floor(
+                    F.abs(F.col("n") * F.col("cents") - F.col("s")).cast(
+                        "double"
+                    )
+                    / F.sqrt(
+                        F.col("n").cast("double")
+                        * (
+                            F.col("n").cast("double") * F.col("q")
+                            - F.col("s").cast("double") * F.col("s")
+                        )
+                        / (F.col("n") - 1)
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("r_micro"),
+                F.col("n").alias("n_at_round"),
+            )
+        )
+        # only the shrinking candidate set is checkpointed (it feeds the
+        # next round twice); the picks stay un-checkpointed so the plan
+        # gate fingerprints the per-round window/join structure.
+        picks.append(p)
+        cand = cand.join(
+            p.select("event_type", "day_idx"), ["event_type", "day_idx"], "left_anti"
+        ).localCheckpoint(eager=False)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
