@@ -48,11 +48,33 @@ _LOAD_MEMO: dict = {}
 
 
 def _src_stamp(path: str) -> object:
+    """Freshness stamp for a parquet source path.
+
+    Single file: (mtime_ns, size). Partitioned DIRECTORY tree: an in-place
+    rewrite of a part file does not necessarily bump the directory's own
+    mtime, so a stat of the top-level path alone can serve a stale memo —
+    instead fold (max mtime_ns, total size, file count) over a recursive
+    walk of the tree. The walk is O(files) driver-side metadata, the same
+    listing Spark itself performs to plan the scan; testdata trees here are
+    O(1)–O(100) files. Non-statable paths (object stores) stamp None and
+    memoize on path alone."""
     try:
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
     except OSError:
         return None
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    max_mtime, total_size, n_files = st.st_mtime_ns, 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                fst = os.stat(os.path.join(root, f))
+            except OSError:
+                continue
+            max_mtime = max(max_mtime, fst.st_mtime_ns)
+            total_size += fst.st_size
+            n_files += 1
+    return (max_mtime, total_size, n_files)
 
 
 def derived_memo_key(spark: SparkSession, sf_dir: str, *tables: str) -> tuple:
@@ -69,6 +91,39 @@ def derived_memo_key(spark: SparkSession, sf_dir: str, *tables: str) -> tuple:
         sf_dir,
         tuple(_src_stamp(f"{sf_dir}/{t}.parquet") for t in tables),
     )
+
+
+def evict_stale_derived(memo: dict, key: tuple) -> None:
+    """Drop memo entries superseded by ``key`` (same applicationId + sf_dir
+    prefix, different source stamp) before inserting the fresh one.
+
+    Without this, every source rewrite mid-session (test fixtures,
+    regenerated data) leaks one localCheckpoint'd DataFrame per shared
+    relation: the old key never matches again, but its checkpointed RDD
+    blocks stay pinned in block-manager memory for the session's lifetime.
+    Eviction unpersists the stale checkpoint eagerly (best-effort — an
+    un-materialized lazy checkpoint has nothing to free and unpersist is
+    a no-op there)."""
+    prefix = key[:2]
+    for k in [k for k in memo if k[:2] == prefix and k != key]:
+        stale = memo.pop(k)
+        try:
+            stale.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
+
+def derived_memo_get_or_build(memo: dict, key: tuple, build) -> DataFrame:
+    """The shared-relation memo protocol in one place: hit → return; miss →
+    evict same-(app, sf_dir) stale entries, build, lazily localCheckpoint
+    (plan-cut so dependent queries don't each re-derive the lineage), store.
+    """
+    df = memo.get(key)
+    if df is None:
+        evict_stale_derived(memo, key)
+        df = build().localCheckpoint(eager=False)
+        memo[key] = df
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

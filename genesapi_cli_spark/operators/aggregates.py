@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import derived_memo_key, load, spread
+from genesapi_cli_spark.io import (
+    derived_memo_get_or_build,
+    derived_memo_key,
+    load,
+    spread,
+)
 from genesapi_cli_spark.registry import DEC, dec_avg, dec_sum, oracle_dec_avg, oracle_dec_sum, register
 
 # ---------------------------------------------------------------------------
@@ -1947,11 +1952,9 @@ def build_ranked_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shared_ranked_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "lineitem")
-    df = _RANKED_CENTS_MEMO.get(key)
-    if df is None:
-        df = build_ranked_cents(spark, sf_dir).localCheckpoint(eager=False)
-        _RANKED_CENTS_MEMO[key] = df
-    return df
+    return derived_memo_get_or_build(
+        _RANKED_CENTS_MEMO, key, lambda: build_ranked_cents(spark, sf_dir)
+    )
 
 
 @register("q_agg_trimmed", oracle=_TRIM_ORACLE)
@@ -3794,6 +3797,16 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     escalation discipline), and the correlation is one identical double
     formula, micro-snapped. Constant columns drop via the variance guard
     in both engines.
+
+    Scale bound (decimal saturation): rx2, ry2 ≤ 2n per group, so the
+    largest moment sxy ≤ n·(2n)² = 4n³ must fit decimal(38,0) → holds for
+    any per-group n < ~2.9×10^12 rows (≈ a full 100 TB lineitem in ONE
+    flag group). Beyond that Spark's allowPrecisionLoss yields NULL
+    moments silently — a NULL sxx/syy makes the variance filter drop the
+    group and a NULL sxy yields a NULL (never a wrong) correlation; the
+    escalation is the q_agg_hhi
+    split-sum idiom (partial sums per sub-bucket, re-summed in two tiers),
+    not a wider decimal (38 is Spark's ceiling).
 
     Scale shape: sixth consumer of the shared ranked-cents relation —
     the price side's doubled rank derives from the memoized per-flag

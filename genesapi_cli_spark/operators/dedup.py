@@ -34,7 +34,12 @@ import operator
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import derived_memo_key, load, spread
+from genesapi_cli_spark.io import (
+    derived_memo_get_or_build,
+    derived_memo_key,
+    load,
+    spread,
+)
 from genesapi_cli_spark.operators.similarity import as_double, dot_expr
 from genesapi_cli_spark.registry import register
 
@@ -850,11 +855,9 @@ def build_portable_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shared_portable_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "documents")
-    df = _BANDS_MEMO.get(key)
-    if df is None:
-        df = build_portable_bands(spark, sf_dir).localCheckpoint(eager=False)
-        _BANDS_MEMO[key] = df
-    return df
+    return derived_memo_get_or_build(
+        _BANDS_MEMO, key, lambda: build_portable_bands(spark, sf_dir)
+    )
 
 
 def portable_bands(docs: DataFrame) -> DataFrame:

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import derived_memo_key, load, spread
+from genesapi_cli_spark.io import (
+    derived_memo_get_or_build,
+    derived_memo_key,
+    load,
+    spread,
+)
 from genesapi_cli_spark.registry import register
 
 #: SQL shared by both graph oracles: the ≥2-support co-purchase edge list,
@@ -92,11 +97,9 @@ def build_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "lineitem")
-    df = _EDGE_MEMO.get(key)
-    if df is None:
-        df = build_copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
-        _EDGE_MEMO[key] = df
-    return df
+    return derived_memo_get_or_build(
+        _EDGE_MEMO, key, lambda: build_copurchase_edges(spark, sf_dir)
+    )
 
 
 _DEGREE_ORACLE = f"""{_EDGES_SQL}, deg AS (

@@ -24,7 +24,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import derived_memo_key, load
+from genesapi_cli_spark.io import (
+    derived_memo_get_or_build,
+    derived_memo_key,
+    load,
+)
 from genesapi_cli_spark.registry import oracle_dec_avg, register
 
 
@@ -490,11 +494,9 @@ def build_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shared_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "documents")
-    df = _FRAMES_MEMO.get(key)
-    if df is None:
-        df = build_payload_frames(spark, sf_dir).localCheckpoint(eager=False)
-        _FRAMES_MEMO[key] = df
-    return df
+    return derived_memo_get_or_build(
+        _FRAMES_MEMO, key, lambda: build_payload_frames(spark, sf_dir)
+    )
 
 
 def _audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

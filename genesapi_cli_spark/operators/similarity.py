@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import derived_memo_key, load, spread
+from genesapi_cli_spark.io import (
+    derived_memo_get_or_build,
+    derived_memo_key,
+    load,
+    spread,
+)
 from genesapi_cli_spark.registry import DEC, register
 
 
@@ -114,11 +119,9 @@ def build_normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shared_normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "embeddings")
-    df = _NORMED_MEMO.get(key)
-    if df is None:
-        df = build_normed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
-        _NORMED_MEMO[key] = df
-    return df
+    return derived_memo_get_or_build(
+        _NORMED_MEMO, key, lambda: build_normed_embeddings(spark, sf_dir)
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -1959,16 +1962,15 @@ def build_ham_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shared_ham_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "embeddings")
-    df = _HAM_SIG_MEMO.get(key)
-    if df is not None:
-        return df
-    e = shared_normed_embeddings(spark, sf_dir)
-    df = e.select("vec_id", "emb", "nrm").mapInPandas(
-        _ham_sig_batches(),
-        "vec_id bigint, emb array<double>, nrm double, sg bigint",
-    ).localCheckpoint(eager=False)
-    _HAM_SIG_MEMO[key] = df
-    return df
+
+    def _build():
+        e = shared_normed_embeddings(spark, sf_dir)
+        return e.select("vec_id", "emb", "nrm").mapInPandas(
+            _ham_sig_batches(),
+            "vec_id bigint, emb array<double>, nrm double, sg bigint",
+        )
+
+    return derived_memo_get_or_build(_HAM_SIG_MEMO, key, _build)
 
 
 def _ham_oracle() -> str:

@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import derived_memo_key, load, spread
+from genesapi_cli_spark.io import (
+    derived_memo_get_or_build,
+    derived_memo_key,
+    load,
+    spread,
+)
 from genesapi_cli_spark.registry import DEC, oracle_r4, r4, register
 
 # --- q_dedup_exact ----------------------------------------------------------
@@ -363,12 +368,9 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume the same pair relation (the persisted-LSH-pair-table analog).
     """
     key = derived_memo_key(spark, sf_dir, "documents")
-    cached = _PAIRS_MEMO.get(key)
-    if cached is not None:
-        return cached
-    pairs = build_minhash_pairs(spark, sf_dir).localCheckpoint(eager=False)
-    _PAIRS_MEMO[key] = pairs
-    return pairs
+    return derived_memo_get_or_build(
+        _PAIRS_MEMO, key, lambda: build_minhash_pairs(spark, sf_dir)
+    )
 
 
 # --- q_text_langid ----------------------------------------------------------

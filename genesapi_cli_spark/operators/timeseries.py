@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from genesapi_cli_spark.io import derived_memo_key, load
+from genesapi_cli_spark.io import (
+    derived_memo_get_or_build,
+    derived_memo_key,
+    load,
+)
 from genesapi_cli_spark.registry import DEC, dec_sum, oracle_dec_sum, register
 
 #: integer cents snap for the 2-decimal `value` column — exact cross-engine.
@@ -4459,11 +4463,9 @@ def build_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shared_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = derived_memo_key(spark, sf_dir, "events")
-    df = _DAILY_CENTS_MEMO.get(key)
-    if df is None:
-        df = build_daily_cents(spark, sf_dir).localCheckpoint(eager=False)
-        _DAILY_CENTS_MEMO[key] = df
-    return df
+    return derived_memo_get_or_build(
+        _DAILY_CENTS_MEMO, key, lambda: build_daily_cents(spark, sf_dir)
+    )
 
 
 def _pgram_trig_rows(period: int) -> list[tuple[int, int, int]]:

@@ -144,7 +144,14 @@ def _ph_fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         # s exceeds 2^53, which would diverge all downstream integer state.
         # Same int64 bound as the batch docstring: |s|·1e6 must stay below
         # 2^63, i.e. |s| < ~9.2e12 cents — certify, don't silently wrap.
-        assert abs(s) < (1 << 63) // 1_000_000, "page-hinkley micro-sum bound"
+        # explicit raise, not assert: the bound must survive `python -O`
+        # (asserts are stripped), and a typed error beats a bare
+        # AssertionError killing the streaming query opaquely.
+        if abs(s) >= (1 << 63) // 1_000_000:
+            raise OverflowError(
+                "page-hinkley micro-sum bound: |s| cents would overflow "
+                "int64 when scaled by 1e6 — certify, don't wrap"
+            )
         msum += int(math.floor(float(s) / t * 1_000_000 + 0.5))
         m = s * 1_000_000 - msum
         m_min = m if m_min is None else min(m_min, m)

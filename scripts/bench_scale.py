@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Scale rehearsal: run the most bench-expensive queries at several locally
+generated scale factors (scripts/gen_scale.py) and fit per-query scaling
+exponents, writing BENCH_SCALE.json.
+
+What this measures (and SCALE.md could previously only assert from plans):
+does each query's wall time grow ~linearly in input size, or is something
+super-linear hiding behind the sf0.1 fixed-overhead floor?
+
+Protocol:
+- One warm SparkSession for the whole ledger (bench.py protocol), but with
+  the REAL-CLUSTER config — shuffle.partitions=32 + AQE on — not bench.py's
+  local-floor shuffle=3: cross-sf comparability beats absolute smallness,
+  and AQE coalescing is itself one of the behaviors under test.
+- Per (query, sf): run twice, keep the minimum (bench.py protocol; machine
+  load swings single runs ±2-4×).
+- sf order: smallest→largest so memo/first-touch costs land on the cheap
+  end (conservative for exponents: any residual warm-up inflates SMALL-sf
+  times, which biases the fitted exponent DOWN — so we also report the
+  marginal exponent over the top two sfs, where the floor is negligible).
+- Exponents: least-squares slope of log t vs log sf over all sfs
+  (`exp_all`), and the two largest sfs only (`exp_marginal`). exp_marginal
+  is the one that answers "what happens at 100×": fixed overhead has
+  amortized out and the asymptotic term dominates.
+
+Queries: the top-N most expensive from BENCH_DETAIL.json (N=30 default),
+minus NONSCALING inputs (the embedded GENESIS cube literal does not grow
+with sf — its exponent would measure the constant, not the engine).
+
+Usage: python scripts/bench_scale.py [--sfs 0.1,0.3,1,3] [--top 30]
+       [--queries q_a,q_b] [--out BENCH_SCALE.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_ROOT", "/root/repo/scale_data")
+
+#: Queries whose driving input is a fixed-size embedded fixture, not the
+#: sf-scaled lake — a scaling exponent over sf would be meaningless.
+NONSCALING = {"q_source_cube_ds", "q_source_cube_text", "q_source_cube_write"}
+
+
+def pick_queries(top_n: int) -> list[str]:
+    with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAIL.json")) as f:
+        detail = json.load(f)
+    ranked = sorted(detail["queries"].items(), key=lambda kv: -kv[1])
+    out = [q for q, _ in ranked if q not in NONSCALING][:top_n]
+    return out
+
+
+def fit_exponent(sfs: list[float], times: list[float]) -> float | None:
+    pts = [(math.log(s), math.log(t)) for s, t in zip(sfs, times) if t > 0]
+    if len(pts) < 2:
+        return None
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    denom = n * sxx - sx * sx
+    if denom == 0:
+        return None
+    return (n * sxy - sx * sy) / denom
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sfs", default="0.1,0.3,1,3")
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--out", default="BENCH_SCALE.json")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    sfs = [float(s) for s in args.sfs.split(",")]
+    qnames = (
+        args.queries.split(",") if args.queries else pick_queries(args.top)
+    )
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+    from genesapi_cli_spark.session import build_session
+
+    genesapi_cli_spark.load_all()
+    missing = [q for q in qnames if q not in REGISTRY]
+    if missing:
+        print("unknown queries:", missing, file=sys.stderr)
+        return 2
+
+    spark = build_session(app_name="genesapi-bench-scale", shuffle_partitions=32)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict] = {q: {"times": {}} for q in qnames}
+    for sf in sfs:
+        tag = "%g" % sf
+        sf_dir = f"{SCALE_ROOT}/sf{tag}"
+        if not os.path.isdir(sf_dir):
+            print(f"missing {sf_dir} — run scripts/gen_scale.py {tag}", file=sys.stderr)
+            return 2
+        for q in qnames:
+            fn = REGISTRY[q].fn
+            best = None
+            for _ in range(args.runs):
+                t0 = time.monotonic()
+                materialize(fn(spark, sf_dir))
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            results[q]["times"][tag] = round(best, 4)
+            print(f"sf{tag:>4} {q:32s} {best:7.2f}s", flush=True)
+
+    sup = []
+    for q in qnames:
+        times = [results[q]["times"]["%g" % s] for s in sfs]
+        results[q]["exp_all"] = (
+            round(fit_exponent(sfs, times), 3) if len(sfs) >= 2 else None
+        )
+        if len(sfs) >= 2:
+            results[q]["exp_marginal"] = round(
+                fit_exponent(sfs[-2:], times[-2:]), 3
+            )
+            if results[q]["exp_marginal"] is not None and results[q][
+                "exp_marginal"
+            ] > 1.25:
+                sup.append(q)
+
+    ledger = {
+        "protocol": (
+            "min-of-%d per (query, sf), one warm local[32] session, "
+            "shuffle.partitions=32 + AQE on (real-cluster config, unlike "
+            "bench.py's local-floor shuffle=3); data = scripts/gen_scale.py "
+            "deterministic hash-synthetic tables mirroring driver testdata "
+            "domains (FIXTURES.md); exp_marginal = log-log slope over the "
+            "two largest sfs (fixed overhead amortized out) — the number "
+            "that answers 'what happens at 100x'"
+        ) % args.runs,
+        "sfs": sfs,
+        "n_queries": len(qnames),
+        "superlinear_marginal_gt_1.25": sup,
+        "queries": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+    print(json.dumps({"out": args.out, "superlinear": sup}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

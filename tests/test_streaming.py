@@ -564,9 +564,13 @@ def test_cusum_stream_equals_batch(spark, tmp_path):
     q = run_to_memory(cusum_stream(stream, targets), "t_cusum", output_mode="update")
     try:
         rows = spark.sql("SELECT * FROM t_cusum").collect()
+        # update mode: the LAST emission per key wins, but memory-sink row
+        # iteration order is NOT contractual across micro-batches — select
+        # it by the monotone per-key event count n instead of row order.
         got = {}
-        for r in rows:  # update mode: the LAST emission per key wins
-            got[r.event_type] = (r.n, r.max_cusum_scaled, r.min_cusum_scaled)
+        for r in rows:
+            if r.event_type not in got or r.n > got[r.event_type][0]:
+                got[r.event_type] = (r.n, r.max_cusum_scaled, r.min_cusum_scaled)
     finally:
         q.stop()
     assert got == want
