@@ -409,6 +409,46 @@ def connected_components(edges: DataFrame, rounds: int = _CC_ROUNDS) -> DataFram
     ).select("node", "prev", "label")
 
 
+#: Hard ceiling for the auto-deepening schedule: 64 doubling rounds certify
+#: component diameters up to ~2^64 — physically unreachable, so hitting the
+#: ceiling means a logic bug, and the caller's n_unconverged certificate
+#: (pinned to 0 by every oracle) still fails loudly rather than silently.
+_CC_MAX_ROUNDS = 64
+
+
+def connected_components_auto(
+    edges: DataFrame, rounds: int = _CC_ROUNDS, max_rounds: int = _CC_MAX_ROUNDS
+) -> DataFrame:
+    """``connected_components`` with AUTO-DEEPENING: run the fixed unrolled
+    schedule at ``rounds``; if the convergence certificate is nonzero
+    (some node's label still moved in the stability round — the component
+    diameter exceeded 2^rounds), RESUBMIT with doubled rounds instead of
+    failing the caller's oracle and demanding a ``spark.genesapi.cc.rounds``
+    config bump (the round-7 review's remaining manual step).
+
+    Driver-orchestration contract: this is NOT per-round polling (the
+    anti-pattern the unrolled schedule exists to avoid). The common case
+    costs exactly ONE probe action on the final checkpointed label
+    relation — whose blocks the caller's aggregation then reuses — and a
+    legitimately deep chain costs O(log diameter) resubmits total, each a
+    geometrically deeper one-action schedule. The upstream edge pipeline
+    runs ONCE: it is checkpointed here, so resubmits re-read its blocks.
+
+    Returns the usual ``(node, prev, label)`` relation; callers keep
+    publishing the declarative ``n_unconverged`` certificate, which stays
+    the safety net if ``max_rounds`` is ever hit."""
+    edges = edges.localCheckpoint(eager=False)
+    r = rounds
+    while True:
+        cc = connected_components(edges, rounds=r).localCheckpoint(eager=False)
+        # one bounded probe: materializes cc's blocks AND reads the verdict
+        if cc.filter(F.col("prev") != F.col("label")).isEmpty():
+            return cc
+        if r >= max_rounds:
+            return cc  # certificate stays nonzero → oracle fails loudly
+        r = min(2 * r, max_rounds)
+
+
 def _clusters_oracle() -> str:
     """DuckDB connected-components oracle: the near-minhash pair CTEs feed a
     recursive reachability CTE (UNION = set semantics ⇒ termination), then
@@ -461,12 +501,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore fails the value hash loudly (no driver-side ``isEmpty``
     polling anywhere; the whole computation is one submitted plan).
 
-    The schedule depth is a RUNTIME KNOB, not a constant: set
-    ``spark.genesapi.cc.rounds`` (session conf) or ``GENESAPI_CC_ROUNDS``
-    (env) to deepen the unroll for a legitimately long near-dup chain —
-    a data property (diameter > ~2^3 after doubling) should cost one
-    config line, not turn into a hard certificate failure. The default
-    stays ``_CC_ROUNDS`` (4); the declarative ``n_unconverged``
+    Depth is AUTO-DEEPENING (connected_components_auto): if the
+    certificate is nonzero at the starting depth, the schedule resubmits
+    with doubled rounds — a deep chain is a data property and costs
+    O(log diameter) resubmits, never a manual config change or a hard
+    certificate failure. ``spark.genesapi.cc.rounds`` (session conf) /
+    ``GENESAPI_CC_ROUNDS`` (env) now set the STARTING depth only
+    (default ``_CC_ROUNDS`` = 4); the declarative ``n_unconverged``
     certificate remains the safety net at every depth."""
     import os
 
@@ -479,7 +520,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = q_dedup_near_minhash(spark, sf_dir)
-    cc = connected_components(pairs, rounds=rounds)
+    cc = connected_components_auto(pairs, rounds=rounds)
     conv = cc.agg(
         F.coalesce(F.sum((F.col("label") != F.col("prev")).cast("int")), F.lit(0))
         .cast("bigint")

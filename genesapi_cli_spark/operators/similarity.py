@@ -1858,16 +1858,18 @@ def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed list; CC rounds shuffle the label relation on node while the
     pre-partitioned symmetric edge list stays put. At 100 TB this is the
     embedding-side dedup pass run after exact/minhash text dedup."""
-    from genesapi_cli_spark.operators.dedup import connected_components
+    from genesapi_cli_spark.operators.dedup import connected_components_auto
 
     mutual = q_sim_knn_graph(spark, sf_dir).select(
         F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
     )
     # Mutual k-NN graphs are chain-like (each node holds <= k edges), so
     # component DIAMETER grows with corpus size where shingle-overlap blobs
-    # stay shallow: 10 doubling rounds certify chains up to 2^10 links
-    # (q_dedup_clusters' default 4 suffices for its clique-ish pair graph).
-    labels = connected_components(mutual, rounds=10)
+    # stay shallow: start at 10 doubling rounds (chains up to 2^10 links;
+    # q_dedup_clusters' default 4 suffices for its clique-ish pair graph)
+    # and let the auto-deepening schedule resubmit doubled if a longer
+    # chain ever shows up — a data property, not a config change.
+    labels = connected_components_auto(mutual, rounds=10)
     unconv = labels.filter(F.col("prev") != F.col("label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_unconverged")
     )

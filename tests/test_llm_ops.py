@@ -196,6 +196,31 @@ def test_connected_components_golden(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
 
 
+def test_connected_components_auto_deepens_on_long_chain(spark):
+    """A path graph of 2^6 links has diameter 64 > 2^4, so the default
+    4-round schedule under-converges — connected_components_auto must
+    detect the nonzero certificate and resubmit doubled until the whole
+    chain carries label 0 with prev == label everywhere, with DEFAULT
+    config (no spark.genesapi.cc.rounds bump)."""
+    from genesapi_cli_spark.operators.dedup import (
+        _CC_ROUNDS,
+        connected_components,
+        connected_components_auto,
+    )
+
+    n = 64  # 2^6-link chain 0-1-...-64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    # precondition: the fixed default schedule genuinely under-converges
+    # on this input (otherwise the test would not exercise deepening)
+    fixed = connected_components(edges, rounds=_CC_ROUNDS)
+    assert fixed.filter(F.col("prev") != F.col("label")).count() > 0
+    rows = connected_components_auto(edges).collect()
+    assert len(rows) == n + 1
+    assert all(r.label == 0 and r.prev == r.label for r in rows)
+
+
 def test_dedup_clusters_cover_pairs(spark):
     """Every minhash candidate pair must fall inside one cluster, and
     cluster sizes account for every paired doc exactly once."""
