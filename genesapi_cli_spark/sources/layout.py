@@ -300,14 +300,25 @@ def _file_boxes(df: DataFrame, c1: str, c2: str):
     )
 
 
-def _shrinks(boxes: DataFrame, span1: int, span2: int) -> tuple[bool, bool]:
-    """True per dimension iff MOST files' boxes cover < half the global span
-    (the margin makes the verdict robust to range-partitioner sampling)."""
-    r = boxes.agg(
-        F.avg(((F.col("mx1") - F.col("mn1")) * 2 < F.lit(span1)).cast("int")).alias("s1"),
-        F.avg(((F.col("mx2") - F.col("mn2")) * 2 < F.lit(span2)).cast("int")).alias("s2"),
-    ).collect()[0]
-    return bool(r.s1 > 0.5), bool(r.s2 > 0.5)
+def _shrinks_df(boxes: DataFrame, spans: DataFrame, d1: str, d2: str) -> DataFrame:
+    """One-row verdict relation: per dimension, TRUE iff MOST files' boxes
+    cover < half the global span (the margin makes the verdict robust to
+    range-partitioner sampling). Declarative — the global spans arrive as
+    a broadcast one-row relation, never as driver-side literals, so the
+    whole certificate is one submitted plan with zero collects."""
+    return (
+        boxes.crossJoin(F.broadcast(spans))
+        .agg(
+            (
+                F.avg(((F.col("mx1") - F.col("mn1")) * 2 < F.col("s1")).cast("int"))
+                > 0.5
+            ).alias(d1),
+            (
+                F.avg(((F.col("mx2") - F.col("mn2")) * 2 < F.col("s2")).cast("int"))
+                > 0.5
+            ).alias(d2),
+        )
+    )
 
 
 @register("q_layout_zorder", oracle=_ZORDER_ORACLE)
@@ -351,14 +362,14 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = ev.agg(
         (F.max("user_id") - F.min("user_id")).alias("s1"),
         (F.max("cents") - F.min("cents")).alias("s2"),
-    ).collect()[0]
-    z1, z2 = _shrinks(
-        _file_boxes(spark.read.parquet(f"{base}/z"), "user_id", "cents"),
-        spans.s1, spans.s2,
     )
-    l1, l2 = _shrinks(
+    z = _shrinks_df(
+        _file_boxes(spark.read.parquet(f"{base}/z"), "user_id", "cents"),
+        spans, "z_shrinks_dim1", "z_shrinks_dim2",
+    )
+    lin = _shrinks_df(
         _file_boxes(spark.read.parquet(f"{base}/linear"), "user_id", "cents"),
-        spans.s1, spans.s2,
+        spans, "linear_shrinks_dim1", "linear_shrinks_dim2",
     )
     return (
         spark.read.parquet(f"{base}/z")
@@ -367,10 +378,8 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").cast("bigint").alias("sum_users"),
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
-        .withColumn("z_shrinks_dim1", F.lit(z1))
-        .withColumn("z_shrinks_dim2", F.lit(z2))
-        .withColumn("linear_shrinks_dim1", F.lit(l1))
-        .withColumn("linear_shrinks_dim2", F.lit(l2))
+        .crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(lin))
     )
 
 
@@ -421,27 +430,29 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compact = spark.read.parquet(f"{base}/compact")
 
-    def stats(df: DataFrame):
-        return (
-            df.withColumn("f", F.input_file_name())
-            .agg(
-                F.count_distinct("f").alias("nf"),
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.sum("user_id").cast("bigint").alias("su"),
-            )
-            .collect()[0]
+    def stats(df: DataFrame, tag: str) -> DataFrame:
+        # one-row (file count, row count, checksum) relation per generation
+        return df.withColumn("f", F.input_file_name()).agg(
+            F.count_distinct("f").cast("int").alias(f"nf_{tag}"),
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"),
+            F.sum("user_id").cast("bigint").alias(f"su_{tag}"),
         )
 
-    a, b = stats(small), stats(compact)
-    return compact.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum("user_id").cast("bigint").alias("sum_users"),
-    ).select(
-        "n_rows",
-        "sum_users",
-        F.lit(a.nf).cast("int").alias("files_before"),
-        F.lit(b.nf).cast("int").alias("files_after"),
-        F.lit(bool(a.n == b.n and a.su == b.su)).alias("lossless"),
+    # Both generations' stats stay RELATIONS, broadcast-crossed into the
+    # one-row certificate — zero driver collects; the lossless comparison
+    # happens inside the submitted plan.
+    return (
+        stats(compact, "b")
+        .crossJoin(F.broadcast(stats(small, "a")))
+        .select(
+            F.col("n_b").alias("n_rows"),
+            F.col("su_b").alias("sum_users"),
+            F.col("nf_a").alias("files_before"),
+            F.col("nf_b").alias("files_after"),
+            (
+                (F.col("n_a") == F.col("n_b")) & (F.col("su_a") == F.col("su_b"))
+            ).alias("lossless"),
+        )
     )
 
 
@@ -460,10 +471,15 @@ FROM events
 """
 
 
-def _max_overlap_depth(boxes: DataFrame) -> int:
-    """Max number of per-file [mn, mx] intervals covering any single point,
-    via the ±1 boundary sweep (the q_intervals_active encoding pointed at
-    file statistics)."""
+def _max_overlap_depth_df(boxes: DataFrame, out: str) -> DataFrame:
+    """ONE-ROW RELATION holding the max number of per-file [mn, mx]
+    intervals covering any single point, via the ±1 boundary sweep (the
+    q_intervals_active encoding pointed at file statistics). Returned as a
+    DataFrame, not a driver scalar: the maintenance planner's verdict
+    stays inside the submitted plan (broadcast-crossed into the
+    certificate row), so a million-file manifest never rides through the
+    driver. The global window is over O(files) boundary points — manifest-
+    sized, not data-sized."""
     deltas = boxes.select(
         F.col("mn").alias("p"), F.lit(1).alias("d")
     ).unionAll(boxes.select((F.col("mx") + 1).alias("p"), F.lit(-1).alias("d")))
@@ -476,7 +492,7 @@ def _max_overlap_depth(boxes: DataFrame) -> int:
         )
         .alias("depth")
     )
-    return depth.agg(F.max("depth")).collect()[0][0]
+    return depth.agg(F.max("depth").alias(out))
 
 
 @register("q_layout_overlap", oracle=_OVERLAP_ORACLE)
@@ -523,18 +539,22 @@ def q_layout_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
         )
 
-    depth_sorted = _max_overlap_depth(boxes(f"{base}/sorted"))
-    depth_random = _max_overlap_depth(boxes(f"{base}/random"))
+    depth_sorted = _max_overlap_depth_df(boxes(f"{base}/sorted"), "ds")
+    depth_random = _max_overlap_depth_df(boxes(f"{base}/random"), "dr")
     return (
         spark.read.parquet(f"{base}/sorted")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.sum("user_id").cast("bigint").alias("sum_users"),
         )
-        .withColumn("n_files", F.lit(_OVERLAP_FILES))
-        .withColumn("sorted_layout_shallow", F.lit(bool(depth_sorted <= 2)))
-        .withColumn(
-            "random_layout_deep", F.lit(bool(depth_random > _OVERLAP_FILES // 2))
+        .crossJoin(F.broadcast(depth_sorted))
+        .crossJoin(F.broadcast(depth_random))
+        .select(
+            "n_rows",
+            "sum_users",
+            F.lit(_OVERLAP_FILES).alias("n_files"),
+            (F.col("ds") <= 2).alias("sorted_layout_shallow"),
+            (F.col("dr") > _OVERLAP_FILES // 2).alias("random_layout_deep"),
         )
     )
 
@@ -550,9 +570,14 @@ def _build_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     gen1 = their compaction; v1 tombstones all of v0) and return the log as
     a DataFrame. Shared by q_source_commit_log (head replay) and
     q_source_time_travel (as-of replay); session-nonce scratch, overwrite-
-    idempotent."""
-    import json as _json
+    idempotent.
 
+    The log itself is CONSTRUCTED AND WRITTEN declaratively: each
+    generation's file manifest is a `distinct input_file_name()` relation
+    folded to one (version, adds, removes) row, unioned and written
+    through Spark's JSON sink — the writer-side analog of the readers'
+    anti-join replay, with zero driver-side file listings (the round-7
+    review's remaining manifest collects)."""
     from genesapi_cli_spark.io import load, session_nonce
 
     base = (
@@ -561,30 +586,35 @@ def _build_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
     ev.repartition(_CLOG_GEN0_FILES).write.mode("overwrite").parquet(f"{base}/gen0")
-    gen0_files = sorted(
-        r.f
-        for r in spark.read.parquet(f"{base}/gen0")
+    gen0_files = (
+        spark.read.parquet(f"{base}/gen0")
         .select(F.input_file_name().alias("f"))
         .distinct()
-        .collect()
+        .agg(F.sort_array(F.collect_list("f")).alias("files"))
     )
-    spark.read.parquet(*gen0_files).repartition(1).write.mode("overwrite").parquet(
-        f"{base}/gen1"
-    )
-    gen1_files = sorted(
-        r.f
-        for r in spark.read.parquet(f"{base}/gen1")
+    spark.read.parquet(f"{base}/gen0").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/gen1")
+    gen1_files = (
+        spark.read.parquet(f"{base}/gen1")
         .select(F.input_file_name().alias("f"))
         .distinct()
-        .collect()
+        .agg(F.sort_array(F.collect_list("f")).alias("files"))
     )
-    os.makedirs(f"{base}/log", exist_ok=True)
-    with open(f"{base}/log/00000.json", "w") as fh:
-        fh.write(_json.dumps({"version": 0, "adds": gen0_files, "removes": []}))
-    with open(f"{base}/log/00001.json", "w") as fh:
-        fh.write(
-            _json.dumps({"version": 1, "adds": gen1_files, "removes": gen0_files})
+    log = gen0_files.select(
+        F.lit(0).alias("version"),
+        F.col("files").alias("adds"),
+        F.array().cast("array<string>").alias("removes"),
+    ).unionByName(
+        gen1_files.crossJoin(
+            F.broadcast(gen0_files.select(F.col("files").alias("removes")))
+        ).select(
+            F.lit(1).alias("version"),
+            F.col("files").alias("adds"),
+            "removes",
         )
+    )
+    log.coalesce(1).write.mode("overwrite").json(f"{base}/log")
     return spark.read.json(f"{base}/log")
 
 
@@ -627,19 +657,32 @@ def q_source_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = adds.join(
         removes, F.col("path") == F.col("rpath"), "left_anti"
     )
-    n_versions = log.agg(F.count(F.lit(1)).cast("int").alias("nv")).collect()[0].nv
-    n_tomb = removes.count()
+    # THE one bounded manifest fetch: Spark's parquet reader needs concrete
+    # paths at planning time, exactly the file list a Delta/Iceberg reader
+    # materializes after resolving the log head — O(live files), nothing
+    # else crosses the driver. Version/tombstone counts stay RELATIONS,
+    # broadcast-crossed into the certificate row.
     live_paths = sorted(r.path for r in live.select("path").collect())
     snap = spark.read.parquet(*live_paths)
-    return snap.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum("user_id").cast("bigint").alias("sum_users"),
-    ).select(
-        F.lit(n_versions).cast("int").alias("n_versions"),
-        F.lit(len(live_paths)).cast("int").alias("n_live_files"),
-        F.lit(int(n_tomb)).cast("int").alias("n_tombstones"),
-        "n_rows",
-        "sum_users",
+    meta = (
+        log.agg(F.count(F.lit(1)).cast("int").alias("n_versions"))
+        .crossJoin(
+            removes.agg(F.count(F.lit(1)).cast("int").alias("n_tombstones"))
+        )
+    )
+    return (
+        snap.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+        )
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "n_versions",
+            F.lit(len(live_paths)).cast("int").alias("n_live_files"),
+            "n_tombstones",
+            "n_rows",
+            "sum_users",
+        )
     )
 
 
@@ -675,19 +718,27 @@ def q_source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions — time travel never lists directories.
     """
     log = _build_commit_log(spark, sf_dir)
-    out = []
-    for v in (0, 1):
+    # Resolve EVERY version's live set in one declarative plan: tag each
+    # as-of version, filter the log to version ≤ v, anti-join tombstones —
+    # then make THE one bounded manifest fetch (the per-version scan file
+    # lists, O(versions × live files); Spark's parquet reader needs
+    # concrete paths at planning time, as any table-format reader does).
+    versions = (0, 1)
+    manifests = None
+    for v in versions:
         lv = log.filter(F.col("version") <= v)
         adds = lv.select(F.explode("adds").alias("path"))
         removes = lv.select(F.explode("removes").alias("rpath")).distinct()
-        live = sorted(
-            r.path
-            for r in adds.join(
-                removes, F.col("path") == F.col("rpath"), "left_anti"
-            )
-            .select("path")
-            .collect()
-        )
+        live_v = adds.join(
+            removes, F.col("path") == F.col("rpath"), "left_anti"
+        ).select(F.lit(v).alias("asof"), "path")
+        manifests = live_v if manifests is None else manifests.unionAll(live_v)
+    by_version: dict[int, list[str]] = {v: [] for v in versions}
+    for r in manifests.collect():
+        by_version[r.asof].append(r.path)
+    out = []
+    for v in versions:
+        live = sorted(by_version[v])
         snap = spark.read.parquet(*live)
         out.append(
             snap.agg(
