@@ -22,8 +22,10 @@ from collections.abc import Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -293,4 +295,100 @@ def cusum_fixed_target_batch(events: DataFrame, targets: dict) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.max("s").cast("bigint").alias("max_cusum_scaled"),
         F.min("s").cast("bigint").alias("min_cusum_scaled"),
+    )
+
+
+# --- streaming exact two-sample Kolmogorov-Smirnov ---------------------------
+
+KS_STATE_SCHEMA = StructType(
+    [
+        StructField("cents", ArrayType(LongType())),
+        StructField("da", ArrayType(LongType())),
+        StructField("db", ArrayType(LongType())),
+    ]
+)
+
+KS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("g", LongType()),
+        StructField("na", LongType()),
+        StructField("nb", LongType()),
+        StructField("d_num", LongType()),
+        StructField("d_r4", DoubleType()),
+    ]
+)
+
+
+def _ks_fold(key: tuple, pdfs: "Iterable[pd.DataFrame]", state: GroupState):
+    """applyInPandasWithState twin of the batch q_events_ks
+    (operators/experiments.py): state is the exact per-value count pair
+    (cents → (n_click, n_purchase)) — the two samples' full sufficient
+    statistic, bounded by SUPPORT cardinality (distinct 2-decimal values,
+    ≪ stream length), not by stream length. Each micro-batch merges its
+    counts, then recomputes the exact supremum MAX|ca·Nb − cb·Na| over the
+    sorted support in arbitrary-precision ints — identical integer
+    arithmetic to the batch/oracle cross-multiply, so after the last
+    micro-batch the emission equals the batch row exactly (d_r4 shares the
+    same double division + micro-snap). Unlike CUSUM/Page-Hinkley, KS is
+    ORDER-FREE (a distribution statistic), so this twin needs no
+    cross-batch event-time ordering contract at all."""
+    import math
+
+    (g,) = key
+    if state.exists:
+        cs, da, db = state.get
+        counts = {int(c): [int(a), int(b)] for c, a, b in zip(cs, da, db)}
+    else:
+        counts = {}
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    for v, et in zip(rows["value"], rows["event_type"]):
+        c = int(math.floor(v * 100 + 0.5))
+        slot = counts.setdefault(c, [0, 0])
+        slot[0 if et == "click" else 1] += 1
+    cs = sorted(counts)
+    state.update(
+        (cs, [counts[c][0] for c in cs], [counts[c][1] for c in cs])
+    )
+    ca = cb = 0
+    na = sum(counts[c][0] for c in cs)
+    nb = sum(counts[c][1] for c in cs)
+    d_num = 0
+    for c in cs:
+        ca += counts[c][0]
+        cb += counts[c][1]
+        d_num = max(d_num, abs(ca * nb - cb * na))
+    d_r4 = (
+        math.floor(float(d_num) / float(na * nb) * 10000 + 0.5) / 10000
+        if na and nb
+        else 0.0
+    )
+    yield pd.DataFrame(
+        {
+            "g": [g],
+            "na": [na],
+            "nb": [nb],
+            "d_num": [d_num],
+            "d_r4": [d_r4],
+        }
+    )
+
+
+def ks_stream(events: DataFrame) -> DataFrame:
+    """Mount the exact two-sample KS drift monitor on a (batch or streaming)
+    events DataFrame: click-vs-purchase `value` distributions, one global
+    detector (state keyed by a constant group — production shards this by
+    segment key, e.g. per region or per model version, which also
+    partitions the state across executors). Emits the current exact KS
+    verdict (na, nb, d_num, d_r4) every micro-batch."""
+    return (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .select(F.lit(1).cast("long").alias("g"), "event_type", "value")
+        .groupBy("g")
+        .applyInPandasWithState(
+            _ks_fold,
+            outputStructType=KS_OUTPUT_SCHEMA,
+            stateStructType=KS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

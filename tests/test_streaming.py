@@ -574,3 +574,66 @@ def test_cusum_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_ks_stream_equals_batch(spark, tmp_path):
+    """Stateful streaming exact two-sample KS across micro-batches must
+    equal the batch q_events_ks row exactly after the final micro-batch —
+    and, because KS is a DISTRIBUTION statistic (order-free, unlike
+    CUSUM/Page-Hinkley), the equivalence holds regardless of how rows are
+    split across micro-batches; the split here is an arbitrary event_id
+    hash, not a time cut."""
+    import json as _json
+    import os
+    import time as _time
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+    from genesapi_cli_spark.streaming.stateful import ks_stream
+
+    genesapi_cli_spark.load_all()
+
+    want = REGISTRY["q_events_ks"].fn(spark, SMOKE_SF_DIR).collect()[0]
+
+    events = load(spark, SMOKE_SF_DIR, "events")
+    ev = events.select("event_id", "ts_us", "event_type", "value").collect()
+    src = tmp_path / "ks_src"
+    src.mkdir()
+
+    def dump(rows, name):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "event_id": r.event_id,
+                        "ts_us": r.ts_us,
+                        "user_id": 0,
+                        "event_type": r.event_type,
+                        "value": r.value,
+                        "props": None,
+                    }
+                )
+                for r in rows
+            )
+        )
+
+    dump([r for r in ev if r.event_id % 3 != 0], "b1.json")
+    dump([r for r in ev if r.event_id % 3 == 0], "b2.json")
+    now = _time.time()
+    os.utime(src / "b1.json", (now - 100, now - 100))
+    os.utime(src / "b2.json", (now, now))
+    stream = events_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory(ks_stream(stream), "t_ks", output_mode="update")
+    try:
+        rows = spark.sql("SELECT * FROM t_ks").collect()
+        # update mode: pick the final emission by the monotone sample sizes
+        # (na+nb grows every batch), never by memory-sink row order.
+        last = max(rows, key=lambda r: r.na + r.nb)
+    finally:
+        q.stop()
+    assert (last.na, last.nb, last.d_num, last.d_r4) == (
+        want.na,
+        want.nb,
+        want.d_num,
+        want.d_r4,
+    )
