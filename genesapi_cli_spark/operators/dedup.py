@@ -2048,6 +2048,7 @@ WITH t AS (
   SELECT DISTINCT a.lang, a.doc_id AS da, b.doc_id AS db, a.s AS sa, b.s AS sb
   FROM prefix a JOIN prefix b
     ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+   AND b.s * 2 >= a.s AND a.s * 2 >= b.s
 ), inter AS (
   SELECT c.lang, c.da, c.db, c.sa, c.sb,
          CAST(COUNT(*) AS BIGINT) AS i
@@ -2100,23 +2101,40 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower("text"), " ").alias("parts"),
         F.lower("text").alias("lt"),
     )
+    # Shingle width is a RUNTIME KNOB (spark.genesapi.pf.shingle /
+    # GENESAPI_PF_SHINGLE, default 3 = the oracle-pinned contract width).
+    # Why it exists: prefix filtering is only selective while shingle
+    # document-frequency stays O(1), i.e. while the shingle space (vocab^w)
+    # exceeds the corpus shingle count. On a closed vocabulary the space
+    # saturates as the corpus grows and EVERY shingle goes hot — candidate
+    # cost is sum(df_prefix^2), measured quadratic in the round-8 scale
+    # rehearsal (31-word corpus: 2.9s at sf0.1 -> 62s at sf1 at w=3).
+    # Widening w re-rarefies the space (31^5 ~ 28.6M >> corpus) and
+    # restores ~linear cost; the tau-completeness proof is width-blind.
+    import os as _os
+
+    w_sh = int(
+        spark.conf.get(
+            "spark.genesapi.pf.shingle",
+            _os.environ.get("GENESAPI_PF_SHINGLE", "3"),
+        )
+    )
     gram = F.concat_ws(
-        " ",
-        F.expr("parts[i - 1]"),
-        F.expr("parts[i]"),
-        F.expr("parts[i + 1]"),
+        " ", *[F.expr(f"parts[i + {k - 1}]") for k in range(w_sh)]
     )
     multi = (
-        base.filter(F.size("parts") >= 3)
+        base.filter(F.size("parts") >= w_sh)
         .select(
             "doc_id",
             "lang",
             "parts",
-            F.explode(F.sequence(F.lit(1), F.size("parts") - 2)).alias("i"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("parts") - (w_sh - 1))
+            ).alias("i"),
         )
         .select("doc_id", "lang", gram.alias("gs"))
     )
-    single = base.filter(F.size("parts") < 3).select(
+    single = base.filter(F.size("parts") < w_sh).select(
         "doc_id", "lang", F.col("lt").alias("gs")
     )
     sh = (
@@ -2160,12 +2178,19 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").alias("gb"),
         F.col("s").alias("sb"),
     )
+    # LENGTH FILTER inside the join predicate: J >= tau forces
+    # tau*sa <= sb <= sa/tau (i <= min(sa, sb) pigeonhole), so size-
+    # incompatible collisions are dropped codegen-side BEFORE the
+    # expensive distinct + verification joins — exact-integer form of the
+    # PPJoin length prune, mirrored verbatim in the oracle's cand CTE.
     cand = (
         prefix.join(
             pb,
             (F.col("g") == F.col("gb"))
             & (F.col("lang") == F.col("lb"))
-            & (F.col("doc_id") < F.col("db")),
+            & (F.col("doc_id") < F.col("db"))
+            & (F.col("sb") * _PF_TAU_DEN >= F.col("s") * _PF_TAU_NUM)
+            & (F.col("s") * _PF_TAU_DEN >= F.col("sb") * _PF_TAU_NUM),
         )
         .select(
             "lang",

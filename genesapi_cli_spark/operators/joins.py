@@ -785,40 +785,53 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein, so the distance histogram is exact.
     """
     part = load(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_partkey").alias("ka"),
-        F.col("p_name").alias("na"),
-        "p_type",
-        "p_size",
+    # VALUE-SPACE rewrite (round-8 scale rehearsal): the naive blocked
+    # self-join enumerates row pairs — quadratic once block sizes grow,
+    # because the blocking key's cardinality (|type|x|size| ~ 900) is FIXED
+    # while the table scales (measured exp~2 at sf1/sf3). But the DISTANCE
+    # only depends on the NAME VALUES, and names are a bounded inventory
+    # (first-word x second-word), so: collapse rows to (block, name, cnt)
+    # multiplicities first, run the quadratic Levenshtein over DISTINCT
+    # name pairs per block (value-pair space, constant in row count), and
+    # recover the exact row-pair histogram from multiplicities — identical
+    # result to the oracle's row self-join, row-LINEAR cost. Same-name
+    # pairs are dist=0 with cnt-choose-2; cross-name pairs orient once by
+    # name and contribute cnt_a*cnt_b (every row pair has exactly one
+    # ka<kb orientation). The same two no-op prunes remain: length-delta
+    # residual + bounded levenshtein early-exit (-1 -> dropped).
+    grp = part.groupBy("p_type", "p_size", "p_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    b = part.select(
-        F.col("p_partkey").alias("kb"),
-        F.col("p_name").alias("nb"),
+    same = grp.filter(F.col("cnt") >= 2).select(
+        "p_type",
+        F.lit(0).alias("dist"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("bigint").alias("m"),
+    )
+    gb = grp.select(
         F.col("p_type").alias("tb"),
         F.col("p_size").alias("sb"),
+        F.col("p_name").alias("nb"),
+        F.col("cnt").alias("cnt_b"),
     )
-    # Two provable no-ops that dodge quadratic DP work: (1) a length-delta
-    # prefilter — |len(a)−len(b)| ≤ d is NECESSARY for edit distance ≤ d —
-    # runs as a codegen integer compare in the join's residual predicate;
-    # (2) Spark's bounded levenshtein(a, b, threshold) early-exits the DP
-    # once the bound is exceeded (returns -1, which the ≤ filter drops —
-    # identical surviving set). The oracle keeps the unbounded form.
-    pairs = a.join(
-        b,
-        (F.col("p_type") == F.col("tb"))
-        & (F.col("p_size") == F.col("sb"))
-        & (F.col("ka") < F.col("kb"))
-        & (
-            F.abs(F.length("na") - F.length("nb")) <= _FUZZY_MAX_DIST
-        ),
-    ).select(
-        "p_type",
-        F.levenshtein("na", "nb", _FUZZY_MAX_DIST).alias("dist"),
+    cross = (
+        grp.join(
+            gb,
+            (F.col("p_type") == F.col("tb"))
+            & (F.col("p_size") == F.col("sb"))
+            & (F.col("p_name") < F.col("nb"))
+            & (F.abs(F.length("p_name") - F.length("nb")) <= _FUZZY_MAX_DIST),
+        )
+        .select(
+            "p_type",
+            F.levenshtein("p_name", "nb", _FUZZY_MAX_DIST).alias("dist"),
+            (F.col("cnt") * F.col("cnt_b")).alias("m"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _FUZZY_MAX_DIST))
     )
     return (
-        pairs.filter((F.col("dist") >= 0) & (F.col("dist") <= _FUZZY_MAX_DIST))
+        same.unionByName(cross)
         .groupBy("p_type", "dist")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.sum("m").cast("bigint").alias("n_pairs"))
     )
 
 
