@@ -47,6 +47,24 @@ SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_ROOT", "/root/repo/scale_data")
 #: sf-scaled lake — a scaling exponent over sf would be meaningless.
 NONSCALING = {"q_source_cube_ds", "q_source_cube_text", "q_source_cube_write"}
 
+#: Per-query sf ceiling for shapes with a MEASURED super-linear exponent at
+#: their contract parameters: the ledger still reports their exponent from
+#: the sfs below the cap (the quadratic is established there), without
+#: burning tens of minutes re-proving it at the top sf. Each cap must be
+#: paired with a VARIANT row showing the engine's scale path for the same
+#: query (see VARIANTS).
+SF_CAP = {"q_dedup_prefix_filter": 1.0}
+
+#: Extra ledger rows: (name suffix, base query, session confs) — the scale-
+#: path parameterizations of capped queries, benched across ALL sfs.
+VARIANTS = [
+    (
+        "q_dedup_prefix_filter@w5",
+        "q_dedup_prefix_filter",
+        {"spark.genesapi.pf.shingle": "5"},
+    ),
+]
+
 
 def pick_queries(top_n: int) -> list[str]:
     with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAIL.json")) as f:
@@ -101,38 +119,52 @@ def main() -> int:
     def materialize(df):
         df.write.format("noop").mode("overwrite").save()
 
-    results: dict[str, dict] = {q: {"times": {}} for q in qnames}
+    rows: list[tuple[str, str, dict]] = [(q, q, {}) for q in qnames] + [
+        (name, base, confs) for name, base, confs in VARIANTS if base in REGISTRY
+    ]
+    results: dict[str, dict] = {name: {"times": {}} for name, _, _ in rows}
     for sf in sfs:
         tag = "%g" % sf
         sf_dir = f"{SCALE_ROOT}/sf{tag}"
         if not os.path.isdir(sf_dir):
             print(f"missing {sf_dir} — run scripts/gen_scale.py {tag}", file=sys.stderr)
             return 2
-        for q in qnames:
-            fn = REGISTRY[q].fn
-            best = None
-            for _ in range(args.runs):
-                t0 = time.monotonic()
-                materialize(fn(spark, sf_dir))
-                dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
-            results[q]["times"][tag] = round(best, 4)
-            print(f"sf{tag:>4} {q:32s} {best:7.2f}s", flush=True)
+        for name, base, confs in rows:
+            if sf > SF_CAP.get(name, float("inf")):
+                results[name]["capped_at"] = SF_CAP[name]
+                continue
+            fn = REGISTRY[base].fn
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            try:
+                best = None
+                for _ in range(args.runs):
+                    t0 = time.monotonic()
+                    materialize(fn(spark, sf_dir))
+                    dt = time.monotonic() - t0
+                    best = dt if best is None else min(best, dt)
+            finally:
+                for k in confs:
+                    spark.conf.unset(k)
+            results[name]["times"][tag] = round(best, 4)
+            print(f"sf{tag:>4} {name:32s} {best:7.2f}s", flush=True)
 
     sup = []
-    for q in qnames:
-        times = [results[q]["times"]["%g" % s] for s in sfs]
-        results[q]["exp_all"] = (
-            round(fit_exponent(sfs, times), 3) if len(sfs) >= 2 else None
+    for name, _, _ in rows:
+        tags = [t for t in ("%g" % s for s in sfs) if t in results[name]["times"]]
+        xs = [float(t) for t in tags]
+        times = [results[name]["times"][t] for t in tags]
+        results[name]["exp_all"] = (
+            round(fit_exponent(xs, times), 3) if len(xs) >= 2 else None
         )
-        if len(sfs) >= 2:
-            results[q]["exp_marginal"] = round(
-                fit_exponent(sfs[-2:], times[-2:]), 3
+        if len(xs) >= 2:
+            results[name]["exp_marginal"] = round(
+                fit_exponent(xs[-2:], times[-2:]), 3
             )
-            if results[q]["exp_marginal"] is not None and results[q][
+            if results[name]["exp_marginal"] is not None and results[name][
                 "exp_marginal"
             ] > 1.25:
-                sup.append(q)
+                sup.append(name)
 
     ledger = {
         "protocol": (
@@ -145,7 +177,8 @@ def main() -> int:
             "that answers 'what happens at 100x'"
         ) % args.runs,
         "sfs": sfs,
-        "n_queries": len(qnames),
+        "n_queries": len(rows),
+        "sf_caps": SF_CAP,
         "superlinear_marginal_gt_1.25": sup,
         "queries": results,
     }
