@@ -33,8 +33,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def final_plan(df) -> str:
-    """Final ADAPTIVE physical plan — only meaningful AFTER an action."""
+def run_and_final_plan(df) -> str:
+    """Execute the DataFrame's OWN QueryExecution and return its final
+    adaptive plan. A sink write would execute a DIFFERENT QueryExecution
+    (the write's), leaving df's plan un-adapted (isFinalPlan=false) — so
+    the probe drives collect() on the df itself; both probe outputs are
+    group-count sized (6 and 20 rows)."""
+    df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -61,8 +66,7 @@ def main() -> int:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity").alias("sum_qty"))
     )
-    agg.write.format("noop").mode("overwrite").save()
-    plan = final_plan(agg)
+    plan = run_and_final_plan(agg)
     evidence["coalesce_observed"] = "coalesced" in plan
     evidence["coalesce_plan_lines"] = [
         ln.strip() for ln in plan.splitlines() if "AQEShuffleRead" in ln
@@ -76,28 +80,35 @@ def main() -> int:
     )
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+    # the join output feeds a groupBy: splitting the skewed partition adds
+    # one extra shuffle, which AQE declines by default — force it, exactly
+    # the call a production job makes when the skewed stage dominates
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
     try:
-        docs = load(spark, args.sf_dir, "documents")
-        langs = docs.groupBy("lang").agg(
-            F.count(F.lit(1)).cast("bigint").alias("lang_docs")
+        # Shape matters: OptimizeSkewedJoin only rewrites a sort-merge join
+        # whose children are PLAIN shuffle stages — an aggregate child's
+        # reused partitioning disqualifies it (observed: the lang-count
+        # variant never split). Scan side vs a 5-row literal dim is the
+        # canonical qualifying shape; 'en' holds ~41% of the docs rows.
+        docs = load(spark, args.sf_dir, "documents").select(
+            "doc_id", "lang", "text"
         )
-        joined = (
-            docs.join(langs, "lang")
-            .groupBy("source")
-            .agg(
-                F.sum("lang_docs").alias("w"),
-                F.count(F.lit(1)).alias("n"),
-            )
+        dim = spark.createDataFrame(
+            [(lang, float(i)) for i, lang in enumerate(
+                ["en", "de", "es", "fr", "zh"], start=1)],
+            "lang string, w double",
         )
-        joined.write.format("noop").mode("overwrite").save()
-        plan = final_plan(joined)
+        joined = docs.join(dim, "lang").select(
+            F.sum(F.length("text") * F.col("w")).alias("x")
+        )
+        plan = run_and_final_plan(joined)
         skew_lines = [
             ln.strip()
             for ln in plan.splitlines()
             if "Skew" in ln or "isSkew" in ln or "skewed" in ln
         ]
         evidence["skew_split_observed"] = (
-            "isSkew=true" in plan or "skewed=" in plan or bool(skew_lines)
+            "isSkew=true" in plan or "skew=true" in plan or bool(skew_lines)
         )
         evidence["skew_plan_lines"] = skew_lines[:4] or [
             ln.strip() for ln in plan.splitlines() if "SortMergeJoin" in ln
@@ -109,6 +120,7 @@ def main() -> int:
         )
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
 
     evidence["note"] = (
         "skew thresholds lowered (256k/128k advisory) so the 256MB-default "

@@ -113,8 +113,13 @@ def main() -> int:
         print("unknown queries:", missing, file=sys.stderr)
         return 2
 
-    spark = build_session(app_name="genesapi-bench-scale", shuffle_partitions=32)
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # ONE FRESH SESSION PER SF, 32g heap: a single session across all sfs
+    # accumulates every memoized localCheckpoint's blocks, so the largest
+    # sf (which runs last) pays everyone's memory pressure — measured
+    # round 8: the same five queries read exp_marginal 1.3-1.7 in a shared
+    # 8g session and 0.56-1.11 in fresh 32g sessions. Per-sf isolation
+    # makes the exponent measure the QUERY, not the harness's heap state.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 
     def materialize(df):
         df.write.format("noop").mode("overwrite").save()
@@ -129,6 +134,10 @@ def main() -> int:
         if not os.path.isdir(sf_dir):
             print(f"missing {sf_dir} — run scripts/gen_scale.py {tag}", file=sys.stderr)
             return 2
+        spark = build_session(
+            app_name=f"genesapi-bench-scale-sf{tag}", shuffle_partitions=32
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         for name, base, confs in rows:
             if sf > SF_CAP.get(name, float("inf")):
                 results[name]["capped_at"] = SF_CAP[name]
@@ -148,6 +157,16 @@ def main() -> int:
                     spark.conf.unset(k)
             results[name]["times"][tag] = round(best, 4)
             print(f"sf{tag:>4} {name:32s} {best:7.2f}s", flush=True)
+            # prompt Python GC: a finished query's round/intermediate
+            # localCheckpoint blocks are freed only when their Python
+            # DataFrame objects are collected (Py4J finalizers) — without
+            # this, late queries in a pass inherit every earlier query's
+            # pinned blocks and read inflated (measured: q_dedup_eval
+            # exp_marginal 2.07 in-pass vs 1.11 isolated at the same sf).
+            import gc as _gc
+
+            _gc.collect()
+        spark.stop()
 
     sup = []
     for name, _, _ in rows:
@@ -168,7 +187,9 @@ def main() -> int:
 
     ledger = {
         "protocol": (
-            "min-of-%d per (query, sf), one warm local[32] session, "
+            "min-of-%d per (query, sf), ONE FRESH warm local[32] session "
+            "PER SF (32g heap) so the top sf does not inherit the smaller "
+            "sfs' checkpoint blocks, "
             "shuffle.partitions=32 + AQE on (real-cluster config, unlike "
             "bench.py's local-floor shuffle=3); data = scripts/gen_scale.py "
             "deterministic hash-synthetic tables mirroring driver testdata "
