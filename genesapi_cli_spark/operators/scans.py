@@ -1580,15 +1580,23 @@ def q_scan_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a 3-row rollup. At 100 TB this runs as the cheap profiling pass
     ahead of a join campaign, or incrementally per partition."""
     li = load(spark, sf_dir, "lineitem")
+    # Tag keys with a TINYINT, not their name string: the per-value
+    # aggregate's group key and shuffle rows carry the tag 180M times at
+    # sf10 (stack triples the fact), and an int tag cuts those bytes ~40%
+    # vs a repeated string — names re-attach to the 3-ROW rollup at the
+    # end, where they are free (round-8 sf10 rehearsal).
     longk = li.selectExpr(
-        "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey,"
-        " 'l_suppkey', l_suppkey) AS (key_col, key_val)"
+        "stack(3, CAST(1 AS TINYINT), l_orderkey, CAST(2 AS TINYINT),"
+        " l_partkey, CAST(3 AS TINYINT), l_suppkey) AS (key_tag, key_val)"
     )
-    per_val = longk.groupBy("key_col", "key_val").agg(
+    per_val = longk.groupBy("key_tag", "key_val").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    key_names = F.array(
+        F.lit("l_orderkey"), F.lit("l_partkey"), F.lit("l_suppkey")
+    )
     return (
-        per_val.groupBy("key_col")
+        per_val.groupBy("key_tag")
         .agg(
             F.sum("c").cast("bigint").alias("n_rows"),
             F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
@@ -1606,6 +1614,16 @@ def q_scan_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("c") * F.count(F.lit(1))
                 > _SKEW_FLAG_FACTOR * F.sum("c")
             ).alias("needs_salting"),
+        )
+        .select(
+            F.element_at(key_names, F.col("key_tag").cast("int")).alias(
+                "key_col"
+            ),
+            "n_rows",
+            "n_distinct",
+            "max_key_rows",
+            "skew_factor_micro",
+            "needs_salting",
         )
         .orderBy("key_col")
     )
