@@ -233,17 +233,28 @@ def q_layout_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical plans (planning only); plain-side counts are booleans since
     exact counts under AQE are version-fluid.
     """
-    from genesapi_cli_spark.io import load, session_nonce
-    from genesapi_cli_spark.operators.graph import copurchase_edges
+    from genesapi_cli_spark.io import session_nonce
+    from genesapi_cli_spark.operators.graph import (
+        build_copurchase_edges,
+        shared_copurchase_edges,
+    )
 
-    edges = copurchase_edges(load(spark, sf_dir, "lineitem"))
+    # WRITE from the session-memoized edge relation (identical rows; the
+    # basket-explode pipeline is the expensive part and every graph query
+    # already shares its checkpointed blocks — re-deriving it here just to
+    # persist it doubled this query's cost). The PLAIN-side certificates
+    # below must keep the un-memoized plan: a checkpoint scan has no
+    # lineage for the exchange counter to count, and they are prepared
+    # (planned), never executed — the un-memoized plan costs nothing.
+    edges_src = shared_copurchase_edges(spark, sf_dir)
+    edges = build_copurchase_edges(spark, sf_dir)
     table = (
         f"edges_bucketed_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
         f"_{session_nonce(spark)}"
     )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
-        edges.write.format("parquet")
+        edges_src.write.format("parquet")
         .mode("overwrite")
         .option("path", f"{_EDGE_PATH}_{table}")
         .bucketBy(_EDGE_BUCKETS, "pa")
@@ -293,31 +304,39 @@ FROM events
 
 
 def _file_boxes(df: DataFrame, c1: str, c2: str):
-    """Per-parquet-file min/max bounding boxes via input_file_name()."""
+    """Per-parquet-file min/max bounding boxes via input_file_name(), plus
+    per-file count / column sums so data checksums can be re-aggregated
+    from the SAME relation (exact: bigint partial sums) instead of
+    re-reading the files."""
     return df.groupBy(F.input_file_name().alias("f")).agg(
         F.min(c1).alias("mn1"), F.max(c1).alias("mx1"),
         F.min(c2).alias("mn2"), F.max(c2).alias("mx2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(c1).cast("bigint").alias("sum1"),
+        F.sum(c2).cast("bigint").alias("sum2"),
     )
 
 
-def _shrinks_df(boxes: DataFrame, spans: DataFrame, d1: str, d2: str) -> DataFrame:
-    """One-row verdict relation: per dimension, TRUE iff MOST files' boxes
-    cover < half the global span (the margin makes the verdict robust to
-    range-partitioner sampling). Declarative — the global spans arrive as
-    a broadcast one-row relation, never as driver-side literals, so the
-    whole certificate is one submitted plan with zero collects."""
-    return (
-        boxes.crossJoin(F.broadcast(spans))
-        .agg(
-            (
-                F.avg(((F.col("mx1") - F.col("mn1")) * 2 < F.col("s1")).cast("int"))
-                > 0.5
-            ).alias(d1),
-            (
-                F.avg(((F.col("mx2") - F.col("mn2")) * 2 < F.col("s2")).cast("int"))
-                > 0.5
-            ).alias(d2),
-        )
+def _shrinks_verdict(boxes: DataFrame, spans: DataFrame) -> DataFrame:
+    """One-row verdict relation over LAYOUT-TAGGED boxes: per (layout,
+    dimension), TRUE iff MOST of that layout's file boxes cover < half the
+    global span (the margin makes the verdict robust to range-partitioner
+    sampling). Declarative — the global spans arrive as a broadcast
+    one-row relation, never as driver-side literals — and BOTH layouts are
+    judged in ONE aggregate over the unioned box relation (per-layout
+    conditional averages; ``avg`` ignores the other layout's NULLs), so
+    the certificate costs one plan and one spans computation instead of
+    two of each (the round-7 bench regression on this query)."""
+
+    def _frac(layout: str, mn: str, mx: str, s: str):
+        shrunk = ((F.col(mx) - F.col(mn)) * 2 < F.col(s)).cast("int")
+        return F.avg(F.when(F.col("layout") == layout, shrunk)) > 0.5
+
+    return boxes.crossJoin(F.broadcast(spans)).agg(
+        _frac("z", "mn1", "mx1", "s1").alias("z_shrinks_dim1"),
+        _frac("z", "mn2", "mx2", "s2").alias("z_shrinks_dim2"),
+        _frac("lin", "mn1", "mx1", "s1").alias("linear_shrinks_dim1"),
+        _frac("lin", "mn2", "mx2", "s2").alias("linear_shrinks_dim2"),
     )
 
 
@@ -359,27 +378,34 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(f"{base}/linear")
     )
-    spans = ev.agg(
-        (F.max("user_id") - F.min("user_id")).alias("s1"),
-        (F.max("cents") - F.min("cents")).alias("s2"),
+    # ONE read per written layout: the per-file box relation (≤32 rows,
+    # lazily checkpointed for reuse) carries bounding boxes AND exact
+    # per-file partial sums, so the global spans, the skipping verdicts,
+    # and the data checksums are all re-aggregated from it — no events
+    # rescan and no second read of the written files (the round-7 bench
+    # regression on this query was exactly those redundant scans).
+    boxes = (
+        _file_boxes(spark.read.parquet(f"{base}/z"), "user_id", "cents")
+        .withColumn("layout", F.lit("z"))
+        .unionByName(
+            _file_boxes(spark.read.parquet(f"{base}/linear"), "user_id", "cents")
+            .withColumn("layout", F.lit("lin"))
+        )
+        .localCheckpoint(eager=False)
     )
-    z = _shrinks_df(
-        _file_boxes(spark.read.parquet(f"{base}/z"), "user_id", "cents"),
-        spans, "z_shrinks_dim1", "z_shrinks_dim2",
-    )
-    lin = _shrinks_df(
-        _file_boxes(spark.read.parquet(f"{base}/linear"), "user_id", "cents"),
-        spans, "linear_shrinks_dim1", "linear_shrinks_dim2",
+    zb = boxes.filter(F.col("layout") == "z")
+    # global spans = fold of the z-copy's own file boxes (z holds all rows)
+    spans = zb.agg(
+        (F.max("mx1") - F.min("mn1")).alias("s1"),
+        (F.max("mx2") - F.min("mn2")).alias("s2"),
     )
     return (
-        spark.read.parquet(f"{base}/z")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum("user_id").cast("bigint").alias("sum_users"),
-            F.sum("cents").cast("bigint").alias("sum_cents"),
+        zb.agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum("sum1").cast("bigint").alias("sum_users"),
+            F.sum("sum2").cast("bigint").alias("sum_cents"),
         )
-        .crossJoin(F.broadcast(z))
-        .crossJoin(F.broadcast(lin))
+        .crossJoin(F.broadcast(_shrinks_verdict(boxes, spans)))
     )
 
 
