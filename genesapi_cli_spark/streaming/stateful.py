@@ -392,3 +392,131 @@ def ks_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming generalized-ESD (Rosner) multi-outlier screen ------------------
+
+#: mirrors operators/timeseries._ESD_ROUNDS (the batch twin's unroll depth);
+#: kept as a local constant so streaming/ never imports the 5.7k-LoC batch
+#: module into the state-store worker.
+_ESD_STREAM_ROUNDS = 3
+
+_ESD_DAY_US = 86_400_000_000
+
+ESD_STATE_SCHEMA = StructType(
+    [
+        StructField("days", ArrayType(LongType())),
+        StructField("cents", ArrayType(LongType())),
+        StructField("seen", LongType()),
+    ]
+)
+
+ESD_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("round", LongType()),
+        StructField("day_idx", LongType()),
+        StructField("cents", LongType()),
+        StructField("r_micro", LongType()),
+        StructField("n_at_round", LongType()),
+        StructField("seen", LongType()),
+    ]
+)
+
+
+def _esd_rounds(day_cents: dict, rounds: int) -> list[tuple]:
+    """The exact Rosner schedule shared with the batch q_events_esd
+    (operators/timeseries.py): each round argmaxes the EXACT integer
+    n-scaled deviation |n·x − s| over the remaining days (ties to the
+    earliest day), emits the studentized R as one snapped double (floor
+    (num/den · 1e6 + 0.5), the identical cast/association sequence the
+    Spark plan and the DuckDB oracle use), and removes the day. A
+    degenerate round (n ≤ 2 or zero variance) emits nothing and ends the
+    schedule — removal only ever follows a pick, so later rounds would
+    be byte-identical no-ops in the batch plan too. Python ints are
+    arbitrary-precision, so where the batch bigint moments would saturate
+    (documented there), this twin stays exact — never less exact."""
+    import math
+
+    remaining = dict(day_cents)
+    out = []
+    for r in range(1, rounds + 1):
+        n = len(remaining)
+        if n <= 2:
+            break
+        s = sum(remaining.values())
+        q = sum(c * c for c in remaining.values())
+        nd = float(n)
+        if not (nd * float(q) > float(s) * float(s)):
+            break
+        day, x = min(
+            remaining.items(), key=lambda kv: (-abs(n * kv[1] - s), kv[0])
+        )
+        den = math.sqrt(nd * (nd * float(q) - float(s) * float(s)) / (n - 1))
+        r_micro = int(
+            math.floor(float(abs(n * x - s)) / den * 1000000.0 + 0.5)
+        )
+        out.append((r, day, x, r_micro, n))
+        del remaining[day]
+    return out
+
+
+def esd_stream(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState twin of the batch q_events_esd: a streaming
+    multi-outlier screen over each stream's daily-revenue series. State
+    per event_type is the day→cents rollup — the full sufficient
+    statistic, bounded by DISTINCT DAYS (calendar time), not by stream
+    length — so like the KS twin (and unlike CUSUM/Page-Hinkley) the
+    statistic is ORDER-FREE: any split of rows across micro-batches
+    yields the same final verdict, no event-time ordering contract
+    needed. Each micro-batch merges its per-day cents, reruns the exact
+    3-round Rosner schedule on the current rollup, and emits the full
+    pick list; after the last micro-batch the emission equals the batch
+    rows exactly. ``seen`` (cumulative row count per key) is the monotone
+    marker consumers use to select the final emission under update mode —
+    memory-sink row order is not contractual."""
+
+    def _fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (et,) = key
+        if state.exists:
+            days, cents_arr, seen = state.get
+            acc = {int(d): int(c) for d, c in zip(days, cents_arr)}
+            seen = int(seen)
+        else:
+            acc, seen = {}, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        seen += len(rows)
+        for d, c in zip(rows["day_idx"], rows["c"]):
+            acc[int(d)] = acc.get(int(d), 0) + int(c)
+        ds = sorted(acc)
+        state.update((ds, [acc[d] for d in ds], seen))
+        recs = _esd_rounds(acc, _ESD_STREAM_ROUNDS)
+        yield pd.DataFrame(
+            {
+                "event_type": pd.Series([et] * len(recs), dtype="object"),
+                "round": pd.Series([r for r, *_ in recs], dtype="int64"),
+                "day_idx": pd.Series([d for _, d, *_ in recs], dtype="int64"),
+                "cents": pd.Series([c for _, _, c, *_ in recs], dtype="int64"),
+                "r_micro": pd.Series(
+                    [rm for *_, rm, _n in recs], dtype="int64"
+                ),
+                "n_at_round": pd.Series([n for *_, n in recs], dtype="int64"),
+                "seen": pd.Series([seen] * len(recs), dtype="int64"),
+            }
+        )
+
+    return (
+        events.select(
+            "event_type",
+            F.expr(f"ts_us div {_ESD_DAY_US}").alias("day_idx"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=ESD_OUTPUT_SCHEMA,
+            stateStructType=ESD_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -637,3 +637,70 @@ def test_ks_stream_equals_batch(spark, tmp_path):
         want.d_num,
         want.d_r4,
     )
+
+
+def test_esd_stream_equals_batch(spark, tmp_path):
+    """Stateful streaming generalized-ESD must equal the batch q_events_esd
+    rows exactly after the final micro-batch. Like KS (and unlike CUSUM),
+    the day→cents rollup state is ORDER-FREE, so the equivalence holds for
+    an arbitrary event_id-hash split across micro-batches."""
+    import json as _json
+    import os
+    import time as _time
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+    from genesapi_cli_spark.streaming.stateful import esd_stream
+
+    genesapi_cli_spark.load_all()
+
+    want = {
+        (r.event_type, r.round, r.day_idx, r.cents, r.r_micro, r.n_at_round)
+        for r in REGISTRY["q_events_esd"].fn(spark, SMOKE_SF_DIR).collect()
+    }
+    assert want  # smoke data must actually exercise the screen
+
+    events = load(spark, SMOKE_SF_DIR, "events")
+    ev = events.select("event_id", "ts_us", "event_type", "value").collect()
+    src = tmp_path / "esd_src"
+    src.mkdir()
+
+    def dump(rows, name):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "event_id": r.event_id,
+                        "ts_us": r.ts_us,
+                        "user_id": 0,
+                        "event_type": r.event_type,
+                        "value": r.value,
+                        "props": None,
+                    }
+                )
+                for r in rows
+            )
+        )
+
+    dump([r for r in ev if r.event_id % 3 != 0], "b1.json")
+    dump([r for r in ev if r.event_id % 3 == 0], "b2.json")
+    now = _time.time()
+    os.utime(src / "b1.json", (now - 100, now - 100))
+    os.utime(src / "b2.json", (now, now))
+    stream = events_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory(esd_stream(stream), "t_esd", output_mode="update")
+    try:
+        rows = spark.sql("SELECT * FROM t_esd").collect()
+        # update mode: final emission per key = that key's max monotone
+        # `seen` marker, never memory-sink row order.
+        last_seen = {}
+        for r in rows:
+            last_seen[r.event_type] = max(last_seen.get(r.event_type, 0), r.seen)
+        got = {
+            (r.event_type, r.round, r.day_idx, r.cents, r.r_micro, r.n_at_round)
+            for r in rows
+            if r.seen == last_seen[r.event_type]
+        }
+    finally:
+        q.stop()
+    assert got == want
