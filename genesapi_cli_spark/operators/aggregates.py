@@ -1241,6 +1241,96 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_agg_theil — Theil T inequality index (decomposable entropy measure)
+# ---------------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY seg, o.o_custkey
+), m AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS tot_cents,
+         CAST(SUM(cents * CAST(FLOOR(LN(CAST(cents AS DOUBLE)) * 1000000 + 0.5)
+                               AS BIGINT)) AS DECIMAL(38,0)) AS sxl
+  FROM per_cust GROUP BY seg
+)
+SELECT seg, n_customers, tot_cents,
+       FLOOR((CAST(sxl AS DOUBLE) / CAST(tot_cents AS DOUBLE) / 1000000.0
+              - CAST(CAST(FLOOR(LN(CAST(tot_cents AS DOUBLE) / n_customers)
+                                * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+                / 1000000.0) * 10000 + 0.5) / 10000 AS theil_r4
+FROM m
+ORDER BY seg
+"""
+
+
+@register("q_agg_theil", oracle=_THEIL_ORACLE)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of customer revenue per market segment — the THIRD
+    inequality lens next to q_agg_gini (rank-based) and q_agg_hhi
+    (share-squares): T = (1/n)·Σ(xᵢ/μ)·ln(xᵢ/μ), the entropy-based measure
+    whose defining property the other two lack — it decomposes EXACTLY into
+    between-group + within-group terms, which is why large-corpus ablations
+    report it per slice. 0 = perfect equality, ln(n) = one whale.
+
+    Identity used: T = Σxᵢ·ln(xᵢ) / S − ln(S/n) with S = Σxᵢ, so ONE hash
+    aggregate per segment suffices — no sort, no window (Gini needs the
+    ranking pass; Theil deliberately doesn't). Parity: per-customer ln is
+    MICRO-SNAPPED to an integer (floor(ln·1e6 + 0.5), the text-family lp
+    convention — libm ulp differences between engines die at the snap), the
+    Σx·lnm cross-sum runs exact (bigint terms, DECIMAL(38,0) total — the
+    q_agg_hhi escalation discipline), the one remaining ln(S/n) is snapped
+    the same way, and the final statistic is one identically-associated
+    double expression rounded to 4 decimals.
+
+    Scale shape: two chained map-side-combining hash aggregates
+    (segment×customer, then segment) over a broadcast customer dim — the
+    cheapest of the three inequality queries at 100 TB; cents > 0 always
+    (totalprice is positive), so the ln domain guard is structural.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    per_cust = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    lnm = (
+        F.floor(F.log(F.col("cents").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+    )
+    m = per_cust.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("tot_cents"),
+        F.sum((F.col("cents") * lnm).cast("decimal(38,0)")).alias("sxl"),
+    )
+    s_d = F.col("tot_cents").cast("double")
+    ln_sn = (
+        F.floor(
+            F.log(s_d / F.col("n_customers")) * 1000000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .cast("double")
+        / 1000000.0
+    )
+    theil = F.col("sxl").cast("double") / s_d / 1000000.0 - ln_sn
+    return m.select(
+        "seg",
+        "n_customers",
+        "tot_cents",
+        (F.floor(theil * 10000 + F.lit(0.5)) / 10000).alias("theil_r4"),
+    ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
 # q_agg_lorenz — cumulative revenue-share curve (Lorenz deciles)
 # ---------------------------------------------------------------------------
 

@@ -93,6 +93,89 @@ def q_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_time_m4 (pixel-exact M4 line downsampling) ----------------------------
+
+_M4_BUCKETS = 16
+
+_M4_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events
+), rng AS (
+  SELECT event_type, MIN(us) AS t0, MAX(us) AS t1
+  FROM e GROUP BY event_type
+), b AS (
+  SELECT e.event_type,
+         ((us - t0) * {_M4_BUCKETS}) // (t1 - t0 + 1) AS bucket,
+         us, event_id, value
+  FROM e JOIN rng ON e.event_type = rng.event_type
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       MAX(CASE WHEN rn_a = 1 THEN us END) AS t_first,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+       MAX(CASE WHEN rn_d = 1 THEN us END) AS t_last,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS v_last,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max
+FROM r GROUP BY event_type, bucket
+"""
+
+
+@register("q_time_m4", oracle=_M4_ORACLE)
+def q_time_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per series and per
+    pixel-column time bucket, keep the FOUR extremal points — first, last,
+    min, max — which is provably sufficient for a pixel-perfect line
+    rendering at that width. The visualization companion to q_time_lttb:
+    LTTB optimizes perceived shape with a heuristic, M4 guarantees the
+    rasterized image; dashboards over 100 TB of telemetry downsample with
+    exactly this before anything leaves the cluster.
+
+    Spark-first: per-series time ranges are a 5-row aggregate broadcast
+    back onto the fact scan; the bucket index is EXACT integer arithmetic
+    ((us − t0)·16 div (t1 − t0 + 1), safe: µs spans × 16 ≪ 2⁶³); then ONE
+    hash aggregate per (series, bucket) computes all four points —
+    first/last via min_by/max_by on the (us, event_id) total-order key
+    (the q_time_resample OHLC discipline — no ROW_NUMBER window, no second
+    shuffle), min/max directly. Values are raw doubles copied from input
+    rows (no arithmetic → bit-exact both engines).
+
+    Scale shape: one fact scan, one broadcast join, one shuffle on
+    (series, bucket) with map-side partials. The oracle mirrors the same
+    selections via ranked windows (DuckDB's min_by lacks the compound
+    tie-break key).
+    """
+    ev = load(spark, sf_dir, "events")
+    rng = ev.groupBy("event_type").agg(
+        F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1")
+    )
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return (
+        ev.join(F.broadcast(rng), "event_type")
+        .withColumn(
+            "bucket",
+            F.expr(f"((ts_us - t0) * {_M4_BUCKETS}) div (t1 - t0 + 1)"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("ts_us").alias("t_first"),
+            F.min_by("value", key).alias("v_first"),
+            F.max("ts_us").alias("t_last"),
+            F.max_by("value", key).alias("v_last"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )
+
+
 # --- q_window_ewma ----------------------------------------------------------
 
 _EWMA_DEPTH = 8  # α = 1/2 over the trailing 8 events: weights 2^7 .. 2^0
