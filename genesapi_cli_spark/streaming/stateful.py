@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -516,6 +517,171 @@ def esd_stream(events: DataFrame) -> DataFrame:
             _fold,
             outputStructType=ESD_OUTPUT_SCHEMA,
             stateStructType=ESD_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- streaming PSI drift monitor (frozen-reference form) ----------------------
+
+PSI_STATE_SCHEMA = StructType(
+    [
+        StructField("c_cur", ArrayType(LongType())),
+        StructField("seen", LongType()),
+    ]
+)
+
+PSI_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_ref", LongType()),
+        StructField("n_cur", LongType()),
+        StructField("psi_r4", DoubleType()),
+        StructField("drifted", BooleanType()),
+        StructField("seen", LongType()),
+    ]
+)
+
+
+def psi_reference(events: DataFrame) -> dict:
+    """CALIBRATION SNAPSHOT for :func:`psi_stream` — the frozen reference a
+    production PSI monitor ships to the serving tier: per event_type the
+    binning grid (global time midpoint, value span → 10 equal-width bins)
+    and the reference bin counts, computed with the EXACT integer
+    arithmetic of the batch q_quality_psi (operators/scans.py) so the
+    streaming monitor's verdicts are its exact continuation. The collect
+    here is the one bounded-by-contract driver fetch: ≤ |event types| × 10
+    rows of calibration constants — configuration, not data (the cusum
+    targets-dict pattern), frozen once per calibration window."""
+    ev = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.col("ts_us").alias("t_us"),
+    )
+    mid = ev.agg(
+        ((F.min("t_us") + F.max("t_us")) / 2).cast("bigint").alias("mid_us")
+    )
+    spans = ev.groupBy("event_type").agg(
+        F.min("cents").alias("mn_c"), F.max("cents").alias("mx_c")
+    )
+    rows = (
+        ev.join(F.broadcast(spans), "event_type")
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            "mn_c",
+            "mx_c",
+            "mid_us",
+            F.expr("(cents - mn_c) * 10 DIV (mx_c - mn_c + 1)").alias("bin"),
+            (F.col("t_us") <= F.col("mid_us")).cast("int").alias("is_ref"),
+        )
+        .groupBy("event_type", "mn_c", "mx_c", "mid_us", "bin")
+        .agg(F.sum("is_ref").cast("bigint").alias("c_ref"))
+        .collect()
+    )
+    ref: dict = {}
+    for r in rows:
+        ent = ref.setdefault(
+            r.event_type,
+            {
+                "mid_us": int(r.mid_us),
+                "mn_c": int(r.mn_c),
+                "mx_c": int(r.mx_c),
+                "c_ref": [0] * 10,
+                # bins PRESENT in the calibration data (either period) —
+                # the batch terms relation has a row exactly for these, so
+                # the stream must score the same bin set.
+                "bins": set(),
+            },
+        )
+        ent["c_ref"][int(r.bin)] += int(r.c_ref)
+        ent["bins"].add(int(r.bin))
+    for ent in ref.values():
+        ent["n_ref"] = sum(ent["c_ref"])
+    return ref
+
+
+def psi_stream(events: DataFrame, ref: dict) -> DataFrame:
+    """applyInPandasWithState PSI drift monitor — the streaming continuation
+    of the batch q_quality_psi: the reference distribution and binning grid
+    arrive FROZEN (psi_reference — what model-monitoring systems actually
+    deploy: calibrate offline, monitor online), state per event_type is 10
+    current-bin counters (O(1), unconditionally bounded), and every
+    micro-batch re-emits the exact integer PSI verdict over the counts so
+    far. Like KS/ESD (and unlike CUSUM), PSI is a DISTRIBUTION statistic —
+    order-free across micro-batches — so after the final micro-batch the
+    emission equals the batch row exactly; the pytest feeds the
+    current-period rows through an arbitrary split and pins equality.
+    Rows at or before the calibration midpoint are reference traffic and
+    are not re-scored; live values outside the frozen grid clamp to the
+    edge bins (standard practice — the grid is a calibration artifact)."""
+    import math
+
+    def _fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (et,) = key
+        r = ref.get(et)
+        empty = pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "n_ref": pd.Series([], dtype="int64"),
+                "n_cur": pd.Series([], dtype="int64"),
+                "psi_r4": pd.Series([], dtype="float64"),
+                "drifted": pd.Series([], dtype="bool"),
+                "seen": pd.Series([], dtype="int64"),
+            }
+        )
+        if r is None:
+            yield empty
+            return
+        if state.exists:
+            c_cur, seen = state.get
+            c_cur, seen = list(c_cur), int(seen)
+        else:
+            c_cur, seen = [0] * 10, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        seen += len(rows)
+        span = r["mx_c"] - r["mn_c"] + 1
+        for v, t in zip(rows["value"], rows["ts_us"]):
+            if int(t) <= r["mid_us"]:
+                continue
+            cents = int(math.floor(v * 100 + 0.5))
+            b = (cents - r["mn_c"]) * 10 // span
+            c_cur[min(max(b, 0), 9)] += 1
+        state.update((c_cur, seen))
+        n_cur = sum(c_cur)
+        if n_cur == 0:
+            yield empty
+            return
+        n_ref = r["n_ref"]
+        lnm = lambda s: int(  # noqa: E731 — the module-standard ln snap
+            math.floor(math.log(float(max(s, 1))) * 1000000.0 + 0.5)
+        )
+        total = 0
+        for b in sorted(r["bins"] | {i for i in range(10) if c_cur[i]}):
+            cr, cc = r["c_ref"][b], c_cur[b]
+            s_ref = (2 * cr * 1000000 + n_ref) // (2 * n_ref)
+            s_cur = (2 * cc * 1000000 + n_cur) // (2 * n_cur)
+            total += (s_ref - s_cur) * (lnm(s_ref) - lnm(s_cur))
+        r4i = (2 * total + 100000000) // 200000000
+        yield pd.DataFrame(
+            {
+                "event_type": pd.Series([et], dtype="object"),
+                "n_ref": pd.Series([n_ref], dtype="int64"),
+                "n_cur": pd.Series([n_cur], dtype="int64"),
+                "psi_r4": pd.Series([float(r4i) / 10000], dtype="float64"),
+                "drifted": pd.Series([r4i >= 1000], dtype="bool"),
+                "seen": pd.Series([seen], dtype="int64"),
+            }
+        )
+
+    return (
+        events.select("event_type", "value", "ts_us")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=PSI_OUTPUT_SCHEMA,
+            stateStructType=PSI_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

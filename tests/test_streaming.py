@@ -704,3 +704,71 @@ def test_esd_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_psi_stream_equals_batch(spark, tmp_path):
+    """The frozen-reference streaming PSI monitor must equal the batch
+    q_quality_psi verdicts exactly after the final micro-batch: the
+    calibration snapshot (psi_reference) freezes the grid + reference
+    counts, the stream replays all traffic (the fold itself skips
+    reference-period rows), and PSI is order-free, so an arbitrary
+    event_id-hash split across micro-batches lands on the batch row."""
+    import json as _json
+    import os
+    import time as _time
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+    from genesapi_cli_spark.streaming.stateful import psi_reference, psi_stream
+
+    genesapi_cli_spark.load_all()
+
+    want = {
+        r.event_type: (r.n_ref, r.n_cur, r.psi_r4, r.drifted)
+        for r in REGISTRY["q_quality_psi"].fn(spark, SMOKE_SF_DIR).collect()
+    }
+    assert want
+
+    events = load(spark, SMOKE_SF_DIR, "events")
+    ref = psi_reference(events)
+    ev = events.select("event_id", "ts_us", "event_type", "value").collect()
+    src = tmp_path / "psi_src"
+    src.mkdir()
+
+    def dump(rows, name):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "event_id": r.event_id,
+                        "ts_us": r.ts_us,
+                        "user_id": 0,
+                        "event_type": r.event_type,
+                        "value": r.value,
+                        "props": None,
+                    }
+                )
+                for r in rows
+            )
+        )
+
+    dump([r for r in ev if r.event_id % 3 != 0], "b1.json")
+    dump([r for r in ev if r.event_id % 3 == 0], "b2.json")
+    now = _time.time()
+    os.utime(src / "b1.json", (now - 100, now - 100))
+    os.utime(src / "b2.json", (now, now))
+    stream = events_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory(psi_stream(stream, ref), "t_psi", output_mode="update")
+    try:
+        rows = spark.sql("SELECT * FROM t_psi").collect()
+        last_seen = {}
+        for r in rows:
+            last_seen[r.event_type] = max(last_seen.get(r.event_type, 0), r.seen)
+        got = {
+            r.event_type: (r.n_ref, r.n_cur, r.psi_r4, r.drifted)
+            for r in rows
+            if r.seen == last_seen[r.event_type]
+        }
+    finally:
+        q.stop()
+    assert got == want
