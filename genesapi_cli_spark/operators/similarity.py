@@ -399,6 +399,121 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_sim_ann_multiprobe -----------------------------------------------------
+
+
+def _multiprobe_oracle() -> str:
+    probe_list = "[qb" + "".join(f", xor(qb, {1 << j})" for j in range(N_PLANES)) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, emb, nrm, ({_bucket_sql('emb')}) AS bucket FROM e
+), q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, bucket AS qb
+  FROM bucketed WHERE vec_id < 10
+), probes AS (
+  SELECT query_id, qemb, qnrm, qb,
+         UNNEST({probe_list}) AS bucket
+  FROM q
+), c AS (
+  SELECT vec_id AS neighbor_id, emb AS cemb, nrm AS cnrm, bucket FROM bucketed
+  WHERE vec_id >= 10
+), scored AS (
+  SELECT query_id, neighbor_id, p.bucket AS cand_bucket,
+         CASE WHEN p.bucket = p.qb THEN 0 ELSE 1 END AS probe_dist,
+         list_dot_product(qemb, cemb) / (qnrm * cnrm) AS cos
+  FROM probes p JOIN c USING (bucket)
+), ranked AS (
+  SELECT query_id, neighbor_id, cand_bucket, CAST(probe_dist AS BIGINT) AS probe_dist,
+         FLOOR(cos * 10000 + 0.5) / 10000 AS cos_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY FLOOR(cos * 10000 + 0.5) / 10000 DESC, neighbor_id
+         ) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cand_bucket, probe_dist, cos_r, rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register("q_sim_ann_multiprobe", oracle=_multiprobe_oracle())
+def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH — the recall lever q_sim_ann_lsh's docstring promises
+    at 100 TB, made concrete: each query probes its own sign-projection
+    bucket PLUS the {N_PLANES} buckets at Hamming distance 1 (one flipped
+    hyperplane bit — where a near-boundary neighbor most likely landed), so
+    recall rises without adding hash tables or re-scanning the corpus:
+    candidate volume grows ~(1+planes)/2^planes of the corpus per query,
+    still a bucket EQUI-JOIN, never a cross join. probe_dist in the output
+    records which ring found each survivor — the observable knob-vs-recall
+    trade (multi-probe LSH, Lv et al., VLDB 2007).
+
+    Spark-first: the probe ring is an in-row array explode on the TINY
+    query side (5 rows per query), broadcast against the bucketed corpus;
+    dedup is structural (a candidate lives in exactly ONE bucket, so at
+    most one probe matches it — no distinct needed). Ranking reuses the
+    q_sim_ann_lsh contract verbatim: snapped cosine, neighbor_id
+    tie-break, top-3 per query.
+
+    Scale shape: identical to q_sim_ann_lsh — broadcast(query probes) ⋈
+    bucket — with a 5× larger (still tiny) build side; the corpus-side
+    scan, shuffle-freedom, and per-query window are unchanged. At more
+    planes the ring is chosen by per-plane margin |⟨q, plane⟩| (probe the
+    closest boundaries first); with 4 planes the full Hamming-1 ring IS
+    that choice.
+    """
+    e = shared_normed_embeddings(spark, sf_dir).select(
+        "vec_id", "emb", "nrm", _bucket_expr("emb").alias("bucket")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qb"),
+    )
+    probes = q.select(
+        "query_id",
+        "qemb",
+        "qnrm",
+        "qb",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[F.expr(f"qb ^ {1 << j}") for j in range(N_PLANES)],
+            )
+        ).alias("bucket"),
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+        "bucket",
+    )
+    scored = F.broadcast(probes).join(c, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.col("bucket").alias("cand_bucket"),
+        F.when(F.col("bucket") == F.col("qb"), 0)
+        .otherwise(1)
+        .cast("bigint")
+        .alias("probe_dist"),
+        (dot_expr("qemb", "cemb") / (F.col("qnrm") * F.col("cnrm"))).alias("cos"),
+    )
+    rounded = scored.withColumn(
+        "cos_r", F.floor(F.col("cos") * 10000 + F.lit(0.5)) / 10000
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "neighbor_id")
+    return (
+        rounded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cand_bucket", "probe_dist", "cos_r", "rn")
+    )
+
+
 # --- q_sim_ivf --------------------------------------------------------------
 
 IVF_CENTROID_LO, IVF_CENTROID_HI = 10, 17  # 8 seed vectors act as centroids

@@ -1875,6 +1875,115 @@ def q_window_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_window_croston ---------------------------------------------------------
+
+_CROSTON_ALPHA = 0.5  # smoothing weight (exactly representable double)
+_CROSTON_MOD = 20  # sparser cohorts than Holt's 3 → genuinely intermittent gaps
+
+_CROSTON_ORACLE = f"""
+WITH d0 AS (
+  SELECT user_id % {_CROSTON_MOD} AS series,
+         epoch_us(ts) // 86400000000 AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY series, day_idx
+), demand AS (
+  SELECT ROW_NUMBER() OVER (PARTITION BY series ORDER BY day_idx) AS rn,
+         series, day_idx, cents
+  FROM d0 WHERE cents > 0
+), cr AS (
+  WITH RECURSIVE rec(series, rn, day_idx, cents, z, p) AS (
+    SELECT series, rn, day_idx, cents, CAST(cents AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM demand WHERE rn = 1
+    UNION ALL
+    SELECT d.series, d.rn, d.day_idx, d.cents,
+           {_CROSTON_ALPHA} * d.cents + {1 - _CROSTON_ALPHA} * rec.z,
+           CASE WHEN rec.p IS NULL
+                THEN CAST(d.day_idx - rec.day_idx AS DOUBLE)
+                ELSE {_CROSTON_ALPHA} * (d.day_idx - rec.day_idx)
+                     + {1 - _CROSTON_ALPHA} * rec.p END
+    FROM rec JOIN demand d ON d.series = rec.series AND d.rn = rec.rn + 1
+  )
+  SELECT * FROM rec
+)
+SELECT series, day_idx, cents,
+       FLOOR(z / 100 * 10000 + 0.5) / 10000 AS size_r4,
+       FLOOR(p * 10000 + 0.5) / 10000 AS interval_r4,
+       FLOOR(z / p / 100 * 10000 + 0.5) / 10000 AS forecast_r4
+FROM cr WHERE rn >= 2
+ORDER BY series, day_idx
+"""
+
+
+@register("q_window_croston", oracle=_CROSTON_ORACLE)
+def q_window_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand — the forecasting standard
+    where most periods are zero (spare parts, long-tail SKUs, rare events)
+    and plain exponential smoothing decays toward zero between demands:
+    smooth the demand SIZES (z' = α·y + (1−α)·z) and the inter-demand
+    INTERVALS (p' = α·q + (1−α)·p) as two separate recursions updated only
+    AT demand points, forecast = z/p demand per period. Completes the
+    smoothing family next to q_window_ewma (dense), q_window_holt
+    (level+trend) and q_window_snaive_backtest (seasonal).
+
+    Spark-first (the q_window_holt discipline): the genuinely sequential
+    per-series state runs in ONE Arrow-batched applyInPandas per series —
+    {_CROSTON_MOD} user-cohort series here, one (SKU, site) key in a real
+    deployment — while Spark parallelizes across series; zero-days never
+    materialize (the recursion consumes demand POINTS and integer day
+    GAPS, so the pipeline scales with nonzero demand, not calendar span).
+    The oracle replays the identical IEEE expression tree as a DuckDB
+    recursive CTE; both drop the seed row (z defined, p not yet) and snap
+    at 4 decimals.
+    """
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    demand = (
+        ev.groupBy(
+            (F.col("user_id") % _CROSTON_MOD).alias("series"),
+            F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+        )
+        .agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("cents"))
+        .filter(F.col("cents") > 0)
+    )
+    a = _CROSTON_ALPHA
+
+    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("day_idx").reset_index(drop=True)
+        out = {"series": [], "day_idx": [], "cents": [], "size_r4": [],
+               "interval_r4": [], "forecast_r4": []}
+        z = float(pdf["cents"].iloc[0])
+        p = None
+        prev_day = int(pdf["day_idx"].iloc[0])
+        for i in range(1, len(pdf)):
+            day = int(pdf["day_idx"].iloc[i])
+            y = int(pdf["cents"].iloc[i])
+            q = day - prev_day
+            z = a * y + (1 - a) * z
+            p = float(q) if p is None else a * q + (1 - a) * p
+            out["series"].append(int(pdf["series"].iloc[0]))
+            out["day_idx"].append(day)
+            out["cents"].append(y)
+            out["size_r4"].append(math.floor(z / 100 * 10000 + 0.5) / 10000)
+            out["interval_r4"].append(math.floor(p * 10000 + 0.5) / 10000)
+            out["forecast_r4"].append(
+                math.floor(z / p / 100 * 10000 + 0.5) / 10000
+            )
+            prev_day = day
+        return pd.DataFrame(out)
+
+    return demand.groupBy("series").applyInPandas(
+        croston,
+        schema=(
+            "series long, day_idx long, cents long, size_r4 double,"
+            " interval_r4 double, forecast_r4 double"
+        ),
+    )
+
+
 # --- q_window_stl ------------------------------------------------------------
 
 _STL_ORACLE = f"""
