@@ -1767,6 +1767,184 @@ def q_agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_agg_hll_setops (sketch-union + audience-overlap estimation) -----------
+
+_HLL_EST_A = _HLL_EST.replace("sum_inv", "sum_inv_a")
+_HLL_EST_B = _HLL_EST.replace("sum_inv", "sum_inv_b")
+_HLL_EST_U = _HLL_EST.replace("sum_inv", "sum_inv_u")
+
+_HLL_SETOPS_ORACLE = f"""
+WITH h AS (
+  SELECT l_returnflag AS flag,
+         ('0x' || substr(sha256(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h32
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+), rho AS (
+  SELECT flag, h32 % {_HLL_M} AS bucket,
+         CASE WHEN h32 // {_HLL_M} = 0 THEN {_HLL_W + 1}
+              ELSE instr(lpad(bin(h32 // {_HLL_M}), {_HLL_W}, '0'), '1') END AS r
+  FROM h
+), regs AS (
+  SELECT flag, bucket, MAX(r) AS r FROM rho GROUP BY flag, bucket
+), uni AS (
+  SELECT bucket, MAX(r) AS r FROM regs GROUP BY bucket
+), dir AS (
+  SELECT bucket, MAX(r) AS r FROM rho GROUP BY bucket
+), per AS (
+  SELECT
+    CAST(COUNT(CASE WHEN flag = 'A' THEN 1 END) AS BIGINT) AS n_regs_a,
+    CAST(COUNT(CASE WHEN flag = 'R' THEN 1 END) AS BIGINT) AS n_regs_b,
+    SUM(CASE WHEN flag = 'A' THEN CAST(1 AS DOUBLE) / (1::BIGINT << r) ELSE 0 END)
+      AS sp_a,
+    SUM(CASE WHEN flag = 'R' THEN CAST(1 AS DOUBLE) / (1::BIGINT << r) ELSE 0 END)
+      AS sp_b
+  FROM regs
+), us AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_regs_u,
+         SUM(CAST(1 AS DOUBLE) / (1::BIGINT << r)) AS sp_u,
+         CAST(SUM(r) AS BIGINT) AS u_sum,
+         CAST(SUM(r * (bucket + 1)) AS BIGINT) AS u_check
+  FROM uni
+), ds AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS d_sum,
+         CAST(SUM(r * (bucket + 1)) AS BIGINT) AS d_check
+  FROM dir
+), ex AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'A' THEN l_partkey END)
+         AS BIGINT) AS n_exact_a,
+    CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END)
+         AS BIGINT) AS n_exact_b,
+    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact_union
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+), j AS (
+  SELECT *,
+         ({_HLL_M} - n_regs_a) + sp_a AS sum_inv_a,
+         ({_HLL_M} - n_regs_b) + sp_b AS sum_inv_b,
+         ({_HLL_M} - n_regs_u) + sp_u AS sum_inv_u
+  FROM per CROSS JOIN us CROSS JOIN ds CROSS JOIN ex
+)
+SELECT n_exact_a, n_exact_b, n_exact_union,
+       CAST(n_exact_a + n_exact_b - n_exact_union AS BIGINT) AS n_exact_intersect,
+       FLOOR(({_HLL_EST_A}) * 10000 + 0.5) / 10000 AS est_a_r4,
+       FLOOR(({_HLL_EST_B}) * 10000 + 0.5) / 10000 AS est_b_r4,
+       FLOOR(({_HLL_EST_U}) * 10000 + 0.5) / 10000 AS est_union_r4,
+       FLOOR(GREATEST(CAST(0 AS DOUBLE),
+             ({_HLL_EST_A}) + ({_HLL_EST_B}) - ({_HLL_EST_U}))
+             * 10000 + 0.5) / 10000 AS est_intersect_r4,
+       (u_sum = d_sum AND u_check = d_check) AS merge_ok
+FROM j
+"""
+
+
+@register("q_agg_hll_setops", oracle=_HLL_SETOPS_ORACLE)
+def q_agg_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET OPERATIONS over the portable sketch (q_agg_hll_portable's
+    machinery): estimate the union and the OVERLAP of two part audiences
+    (returnflag 'A' vs 'R') from their registers alone — union = pairwise
+    register MAX (the lossless HLL monoid), intersection = inclusion-
+    exclusion est(A)+est(B)−est(A∪B), clamped at 0. This is the
+    audience-overlap / cross-corpus-contamination estimator that runs at
+    100 TB precisely because sketches merge without revisiting rows.
+
+    The MERGE CERTIFICATE is the point: the union registers are computed
+    BOTH ways — max over the two STORED per-audience register arrays
+    (sketch merge, what production does with persisted shards) and max over
+    the raw combined stream (what a full recount would build) — and
+    ``merge_ok`` pins their checksum equality, proving the monoid identity
+    max-of-maxes = max-of-stream on real data, not by assertion. Exact
+    distinct counts ride along per set so the estimator's error is
+    readable off the row.
+
+    Parity: identical sha256-prefix registers on both engines (the
+    q_agg_hll_portable convention), Z sums exact powers of two (order-free
+    double addition), one shared estimate text per set, snapped once.
+
+    Scale shape: one fact scan → (flag, bucket) register MAX with map-side
+    combine (≤ 2·{_HLL_M} rows shuffle); everything downstream is
+    register-sized one-row aggregates; exact arms exist only as the
+    certificate.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select(F.col("l_returnflag").alias("flag"), "l_partkey")
+    )
+    rho = li.select(
+        "flag",
+        F.expr(
+            "CAST(CONV(SUBSTRING(SHA2(CAST(l_partkey AS STRING), 256), 1, 8), "
+            "16, 10) AS BIGINT)"
+        ).alias("h32"),
+    ).select(
+        "flag",
+        (F.col("h32") % _HLL_M).alias("bucket"),
+        F.expr(
+            f"CASE WHEN h32 div {_HLL_M} = 0 THEN {_HLL_W + 1} "
+            f"ELSE instr(lpad(bin(h32 div {_HLL_M}), {_HLL_W}, '0'), '1') END"
+        ).alias("r"),
+    )
+    regs = rho.groupBy("flag", "bucket").agg(F.max("r").alias("r"))
+    regs = regs.localCheckpoint(eager=False)  # feeds per-audience AND merge
+    uni = regs.groupBy("bucket").agg(F.max("r").alias("r"))
+    direct = rho.groupBy("bucket").agg(F.max("r").alias("r"))
+    inv = "CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))"
+    per = regs.agg(
+        F.count(F.when(F.col("flag") == "A", 1)).cast("bigint").alias("n_regs_a"),
+        F.count(F.when(F.col("flag") == "R", 1)).cast("bigint").alias("n_regs_b"),
+        F.sum(F.expr(f"CASE WHEN flag = 'A' THEN {inv} ELSE 0.0 END")).alias("sp_a"),
+        F.sum(F.expr(f"CASE WHEN flag = 'R' THEN {inv} ELSE 0.0 END")).alias("sp_b"),
+    )
+    us = uni.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_regs_u"),
+        F.sum(F.expr(inv)).alias("sp_u"),
+        F.sum("r").cast("bigint").alias("u_sum"),
+        F.sum(F.col("r") * (F.col("bucket") + 1)).cast("bigint").alias("u_check"),
+    )
+    ds = direct.agg(
+        F.sum("r").cast("bigint").alias("d_sum"),
+        F.sum(F.col("r") * (F.col("bucket") + 1)).cast("bigint").alias("d_check"),
+    )
+    ex = li.agg(
+        F.count_distinct(F.when(F.col("flag") == "A", F.col("l_partkey")))
+        .cast("bigint")
+        .alias("n_exact_a"),
+        F.count_distinct(F.when(F.col("flag") == "R", F.col("l_partkey")))
+        .cast("bigint")
+        .alias("n_exact_b"),
+        F.count_distinct("l_partkey").cast("bigint").alias("n_exact_union"),
+    )
+    j = (
+        per.crossJoin(F.broadcast(us))
+        .crossJoin(F.broadcast(ds))
+        .crossJoin(F.broadcast(ex))
+        .withColumn("sum_inv_a", F.expr(f"({_HLL_M} - n_regs_a) + sp_a"))
+        .withColumn("sum_inv_b", F.expr(f"({_HLL_M} - n_regs_b) + sp_b"))
+        .withColumn("sum_inv_u", F.expr(f"({_HLL_M} - n_regs_u) + sp_u"))
+    )
+    return j.select(
+        "n_exact_a",
+        "n_exact_b",
+        "n_exact_union",
+        (F.col("n_exact_a") + F.col("n_exact_b") - F.col("n_exact_union"))
+        .cast("bigint")
+        .alias("n_exact_intersect"),
+        F.expr(f"FLOOR(({_HLL_EST_A}) * 10000 + 0.5) / 10000").alias("est_a_r4"),
+        F.expr(f"FLOOR(({_HLL_EST_B}) * 10000 + 0.5) / 10000").alias("est_b_r4"),
+        F.expr(f"FLOOR(({_HLL_EST_U}) * 10000 + 0.5) / 10000").alias(
+            "est_union_r4"
+        ),
+        F.expr(
+            f"FLOOR(GREATEST(CAST(0 AS DOUBLE), "
+            f"({_HLL_EST_A}) + ({_HLL_EST_B}) - ({_HLL_EST_U})) "
+            f"* 10000 + 0.5) / 10000"
+        ).alias("est_intersect_r4"),
+        (
+            (F.col("u_sum") == F.col("d_sum"))
+            & (F.col("u_check") == F.col("d_check"))
+        ).alias("merge_ok"),
+    )
+
+
 # --- q_agg_log2_histogram (power-of-two / HDR-style histogram) ---------------
 
 _LOG2_HIST_ORACLE = """
