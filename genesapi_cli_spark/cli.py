@@ -75,6 +75,14 @@ def cmd_serialize(args: argparse.Namespace) -> int:
 
 
 def cmd_schema(args: argparse.Namespace) -> int:
+    # The two collect()s below fetch the CATALOG, not the facts: one row per
+    # (statistic, measure[, dimension]) — bounded by the GENESIS schema
+    # surface (upstream: a few thousand statistics), never by fact volume;
+    # both relations are aggregates computed cluster-side first. The emitted
+    # artifact is one JSON document, so a driver materialization of the
+    # catalog is the contract here (same bound class as sources/layout.py's
+    # file manifests, which stay declarative precisely because file counts
+    # DO scale with data volume).
     spark = _session()
     facts = _facts(spark, args.cube_path)
     dim_values = (

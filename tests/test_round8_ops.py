@@ -1,0 +1,135 @@
+"""Round-8 continuation invariants: CC auto-deepening continuation
+correctness (property-based vs union-find), multi-probe LSH recall
+domination, and an engine-independent M4 brute-force recomputation."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from genesapi_cli_spark.io import load
+from tests.conftest import SMOKE_SF_DIR
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# random small graphs: chains force continuation (start rounds=2 certifies
+# diameter 4 only), plus arbitrary extra edges for merge-heavy shapes
+EDGES = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _union_find(pairs):
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(edges=EDGES)
+@_slow
+def test_cc_auto_continuation_equals_union_find(spark, edges):
+    """connected_components_auto must land on the exact min-label components
+    for ANY graph with the starting depth deliberately too shallow
+    (rounds=2 certifies diameter ≤ 4; a 26-node chain needs more), so the
+    init_labels CONTINUATION path is exercised, not just the happy path."""
+    from genesapi_cli_spark.operators.dedup import connected_components_auto
+
+    # chain guarantees a deep component alongside hypothesis' random edges
+    chain = [(i, i + 1) for i in range(25)]
+    pairs = sorted(set(tuple(sorted(e)) for e in edges) | set(chain))
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    cc = connected_components_auto(df, rounds=2)
+    got = {r.node: r.label for r in cc.collect()}
+    n_unconverged = sum(1 for r in cc.collect() if r.prev != r.label)
+    assert n_unconverged == 0
+    assert got == _union_find(pairs)
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    """Multi-probe candidates are a strict superset of the single-probe
+    bucket, so per query: the multiprobe top-1 snapped cosine is >= the
+    single-probe top-1, every single-probe survivor that multiprobe also
+    ranks keeps the same snapped cosine, and probe_dist=0 rows reproduce
+    single-probe scoring exactly."""
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+
+    genesapi_cli_spark.load_all()
+    single = REGISTRY["q_sim_ann_lsh"].fn(spark, SMOKE_SF_DIR).collect()
+    multi = REGISTRY["q_sim_ann_multiprobe"].fn(spark, SMOKE_SF_DIR).collect()
+    s_top = {}
+    for r in single:
+        if r.rn == 1:
+            s_top[r.query_id] = r.cos_r
+    m_top = {}
+    m_pairs = {}
+    for r in multi:
+        if r.rn == 1:
+            m_top[r.query_id] = r.cos_r
+        m_pairs[(r.query_id, r.neighbor_id)] = (r.cos_r, r.probe_dist)
+    assert set(s_top) <= set(m_top)  # multiprobe never loses a query
+    for q, c in s_top.items():
+        assert m_top[q] >= c
+    for r in single:
+        hit = m_pairs.get((r.query_id, r.neighbor_id))
+        if hit is not None:
+            assert hit == (r.cos_r, 0)  # same bucket, same snapped score
+
+
+def test_m4_equals_bruteforce(spark):
+    """q_time_m4 must equal an engine-independent pandas recomputation:
+    exact integer bucketing, then first/last by (ts_us, event_id) and
+    min/max values per (series, bucket) — independent of both the Spark
+    aggregate strategy and the DuckDB oracle windows."""
+    import genesapi_cli_spark
+    from genesapi_cli_spark.operators.timeseries import _M4_BUCKETS
+    from genesapi_cli_spark.registry import REGISTRY
+
+    genesapi_cli_spark.load_all()
+    got = {
+        (r.event_type, r.bucket): (
+            r.n_points, r.t_first, r.v_first, r.t_last, r.v_last, r.v_min, r.v_max
+        )
+        for r in REGISTRY["q_time_m4"].fn(spark, SMOKE_SF_DIR).collect()
+    }
+    pdf = (
+        load(spark, SMOKE_SF_DIR, "events")
+        .select("event_type", "ts_us", "event_id", "value")
+        .toPandas()
+    )
+    want = {}
+    for et, g in pdf.groupby("event_type"):
+        t0, t1 = int(g["ts_us"].min()), int(g["ts_us"].max())
+        g = g.assign(bucket=((g["ts_us"] - t0) * _M4_BUCKETS) // (t1 - t0 + 1))
+        for b, gb in g.groupby("bucket"):
+            gb = gb.sort_values(["ts_us", "event_id"])
+            want[(et, int(b))] = (
+                len(gb),
+                int(gb["ts_us"].iloc[0]),
+                float(gb["value"].iloc[0]),
+                int(gb["ts_us"].iloc[-1]),
+                float(gb["value"].iloc[-1]),
+                float(gb["value"].min()),
+                float(gb["value"].max()),
+            )
+    assert got == want
