@@ -3958,6 +3958,125 @@ def q_events_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_events_ewma_chart --------------------------------------------------------
+
+#: steady-state EWMA variance constants for the depth-8 λ=1/2 window:
+#: Σw = 255, Σw² = (4^8 − 1)/3 = 21845; limit factor c = √(Σw²)/Σw.
+_EWMA_SUM_W = (1 << _EWMA_DEPTH) - 1
+_EWMA_SUM_W2 = ((1 << (2 * _EWMA_DEPTH)) - 1) // 3
+
+_EWMA_CHART_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(SUM({_CENTS}) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_idx
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS DECIMAL(38,0)) AS q
+  FROM daily GROUP BY event_type
+), z AS (
+  SELECT event_type, day_idx, cents,
+         {_EWMA_NUM} AS num,
+         {_EWMA_DEN} AS den
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+), lim AS (
+  SELECT event_type, n, s,
+         CAST(s AS DOUBLE) / n AS mu,
+         SQRT((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (n - 1))) AS sigma
+  FROM m WHERE n > 1
+    AND CAST(n AS DOUBLE) * CAST(q AS DOUBLE) > CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+), rows_ AS (
+  SELECT z.event_type, z.day_idx, z.cents,
+         FLOOR(CAST(num AS DOUBLE) / den / 100 * 10000 + 0.5) / 10000 AS z_r4,
+         FLOOR((mu + 3 * sigma * (SQRT(CAST({_EWMA_SUM_W2} AS DOUBLE))
+                                  / {_EWMA_SUM_W}))
+               / 100 * 10000 + 0.5) / 10000 AS ucl_r4,
+         FLOOR((mu - 3 * sigma * (SQRT(CAST({_EWMA_SUM_W2} AS DOUBLE))
+                                  / {_EWMA_SUM_W}))
+               / 100 * 10000 + 0.5) / 10000 AS lcl_r4
+  FROM z JOIN lim ON z.event_type = lim.event_type
+)
+SELECT event_type, day_idx, cents, z_r4, ucl_r4, lcl_r4,
+       (z_r4 > ucl_r4 OR z_r4 < lcl_r4) AS out_of_control
+FROM rows_
+"""
+
+
+@register("q_events_ewma_chart", oracle=_EWMA_CHART_ORACLE)
+def q_events_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA CONTROL CHART (the variables-data SPC monitor, companion to
+    q_events_pchart's attribute chart): each stream's daily revenue is
+    exponentially smoothed (the q_window_ewma depth-8 λ=1/2 integer-weight
+    window) and flagged when the smoothed value escapes μ ± 3σ·√(Σw²)/Σw —
+    the steady-state EWMA limits (Σw=255, Σw²=21845 exact), the common
+    production simplification of the time-varying early-window form (which
+    is a constant-table variant of the same plan). EWMA charts catch small
+    sustained shifts that Shewhart-style per-point charts miss.
+
+    Parity: the smoothed value is an exact integer-weight rational (num/den
+    of bigints); μ, σ come from exact integer/decimal moments (q summed as
+    DECIMAL(38,0) — daily cents square sums pass int64 at year scale) with
+    one identically-associated double expression; chart lines and the
+    statistic are snapped to r4 BEFORE the flag comparison, so the boolean
+    is computed on bit-identical snapped values in both engines.
+
+    Scale shape: eighth consumer of the shared daily rollup — one fact
+    shuffle lives in the memoized relation; here one window pass and a
+    5-row moments broadcast over the tiny daily table.
+    """
+    daily = shared_daily_cents(spark, sf_dir)
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    lim = (
+        m.filter((F.col("n") > 1) & (nd * qd > sd * sd))
+        .select(
+            "event_type",
+            (sd / F.col("n")).alias("mu"),
+            F.sqrt((nd * qd - sd * sd) / (nd * (F.col("n") - 1))).alias("sigma"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    num = sum(
+        F.coalesce(F.lag("cents", k).over(w), F.lit(0))
+        * (1 << (_EWMA_DEPTH - 1 - k))
+        for k in range(_EWMA_DEPTH)
+    )
+    den = sum(
+        F.when(F.lag("cents", k).over(w).isNotNull(), 1 << (_EWMA_DEPTH - 1 - k))
+        .otherwise(0)
+        for k in range(_EWMA_DEPTH)
+    )
+    c = F.sqrt(F.lit(_EWMA_SUM_W2).cast("double")) / _EWMA_SUM_W
+    snap = lambda col: F.floor(col / 100 * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    rows = (
+        daily.select("event_type", "day_idx", "cents", num.alias("num"), den.alias("den"))
+        .join(F.broadcast(lim), "event_type")
+        .select(
+            "event_type",
+            "day_idx",
+            "cents",
+            snap(F.col("num").cast("double") / F.col("den")).alias("z_r4"),
+            snap(F.col("mu") + 3 * F.col("sigma") * c).alias("ucl_r4"),
+            snap(F.col("mu") - 3 * F.col("sigma") * c).alias("lcl_r4"),
+        )
+    )
+    return rows.withColumn(
+        "out_of_control",
+        (F.col("z_r4") > F.col("ucl_r4")) | (F.col("z_r4") < F.col("lcl_r4")),
+    )
+
+
 # --- q_window_conformal ---------------------------------------------------------
 
 _CONF_ALPHA_BP = 2000  # miscoverage 20% in basis points → 80% intervals
