@@ -239,6 +239,10 @@ def test_no_new_driver_side_collect_sites():
         "oracle.py",  # the differential harness materializes both sides
         os.path.join("sources", "cube.py"),  # deterministic 6-row sample
         os.path.join("sources", "layout.py"),  # file-statistics certificates
+        # psi_reference: the frozen calibration snapshot a streaming PSI
+        # monitor ships to the serving tier — <= |event types| x 10 rows
+        # of constants (the cusum targets-dict pattern), not data
+        os.path.join("streaming", "stateful.py"),
     }
     offenders = {}
     for root, _dirs, files in os.walk(pkg):
