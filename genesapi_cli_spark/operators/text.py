@@ -3483,3 +3483,184 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syll",
         (F.floor(grade * 10000 + F.lit(0.5)) / 10000).alias("fk_grade_r4"),
     )
+
+
+# --- q_text_bpe_train ---------------------------------------------------------
+
+_BPE_ROUNDS = 2
+
+
+def _bpe_oracle() -> str:
+    """Two unrolled BPE merge rounds in DuckDB: pair counting over the
+    word-frequency table, argmax merge selection (count DESC, pair ASC),
+    then GREEDY LEFT-TO-RIGHT application via gaps-and-islands — maximal
+    runs of consecutive match positions keep alternating members, which is
+    provably the left-fold greedy (overlap only arises for a=b runs)."""
+    sql = """
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+), w1 AS (
+  SELECT word, freq,
+         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS t
+  FROM words
+)"""
+    stage = """, p{r} AS (
+  SELECT t[i] AS a, t[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w{r}, UNNEST(range(1, len(t))) AS u(i)
+  GROUP BY a, b
+), best{r} AS (
+  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+), pos{r} AS (
+  SELECT word, freq, i, t[i] AS tok,
+         (i < len(t) AND t[i] = best.a AND t[i+1] = best.b) AS m
+  FROM w{r}, UNNEST(range(1, len(t) + 1)) AS u(i) CROSS JOIN best{r} AS best
+), isl{r} AS (
+  SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS g
+  FROM pos{r} WHERE m
+), kept{r} AS (
+  SELECT word, i FROM (
+    SELECT word, i, MIN(i) OVER (PARTITION BY word, g) AS i0 FROM isl{r}
+  ) WHERE (i - i0) % 2 = 0
+), w{nxt} AS (
+  SELECT p.word, p.freq,
+         list(CASE WHEN k.i IS NOT NULL THEN best.a || best.b ELSE p.tok END
+              ORDER BY p.i) AS t
+  FROM pos{r} p
+  CROSS JOIN best{r} AS best
+  LEFT JOIN kept{r} k  ON k.word = p.word AND k.i = p.i
+  LEFT JOIN kept{r} k2 ON k2.word = p.word AND k2.i = p.i - 1
+  WHERE k2.i IS NULL
+  GROUP BY p.word, p.freq
+), stat{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round, a, b, cnt AS pair_count,
+         (SELECT CAST(SUM(freq * len(t)) AS BIGINT) FROM w{r})
+           - (SELECT CAST(SUM(freq * len(t)) AS BIGINT) FROM w{nxt})
+           AS n_merges_w,
+         (SELECT CAST(SUM(freq * len(t)) AS BIGINT) FROM w{nxt})
+           AS corpus_tokens_after,
+         (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) FROM w{nxt}, UNNEST(t) AS s(x))
+           AS n_symbols_after
+  FROM best{r}
+)"""
+    for r in range(1, _BPE_ROUNDS + 1):
+        sql += stage.format(r=r, nxt=r + 1)
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT * FROM stat{r}" for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return sql
+
+
+@register("q_text_bpe_train", oracle=_bpe_oracle())
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, two unrolled merge rounds — the full inner
+    loop q_text_bpe_pairs only scores once: count adjacent symbol pairs
+    over the word-frequency table, pick the argmax merge (count DESC, pair
+    ASC), APPLY it greedily left-to-right inside every word, and repeat on
+    the merged symbols. Emits per round the chosen pair, its weighted
+    count, the realized merge count (overlaps make it ≤ the pair count),
+    and the corpus/vocab sizes after — the learning curve a tokenizer
+    build reports.
+
+    Greedy semantics, exactly: a merge consumes its right symbol, so inside
+    a run like "aaa" the pair (a,a) counts twice but merges once. The
+    Spark side applies this as a per-word LEFT FOLD — ``F.aggregate``
+    (Catalyst's fold HOF): merge the incoming symbol into the
+    accumulator's tail when (tail, x) equals the chosen pair, else append
+    — which runs row-local inside codegen, NO explode/window/re-group per
+    round. The oracle proves the same semantics relationally
+    (gaps-and-islands: alternating members of each maximal run of
+    consecutive match positions), so the hash match is a cross-PARADIGM
+    proof of the greedy application, not just of the counts.
+
+    Scale shape (the classic BPE optimization, shared with
+    q_text_bpe_pairs): the corpus collapses ONCE to the word-frequency
+    relation — the only corpus-scale shuffle; every merge round is then
+    vocabulary-bounded (pair counts explode over words, the fold rewrites
+    ≤ |vocab| rows; the 1-row argmax broadcasts). At 100 TB of text this
+    is why BPE training is feasible at all. The merged word relation is
+    lazily checkpointed between rounds so round 2's plan reads blocks, not
+    a doubled lineage.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn(
+            "toks",
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        )
+    )
+
+    def tok_sum(w):
+        return w.agg(
+            F.sum(F.col("freq") * F.size("toks")).cast("bigint").alias("s")
+        )
+
+    out_rows = []
+    w = words.localCheckpoint(eager=False)
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            w.filter(F.size("toks") >= 2)
+            .select(
+                "freq",
+                F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+                "toks",
+            )
+            .select(
+                F.element_at("toks", F.col("i")).alias("a"),
+                F.element_at("toks", F.col("i") + 1).alias("b"),
+                "freq",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+        merged = (
+            w.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "freq",
+                F.aggregate(
+                    "toks",
+                    F.expr("CAST(array() AS array<string>)"),
+                    lambda acc, x: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.col("a"))
+                        & (x == F.col("b")),
+                        F.concat(
+                            F.slice(acc, F.lit(1), F.size(acc) - 1),
+                            F.array(F.concat(F.col("a"), F.col("b"))),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ).alias("toks"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        syms = merged.select(F.explode("toks").alias("x")).agg(
+            F.count_distinct("x").cast("bigint").alias("n_symbols_after")
+        )
+        row = (
+            best.select(
+                F.lit(r).cast("bigint").alias("round"), "a", "b",
+                F.col("cnt").alias("pair_count"),
+            )
+            .crossJoin(F.broadcast(tok_sum(w).select(F.col("s").alias("before"))))
+            .crossJoin(F.broadcast(tok_sum(merged).select(F.col("s").alias("after"))))
+            .crossJoin(F.broadcast(syms))
+            .select(
+                "round", "a", "b", "pair_count",
+                (F.col("before") - F.col("after")).alias("n_merges_w"),
+                F.col("after").alias("corpus_tokens_after"),
+                "n_symbols_after",
+            )
+        )
+        out_rows.append(row)
+        w = merged
+    out = out_rows[0]
+    for row in out_rows[1:]:
+        out = out.unionByName(row)
+    return out
