@@ -213,3 +213,101 @@ def test_ks_stream_state_survives_restart(spark, tmp_path):
         want.d_num,
         want.d_r4,
     )
+
+
+def _scratch_events(tmp_path, select_sql):
+    """Write a degenerate events.parquet derived from the smoke corpus
+    (schema preserved) into a scratch sf_dir; returns the dir."""
+    import duckdb
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.sql(
+        f"COPY ({select_sql.format(src=SMOKE_SF_DIR + '/events.parquet')})"
+        f" TO '{sf}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return sf
+
+
+def test_croston_single_demand_point_emits_nothing(spark, tmp_path):
+    """A series with one demand point has no interval yet: the seed row is
+    dropped in both engines, so the query returns zero rows (not a crash,
+    not a NULL-interval row)."""
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+
+    genesapi_cli_spark.load_all()
+    sf = _scratch_events(
+        tmp_path,
+        "SELECT * FROM read_parquet('{src}')"
+        " WHERE event_type = 'purchase' LIMIT 1",
+    )
+    assert REGISTRY["q_window_croston"].fn(spark, sf).count() == 0
+
+
+def test_m4_single_point_series(spark, tmp_path):
+    """One event per series: exactly one bucket row, first=last=min=max."""
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+
+    genesapi_cli_spark.load_all()
+    sf = _scratch_events(
+        tmp_path,
+        "SELECT * FROM read_parquet('{src}')"
+        " QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) = 1",
+    )
+    rows = REGISTRY["q_time_m4"].fn(spark, sf).collect()
+    assert rows and all(
+        r.n_points == 1
+        and r.bucket == 0
+        and r.t_first == r.t_last
+        and r.v_first == r.v_last == r.v_min == r.v_max
+        for r in rows
+    )
+
+
+def test_ewma_chart_zero_variance_emits_nothing(spark, tmp_path):
+    """A constant-value stream has sigma = 0: the variance guard drops the
+    series entirely (no rows, no NaN limits) in both engines."""
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+
+    genesapi_cli_spark.load_all()
+    # constant daily TOTAL needs one fixed-value event per (stream, day) —
+    # a constant per-event value alone still varies with daily event counts
+    sf = _scratch_events(
+        tmp_path,
+        "SELECT * REPLACE (5.0 AS value) FROM read_parquet('{src}')"
+        " QUALIFY ROW_NUMBER() OVER ("
+        "   PARTITION BY event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
+        "   ORDER BY event_id) = 1",
+    )
+    assert REGISTRY["q_events_ewma_chart"].fn(spark, sf).count() == 0
+
+
+def test_theil_perfect_equality_is_zero(spark, tmp_path):
+    """One identical-totalprice order per customer => Theil T is exactly 0.0
+    for every segment (the micro-snapped ln of x cancels ln(S/n) term for
+    term, including the snap)."""
+    import duckdb
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+
+    genesapi_cli_spark.load_all()
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.sql(
+        f"COPY (SELECT * REPLACE (100.0 AS o_totalprice)"
+        f" FROM read_parquet('{SMOKE_SF_DIR}/orders.parquet')"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1)"
+        f" TO '{sf}/orders.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"COPY (SELECT * FROM read_parquet('{SMOKE_SF_DIR}/customer.parquet'))"
+        f" TO '{sf}/customer.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    rows = REGISTRY["q_agg_theil"].fn(spark, sf).collect()
+    assert rows and all(r.theil_r4 == 0.0 for r in rows)
