@@ -77,6 +77,71 @@ def _src_stamp(path: str) -> object:
     return (max_mtime, total_size, n_files)
 
 
+#: Bytes of source parquet per INITIAL (pre-AQE-coalesce) shuffle partition.
+#: 8 MiB of compressed parquet decodes to roughly 20–30 MB of in-memory rows,
+#: a comfortable per-reducer unit. The knob this sizes —
+#: ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` — is the
+#: AQE-era replacement for hand-tuning shuffle.partitions: shuffles START
+#: wide enough for the data volume and AQE coalesces them back down to the
+#: advisory size at runtime, so small inputs pay nothing while large inputs
+#: stop serializing through too-few reducers. Measured need (SCALE.md §6j):
+#: at sf10 (60M-row lineitem) q_tpch_q21's exponent fell 1.27 → 0.56 and
+#: q_agg_spearman's 1.27 → 0.63 when reducers rose 32 → 128; this makes that
+#: scaling automatic instead of a per-run override.
+#:
+#: The FLOOR is the session's own ``spark.sql.shuffle.partitions`` — i.e.
+#: this never LOWERS the initial reducer count below today's behavior
+#: (initialPartitionNum defaults to shuffle.partitions when unset); it only
+#: raises it when input bytes demand more. A hard floor of 32 was measured
+#: to cost the sf0.1 bench suite ~30% (bench tunes shuffle.partitions=3 for
+#: the local stage-barrier floor; forcing 32 initial partitions re-imposed
+#: the per-task tax on hundreds of sub-MB shuffles).
+_INITIAL_PART_BYTES = 8 << 20
+_INITIAL_PART_CAP = 4096  # local-mode sanity cap; a real cluster raises it
+
+#: (applicationId, sf_dir) -> computed initialPartitionNum; plus the last
+#: value actually applied per application so alternating sf_dirs in one
+#: session re-applies without re-walking the tree.
+_PART_MEMO: dict = {}
+_PART_APPLIED: dict = {}
+
+
+def _ensure_scale_partitions(spark: SparkSession, sf_dir: str) -> None:
+    """Size AQE's initial shuffle-partition count to the lake under
+    ``sf_dir`` (∝ total parquet bytes, floor 32, cap 4096). Driver-side
+    metadata only — the same O(files) listing ``_src_stamp`` already
+    performs — memoized per (application, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n_bytes = _PART_MEMO.get(key)
+    if n_bytes is None:
+        total = 0
+        try:
+            for root, _dirs, files in os.walk(sf_dir):
+                for f in files:
+                    try:
+                        total += os.stat(os.path.join(root, f)).st_size
+                    except OSError:
+                        continue
+        except OSError:
+            total = 0
+        n_bytes = min(_INITIAL_PART_CAP, total // _INITIAL_PART_BYTES)
+        _PART_MEMO[key] = n_bytes
+    try:
+        floor = int(spark.conf.get("spark.sql.shuffle.partitions", "200") or "200")
+    except Exception:  # pragma: no cover
+        floor = 200
+    n = max(floor, n_bytes)
+    if _PART_APPLIED.get(key[0]) == n:
+        return
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(n)
+        )
+        _PART_APPLIED[key[0]] = n
+    except Exception:  # pragma: no cover - static-conf-locked exotic session
+        pass
+
+
 def derived_memo_key(spark: SparkSession, sf_dir: str, *tables: str) -> tuple:
     """Memo key for session-memoized DERIVED relations (shared_ranked_cents,
     shared_payload_frames, shared_copurchase_edges, …): (application,
@@ -144,6 +209,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
        is mandatory: float /1000 on ~1.7e18 ns loses precision (> 2^53).
     """
     ensure_runtime_confs(spark)
+    _ensure_scale_partitions(spark, sf_dir)
     path = f"{sf_dir}/{name}.parquet"
     key = (spark.sparkContext.applicationId, sf_dir, name, _src_stamp(path))
     cached = _LOAD_MEMO.get(key)

@@ -1359,12 +1359,17 @@ WITH t AS (
   FROM pairs p
   JOIN sig a ON a.doc_id = p.doc_a
   JOIN sig b ON b.doc_id = p.doc_b
+), blocks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS blocks_total
+  FROM (SELECT DISTINCT lang, g FROM sh)
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        FLOOR(CAST(SUM(CAST(ABS(j_est - j_exact) AS DECIMAL(18,7))) AS DOUBLE)
              / COUNT(*) * 10000 + 0.5) / 10000 AS mae_r4,
        FLOOR(CAST(SUM(CAST(j_est - j_exact AS DECIMAL(18,7))) AS DOUBLE)
-             / COUNT(*) * 10000 + 0.5) / 10000 AS bias_r4
+             / COUNT(*) * 10000 + 0.5) / 10000 AS bias_r4,
+       (SELECT blocks_total FROM blocks) AS blocks_sampled,
+       (SELECT blocks_total FROM blocks) AS blocks_total
 FROM scored
 """
 
@@ -1387,11 +1392,30 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ground truth confines quadratic work to shared-shingle
     blocks (the q_dedup_ngram_jaccard plan); signatures attach by two
-    doc-keyed joins; the verdict is a 1-row aggregate. At 100 TB this runs
-    on a SAMPLE of blocks — the certificate's cost model, not its shape,
-    changes."""
+    doc-keyed joins; the verdict is a 1-row aggregate. The block SAMPLE the
+    certificate runs on at 100 TB is part of the PLAN, not prose: the
+    runtime knob ``spark.genesapi.dedup.eval.block_sample`` (default 1.0)
+    hash-samples the shared-shingle BLOCKS that seed candidate pairs —
+    deterministic sha256-prefix on the block key (the q_sample_hash idiom),
+    so re-runs audit the same blocks. Sampled pairs still get their EXACT
+    Jaccard and their production 4-seed signatures over the FULL shingle
+    sets (a candidate-bounded join-back), so sampling thins pair COVERAGE
+    without biasing either arm of the measurement; the result discloses its
+    own coverage as blocks_sampled/blocks_total. Measured (BENCH_SCALE):
+    the unsampled audit is the one super-linear row by choice
+    (exp_marginal 1.39 at sf≤3); at the documented scale setting
+    (block_sample=0.05) the marginal exponent drops to ≈1 because
+    candidate volume scales with rate·blocks."""
+    rate = float(
+        spark.conf.get("spark.genesapi.dedup.eval.block_sample", "1.0") or "1.0"
+    )
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     sh = portable_shingles(docs).distinct().localCheckpoint(eager=False)
+    blocks_total = (
+        sh.select("lang", "g")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("blocks_total"))
+    )
     # ONE pass over the checkpointed shingles yields BOTH per-doc facts the
     # scoring stage needs — the exact set size and the 4-seed signature —
     # so the plan has a single per-doc aggregate and a single broadcast
@@ -1401,22 +1425,74 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("sz"),
         *[F.min(_seed_hash32(s)).alias(f"m{s}") for s in range(_PMH_SEEDS)],
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g")
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("g").alias("gb"),
-    )
-    inter = (
-        a.join(
-            b,
-            (F.col("g") == F.col("gb"))
-            & (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+    if rate < 1.0:
+        # Scale path: the quadratic candidate join runs ONLY inside hash-
+        # sampled blocks (sha256-prefix of the block key < rate·2^32 — the
+        # q_sample_hash idiom: deterministic, seedless, re-run-stable);
+        # exact intersections are then re-derived over the FULL shingle
+        # sets, but only for the candidate-bounded pair list, via two
+        # equi-joins (pair⋈sh on doc_a, then on (doc_b, g)). Both arms of
+        # the certificate stay unbiased; only coverage thins.
+        keep = (
+            F.conv(
+                F.substring(F.sha2(F.concat_ws(":", "lang", "g"), 256), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            < F.lit(int(rate * 4294967296))
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
-    )
+        sh_s = sh.filter(keep)
+        blocks_sampled = (
+            sh_s.select("lang", "g")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("blocks_sampled"))
+        )
+        a_s = sh_s.select(
+            F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g"
+        )
+        b_s = sh_s.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("g").alias("gb"),
+        )
+        cand = (
+            a_s.join(
+                b_s,
+                (F.col("g") == F.col("gb"))
+                & (F.col("lang_a") == F.col("lang_b"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        inter = (
+            cand.join(sh.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
+            .join(sh.select(F.col("doc_id").alias("doc_b"), "g"), ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+        )
+    else:
+        blocks_sampled = blocks_total.select(
+            F.col("blocks_total").alias("blocks_sampled")
+        )
+        a = sh.select(
+            F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g"
+        )
+        b = sh.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("g").alias("gb"),
+        )
+        inter = (
+            a.join(
+                b,
+                (F.col("g") == F.col("gb"))
+                & (F.col("lang_a") == F.col("lang_b"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+        )
     pa = per_doc.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sz_a"),
@@ -1447,7 +1523,7 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree / F.lit(4.0)).alias("j_est"),
         )
     )
-    return scored.agg(
+    verdict = scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         (
             F.floor(
@@ -1469,6 +1545,12 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 10000
         ).alias("bias_r4"),
+    )
+    # The coverage disclosure rides on the 1-row verdict as two broadcast
+    # 1-row cross joins — the certificate reports how much of the block
+    # space it actually audited.
+    return verdict.crossJoin(F.broadcast(blocks_sampled)).crossJoin(
+        F.broadcast(blocks_total)
     )
 
 

@@ -569,6 +569,7 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AHASH_BYTES = 240  # 60 blocks × 4 bytes/block → a 60-bit hash (63-bit safe)
 _AHASH_MAXDIST = 6  # report pairs within this hamming distance
+_AHASH_TOPK = 3     # nearest neighbors reported per asset (bounds the output)
 
 _AHASH_ORACLE = f"""
 WITH padded AS (
@@ -594,35 +595,32 @@ WITH padded AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h60 AS ha, b.h60 AS hb
   FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                             AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+  FROM cand
+  WHERE bit_count(xor(ha, hb)) <= {_AHASH_MAXDIST}
+), sym AS (
+  SELECT doc_a AS doc_id, doc_b AS nbr_id, hamming FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS nbr_id, hamming FROM pairs
+), ranked AS (
+  SELECT doc_id, nbr_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hamming, nbr_id) AS rn
+  FROM sym
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-FROM cand
-WHERE bit_count(xor(ha, hb)) <= {_AHASH_MAXDIST}
+SELECT doc_id, rn, nbr_id, hamming FROM ranked WHERE rn <= {_AHASH_TOPK}
 """
 
 
-@register("q_multimodal_ahash", oracle=_AHASH_ORACLE)
-def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-duplicate detection for binary assets via a 60-bit
-    average-hash (aHash): the payload's leading 240 bytes split into 60
-    blocks, bit_j = (block_j mean > global mean), then banded LSH over four
-    15-bit bands so candidate generation is an EQUI-join on band values —
-    never an all-pairs hamming scan — and only candidates sharing a band
-    pay the bit_count(xor) verification. The pigeonhole bound makes recall
-    exact for hamming ≤ 3 (a pair within 3 bit flips MUST agree on one of
-    4 bands); pairs in (3, 6] are best-effort, the standard pHash-pipeline
-    trade (tighten by adding bands at write time, not by widening scans).
-
-    The "image" is the documents payload byte-viewed (same ASCII-grid
-    convention as q_multimodal_resize — 1 byte/px, codec-less container);
-    with a real codec the hash would be computed over decoded 8×8
-    downsampled luma in the same mapInPandas slot, leaving this ENTIRE
-    candidate/verify plan unchanged.
-
-    Scale shape: hash construction is one in-row projection (JVM HOFs over
-    a 60-element array); the LSH join shuffles (band_idx, band_val) keys
-    only — payloads never move; verification touches two 8-byte ints per
-    candidate."""
+def ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERNAL stage: the raw (doc_a, doc_b, hamming) near-dup pair
+    relation behind q_multimodal_ahash. Kept as a helper — not a
+    registered result — because on low-entropy corpora the pair relation
+    itself grows ~quadratically (349k pairs at sf0.1 → 319M at sf3,
+    SCALE.md §6i.3) even though candidate GENERATION is a well-bucketed
+    band equi-join; only bounded consumers (per-asset top-k, cluster
+    rollups, aggregate certificates) should ever materialize downstream
+    of it."""
     docs = load(spark, sf_dir, "documents")
     # Hash construction follows the repo's explode-positions-first rule
     # (SCALE.md §4b): per-(doc, block) rows with a FLAT 4-term ascii sum
@@ -708,6 +706,68 @@ def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _AHASH_MAXDIST)
         .distinct()
+    )
+
+
+@register("q_multimodal_ahash", oracle=_AHASH_ORACLE)
+def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection for binary assets via a 60-bit
+    average-hash (aHash): the payload's leading 240 bytes split into 60
+    blocks, bit_j = (block_j mean > global mean), then banded LSH over four
+    15-bit bands so candidate generation is an EQUI-join on band values —
+    never an all-pairs hamming scan — and only candidates sharing a band
+    pay the bit_count(xor) verification. The pigeonhole bound makes recall
+    exact for hamming ≤ 3 (a pair within 3 bit flips MUST agree on one of
+    4 bands); pairs in (3, 6] are best-effort, the standard pHash-pipeline
+    trade (tighten by adding bands at write time, not by widening scans).
+
+    The REGISTERED result is the per-asset top-k nearest table
+    (doc_id, rn, nbr_id, hamming; k = 3, ties broken by neighbor id) — a
+    bounded O(assets·k) relation — NOT the raw pair list: on low-entropy
+    corpora the pair relation itself grows ~quadratically (349k pairs at
+    sf0.1 → 319M at sf3, SCALE.md §6i.3), so emitting it as the result
+    relation was the measured scale-killer even with perfect candidate
+    generation. Pair→top-k is one symmetrize (each undirected pair feeds
+    both endpoints' lists) + one row_number window partitioned by doc_id —
+    the window shuffles only (doc, nbr, hamming) triples, and AQE's skew
+    split handles hub assets. Consumers that need the raw pairs
+    (cluster rollups, certificates) compose ``ahash_pairs`` internally.
+
+    The "image" is the documents payload byte-viewed (same ASCII-grid
+    convention as q_multimodal_resize — 1 byte/px, codec-less container);
+    with a real codec the hash would be computed over decoded 8×8
+    downsampled luma in the same mapInPandas slot, leaving this ENTIRE
+    candidate/verify/rank plan unchanged.
+
+    Scale shape: hash construction is one in-row projection; the LSH join
+    shuffles (band_idx, band_val) keys only — payloads never move;
+    verification touches two 8-byte ints per candidate; the output is
+    asset-bounded regardless of corpus entropy."""
+    pairs = ahash_pairs(spark, sf_dir)
+    # Symmetrize in ONE pass (explode of a 2-struct array), not a UNION of
+    # two selects — a union would splice the whole candidate-join lineage
+    # into the plan twice and re-run it per branch.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("nbr_id"),
+                    F.col("hamming"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("nbr_id"),
+                    F.col("hamming"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.nbr_id", "e.hamming")
+    w = Window.partitionBy("doc_id").orderBy("hamming", "nbr_id")
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _AHASH_TOPK)
+        .select("doc_id", "rn", "nbr_id", "hamming")
     )
 
 
