@@ -748,17 +748,43 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_text_redact ----------------------------------------------------------
 
-_REDACT_ORACLE = """
+#: The PII ladder, applied in THIS order — structured classes first so the
+#: generic digit-run rule never eats an IPv4 octet or a phone before the
+#: class-specific template lands. Patterns restricted to the regex subset
+#: where Java (Spark) and RE2 (DuckDB) agree: literal classes, bounded
+#: repetition, no backreferences/lookaround.
+_REDACT_LADDER = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9-]{6,}[0-9]", "<PHONE>"),
+    ("num", r"[0-9]+", "<NUM>"),
+)
+
+
+def _redact_oracle() -> str:
+    s = "props"
+    cnt_cols = []
+    for name, pat, token in _REDACT_LADDER:
+        cnt_cols.append(
+            f"len(regexp_extract_all({s}, '{pat}')) AS c_{name}"
+        )
+        s = f"regexp_replace({s}, '{pat}', '{token}', 'g')"
+    cnts = ",\n         ".join(cnt_cols)
+    return f"""
 WITH r AS (
   SELECT event_type,
-         props,
-         regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+         {cnts},
+         {s} AS redacted,
          length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
            AS n_digit_chars
   FROM events
 )
 SELECT event_type,
        COUNT(*) AS n,
+       CAST(SUM(c_email) AS BIGINT) AS n_email,
+       CAST(SUM(c_ip) AS BIGINT) AS n_ip,
+       CAST(SUM(c_phone) AS BIGINT) AS n_phone,
+       CAST(SUM(c_num) AS BIGINT) AS n_num,
        CAST(SUM(n_digit_chars) AS BIGINT) AS digits_removed,
        COUNT(DISTINCT redacted) AS n_distinct_shapes,
        MIN(redacted) AS sample_shape
@@ -767,28 +793,52 @@ GROUP BY event_type
 """
 
 
-@register("q_text_redact", oracle=_REDACT_ORACLE)
+@register("q_text_redact", oracle=_redact_oracle())
 def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII-style redaction: collapse every digit run to a `<NUM>` token and
-    profile the result — the scrubbing pass a training-data pipeline runs
-    before anything leaves the raw zone (here the numeric payloads in the
-    events `props` JSON; the same regexp ladder handles emails/phones/IDs).
+    """PII redaction LADDER — the scrubbing pass a training-data pipeline
+    runs before anything leaves the raw zone: email → IPv4 → phone →
+    generic digit run, each class replaced by its template token IN THAT
+    ORDER (structured classes first, so the generic digit rule never eats
+    an IPv4 octet or a phone digit before the class-specific template
+    lands), with a per-class match count so the redaction profile says
+    WHAT kind of PII each event stream leaks, not just how much. On this
+    synthetic corpus the email/ip/phone counts are structurally zero (the
+    props payloads carry bare integers only) — the oracle still proves the
+    ladder's composition order and the per-class counters end-to-end, and
+    a real corpus exercises the same plan with nonzero rows.
 
-    Pure codegen'd regexp projection — no Python in the hot path — followed
-    by one hash aggregate; at 100 TB the replace streams through the scan
-    with zero extra shuffles. `n_distinct_shapes` is the fleet-health
-    signal: a redacted corpus should collapse to few templates; a sudden
-    explosion means a new unredacted pattern is leaking through.
+    Pure codegen'd regexp projection ladder — no Python, no UDF — followed
+    by one hash aggregate; at 100 TB the four replaces stream through the
+    scan in one stage with zero extra shuffles. `n_distinct_shapes` is the
+    fleet-health signal: a redacted corpus should collapse to few
+    templates; an explosion means a new unredacted pattern is leaking
+    through.
 
-    Parity: Java and RE2 regexes agree on the character-class subset used;
-    Spark regexp_replace is global by default = DuckDB 'g' flag.
-    """
+    Parity: patterns restricted to the Java/RE2-agreeing subset (literal
+    classes, bounded repetition); Spark regexp_replace is global by
+    default = DuckDB 'g'; match counts via regexp_extract_all on BOTH
+    sides."""
     ev = load(spark, sf_dir, "events")
-    red = F.regexp_replace(F.col("props"), "[0-9]+", "<NUM>")
-    n_digits = F.length("props") - F.length(F.regexp_replace(F.col("props"), "[0-9]", ""))
-    r = ev.select("event_type", red.alias("redacted"), n_digits.alias("n_digit_chars"))
+    s = F.col("props")
+    cnts = {}
+    for name, pat, token in _REDACT_LADDER:
+        cnts[name] = F.size(F.regexp_extract_all(s, F.lit(pat), F.lit(0)))
+        s = F.regexp_replace(s, pat, token)
+    n_digits = F.length("props") - F.length(
+        F.regexp_replace(F.col("props"), "[0-9]", "")
+    )
+    r = ev.select(
+        "event_type",
+        *[cnts[name].alias(f"c_{name}") for name, _, _ in _REDACT_LADDER],
+        s.alias("redacted"),
+        n_digits.alias("n_digit_chars"),
+    )
     return r.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum("c_email").cast("bigint").alias("n_email"),
+        F.sum("c_ip").cast("bigint").alias("n_ip"),
+        F.sum("c_phone").cast("bigint").alias("n_phone"),
+        F.sum("c_num").cast("bigint").alias("n_num"),
         F.sum("n_digit_chars").cast("bigint").alias("digits_removed"),
         F.countDistinct("redacted").alias("n_distinct_shapes"),
         F.min("redacted").alias("sample_shape"),
@@ -1457,6 +1507,97 @@ def q_text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup",
         F.expr(
             "FLOOR(CAST(n_dup AS DOUBLE) / n_sents * 10000 + 0.5) / 10000"
+        ).alias("dup_share_r4"),
+    )
+
+
+# --- q_text_longgram_dedup (substring-level exact-dup screen) ----------------
+
+_LONGGRAM_LEN = 50
+
+_LONGGRAM_ORACLE = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, md5(substr(text, i, {_LONGGRAM_LEN})) AS h
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - {_LONGGRAM_LEN - 1}, 1) + 1)) AS u(i)
+), freq AS (
+  SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM grams GROUP BY h
+), scored AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams g JOIN freq f USING (h)
+  GROUP BY g.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_dup AS BIGINT) AS n_dup,
+       FLOOR(CAST(n_dup AS DOUBLE) / n_grams * 10000 + 0.5) / 10000 AS dup_share_r4
+FROM scored
+"""
+
+
+@register("q_text_longgram_dedup", oracle=_LONGGRAM_ORACLE)
+def q_text_longgram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact-duplication screen via {50}-char-gram content
+    hashes — the scalable stand-in for suffix-array exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every doc reports what share of its DISTINCT 50-char windows
+    (stride 1, so duplicated spans are caught at ANY alignment) also occurs
+    verbatim in at least one OTHER document. Complements the sentence-level
+    C4 screen (q_text_sentence_dedup): licence blurbs and boilerplate that
+    cross sentence boundaries — or documents with no sentence structure at
+    all — only show up at substring granularity.
+
+    Scale shape: the gram relation is one explode + md5 (JVM codegen) and
+    is linear in corpus BYTES (≈1 row/char; the distinct collapses repeated
+    spans within a doc); the frequency table is one hash aggregate with a
+    map-side partial distinct; scoring joins it back on the hash — the
+    train/score join shape of the LM queries, always equi-join. At 100 TB,
+    two documented knobs keep it flat: a whale cap (drop gram hashes in
+    > K docs before the join-back — the q_dedup_stop_shingles guard; those
+    grams are boilerplate by definition and count as dup for every doc) and
+    winnowing (keep only each sliding window's minimum hash — Schleimer et
+    al. 2003 — thinning grams ~w/2-fold while still guaranteeing detection
+    of duplicated spans ≥ gram+w chars)."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    grams = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length("text") - F.lit(_LONGGRAM_LEN - 1), F.lit(1)
+                    ),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.expr(f"substring(text, i, {_LONGGRAM_LEN})")).alias("h"),
+        )
+        .distinct()
+    )
+    freq = grams.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    scored = (
+        grams.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_dup",
+        F.expr(
+            "FLOOR(CAST(n_dup AS DOUBLE) / n_grams * 10000 + 0.5) / 10000"
         ).alias("dup_share_r4"),
     )
 
@@ -3490,13 +3631,10 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 2
 
 
-def _bpe_oracle() -> str:
-    """Two unrolled BPE merge rounds in DuckDB: pair counting over the
-    word-frequency table, argmax merge selection (count DESC, pair ASC),
-    then GREEDY LEFT-TO-RIGHT application via gaps-and-islands — maximal
-    runs of consecutive match positions keep alternating members, which is
-    provably the left-fold greedy (overlap only arises for a=b runs)."""
-    sql = """
+#: The words/w1 front shared by the BPE train and encode oracles: the
+#: corpus collapsed to the word-frequency relation, chars exploded to the
+#: initial symbol sequence.
+_BPE_WORDS_SQL = """
 WITH words AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS word FROM documents)
@@ -3506,7 +3644,12 @@ WITH words AS (
          list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS t
   FROM words
 )"""
-    stage = """, p{r} AS (
+
+#: One unrolled merge round (round {r}: w{r} -> w{nxt}), shared by the BPE
+#: train and encode oracles. Greedy left-to-right application proved via
+#: gaps-and-islands: alternating members of each maximal run of
+#: consecutive match positions merge, which is exactly the left fold.
+_BPE_STAGE_SQL = """, p{r} AS (
   SELECT t[i] AS a, t[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM w{r}, UNNEST(range(1, len(t))) AS u(i)
   GROUP BY a, b
@@ -3544,12 +3687,84 @@ WITH words AS (
            AS n_symbols_after
   FROM best{r}
 )"""
+
+
+def _bpe_oracle() -> str:
+    """Two unrolled BPE merge rounds in DuckDB: pair counting over the
+    word-frequency table, argmax merge selection (count DESC, pair ASC),
+    then GREEDY LEFT-TO-RIGHT application via gaps-and-islands — maximal
+    runs of consecutive match positions keep alternating members, which is
+    provably the left-fold greedy (overlap only arises for a=b runs)."""
+    sql = _BPE_WORDS_SQL
     for r in range(1, _BPE_ROUNDS + 1):
-        sql += stage.format(r=r, nxt=r + 1)
+        sql += _BPE_STAGE_SQL.format(r=r, nxt=r + 1)
     sql += "\n" + "\nUNION ALL\n".join(
         f"SELECT * FROM stat{r}" for r in range(1, _BPE_ROUNDS + 1)
     )
     return sql
+
+
+def _bpe_words(docs: DataFrame) -> DataFrame:
+    """Corpus → (word, freq, toks) word-frequency relation with the initial
+    per-character symbol sequence — the ONE corpus-scale shuffle of the BPE
+    family; every merge round after it is vocabulary-bounded."""
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn(
+            "toks",
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        )
+    )
+
+
+def _bpe_pair_best(w: DataFrame) -> DataFrame:
+    """Argmax merge candidate for one round: adjacent-pair counts weighted
+    by word frequency (explode positions over the vocab-bounded relation),
+    tie-broken (count DESC, pair ASC) to a 1-row (a, b, cnt)."""
+    pairs = (
+        w.filter(F.size("toks") >= 2)
+        .select(
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+            "toks",
+        )
+        .select(
+            F.element_at("toks", F.col("i")).alias("a"),
+            F.element_at("toks", F.col("i") + 1).alias("b"),
+            "freq",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    return pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+
+
+def _bpe_apply_merge(w: DataFrame, best: DataFrame) -> DataFrame:
+    """Greedy left-to-right application of the broadcast 1-row merge (a, b)
+    inside every word: ``F.aggregate`` left fold — merge the incoming
+    symbol into the accumulator's tail when (tail, x) equals the chosen
+    pair, else append. Row-local inside codegen; no explode/window/regroup
+    per round."""
+    return w.crossJoin(F.broadcast(best.select("a", "b"))).select(
+        "word",
+        "freq",
+        F.aggregate(
+            "toks",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("a"))
+                & (x == F.col("b")),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(F.col("a"), F.col("b"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ).alias("toks"),
+    )
 
 
 @register("q_text_bpe_train", oracle=_bpe_oracle())
@@ -3584,16 +3799,7 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     a doubled lineage.
     """
     docs = load(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        .withColumn(
-            "toks",
-            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-        )
-    )
+    words = _bpe_words(docs)
 
     def tok_sum(w):
         return w.agg(
@@ -3603,43 +3809,8 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_rows = []
     w = words.localCheckpoint(eager=False)
     for r in range(1, _BPE_ROUNDS + 1):
-        pairs = (
-            w.filter(F.size("toks") >= 2)
-            .select(
-                "freq",
-                F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
-                "toks",
-            )
-            .select(
-                F.element_at("toks", F.col("i")).alias("a"),
-                F.element_at("toks", F.col("i") + 1).alias("b"),
-                "freq",
-            )
-            .groupBy("a", "b")
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-        )
-        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
-        merged = (
-            w.crossJoin(F.broadcast(best))
-            .select(
-                "word",
-                "freq",
-                F.aggregate(
-                    "toks",
-                    F.expr("CAST(array() AS array<string>)"),
-                    lambda acc, x: F.when(
-                        (F.size(acc) > 0)
-                        & (F.element_at(acc, -1) == F.col("a"))
-                        & (x == F.col("b")),
-                        F.concat(
-                            F.slice(acc, F.lit(1), F.size(acc) - 1),
-                            F.array(F.concat(F.col("a"), F.col("b"))),
-                        ),
-                    ).otherwise(F.concat(acc, F.array(x))),
-                ).alias("toks"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        best = _bpe_pair_best(w)
+        merged = _bpe_apply_merge(w, best).localCheckpoint(eager=False)
         syms = merged.select(F.explode("toks").alias("x")).agg(
             F.count_distinct("x").cast("bigint").alias("n_symbols_after")
         )
@@ -3664,3 +3835,97 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in out_rows[1:]:
         out = out.unionByName(row)
     return out
+
+
+def _bpe_encode_oracle() -> str:
+    """Encode = the same two unrolled merge rounds (so the oracle trains the
+    identical merge list), then a per-word token-count lookup joined back
+    to the exploded corpus and rolled up per language."""
+    sql = _BPE_WORDS_SQL
+    for r in range(1, _BPE_ROUNDS + 1):
+        sql += _BPE_STAGE_SQL.format(r=r, nxt=r + 1)
+    sql += f"""
+, wtok AS (
+  SELECT word, CAST(len(t) AS BIGINT) AS n_tok FROM w{_BPE_ROUNDS + 1}
+), corpus AS (
+  SELECT doc_id, lang, word FROM (
+    SELECT doc_id, lang, UNNEST(string_split(lower(text), ' ')) AS word
+    FROM documents)
+  WHERE word <> ''
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       FLOOR(CAST(SUM(length(word)) AS DOUBLE) / SUM(n_tok) * 10000 + 0.5)
+         / 10000 AS chars_per_token_r4,
+       FLOOR(CAST(SUM(n_tok) AS DOUBLE) / COUNT(DISTINCT doc_id) * 10000 + 0.5)
+         / 10000 AS tokens_per_doc_r4
+FROM corpus JOIN wtok USING (word)
+GROUP BY lang
+"""
+    return sql
+
+
+@register("q_text_bpe_encode", oracle=_bpe_encode_oracle())
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer ENCODE — the operator a training-data pipeline runs
+    daily: apply the trained merge list to the corpus and report, per
+    language, the realized token economics (total tokens, chars per token =
+    the compression ratio, tokens per document). Completes the tokenizer
+    lifecycle next to q_text_bpe_pairs (score) and q_text_bpe_train
+    (learn): here the {_BPE_ROUNDS}-merge list learned by the same
+    argmax/fold machinery (_bpe_pair_best / _bpe_apply_merge) is applied
+    in merge order — BPE encode semantics are exactly "replay the merges
+    in learned order", so the per-word greedy left fold per round IS the
+    encoder.
+
+    Scale shape (the reason BPE encoding is feasible at 100 TB): encoding
+    happens at the DISTINCT-WORD level — the corpus collapses once to the
+    word-frequency relation, each merge round is a vocabulary-bounded fold,
+    and the per-word token COUNT (a 2-column map) broadcast-joins back to
+    the exploded corpus for the per-language rollup. The corpus is never
+    re-folded per merge round and never carries token arrays — only the
+    one explode it already pays for word counting, one broadcast hash join,
+    one final aggregate. A real tokenizer build emits the token ids the
+    same way (word → id-array lookup table); the economics rollup here is
+    the certificate every curation run reports.
+
+    Parity: the oracle re-trains the identical merge list via the
+    gaps-and-islands relational form of the greedy fold, so the hash match
+    proves train+encode end-to-end across paradigms."""
+    docs = load(spark, sf_dir, "documents")
+    w = _bpe_words(docs).localCheckpoint(eager=False)
+    for _ in range(_BPE_ROUNDS):
+        w = _bpe_apply_merge(w, _bpe_pair_best(w)).localCheckpoint(eager=False)
+    wtok = w.select("word", F.size("toks").cast("bigint").alias("n_tok"))
+    corpus = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        corpus.join(F.broadcast(wtok), "word")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr(
+                "FLOOR(CAST(n_chars AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000"
+            ).alias("chars_per_token_r4"),
+            F.expr(
+                "FLOOR(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5) / 10000"
+            ).alias("tokens_per_doc_r4"),
+        )
+    )
