@@ -1602,6 +1602,141 @@ def q_text_longgram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_text_winnow_dedup (winnowed fingerprint substring screen) -------------
+
+_WINNOW_W = 8  # gram positions per winnowing window
+
+_WINNOW_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(text, i, {_LONGGRAM_LEN})), 1, 8))::BIGINT AS h32
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - {_LONGGRAM_LEN - 1}, 1) + 1)) AS u(i)
+), k AS (
+  SELECT doc_id, i,
+         h32 * 1048576 + (1048575 - i) AS key,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM g
+), wsel AS (
+  SELECT doc_id, n_grams, i,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS sel
+  FROM k
+), fp AS (
+  SELECT DISTINCT doc_id, n_grams, sel // 1048576 AS h32
+  FROM wsel WHERE i <= greatest(n_grams - {_WINNOW_W - 1}, 1)
+), freq AS (
+  SELECT h32, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM fp GROUP BY h32
+), scored AS (
+  SELECT fp.doc_id, MIN(fp.n_grams) AS n_grams, COUNT(*) AS n_fp,
+         SUM(CASE WHEN freq.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM fp JOIN freq USING (h32) GROUP BY fp.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_fp AS BIGINT) AS n_fp,
+       CAST(n_dup AS BIGINT) AS n_dup,
+       FLOOR(CAST(n_fp AS DOUBLE) / n_grams * 10000 + 0.5) / 10000 AS keep_ratio_r4,
+       FLOOR(CAST(n_dup AS DOUBLE) / n_fp * 10000 + 0.5) / 10000 AS dup_share_r4
+FROM scored
+"""
+
+
+@register("q_text_winnow_dedup", oracle=_WINNOW_ORACLE)
+def q_text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWED substring fingerprinting (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS algorithm) — q_text_longgram_dedup's scale path made a real
+    plan instead of a docstring note: within every window of {8} consecutive
+    50-char-gram hashes, select the minimum (ties to the RIGHTMOST position,
+    the original paper's rule), keep the distinct selected fingerprints per
+    doc, and score cross-doc duplication on fingerprints only. Storage and
+    join traffic drop ~2/(w+1) while any duplicated span of at least
+    gram+w−1 = 57 chars is still GUARANTEED to contribute one common
+    fingerprint in both documents (the winnowing correctness theorem), so
+    the screen's recall on long boilerplate is intact at a fraction of the
+    long-gram cost.
+
+    Parity engineering: the rightmost-min tie-break is packed into ONE
+    integer key — h32·2^20 + (2^20−1−i) — so a plain window MIN implements
+    "min hash, then max position" identically in both engines (positions
+    are bounded by document length << 2^20); the fingerprint hash unpacks
+    as sel div 2^20. Only FULL windows select (start ≤ n_grams−w+1; short
+    docs degrade to one whole-doc window), matching the paper.
+
+    Scale shape: gram hashing is one explode + md5 projection; BOTH window
+    functions (the per-doc count and the frame MIN) share one
+    partitionBy(doc_id) sort — a single exchange of (doc, i, key) triples,
+    never text; the distinct collapses ~w-fold before the frequency
+    aggregate and join-back, which is where the 100 TB savings land. The
+    whale cap (drop fingerprints in > K docs pre-join) composes unchanged."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    g = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("text") - F.lit(_LONGGRAM_LEN - 1), F.lit(1)),
+            )
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(text, i, {_LONGGRAM_LEN})")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h32"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_frame = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
+    )
+    k = g.select(
+        "doc_id",
+        "i",
+        (F.col("h32") * F.lit(1048576) + (F.lit(1048575) - F.col("i"))).alias("key"),
+    ).withColumn("n_grams", F.count(F.lit(1)).over(w_doc))
+    fp = (
+        k.withColumn("sel", F.min("key").over(w_frame))
+        .filter(
+            F.col("i")
+            <= F.greatest(F.col("n_grams") - F.lit(_WINNOW_W - 1), F.lit(1))
+        )
+        .select("doc_id", "n_grams", F.expr("sel div 1048576").alias("h32"))
+        .distinct()
+    )
+    freq = fp.groupBy("h32").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("nd")
+    )
+    scored = (
+        fp.join(freq, "h32")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_grams").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_fp",
+        "n_dup",
+        F.expr(
+            "FLOOR(CAST(n_fp AS DOUBLE) / n_grams * 10000 + 0.5) / 10000"
+        ).alias("keep_ratio_r4"),
+        F.expr(
+            "FLOOR(CAST(n_dup AS DOUBLE) / n_fp * 10000 + 0.5) / 10000"
+        ).alias("dup_share_r4"),
+    )
+
+
 # --- q_text_filter_funnel ----------------------------------------------------
 
 _FUNNEL_STAGES = """

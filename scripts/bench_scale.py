@@ -63,6 +63,15 @@ VARIANTS = [
         "q_dedup_prefix_filter",
         {"spark.genesapi.pf.shingle": "5"},
     ),
+    # The documented scale setting of q_dedup_eval's in-plan block sampler
+    # (round 9): the unsampled audit is super-linear BY CHOICE (exact
+    # ground truth over every shared-shingle block); this row measures the
+    # registered scale path.
+    (
+        "q_dedup_eval@s0.05",
+        "q_dedup_eval",
+        {"spark.genesapi.dedup.eval.block_sample": "0.05"},
+    ),
 ]
 
 

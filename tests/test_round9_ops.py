@@ -202,3 +202,14 @@ FROM read_parquet('{{src}}') LIMIT 9
     dup = [r for r in rows if r["n_dup"] > 0]
     clean = [r for r in rows if r["n_dup"] == 0]
     assert len(dup) == 6 and len(clean) == 3
+
+    # The winnowed screen must honor its correctness theorem on the same
+    # corpus: the planted span is 60 ≥ gram+w−1 = 57 chars, so every
+    # span-carrying doc keeps at least one SHARED fingerprint, the clean
+    # docs keep none, and thinning is real (n_fp < n_grams on long docs).
+    res = check_all(spark, sf, {"q_text_winnow_dedup"})
+    assert len(res) == 1 and res[0].ok, res[0]
+    wrows = REGISTRY["q_text_winnow_dedup"].fn(spark, sf).collect()
+    wdup = {r["doc_id"] for r in wrows if r["n_dup"] > 0}
+    assert wdup == {r["doc_id"] for r in dup}
+    assert all(r["n_fp"] < r["n_grams"] for r in wrows if r["n_grams"] > 8)
