@@ -96,8 +96,19 @@ def _src_stamp(path: str) -> object:
 #: to cost the sf0.1 bench suite ~30% (bench tunes shuffle.partitions=3 for
 #: the local stage-barrier floor; forcing 32 initial partitions re-imposed
 #: the per-task tax on hundreds of sub-MB shuffles).
+#:
+#: CLUSTER masters only. In local mode every reducer shares one JVM, one
+#: block manager and one disk, so extra initial partitions are pure
+#: scheduling/shuffle-file tax with nothing to parallelize beyond the core
+#: count — measured round 9 at sf10 (60M-row lineitem, isolated min-of-2,
+#: replicated in two fresh sessions): q_tpch_q21 17.1 s at 32 initial,
+#: 21.4 s at 128, 26.5 s at 251; q_agg_spearman flat (11.8/12.1 s). The
+#: round-8 reading that said the opposite (51 s at 32) did not replicate
+#: under the isolated protocol — host-load contamination. On a real
+#: cluster the calculus inverts: hundreds of executors NEED wide shuffles
+#: before AQE coalesces, which is exactly what this sizes.
 _INITIAL_PART_BYTES = 8 << 20
-_INITIAL_PART_CAP = 4096  # local-mode sanity cap; a real cluster raises it
+_INITIAL_PART_CAP = 4096
 
 #: (applicationId, sf_dir) -> computed initialPartitionNum; plus the last
 #: value actually applied per application so alternating sf_dirs in one
@@ -108,9 +119,16 @@ _PART_APPLIED: dict = {}
 
 def _ensure_scale_partitions(spark: SparkSession, sf_dir: str) -> None:
     """Size AQE's initial shuffle-partition count to the lake under
-    ``sf_dir`` (∝ total parquet bytes, floor 32, cap 4096). Driver-side
+    ``sf_dir`` (∝ total parquet bytes, floored at shuffle.partitions,
+    cap 4096) — CLUSTER masters only; a no-op under local[*] (see the
+    constant block above for the measured local penalty). Driver-side
     metadata only — the same O(files) listing ``_src_stamp`` already
     performs — memoized per (application, sf_dir)."""
+    try:
+        if spark.sparkContext.master.startswith("local"):
+            return
+    except Exception:  # pragma: no cover - connect-mode sessions
+        return
     key = (spark.sparkContext.applicationId, sf_dir)
     n_bytes = _PART_MEMO.get(key)
     if n_bytes is None:

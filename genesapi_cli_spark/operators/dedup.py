@@ -1401,11 +1401,13 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard and their production 4-seed signatures over the FULL shingle
     sets (a candidate-bounded join-back), so sampling thins pair COVERAGE
     without biasing either arm of the measurement; the result discloses its
-    own coverage as blocks_sampled/blocks_total. Measured (BENCH_SCALE):
-    the unsampled audit is the one super-linear row by choice
-    (exp_marginal 1.39 at sf≤3); at the documented scale setting
-    (block_sample=0.05) the marginal exponent drops to ≈1 because
-    candidate volume scales with rate·blocks."""
+    own coverage as blocks_sampled/blocks_total. The production setting is
+    a fixed audit BUDGET, not a fixed fraction: an MAE estimate needs a
+    constant number of audited pairs, so rate scales ~1/corpus (rate·n
+    held constant — the bench_scale @budget variant). A fixed fraction on
+    a closed-vocabulary corpus stays super-linear because every pair
+    shares many blocks, so sampling blocks barely thins pairs (measured
+    round 9: rate=0.05 was no cheaper than unsampled at sf0.3)."""
     rate = float(
         spark.conf.get("spark.genesapi.dedup.eval.block_sample", "1.0") or "1.0"
     )
@@ -1465,9 +1467,16 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b")
             .distinct()
         )
+        # cand is audit-budget-bounded → broadcast it; the second join's
+        # probe side is the CORPUS shingle relation → shuffle_hash, never
+        # a (mis-estimated) broadcast of sh.
         inter = (
-            cand.join(sh.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
-            .join(sh.select(F.col("doc_id").alias("doc_b"), "g"), ["doc_b", "g"])
+            F.broadcast(cand)
+            .join(sh.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), "g").hint("shuffle_hash"),
+                ["doc_b", "g"],
+            )
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
         )

@@ -570,6 +570,7 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AHASH_BYTES = 240  # 60 blocks × 4 bytes/block → a 60-bit hash (63-bit safe)
 _AHASH_MAXDIST = 6  # report pairs within this hamming distance
 _AHASH_TOPK = 3     # nearest neighbors reported per asset (bounds the output)
+_AHASH_MAX_BUCKET = 1024  # hot-bucket cap: drop degenerate band buckets
 
 _AHASH_ORACLE = f"""
 WITH padded AS (
@@ -591,10 +592,17 @@ WITH padded AS (
 ), bands AS (
   SELECT doc_id, h60, b AS band_idx, (h60 >> (15*b)) & 32767 AS band_val
   FROM h, UNNEST(range(0,4)) AS t(b)
+), bsz AS (
+  SELECT band_idx, band_val, COUNT(*) AS bn
+  FROM bands GROUP BY band_idx, band_val
+), kept AS (
+  SELECT b.doc_id, b.h60, b.band_idx, b.band_val
+  FROM bands b JOIN bsz USING (band_idx, band_val)
+  WHERE bsz.bn <= {_AHASH_MAX_BUCKET}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h60 AS ha, b.h60 AS hb
-  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                            AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                          AND a.doc_id < b.doc_id
 ), pairs AS (
   SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
   FROM cand
@@ -613,14 +621,15 @@ SELECT doc_id, rn, nbr_id, hamming FROM ranked WHERE rn <= {_AHASH_TOPK}
 
 
 def ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERNAL stage: the raw (doc_a, doc_b, hamming) near-dup pair
-    relation behind q_multimodal_ahash. Kept as a helper — not a
-    registered result — because on low-entropy corpora the pair relation
-    itself grows ~quadratically (349k pairs at sf0.1 → 319M at sf3,
-    SCALE.md §6i.3) even though candidate GENERATION is a well-bucketed
-    band equi-join; only bounded consumers (per-asset top-k, cluster
-    rollups, aggregate certificates) should ever materialize downstream
-    of it."""
+    """INTERNAL stage: the (doc_a, doc_b, hamming) near-dup pair relation
+    behind q_multimodal_ahash. Kept as a helper — not a registered result
+    — because on low-entropy corpora even the hot-bucket-capped pair
+    relation can outgrow bounded consumers; only per-asset top-k, cluster
+    rollups, or aggregate certificates should materialize downstream.
+    Candidate generation is a band equi-join over buckets capped at
+    ``_AHASH_MAX_BUCKET`` assets (whale band values are degenerate
+    boilerplate; uncapped, ONE bucket held ~0.9M pairs at sf0.1 and the
+    corpus-wide pair count hit 319M at sf3 — SCALE.md §6i.3)."""
     docs = load(spark, sf_dir, "documents")
     # Hash construction follows the repo's explode-positions-first rule
     # (SCALE.md §4b): per-(doc, block) rows with a FLAT 4-term ascii sum
@@ -684,13 +693,29 @@ def ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_idx",
         F.expr("shiftright(h60, 15*band_idx) & 32767").alias("band_val"),
     )
-    a = bands.select(
+    # Hot-bucket cap (the q_dedup_stop_shingles guard, pHash edition): a
+    # band value shared by >K assets is degenerate low-entropy boilerplate
+    # (1,338 docs share band 0's all-ones value at sf0.1 → ~0.9M pairs in
+    # ONE bucket; 319M pairs corpus-wide at sf3), and candidate volume
+    # through such buckets grows quadratically with corpus size. Dropping
+    # whale BUCKETS (not assets — a true near-dup pair inside one usually
+    # still collides in a surviving band) bounds per-bucket pair fan-out
+    # at K²/2 by construction. The bucket-size relation is ≤ 4·2^15 rows —
+    # broadcast, zero extra shuffle of the band relation.
+    bsz = bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    kept = bands.join(
+        F.broadcast(bsz.filter(F.col("bn") <= _AHASH_MAX_BUCKET)),
+        ["band_idx", "band_val"],
+    )
+    a = kept.select(
         F.col("doc_id").alias("doc_a"),
         F.col("h60").alias("ha"),
         "band_idx",
         "band_val",
     )
-    b = bands.select(
+    b = kept.select(
         F.col("doc_id").alias("doc_b"),
         F.col("h60").alias("hb"),
         "band_idx",
@@ -718,8 +743,11 @@ def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     never an all-pairs hamming scan — and only candidates sharing a band
     pay the bit_count(xor) verification. The pigeonhole bound makes recall
     exact for hamming ≤ 3 (a pair within 3 bit flips MUST agree on one of
-    4 bands); pairs in (3, 6] are best-effort, the standard pHash-pipeline
-    trade (tighten by adding bands at write time, not by widening scans).
+    4 bands) EXCEPT pairs whose every agreeing band is a whale bucket
+    (> 1024 assets — dropped by the hot-bucket cap in ahash_pairs, the
+    standard production guard against degenerate boilerplate signatures);
+    pairs in (3, 6] are best-effort, the standard pHash-pipeline trade
+    (tighten by adding bands at write time, not by widening scans).
 
     The REGISTERED result is the per-asset top-k nearest table
     (doc_id, rn, nbr_id, hamming; k = 3, ties broken by neighbor id) — a

@@ -1491,8 +1491,11 @@ def q_text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = hashes.groupBy("h").agg(
         F.count_distinct("doc_id").cast("bigint").alias("n_docs")
     )
+    # shuffle_hash: the sentence-frequency relation is corpus-sized; a
+    # statically mis-estimated broadcast (Generate+Aggregate stats) would
+    # collect it to the driver at scale (see q_text_longgram_dedup).
     scored = (
-        hashes.join(freq, "h")
+        hashes.join(freq.hint("shuffle_hash"), "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_sents"),
@@ -1582,8 +1585,14 @@ def q_text_longgram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = grams.groupBy("h").agg(
         F.count_distinct("doc_id").cast("bigint").alias("n_docs")
     )
+    # shuffle_hash, NOT broadcast: freq is CORPUS-sized (one row per
+    # distinct gram). The static planner mis-estimates aggregate output
+    # under a Generate and plans a broadcast — which AQE cannot demote —
+    # and at sf3 that collected ~1 GB of gram hashes to the driver
+    # (maxResultSize abort, measured round 9). Both sides hash-partition
+    # on h: the 100 TB shape.
     scored = (
-        grams.join(freq, "h")
+        grams.join(freq.hint("shuffle_hash"), "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
@@ -1712,8 +1721,11 @@ def q_text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = fp.groupBy("h32").agg(
         F.count_distinct("doc_id").cast("bigint").alias("nd")
     )
+    # shuffle_hash for the same reason as q_text_longgram_dedup: the
+    # fingerprint-frequency relation is corpus-sized and a statically
+    # mis-planned broadcast would collect it to the driver at scale.
     scored = (
-        fp.join(freq, "h32")
+        fp.join(freq.hint("shuffle_hash"), "h32")
         .groupBy("doc_id")
         .agg(
             F.min("n_grams").cast("bigint").alias("n_grams"),

@@ -64,13 +64,21 @@ VARIANTS = [
         {"spark.genesapi.pf.shingle": "5"},
     ),
     # The documented scale setting of q_dedup_eval's in-plan block sampler
-    # (round 9): the unsampled audit is super-linear BY CHOICE (exact
-    # ground truth over every shared-shingle block); this row measures the
-    # registered scale path.
+    # (round 9): the audit needs a fixed block BUDGET — an MAE estimate
+    # wants a constant number of audited pairs, not a constant FRACTION of
+    # an ever-growing corpus — so the production rate scales ~1/corpus
+    # (rate·sf held constant; here 0.015 at sf1). A fixed fraction on the
+    # closed-vocab synthetic corpus keeps candidate volume super-linear
+    # because every pair shares MANY blocks. Conf values may be callables
+    # of sf for exactly this budget-style setting.
     (
-        "q_dedup_eval@s0.05",
+        "q_dedup_eval@budget",
         "q_dedup_eval",
-        {"spark.genesapi.dedup.eval.block_sample": "0.05"},
+        {
+            "spark.genesapi.dedup.eval.block_sample": (
+                lambda sf: "%.6f" % min(1.0, 0.015 / sf)
+            )
+        },
     ),
 ]
 
@@ -153,7 +161,7 @@ def main() -> int:
                 continue
             fn = REGISTRY[base].fn
             for k, v in confs.items():
-                spark.conf.set(k, v)
+                spark.conf.set(k, v(sf) if callable(v) else v)
             try:
                 best = None
                 for _ in range(args.runs):
