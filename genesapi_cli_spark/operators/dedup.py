@@ -1512,12 +1512,17 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sz").alias("sz_b"),
         *[F.col(f"m{s}").alias(f"b{s}") for s in range(_PMH_SEEDS)],
     )
-    pairs = (
-        inter.join(F.broadcast(pa), "doc_a")
-        .join(F.broadcast(pb), "doc_b")
-        .filter(
-            F.col("n_inter") * 5 > F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
-        )
+    # WHICH side broadcasts flips with the path: per_doc is O(docs) — fine
+    # to broadcast at test scale on the unsampled path (which is test-scale
+    # by contract), but on the SCALE path (rate < 1) the budget-bounded
+    # side is inter, and broadcasting a billion-doc signature table would
+    # OOM the driver — so there inter broadcasts and per_doc stays put.
+    if rate < 1.0:
+        pairs = F.broadcast(inter).join(pa, "doc_a").join(pb, "doc_b")
+    else:
+        pairs = inter.join(F.broadcast(pa), "doc_a").join(F.broadcast(pb), "doc_b")
+    pairs = pairs.filter(
+        F.col("n_inter") * 5 > F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
     )
     agree = sum(
         F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)

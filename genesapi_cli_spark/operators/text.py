@@ -3110,8 +3110,11 @@ def q_text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
+    # shuffle_hash: the 5-gram df relation is corpus-sized; a statically
+    # mis-estimated broadcast would collect it to the driver at scale
+    # (the q_text_longgram_dedup failure class, round 9).
     per_doc = (
-        grams.join(df, "g")
+        grams.join(df.hint("shuffle_hash"), "g")
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
