@@ -572,8 +572,10 @@ _AHASH_MAXDIST = 6  # report pairs within this hamming distance
 _AHASH_TOPK = 3     # nearest neighbors reported per asset (bounds the output)
 _AHASH_MAX_BUCKET = 1024  # hot-bucket cap: drop degenerate band buckets
 
-_AHASH_ORACLE = f"""
-WITH padded AS (
+#: The shared aHash CTE chain (payload → 60-bit hash → capped band buckets
+#: → verified near-dup pairs), reused by the top-k oracle and the
+#: cluster-rollup oracle.
+_AHASH_CTES = f"""padded AS (
   SELECT doc_id, rpad(substring(text, 1, {_AHASH_BYTES}), {_AHASH_BYTES}, ' ') AS p
   FROM documents
 ), sig AS (
@@ -607,7 +609,10 @@ WITH padded AS (
   SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
   FROM cand
   WHERE bit_count(xor(ha, hb)) <= {_AHASH_MAXDIST}
-), sym AS (
+)"""
+
+_AHASH_ORACLE = f"""
+WITH {_AHASH_CTES}, sym AS (
   SELECT doc_a AS doc_id, doc_b AS nbr_id, hamming FROM pairs
   UNION ALL
   SELECT doc_b AS doc_id, doc_a AS nbr_id, hamming FROM pairs
@@ -796,6 +801,85 @@ def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _AHASH_TOPK)
         .select("doc_id", "rn", "nbr_id", "hamming")
+    )
+
+
+# --- q_multimodal_dedup_clusters ----------------------------------------------
+
+_AHASH_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_AHASH_CTES},
+nodes AS (
+  SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.src AS node, reach.r FROM reach JOIN edges e ON reach.node = e.dst
+),
+labels AS (
+  SELECT node, MIN(r) AS label FROM reach GROUP BY node
+)
+SELECT label AS keeper_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       MAX(node) AS max_doc,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(0 AS BIGINT) AS n_unconverged
+FROM labels GROUP BY label
+"""
+
+
+@register("q_multimodal_dedup_clusters", oracle=_AHASH_CLUSTERS_ORACLE)
+def q_multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate CLUSTERS for binary assets: connected
+    components over the aHash pair graph (ahash_pairs — banded LSH,
+    hot-bucket-capped, hamming ≤ 6), one row per cluster with its canonical
+    keeper (min doc_id) and size — the bounded keep/drop consumer that
+    turns pairwise perceptual similarity into an actual asset-dedup
+    decision, exactly as q_dedup_clusters does for text MinHash pairs
+    (A~B, B~C must drop TWO assets, which pairwise consumers over-count).
+    Together with the per-asset top-k this is why the raw pair relation
+    never needs to be a registered result: every production consumer is
+    cluster- or asset-bounded.
+
+    Same machinery end-to-end: pointer-doubling min-label propagation with
+    auto-deepening (connected_components_auto, dedup.py), the declarative
+    n_unconverged certificate on every row (the oracle's recursive CTE is
+    exact, so its certificate is identically 0 — an under-converged
+    schedule fails the value hash loudly), and a DuckDB recursive-CTE
+    reachability oracle over the SAME capped pair CTEs as the top-k
+    oracle, proving bands → cap → verify → cluster across paradigms.
+
+    Scale shape: near-dup clusters are clique-ish (diameter 2-3; LSH links
+    most member pairs directly), so the unrolled O(log diameter) schedule
+    converges at its starting depth; each round shuffles (node, label)
+    pairs only. Output is cluster-bounded."""
+    from genesapi_cli_spark.operators.dedup import connected_components_auto
+
+    pairs = ahash_pairs(spark, sf_dir)
+    cc = connected_components_auto(pairs)
+    conv = cc.agg(
+        F.coalesce(F.sum((F.col("label") != F.col("prev")).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_unconverged")
+    )
+    return (
+        cc.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.max("node").alias("max_doc"),
+        )
+        .select(
+            F.col("label").alias("keeper_doc"),
+            "n_assets",
+            "max_doc",
+            (F.col("n_assets") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .crossJoin(F.broadcast(conv))
     )
 
 

@@ -178,6 +178,42 @@ def test_ahash_topk_is_bounded_and_ranked(spark):
         assert hams == sorted(hams) and all(h <= 6 for h in hams)
 
 
+def test_ahash_clusters_match_union_find(spark):
+    """The perceptual-dedup cluster rollup must equal union-find ground
+    truth over the same (capped, verified) pair relation: same keeper per
+    asset, same sizes, converged certificate."""
+    from genesapi_cli_spark.operators.multimodal import ahash_pairs
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in ahash_pairs(spark, SMOKE_SF_DIR).collect()
+    ]
+    assert pairs
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want: dict = defaultdict(set)
+    for n in parent:
+        want[find(n)].add(n)
+    rows = REGISTRY["q_multimodal_dedup_clusters"].fn(spark, SMOKE_SF_DIR).collect()
+    got = {r["keeper_doc"]: r for r in rows}
+    assert set(got) == set(want)
+    for k, members in want.items():
+        assert got[k]["n_assets"] == len(members)
+        assert got[k]["max_doc"] == max(members)
+        assert got[k]["n_dropped"] == len(members) - 1
+        assert got[k]["n_unconverged"] == 0
+
+
 def test_longgram_detects_planted_spans(spark, tmp_path):
     """Two docs sharing a 60-char span at DIFFERENT offsets must both report
     duplicated grams (alignment-free detection); an unrelated doc reports
