@@ -113,6 +113,11 @@ def main() -> int:
     ap.add_argument("--queries", default=None)
     ap.add_argument("--out", default="BENCH_SCALE.json")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--no-variants",
+        action="store_true",
+        help="skip the VARIANTS rows (targeted re-measures of named queries)",
+    )
     args = ap.parse_args()
 
     sfs = [float(s) for s in args.sfs.split(",")]
@@ -141,9 +146,11 @@ def main() -> int:
     def materialize(df):
         df.write.format("noop").mode("overwrite").save()
 
-    rows: list[tuple[str, str, dict]] = [(q, q, {}) for q in qnames] + [
-        (name, base, confs) for name, base, confs in VARIANTS if base in REGISTRY
-    ]
+    rows: list[tuple[str, str, dict]] = [(q, q, {}) for q in qnames]
+    if not args.no_variants:
+        rows += [
+            (name, base, confs) for name, base, confs in VARIANTS if base in REGISTRY
+        ]
     results: dict[str, dict] = {name: {"times": {}} for name, _, _ in rows}
     for sf in sfs:
         tag = "%g" % sf
