@@ -817,9 +817,14 @@ edges AS (
   SELECT doc_b AS src, doc_a AS dst FROM pairs
 ),
 reach AS (
+  -- r < e.src prunes non-minimal label candidates early without losing the
+  -- component minimum m: m < every other member, so m survives every hop.
+  -- Near-dup clusters here are large cliques (low-entropy payload prefixes),
+  -- and the unpruned reachability set is sum(|component|^2) rows.
   SELECT node, node AS r FROM nodes
   UNION
   SELECT e.src AS node, reach.r FROM reach JOIN edges e ON reach.node = e.dst
+  WHERE reach.r < e.src
 ),
 labels AS (
   SELECT node, MIN(r) AS label FROM reach GROUP BY node
