@@ -178,6 +178,62 @@ def test_ahash_topk_is_bounded_and_ranked(spark):
         assert hams == sorted(hams) and all(h <= 6 for h in hams)
 
 
+def test_round9_degenerate_corpora(spark, tmp_path):
+    """Edge branches the main corpus never exercises, each run as a FULL
+    differential so both engines must agree: documents shorter than one
+    gram (whole-text fallback in longgram AND the short-doc single-window
+    fallback in winnowing), a one-word corpus through BPE encode (no
+    mergeable pair on round 2 boundary behavior), and a PII-free ladder."""
+    from genesapi_cli_spark.oracle import check_all
+
+    shorty = """
+SELECT * REPLACE (
+  CASE row_number() OVER (ORDER BY doc_id) % 3
+    WHEN 0 THEN 'tiny'
+    WHEN 1 THEN 'under fifty characters of text here'
+    ELSE 'word ' || doc_id
+  END AS text)
+FROM read_parquet('{src}') LIMIT 6
+"""
+    sf = _scratch_lake(tmp_path, {"documents": shorty})
+    res = check_all(
+        spark, sf,
+        {"q_text_longgram_dedup", "q_text_winnow_dedup", "q_text_bpe_encode",
+         "q_text_sentence_dedup"},
+    )
+    bad = [r for r in res if not r.ok]
+    assert not bad, bad
+    # The two 'tiny' docs and the two identical sub-50-char docs count each
+    # other as dups through the whole-text fallback gram; the per-doc-unique
+    # 'word N' docs must not.
+    rows = {r["doc_id"]: r for r in
+            REGISTRY["q_text_longgram_dedup"].fn(spark, sf).collect()}
+    assert sum(1 for r in rows.values() if r["n_dup"] > 0) == 4
+    assert sum(1 for r in rows.values() if r["n_dup"] == 0) == 2
+
+
+def test_ahash_empty_pair_graph(spark, tmp_path):
+    """A corpus whose payload prefixes are all far apart in hamming space:
+    the top-k table AND the cluster rollup are both EMPTY relations (not a
+    crash, not a null row), and the differentials still hash-match."""
+    from genesapi_cli_spark.oracle import check_all
+
+    # alternate two payload alphabets so block sums differ wildly -> 60-bit
+    # hashes far apart; every doc unique
+    spread_docs = """
+SELECT * REPLACE (
+  'doc' || doc_id || repeat(CASE WHEN doc_id % 2 = 0 THEN ' zz 99 ' ELSE ' aa !! ' END
+    || doc_id || ' ', 40) AS text)
+FROM read_parquet('{src}') LIMIT 4
+"""
+    sf = _scratch_lake(tmp_path, {"documents": spread_docs})
+    res = check_all(
+        spark, sf, {"q_multimodal_ahash", "q_multimodal_dedup_clusters"}
+    )
+    bad = [r for r in res if not r.ok]
+    assert not bad, bad
+
+
 def test_ahash_clusters_match_union_find(spark):
     """The perceptual-dedup cluster rollup must equal union-find ground
     truth over the same (capped, verified) pair relation: same keeper per
