@@ -587,6 +587,30 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_pack_sequences -------------------------------------------------------
 
+PACK_BUDGET = 2048  # context-window token budget per bin
+
+
+def pack_assignments(docs: DataFrame) -> DataFrame:
+    """Per-doc packing relation (source, doc_id, n_tokens, bin_id):
+    bin_id = exclusive-prefix-sum(tokens) div budget per source ordered by
+    doc_id. Shared by q_pack_sequences (rollup) and the streaming
+    pack-on-ingest twin's batch ground truth (streaming/stateful.py
+    pack_stream — the pytest pins stream ≡ this relation exactly)."""
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
+    )
+    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bin_id = F.floor(
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET
+    ).cast("bigint")
+    return toks.withColumn("bin_id", bin_id)
+
+
 _PACK_ORACLE = """
 WITH toks AS (
   SELECT doc_id, source,
@@ -624,15 +648,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     total. Integer token counts make the prefix sum exact on both engines.
     """
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
-    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    bin_id = F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("bigint")
-    packed = toks.withColumn("bin_id", bin_id)
+    packed = pack_assignments(docs)
     return packed.groupBy("source").agg(
         F.countDistinct("bin_id").alias("n_bins"),
         F.count(F.lit(1)).alias("n_docs"),

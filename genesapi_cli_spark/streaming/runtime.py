@@ -41,6 +41,32 @@ EVENT_STREAM_SCHEMA = StructType(
 )
 
 
+#: NDJSON wire schema for streamed documents (the corpus-ingest path).
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def documents_file_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source document stream with the documents table's column
+    contract — the corpus-ingest front for streaming curation operators
+    (pack-on-ingest, dedup-on-ingest). One NDJSON file per micro-batch by
+    default so tests can assert per-batch behavior."""
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+
 def events_file_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

@@ -686,3 +686,107 @@ def psi_stream(events: DataFrame, ref: dict) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming sequence packing (pack-on-ingest) ------------------------------
+
+PACK_STATE_SCHEMA = StructType(
+    [
+        StructField("last_doc", LongType()),
+        StructField("cum_tokens", LongType()),
+    ]
+)
+
+PACK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("bin_id", LongType()),
+    ]
+)
+
+
+def _pack_budget() -> int:
+    """Single source of truth for the bin budget (operators/extended.py
+    PACK_BUDGET), imported lazily so the Python worker that unpickles this
+    fold never drags the full operators package into its import path."""
+    from genesapi_cli_spark.operators.extended import PACK_BUDGET
+
+    return PACK_BUDGET
+
+
+def _pack_fold(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one source's micro-batch into the running pack fill and emit
+    each document's bin assignment. The running state is two longs — the
+    last packed doc_id (ingest-order guard) and the cumulative token count
+    (the exclusive prefix sum's carry)."""
+    (source,) = key
+    last_doc, cum = state.get if state.exists else (-1, 0)
+    out_doc: list[int] = []
+    out_tok: list[int] = []
+    out_bin: list[int] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("doc_id")
+        for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tokens"]):
+            if doc_id <= last_doc:
+                # The operator's contract is ordered-per-source ingest (an
+                # append log); silent reordering would corrupt every later
+                # bin id, so fail loudly instead.
+                raise ValueError(
+                    f"pack_stream: out-of-order doc {doc_id} after {last_doc}"
+                    f" in source {source!r}"
+                )
+            out_doc.append(int(doc_id))
+            out_tok.append(int(n_tok))
+            out_bin.append(cum // _pack_budget())
+            cum += int(n_tok)
+            last_doc = int(doc_id)
+    state.update((last_doc, cum))
+    yield pd.DataFrame(
+        {
+            "source": pd.Series([source] * len(out_doc), dtype="object"),
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "n_tokens": pd.Series(out_tok, dtype="int64"),
+            "bin_id": pd.Series(out_bin, dtype="int64"),
+        }
+    )
+
+
+def pack_stream(docs: DataFrame) -> DataFrame:
+    """Sequence packing ON INGEST — the streaming twin of
+    q_pack_sequences' exclusive-prefix-sum window (operators/extended.py
+    pack_assignments): as documents arrive per source, assign each to its
+    fixed-budget (2048-token) training bin and carry the pack fill across
+    micro-batches in the state store. This is the operator a continuous
+    pretraining-data pipeline runs so training shards are ready the moment
+    ingest lands, instead of re-packing the corpus nightly.
+
+    Exactness contract (pinned by pytest): with ordered-per-source ingest
+    — the append-log contract, same as the CUSUM family's time-ordered
+    feed — the stream's emissions equal the batch prefix-sum relation
+    BIT-FOR-BIT under any micro-batch split, because integer token counts
+    make the carry exact and each doc's bin depends only on the carry.
+    Out-of-order arrival fails loudly (ValueError) rather than silently
+    corrupting every subsequent bin id.
+
+    Scale shape: state is two longs per SOURCE (not per doc — bounded by
+    the source dimension, never stream length); rows shuffle once on
+    source; the token count is a JVM-side projection before the Python
+    boundary, so Arrow batches carry three narrow columns."""
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
+    )
+    return (
+        docs.select("source", "doc_id", n_tokens.cast("long").alias("n_tokens"))
+        .groupBy("source")
+        .applyInPandasWithState(
+            _pack_fold,
+            outputStructType=PACK_OUTPUT_SCHEMA,
+            stateStructType=PACK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

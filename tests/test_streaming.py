@@ -772,3 +772,70 @@ def test_psi_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_pack_stream_equals_batch_prefix_sum(spark, tmp_path):
+    """Pack-on-ingest must equal the batch exclusive-prefix-sum packing
+    relation BIT-FOR-BIT: the smoke corpus is split into three
+    doc_id-ordered NDJSON files (the append-log ingest contract), streamed
+    one file per micro-batch through the stateful fold, and every emitted
+    (source, doc_id, n_tokens, bin_id) row must match pack_assignments —
+    the carry crosses micro-batch boundaries exactly. State is two longs
+    per source."""
+    import json as _json
+    import os
+    import time as _time
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.operators.extended import pack_assignments
+    from genesapi_cli_spark.streaming.runtime import (
+        documents_file_stream,
+        run_to_memory,
+    )
+    from genesapi_cli_spark.streaming.stateful import pack_stream
+
+    genesapi_cli_spark.load_all()
+
+    docs = load(spark, SMOKE_SF_DIR, "documents")
+    want = {
+        (r.source, r.doc_id): (r.n_tokens, r.bin_id)
+        for r in pack_assignments(docs).collect()
+    }
+
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    src = tmp_path / "pack_src"
+    src.mkdir()
+    k = len(rows) // 3 + 1
+
+    def dump(chunk, name):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "doc_id": r.doc_id,
+                        "text": r.text,
+                        "lang": r.lang,
+                        "source": r.source,
+                        "n_chars": r.n_chars,
+                    }
+                )
+                for r in chunk
+            )
+        )
+
+    now = _time.time()
+    for i in range(3):
+        name = f"b{i}.json"
+        dump(rows[i * k : (i + 1) * k], name)
+        os.utime(src / name, (now - 100 + i, now - 100 + i))
+
+    stream = documents_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory(pack_stream(stream), "t_pack", output_mode="append")
+    try:
+        got = {
+            (r.source, r.doc_id): (r.n_tokens, r.bin_id)
+            for r in spark.sql("SELECT * FROM t_pack").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
