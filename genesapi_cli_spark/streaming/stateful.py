@@ -790,3 +790,81 @@ def pack_stream(docs: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming exact dedup (dedup-on-ingest) ----------------------------------
+
+DEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("keeper_doc", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("keeper_doc", LongType()),
+        StructField("is_dup", BooleanType()),
+    ]
+)
+
+
+def _dedup_fold(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one content-hash group's micro-batch: the first-ever doc (min
+    doc_id under the ordered-ingest contract) becomes the keeper; every
+    later doc with the same hash emits is_dup=true pointing at it."""
+    keeper, n_seen = state.get if state.exists else (-1, 0)
+    out_doc: list[int] = []
+    out_keep: list[int] = []
+    out_dup: list[bool] = []
+    for pdf in pdfs:
+        for doc_id in pdf["doc_id"].sort_values():
+            d = int(doc_id)
+            if keeper < 0:
+                keeper = d
+            out_doc.append(d)
+            out_keep.append(keeper)
+            out_dup.append(d != keeper)
+            n_seen += 1
+    state.update((keeper, n_seen))
+    yield pd.DataFrame(
+        {
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "keeper_doc": pd.Series(out_keep, dtype="int64"),
+            "is_dup": pd.Series(out_dup, dtype="bool"),
+        }
+    )
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Exact content dedup ON INGEST — the screen every continuous
+    training-data pipeline runs before anything else touches a document:
+    md5(text) keys the state store, the first arrival (min doc_id under
+    the append-log ordered-ingest contract, same as pack_stream) becomes
+    the content's keeper, and every later arrival emits is_dup=true with a
+    pointer to it. The streaming continuation of batch q_dedup_exact:
+    with ordered ingest the emissions equal the batch min-doc-per-hash
+    relation exactly under any micro-batch split (pytest-pinned).
+
+    Scale shape: the hash is a JVM-side projection before the Python
+    boundary (Arrow batches carry two narrow columns); state is two longs
+    per DISTINCT content — bounded by unique corpus content, the same
+    cardinality any exact dedup must hold somewhere; on a cluster the
+    RocksDB state store spills it off-heap and checkpointing makes the
+    screen exactly-once across restarts. Near-dup ingest screening
+    composes by swapping the key projection for a band signature
+    (q_dedup_near_minhash's bands) — same fold, same state bound."""
+    return (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .applyInPandasWithState(
+            _dedup_fold,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

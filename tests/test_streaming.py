@@ -839,3 +839,69 @@ def test_pack_stream_equals_batch_prefix_sum(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_dedup_stream_equals_batch_first_seen(spark, tmp_path):
+    """Dedup-on-ingest must equal the batch min-doc-per-content-hash
+    relation exactly across micro-batch boundaries: a duplicate whose
+    original arrived in an EARLIER file must still point at that keeper
+    (state crosses batches), and keepers must flag is_dup=false. The smoke
+    corpus carries real exact duplicates by construction."""
+    import json as _json
+    import os
+    import time as _time
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.streaming.runtime import (
+        documents_file_stream,
+        run_to_memory,
+    )
+    from genesapi_cli_spark.streaming.stateful import dedup_stream
+    from pyspark.sql import Window
+
+    genesapi_cli_spark.load_all()
+
+    docs = load(spark, SMOKE_SF_DIR, "documents")
+    rows = [r.asDict() for r in sorted(docs.collect(), key=lambda r: r.doc_id)]
+    # plant exact duplicates ACROSS the three chunk boundaries: later
+    # arrivals of doc 2's and doc 7's content, so the keeper lives in an
+    # earlier micro-batch than its dups (the state-crossing case).
+    k = len(rows) // 3 + 1
+    for i in (k + 5, 2 * k + 5):
+        rows[i]["text"] = rows[2]["text"]
+    rows[2 * k + 9]["text"] = rows[7]["text"]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    want = {
+        (r.doc_id): (r.keeper_doc, r.is_dup)
+        for r in corpus.selectExpr("doc_id", "md5(text) AS h")
+        .withColumn(
+            "keeper_doc", F.min("doc_id").over(Window.partitionBy("h"))
+        )
+        .selectExpr("doc_id", "keeper_doc", "doc_id != keeper_doc AS is_dup")
+        .collect()
+    }
+    assert sum(v[1] for v in want.values()) == 3
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def dump(chunk, name):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in chunk))
+
+    now = _time.time()
+    for i in range(3):
+        name = f"b{i}.json"
+        dump(rows[i * k : (i + 1) * k], name)
+        os.utime(src / name, (now - 100 + i, now - 100 + i))
+
+    stream = documents_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory(dedup_stream(stream), "t_dedup", output_mode="append")
+    try:
+        got = {
+            r.doc_id: (r.keeper_doc, r.is_dup)
+            for r in spark.sql("SELECT * FROM t_dedup").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
