@@ -868,3 +868,71 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def near_dedup_stream(docs: DataFrame) -> DataFrame:
+    """NEAR-dup screening on ingest — the band-signature swap the exact
+    screen's docstring promises, proved here: the group key becomes an LSH
+    band bucket (lang, band, k1, k2) instead of the content hash, and the
+    SAME first-seen fold (_dedup_fold is key-agnostic) flags every later
+    arrival whose 4-seed portable-minhash signature collides with an
+    earlier document's band. Each doc emits one row per band (2); the
+    doc-level verdict is the standard LSH OR — near-dup iff ANY band row
+    flags it — derivable downstream without extra state.
+
+    The signature is computed ENTIRELY IN-ROW (word-3-gram shingles via
+    array HOFs, each m_s an array_min over seeded sha256 prefixes —
+    byte-identical to the batch portable_bands relation), which is what
+    makes this a legal streaming plan: one stateless projection + inline
+    band explode + ONE stateful operator; no shuffle-aggregate feeds the
+    state store. Structured Streaming forbids chaining stateful ops, so an
+    aggregate-then-dedup formulation would not even start — in-row
+    signatures are the load-bearing design choice, not a convenience.
+
+    Scale shape: state is two longs per occupied band bucket (bounded by
+    distinct signatures, ~2 buckets/doc worst case); Arrow batches carry
+    (bucket key, doc_id) only — text never crosses the Python boundary."""
+    parts = F.split(F.lower("text"), " ")
+    sh = F.when(
+        F.size(parts) >= 3,
+        F.expr(
+            "transform(sequence(1, size(split(lower(text), ' ')) - 2),"
+            " i -> concat_ws(' ', split(lower(text), ' ')[i-1],"
+            " split(lower(text), ' ')[i], split(lower(text), ' ')[i+1]))"
+        ),
+    ).otherwise(F.array(F.lower("text")))
+
+    def mh(seed: int):
+        return F.expr(
+            f"array_min(transform(sh, g -> CAST(conv(substring("
+            f"sha2(concat('{seed}:', g), 256), 1, 8), 16, 10) AS BIGINT)))"
+        )
+
+    banded = (
+        docs.select("doc_id", "lang", sh.alias("sh"))
+        .select(
+            "doc_id",
+            "lang",
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("band"),
+                        mh(0).alias("k1"),
+                        mh(1).alias("k2"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("band"),
+                        mh(2).alias("k1"),
+                        mh(3).alias("k2"),
+                    ),
+                )
+            ),
+        )
+    )
+    return banded.groupBy("lang", "band", "k1", "k2").applyInPandasWithState(
+        _dedup_fold,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

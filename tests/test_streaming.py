@@ -905,3 +905,77 @@ def test_dedup_stream_equals_batch_first_seen(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_near_dedup_stream_equals_batch_bands(spark, tmp_path):
+    """The band-signature swap, proved: near-dedup-on-ingest's per-band
+    emissions must equal the batch portable_bands relation's
+    min-doc-per-bucket keepers exactly (multiset — one row per doc per
+    band), and the doc-level LSH OR (near-dup iff any band flags) must
+    match the batch side's. The smoke corpus carries near-duplicates by
+    construction, so both sides must flag a nonzero set."""
+    import json as _json
+    import os
+    import time as _time
+    from collections import Counter
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.operators.dedup import build_portable_bands
+    from genesapi_cli_spark.streaming.runtime import (
+        documents_file_stream,
+        run_to_memory,
+    )
+    from genesapi_cli_spark.streaming.stateful import near_dedup_stream
+    from pyspark.sql import Window
+
+    genesapi_cli_spark.load_all()
+
+    bands = build_portable_bands(spark, SMOKE_SF_DIR)
+    w = Window.partitionBy("lang", "band", "k1", "k2")
+    batch = (
+        bands.withColumn("keeper_doc", F.min("doc_id").over(w))
+        .selectExpr("doc_id", "keeper_doc", "doc_id != keeper_doc AS is_dup")
+        .collect()
+    )
+    want = Counter((r.doc_id, r.keeper_doc, r.is_dup) for r in batch)
+    want_dup_docs = {r.doc_id for r in batch if r.is_dup}
+    assert want_dup_docs, "smoke corpus should carry near-duplicates"
+
+    docs = load(spark, SMOKE_SF_DIR, "documents")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    src = tmp_path / "neardedup_src"
+    src.mkdir()
+    k = len(rows) // 3 + 1
+
+    def dump(chunk, name):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "doc_id": r.doc_id,
+                        "text": r.text,
+                        "lang": r.lang,
+                        "source": r.source,
+                        "n_chars": r.n_chars,
+                    }
+                )
+                for r in chunk
+            )
+        )
+
+    now = _time.time()
+    for i in range(3):
+        name = f"b{i}.json"
+        dump(rows[i * k : (i + 1) * k], name)
+        os.utime(src / name, (now - 100 + i, now - 100 + i))
+
+    stream = documents_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory(near_dedup_stream(stream), "t_ndd", output_mode="append")
+    try:
+        emitted = spark.sql("SELECT * FROM t_ndd").collect()
+    finally:
+        q.stop()
+    got = Counter((r.doc_id, r.keeper_doc, r.is_dup) for r in emitted)
+    assert got == want
+    got_dup_docs = {r.doc_id for r in emitted if r.is_dup}
+    assert got_dup_docs == want_dup_docs
