@@ -117,21 +117,24 @@ _PART_MEMO: dict = {}
 _PART_APPLIED: dict = {}
 
 
-def _ensure_scale_partitions(spark: SparkSession, sf_dir: str) -> None:
-    """Size AQE's initial shuffle-partition count to the lake under
-    ``sf_dir`` (∝ total parquet bytes, floored at shuffle.partitions,
-    cap 4096) — CLUSTER masters only; a no-op under local[*] (see the
-    constant block above for the measured local penalty). Driver-side
-    metadata only — the same O(files) listing ``_src_stamp`` already
-    performs — memoized per (application, sf_dir)."""
+def _lake_bytes(spark: SparkSession, sf_dir: str) -> int:
+    """Total bytes under ``sf_dir`` via the Hadoop FileSystem API — the
+    same listing Spark's own FileIndex performs, so it resolves every
+    scheme Spark can read (file:, hdfs:, s3a:, ...). A driver-local
+    ``os.walk`` sees only local paths and silently returned 0 for remote
+    lakes — exactly the cluster deployments this sizing exists for.
+    Falls back to the local walk when no JVM gateway is reachable
+    (connect-mode sessions)."""
     try:
-        if spark.sparkContext.master.startswith("local"):
-            return
-    except Exception:  # pragma: no cover - connect-mode sessions
-        return
-    key = (spark.sparkContext.applicationId, sf_dir)
-    n_bytes = _PART_MEMO.get(key)
-    if n_bytes is None:
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(sf_dir)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        it = fs.listFiles(hpath, True)
+        total = 0
+        while it.hasNext():
+            total += it.next().getLen()
+        return total
+    except Exception:
         total = 0
         try:
             for root, _dirs, files in os.walk(sf_dir):
@@ -142,6 +145,39 @@ def _ensure_scale_partitions(spark: SparkSession, sf_dir: str) -> None:
                         continue
         except OSError:
             total = 0
+        return total
+
+
+def _ensure_scale_partitions(spark: SparkSession, sf_dir: str) -> None:
+    """Size AQE's initial shuffle-partition count to the lake under
+    ``sf_dir`` (∝ total parquet bytes via the Hadoop FileSystem listing,
+    floored at shuffle.partitions, cap 4096) — CLUSTER masters only; a
+    no-op under local[*] (see the constant block above for the measured
+    local penalty). Driver-side metadata only, memoized per (application,
+    sf_dir, freshness stamp): the stamp is ``_src_stamp`` for driver-
+    visible paths — so a lake that GROWS mid-session re-sizes, same
+    contract as the load memo — plus the manual bump knob
+    ``spark.genesapi.lake.stamp`` for object-store lakes where a
+    per-load recursive remote listing would double metadata RPCs (bump
+    the knob after large ingests to force a re-size)."""
+    try:
+        if spark.sparkContext.master.startswith("local"):
+            return
+    except Exception:  # pragma: no cover - connect-mode sessions
+        return
+    try:
+        manual = spark.conf.get("spark.genesapi.lake.stamp", "") or ""
+    except Exception:  # pragma: no cover
+        manual = ""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _src_stamp(sf_dir),
+        manual,
+    )
+    n_bytes = _PART_MEMO.get(key)
+    if n_bytes is None:
+        total = _lake_bytes(spark, sf_dir)
         n_bytes = min(_INITIAL_PART_CAP, total // _INITIAL_PART_BYTES)
         _PART_MEMO[key] = n_bytes
     try:

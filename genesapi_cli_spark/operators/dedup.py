@@ -1323,13 +1323,32 @@ WITH t AS (
                 ELSE [lt] END
          ) AS g
   FROM t
+), mass AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS blocks_total,
+         CAST(SUM((m * (m - 1)) // 2) AS BIGINT) AS pair_mass
+  FROM (SELECT lang, g, COUNT(*) AS m FROM sh GROUP BY lang, g)
+), thr AS (
+  SELECT CAST(FLOOR(CASE WHEN pair_mass <= 500000 THEN 1.0
+                         ELSE 250000.0 / CAST(pair_mass AS DOUBLE) END
+               * 4294967296.0) AS BIGINT) AS thr,
+         blocks_total
+  FROM mass
+), shs AS (
+  SELECT sh.doc_id, sh.lang, sh.g
+  FROM sh, thr
+  WHERE ('0x' || substr(sha256(sh.lang || ':' || sh.g), 1, 8))::BIGINT < thr.thr
 ), sz AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-  FROM sh a JOIN sh b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shs a JOIN shs b
     ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
-  GROUP BY doc_a, doc_b
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
+  GROUP BY c.doc_a, c.doc_b
 ), pairs AS (
   SELECT doc_a, doc_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b
   FROM inter
@@ -1359,17 +1378,17 @@ WITH t AS (
   FROM pairs p
   JOIN sig a ON a.doc_id = p.doc_a
   JOIN sig b ON b.doc_id = p.doc_b
-), blocks AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS blocks_total
-  FROM (SELECT DISTINCT lang, g FROM sh)
+), sampled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS blocks_sampled
+  FROM (SELECT DISTINCT lang, g FROM shs)
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        FLOOR(CAST(SUM(CAST(ABS(j_est - j_exact) AS DECIMAL(18,7))) AS DOUBLE)
              / COUNT(*) * 10000 + 0.5) / 10000 AS mae_r4,
        FLOOR(CAST(SUM(CAST(j_est - j_exact AS DECIMAL(18,7))) AS DOUBLE)
              / COUNT(*) * 10000 + 0.5) / 10000 AS bias_r4,
-       (SELECT blocks_total FROM blocks) AS blocks_sampled,
-       (SELECT blocks_total FROM blocks) AS blocks_total
+       (SELECT blocks_sampled FROM sampled) AS blocks_sampled,
+       (SELECT blocks_total FROM thr) AS blocks_total
 FROM scored
 """
 
@@ -1392,31 +1411,75 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ground truth confines quadratic work to shared-shingle
     blocks (the q_dedup_ngram_jaccard plan); signatures attach by two
-    doc-keyed joins; the verdict is a 1-row aggregate. The block SAMPLE the
-    certificate runs on at 100 TB is part of the PLAN, not prose: the
-    runtime knob ``spark.genesapi.dedup.eval.block_sample`` (default 1.0)
-    hash-samples the shared-shingle BLOCKS that seed candidate pairs —
-    deterministic sha256-prefix on the block key (the q_sample_hash idiom),
-    so re-runs audit the same blocks. Sampled pairs still get their EXACT
-    Jaccard and their production 4-seed signatures over the FULL shingle
-    sets (a candidate-bounded join-back), so sampling thins pair COVERAGE
-    without biasing either arm of the measurement; the result discloses its
-    own coverage as blocks_sampled/blocks_total. The production setting is
-    a fixed audit BUDGET, not a fixed fraction: an MAE estimate needs a
-    constant number of audited pairs, so rate scales ~1/corpus (rate·n
-    held constant — the bench_scale @budget variant). A fixed fraction on
-    a closed-vocabulary corpus stays super-linear because every pair
-    shares many blocks, so sampling blocks barely thins pairs (measured
-    round 9: rate=0.05 was no cheaper than unsampled at sf0.3)."""
-    rate = float(
-        spark.conf.get("spark.genesapi.dedup.eval.block_sample", "1.0") or "1.0"
-    )
+    doc-keyed joins; the verdict is a 1-row aggregate. The DEFAULT plan is
+    the budgeted audit (round-10 flip, closing the round-9 verdict's "scale-
+    safe is opt-in" weakness): one cheap block-level aggregate measures the
+    corpus's candidate-pair mass Σ m·(m−1)/2 (m = docs per shared-shingle
+    block), and the block sample rate is derived as pair_budget / pair_mass
+    with ``spark.genesapi.dedup.eval.pair_budget`` (default 250000) and a
+    2×-budget hysteresis, oracle-mirrored: pair_mass ≤ 2·budget runs the
+    EXACT plan, because a barely-thinned sample still pays the sampled
+    plan's candidate-distinct + two join-backs (~2.7× the direct plan,
+    measured sf0.1) while auditing nearly every pair anyway — an MAE
+    estimate needs a CONSTANT number of audited pairs, so the rate self-
+    scales ~1/pair_mass and the audit's expected join output is the budget,
+    at any corpus size (the bench_scale @budget variant measured marginal
+    0.09 at sf10 with exactly this rate-∝-1/corpus shape). Blocks are
+    hash-sampled by deterministic sha256-prefix on the block key (the
+    q_sample_hash idiom) so re-runs audit the same blocks; the ORACLE
+    mirrors the whole derivation (same mass, same double-precision
+    threshold), so the contract row stays hash-green while scale-safe by
+    default. At sf0.01 pair_mass (≈3.7k) is under the budget, so rate
+    clamps to 1.0 and the certificate is exact there. Sampled pairs still
+    get their EXACT Jaccard and their production 4-seed signatures over the
+    FULL shingle sets (a candidate-bounded join-back), so sampling thins
+    pair COVERAGE without biasing either arm of the measurement; the result
+    discloses its own coverage as blocks_sampled/blocks_total. A fixed
+    FRACTION (the legacy ``spark.genesapi.dedup.eval.block_sample`` knob,
+    still honored when set, no longer the default) on a closed-vocabulary
+    corpus stays super-linear because every pair shares many blocks
+    (measured round 9: rate=0.05 was no cheaper than unsampled at
+    sf0.3)."""
+    import math
+
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     sh = portable_shingles(docs).distinct().localCheckpoint(eager=False)
-    blocks_total = (
-        sh.select("lang", "g")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("bigint").alias("blocks_total"))
+    # One bounded metadata action (a 1-row aggregate over the checkpointed
+    # shingles — the checkpoint is then reused by the main plan): block
+    # count + candidate-pair mass drive the sampling rate AND the broadcast
+    # decision below. div 2 is exact (m·(m−1) is always even).
+    stats = (
+        sh.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("blocks_total"),
+            F.sum(F.expr("m * (m - 1) div 2")).cast("bigint").alias("pair_mass"),
+        )
+        .collect()[0]
+    )
+    blocks_total_v = int(stats["blocks_total"] or 0)
+    pair_mass_v = int(stats["pair_mass"] or 0)
+    rate_conf = (
+        spark.conf.get("spark.genesapi.dedup.eval.block_sample", "") or ""
+    ).strip()
+    budget = int(
+        spark.conf.get("spark.genesapi.dedup.eval.pair_budget", "250000")
+        or "250000"
+    )
+    if rate_conf:
+        rate = float(rate_conf)
+    elif pair_mass_v <= 2 * budget:
+        # Hysteresis clamp, oracle-mirrored: a rate in (0.5, 1.0) audits
+        # nearly every pair but still pays the sampled plan's candidate
+        # distinct + two join-backs (~2.7× the direct plan, measured sf0.1)
+        # — sampling only wins when it genuinely thins, so corpora whose
+        # pair mass is within 2× of the budget run the exact path.
+        rate = 1.0
+    else:
+        # Same IEEE-double derivation as the oracle's budget/mass arm.
+        rate = float(budget) / float(pair_mass_v)
+    blocks_total = spark.range(1).select(
+        F.lit(blocks_total_v).cast("bigint").alias("blocks_total")
     )
     # ONE pass over the checkpointed shingles yields BOTH per-doc facts the
     # scoring stage needs — the exact set size and the 4-seed signature —
@@ -1435,13 +1498,14 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sets, but only for the candidate-bounded pair list, via two
         # equi-joins (pair⋈sh on doc_a, then on (doc_b, g)). Both arms of
         # the certificate stay unbiased; only coverage thins.
+        thr = int(math.floor(min(1.0, rate) * 4294967296.0))
         keep = (
             F.conv(
                 F.substring(F.sha2(F.concat_ws(":", "lang", "g"), 256), 1, 8),
                 16,
                 10,
             ).cast("long")
-            < F.lit(int(rate * 4294967296))
+            < F.lit(thr)
         )
         sh_s = sh.filter(keep)
         blocks_sampled = (
@@ -1467,11 +1531,19 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b")
             .distinct()
         )
-        # cand is audit-budget-bounded → broadcast it; the second join's
-        # probe side is the CORPUS shingle relation → shuffle_hash, never
-        # a (mis-estimated) broadcast of sh.
+        # The broadcast of cand is only safe when the candidate list is
+        # genuinely budget-bounded: expected pairs ≈ rate·pair_mass. The
+        # budgeted default guarantees that (≤ pair_budget), but the legacy
+        # explicit-rate knob can make the list near-quadratic (e.g. rate
+        # 0.5 on a big corpus) — then force-broadcasting would recreate the
+        # exact maxResultSize/OOM class round 9 fixed elsewhere, so fall
+        # back to shuffle_hash. The second join's probe side is the CORPUS
+        # shingle relation → shuffle_hash always, never a (mis-estimated)
+        # broadcast of sh.
+        cand_bounded = rate * float(max(pair_mass_v, 1)) <= 4_000_000.0
+        cand_h = F.broadcast(cand) if cand_bounded else cand.hint("shuffle_hash")
         inter = (
-            F.broadcast(cand)
+            cand_h
             .join(sh.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
             .join(
                 sh.select(F.col("doc_id").alias("doc_b"), "g").hint("shuffle_hash"),
@@ -1518,7 +1590,11 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side is inter, and broadcasting a billion-doc signature table would
     # OOM the driver — so there inter broadcasts and per_doc stays put.
     if rate < 1.0:
-        pairs = F.broadcast(inter).join(pa, "doc_a").join(pb, "doc_b")
+        # inter ≤ cand rows, so the same boundedness guard applies.
+        inter_h = (
+            F.broadcast(inter) if cand_bounded else inter.hint("shuffle_hash")
+        )
+        pairs = inter_h.join(pa, "doc_a").join(pb, "doc_b")
     else:
         pairs = inter.join(F.broadcast(pa), "doc_a").join(F.broadcast(pb), "doc_b")
     pairs = pairs.filter(

@@ -1614,6 +1614,12 @@ def q_text_longgram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_text_winnow_dedup (winnowed fingerprint substring screen) -------------
 
 _WINNOW_W = 8  # gram positions per winnowing window
+# Tie-break packing base: key = h32 * 2^30 + (2^30-1-i). h32 < 2^32 keeps
+# h32*2^30 + pos < 2^63 (int64-safe), and the clamped position term stays
+# non-negative for documents up to 2^30-1 grams (~1 GiB); beyond the bound
+# positions tie at 0 (degraded rightmost tie-break, never a corrupted h32 —
+# the failure mode a 2^20 base had for >1 MiB documents).
+_WINNOW_POS_BOUND = 1 << 30
 
 _WINNOW_ORACLE = f"""
 WITH g AS (
@@ -1623,7 +1629,7 @@ WITH g AS (
        UNNEST(range(1, greatest(length(text) - {_LONGGRAM_LEN - 1}, 1) + 1)) AS u(i)
 ), k AS (
   SELECT doc_id, i,
-         h32 * 1048576 + (1048575 - i) AS key,
+         h32 * 1073741824 + greatest(1073741823 - i, 0) AS key,
          COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
   FROM g
 ), wsel AS (
@@ -1633,7 +1639,7 @@ WITH g AS (
            AS sel
   FROM k
 ), fp AS (
-  SELECT DISTINCT doc_id, n_grams, sel // 1048576 AS h32
+  SELECT DISTINCT doc_id, n_grams, sel // 1073741824 AS h32
   FROM wsel WHERE i <= greatest(n_grams - {_WINNOW_W - 1}, 1)
 ), freq AS (
   SELECT h32, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM fp GROUP BY h32
@@ -1667,10 +1673,12 @@ def q_text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-gram cost.
 
     Parity engineering: the rightmost-min tie-break is packed into ONE
-    integer key — h32·2^20 + (2^20−1−i) — so a plain window MIN implements
-    "min hash, then max position" identically in both engines (positions
-    are bounded by document length << 2^20); the fingerprint hash unpacks
-    as sel div 2^20. Only FULL windows select (start ≤ n_grams−w+1; short
+    integer key — h32·2^30 + max(2^30−1−i, 0) — so a plain window MIN
+    implements "min hash, then max position" identically in both engines;
+    the 2^30 base keeps the packed key int64-safe (h32 < 2^32) while
+    giving positions ~1 GiB of headroom, and the clamp means a pathological
+    longer document degrades only the tie-break (positions past the bound
+    tie), never the unpacked h32 (sel div 2^30). Only FULL windows select (start ≤ n_grams−w+1; short
     docs degrade to one whole-doc window), matching the paper.
 
     Scale shape: gram hashing is one explode + md5 projection; BOTH window
@@ -1707,7 +1715,10 @@ def q_text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = g.select(
         "doc_id",
         "i",
-        (F.col("h32") * F.lit(1048576) + (F.lit(1048575) - F.col("i"))).alias("key"),
+        (
+            F.col("h32") * F.lit(_WINNOW_POS_BOUND)
+            + F.greatest(F.lit(_WINNOW_POS_BOUND - 1) - F.col("i"), F.lit(0))
+        ).alias("key"),
     ).withColumn("n_grams", F.count(F.lit(1)).over(w_doc))
     fp = (
         k.withColumn("sel", F.min("key").over(w_frame))
@@ -1715,7 +1726,11 @@ def q_text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i")
             <= F.greatest(F.col("n_grams") - F.lit(_WINNOW_W - 1), F.lit(1))
         )
-        .select("doc_id", "n_grams", F.expr("sel div 1048576").alias("h32"))
+        .select(
+            "doc_id",
+            "n_grams",
+            F.expr(f"sel div {_WINNOW_POS_BOUND}").alias("h32"),
+        )
         .distinct()
     )
     freq = fp.groupBy("h32").agg(
@@ -4034,11 +4049,12 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (the reason BPE encoding is feasible at 100 TB): encoding
     happens at the DISTINCT-WORD level — the corpus collapses once to the
     word-frequency relation, each merge round is a vocabulary-bounded fold,
-    and the per-word token COUNT (a 2-column map) broadcast-joins back to
-    the exploded corpus for the per-language rollup. The corpus is never
-    re-folded per merge round and never carries token arrays — only the
-    one explode it already pays for word counting, one broadcast hash join,
-    one final aggregate. A real tokenizer build emits the token ids the
+    and the per-word token COUNT (a 2-column map) joins back to the
+    exploded corpus for the per-language rollup via a shuffle hash join —
+    the vocabulary is unbounded on natural corpora, so it is never
+    broadcast. The corpus is never re-folded per merge round and never
+    carries token arrays — only the one explode it already pays for word
+    counting, one shuffled hash join, one final aggregate. A real tokenizer build emits the token ids the
     same way (word → id-array lookup table); the economics rollup here is
     the certificate every curation run reports.
 
@@ -4056,8 +4072,14 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("word") != "")
     )
+    # shuffle_hash, NOT broadcast: wtok is the DISTINCT-WORD vocabulary,
+    # which on a natural corpus is unbounded (IDs, URLs, typos grow with
+    # corpus size) — a forced broadcast is the same driver-collect failure
+    # class round 9 demoted in the longgram/sentence/5-gram join-backs.
+    # word is the equi-key on both sides, so the hash join shuffles the
+    # vocabulary once instead of collecting it.
     return (
-        corpus.join(F.broadcast(wtok), "word")
+        corpus.join(wtok.hint("shuffle_hash"), "word")
         .groupBy("lang")
         .agg(
             F.count_distinct("doc_id").cast("bigint").alias("n_docs"),

@@ -728,22 +728,26 @@ def _pack_fold(
     out_doc: list[int] = []
     out_tok: list[int] = []
     out_bin: list[int] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("doc_id")
-        for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tokens"]):
-            if doc_id <= last_doc:
-                # The operator's contract is ordered-per-source ingest (an
-                # append log); silent reordering would corrupt every later
-                # bin id, so fail loudly instead.
-                raise ValueError(
-                    f"pack_stream: out-of-order doc {doc_id} after {last_doc}"
-                    f" in source {source!r}"
-                )
-            out_doc.append(int(doc_id))
-            out_tok.append(int(n_tok))
-            out_bin.append(cum // _pack_budget())
-            cum += int(n_tok)
-            last_doc = int(doc_id)
+    # Materialize and sort ONCE per micro-batch: applyInPandasWithState may
+    # deliver one group as several Arrow chunks in arbitrary order, so a
+    # per-chunk sort can still interleave doc_ids across chunks and trip the
+    # ordered-ingest guard on perfectly ordered input (same pattern as the
+    # CUSUM/PH folds above).
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+    for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tokens"]):
+        if doc_id <= last_doc:
+            # The operator's contract is ordered-per-source ingest (an
+            # append log); silent reordering would corrupt every later
+            # bin id, so fail loudly instead.
+            raise ValueError(
+                f"pack_stream: out-of-order doc {doc_id} after {last_doc}"
+                f" in source {source!r}"
+            )
+        out_doc.append(int(doc_id))
+        out_tok.append(int(n_tok))
+        out_bin.append(cum // _pack_budget())
+        cum += int(n_tok)
+        last_doc = int(doc_id)
     state.update((last_doc, cum))
     yield pd.DataFrame(
         {
@@ -820,15 +824,18 @@ def _dedup_fold(
     out_doc: list[int] = []
     out_keep: list[int] = []
     out_dup: list[bool] = []
-    for pdf in pdfs:
-        for doc_id in pdf["doc_id"].sort_values():
-            d = int(doc_id)
-            if keeper < 0:
-                keeper = d
-            out_doc.append(d)
-            out_keep.append(keeper)
-            out_dup.append(d != keeper)
-            n_seen += 1
+    # One concat + one sort per micro-batch: a group split across Arrow
+    # chunks would otherwise pick the min doc_id of whichever chunk arrived
+    # first as keeper — a silent wrong-keeper, not just a spurious error.
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    for doc_id in pdf["doc_id"].sort_values():
+        d = int(doc_id)
+        if keeper < 0:
+            keeper = d
+        out_doc.append(d)
+        out_keep.append(keeper)
+        out_dup.append(d != keeper)
+        n_seen += 1
     state.update((keeper, n_seen))
     yield pd.DataFrame(
         {
