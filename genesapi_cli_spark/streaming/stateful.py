@@ -814,12 +814,32 @@ DEDUP_OUTPUT_SCHEMA = StructType(
 )
 
 
-def _dedup_fold(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+def _dedup_fold_impl(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None,
 ) -> Iterator[pd.DataFrame]:
     """Fold one content-hash group's micro-batch: the first-ever doc (min
     doc_id under the ordered-ingest contract) becomes the keeper; every
-    later doc with the same hash emits is_dup=true pointing at it."""
+    later doc with the same hash emits is_dup=true pointing at it.
+
+    With ``ttl_ms`` set (ProcessingTimeTimeout mode) a group idle longer
+    than the TTL is EVICTED: the fold is invoked with hasTimedOut for
+    groups with no new data past their deadline, removes the state, and
+    emits nothing. The recall caveat is inherent and documented on the
+    public wrappers: a duplicate arriving after its keeper's state expired
+    is indistinguishable from fresh content and becomes a new keeper."""
+    if ttl_ms is not None and state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "keeper_doc": pd.Series([], dtype="int64"),
+                "is_dup": pd.Series([], dtype="bool"),
+            }
+        )
+        return
     keeper, n_seen = state.get if state.exists else (-1, 0)
     out_doc: list[int] = []
     out_keep: list[int] = []
@@ -837,6 +857,10 @@ def _dedup_fold(
         out_dup.append(d != keeper)
         n_seen += 1
     state.update((keeper, n_seen))
+    if ttl_ms is not None:
+        # ProcessingTimeTimeout deadlines do not survive an update — re-arm
+        # on every batch that touches the group (idle clock, not age clock).
+        state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame(
         {
             "doc_id": pd.Series(out_doc, dtype="int64"),
@@ -846,7 +870,27 @@ def _dedup_fold(
     )
 
 
-def dedup_stream(docs: DataFrame) -> DataFrame:
+def _dedup_fold(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Unbounded-state first-seen fold (the pinned batch≡stream contract)."""
+    yield from _dedup_fold_impl(key, pdfs, state, None)
+
+
+def _dedup_fold_ttl(ttl_ms: int):
+    """First-seen fold with idle-TTL state eviction — the production guard
+    for continuous pipelines where per-distinct-content state would
+    otherwise grow without bound under GroupStateTimeout.NoTimeout."""
+
+    def fold(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        yield from _dedup_fold_impl(key, pdfs, state, ttl_ms)
+
+    return fold
+
+
+def dedup_stream(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Exact content dedup ON INGEST — the screen every continuous
     training-data pipeline runs before anything else touches a document:
     md5(text) keys the state store, the first arrival (min doc_id under
@@ -863,21 +907,35 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
     RocksDB state store spills it off-heap and checkpointing makes the
     screen exactly-once across restarts. Near-dup ingest screening
     composes by swapping the key projection for a band signature
-    (q_dedup_near_minhash's bands) — same fold, same state bound."""
+    (q_dedup_near_minhash's bands) — same fold, same state bound.
+
+    ``ttl_ms`` bounds the state for CONTINUOUS pipelines: per-content state
+    is evicted after being idle that long (ProcessingTimeTimeout; the
+    deadline re-arms on every arrival, so hot content never expires).
+    RECALL CAVEAT, by design: a duplicate arriving after its keeper's
+    state expired becomes a fresh keeper — the retention horizon is the
+    dedup window, exactly the trade a production ingest screen makes to
+    run forever. Default None preserves the exact batch≡stream contract."""
+    fold = _dedup_fold if ttl_ms is None else _dedup_fold_ttl(ttl_ms)
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         docs.select(F.md5("text").alias("h"), "doc_id")
         .groupBy("h")
         .applyInPandasWithState(
-            _dedup_fold,
+            fold,
             outputStructType=DEDUP_OUTPUT_SCHEMA,
             stateStructType=DEDUP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
 
-def near_dedup_stream(docs: DataFrame) -> DataFrame:
+def near_dedup_stream(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """NEAR-dup screening on ingest — the band-signature swap the exact
     screen's docstring promises, proved here: the group key becomes an LSH
     band bucket (lang, band, k1, k2) instead of the content hash, and the
@@ -898,7 +956,10 @@ def near_dedup_stream(docs: DataFrame) -> DataFrame:
 
     Scale shape: state is two longs per occupied band bucket (bounded by
     distinct signatures, ~2 buckets/doc worst case); Arrow batches carry
-    (bucket key, doc_id) only — text never crosses the Python boundary."""
+    (bucket key, doc_id) only — text never crosses the Python boundary.
+    ``ttl_ms`` evicts idle band-bucket state exactly as in dedup_stream
+    (same fold), with the same documented recall caveat: near-dups of
+    content idle past the retention horizon are re-admitted as keepers."""
     parts = F.split(F.lower("text"), " ")
     sh = F.when(
         F.size(parts) >= 3,
@@ -936,10 +997,16 @@ def near_dedup_stream(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+    fold = _dedup_fold if ttl_ms is None else _dedup_fold_ttl(ttl_ms)
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return banded.groupBy("lang", "band", "k1", "k2").applyInPandasWithState(
-        _dedup_fold,
+        fold,
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

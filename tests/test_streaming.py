@@ -979,3 +979,289 @@ def test_near_dedup_stream_equals_batch_bands(spark, tmp_path):
     assert got == want
     got_dup_docs = {r.doc_id for r in emitted if r.is_dup}
     assert got_dup_docs == want_dup_docs
+
+
+def test_dedup_stream_ttl_evicts_idle_state(spark, tmp_path):
+    """The bounded-state production guard: dedup_stream(ttl_ms=...) must
+    (a) keep exact first-seen semantics for arrivals inside the retention
+    horizon, and (b) EVICT state for content idle past the TTL — a later
+    duplicate of evicted content is re-admitted as a fresh keeper (the
+    documented recall caveat). Eviction is lazy (ProcessingTimeTimeout
+    fires in a micro-batch where the group has no new data), so the
+    timeline below interleaves an unrelated spacer document after the
+    idle period to give the engine a batch in which to time the groups
+    out, then proves the evicted content restarts as its own keeper."""
+    import json as _json
+    import time as _time
+
+    from genesapi_cli_spark.streaming.runtime import documents_file_stream
+    from genesapi_cli_spark.streaming.stateful import dedup_stream
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    ttl_ms = 5000
+
+    def dump(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "doc_id": d,
+                        "text": t,
+                        "lang": "en",
+                        "source": "s",
+                        "n_chars": len(t),
+                    }
+                )
+                for d, t in rows
+            )
+        )
+
+    stream = documents_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream, ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName("t_ttl")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def wait_rows(n, timeout_s=60):
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM t_ttl").collect()[0].c >= n:
+                return
+            _time.sleep(0.2)
+        raise AssertionError(f"timed out waiting for {n} emitted rows")
+
+    try:
+        # batch 1: two fresh contents X (doc 1) and Y (doc 2).
+        dump("f1.json", [(1, "xxxx"), (2, "yyyy")])
+        wait_rows(2)
+        # batch 2, inside the horizon: a duplicate of X must still resolve
+        # to keeper 1 — TTL mode is exact within the retention window.
+        dump("f2.json", [(3, "xxxx")])
+        wait_rows(3)
+        # idle past the TTL: the engine runs timed-out processing for X and
+        # Y in a subsequent batch (the spacer Z guarantees one executes).
+        _time.sleep(ttl_ms / 1000 + 3)
+        dump("f3.json", [(4, "zzzz")])
+        wait_rows(4)
+        # duplicate of evicted Y -> fresh keeper (the recall caveat,
+        # proving eviction actually removed the state); duplicate of Z,
+        # still inside ITS horizon, -> keeper 4.
+        dump("f4.json", [(5, "yyyy"), (6, "zzzz")])
+        wait_rows(6)
+        got = {
+            r.doc_id: (r.keeper_doc, r.is_dup)
+            for r in spark.sql("SELECT * FROM t_ttl").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        1: (1, False),
+        2: (2, False),
+        3: (1, True),
+        4: (4, False),
+        5: (5, False),
+        6: (4, True),
+    }
+
+
+def test_ingest_pipeline_composite_stream_equals_batch(spark, tmp_path):
+    """END-TO-END continuous curation pipeline — "training shards ready the
+    moment ingest lands": one streaming source cascades through the three
+    ingest screens as SEPARATE queries connected by file sinks (Structured
+    Streaming allows one stateful operator per query, so a production
+    pipeline is exactly this lakehouse cascade):
+
+        raw docs ──dedup_stream──▶ kept1 ──near_dedup_stream──▶ kept2
+                  ──pack_stream──▶ bin assignments ──▶ shard manifest
+
+    and the composed stream must equal the composed BATCH relations
+    (min-doc-per-md5 keepers → LSH-OR band keepers over those → the
+    exclusive-prefix-sum packing → the shard rollup) row for row. Each
+    stage's foreachBatch forwards the KEPT documents (verdict joined back
+    to the content store by doc_id) as one ordered NDJSON file per
+    micro-batch, preserving the append-log contract the folds require."""
+    import json as _json
+    import os
+    import time as _time
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.operators.dedup import portable_bands
+    from genesapi_cli_spark.operators.extended import pack_assignments
+    from genesapi_cli_spark.streaming.runtime import (
+        DOC_STREAM_SCHEMA,
+        documents_file_stream,
+    )
+    from genesapi_cli_spark.streaming.stateful import (
+        dedup_stream,
+        near_dedup_stream,
+        pack_stream,
+    )
+    from pyspark.sql import Window
+
+    genesapi_cli_spark.load_all()
+    raw_rows = [
+        r.asDict()
+        for r in sorted(
+            load(spark, SMOKE_SF_DIR, "documents").collect(),
+            key=lambda r: r.doc_id,
+        )
+    ]
+    # plant exact duplicates ACROSS chunk boundaries (the state-crossing
+    # case), same as the single-screen tests — the smoke corpus has none.
+    k = len(raw_rows) // 3 + 1
+    for i in (k + 5, 2 * k + 5):
+        raw_rows[i]["text"] = raw_rows[2]["text"]
+    raw_rows[2 * k + 9]["text"] = raw_rows[7]["text"]
+    docs = spark.createDataFrame(
+        raw_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    # ---- batch ground truth: the composed relations -------------------------
+    b1 = (
+        docs.withColumn(
+            "k", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("k"))
+        .drop("k")
+    )
+    band_keep = (
+        portable_bands(b1)
+        .withColumn(
+            "bk",
+            F.min("doc_id").over(Window.partitionBy("lang", "band", "k1", "k2")),
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.expr("doc_id != bk")).alias("any_dup"))
+        .filter(~F.col("any_dup"))
+        .select("doc_id")
+    )
+    b2 = b1.join(band_keep, "doc_id")
+    assert b1.count() < docs.count(), "smoke corpus should carry exact dups"
+    assert b2.count() < b1.count(), "smoke corpus should carry near dups"
+    b3 = {
+        (r.source, r.doc_id): (r.n_tokens, r.bin_id)
+        for r in pack_assignments(b2).collect()
+    }
+    manifest_rollup = lambda df: {  # noqa: E731 - tiny local rollup
+        (r.source, r.shard_id): (r.n_docs, r.n_tokens)
+        for r in df.groupBy(
+            "source", F.expr("bin_id div 2").alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .collect()
+    }
+    b4 = manifest_rollup(
+        spark.createDataFrame(
+            [(s, d, t, b) for (s, d), (t, b) in b3.items()],
+            "source string, doc_id long, n_tokens long, bin_id long",
+        )
+    )
+
+    # ---- streaming cascade ---------------------------------------------------
+    raw = tmp_path / "raw"
+    kept1 = tmp_path / "kept1"
+    kept2 = tmp_path / "kept2"
+    for d in (raw, kept1, kept2):
+        d.mkdir()
+
+    now = _time.time()
+    for i in range(3):
+        name = raw / f"b{i}.json"
+        name.write_text(
+            "\n".join(_json.dumps(r) for r in raw_rows[i * k : (i + 1) * k])
+        )
+        os.utime(name, (now - 100 + i, now - 100 + i))
+
+    def forward_kept(verdict_df, out_dir, epoch_id, content_dir):
+        """Test-glue content-store lookup: join the screen's kept doc_ids
+        back to the documents and append ONE ordered NDJSON file."""
+        keep = (
+            verdict_df.groupBy("doc_id")
+            .agg(F.max("is_dup").alias("any_dup"))
+            .filter(~F.col("any_dup"))
+        )
+        content = verdict_df.sparkSession.read.schema(DOC_STREAM_SCHEMA).json(
+            str(content_dir)
+        )
+        out = sorted(
+            content.join(keep, "doc_id").collect(), key=lambda r: r.doc_id
+        )
+        if not out:
+            return
+        (out_dir / f"b{epoch_id:05d}.json").write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "doc_id": r.doc_id,
+                        "text": r.text,
+                        "lang": r.lang,
+                        "source": r.source,
+                        "n_chars": r.n_chars,
+                    }
+                )
+                for r in out
+            )
+        )
+
+    q1 = (
+        dedup_stream(documents_file_stream(spark, str(raw)))
+        .writeStream.foreachBatch(
+            lambda df, eid: forward_kept(df, kept1, eid, raw)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .outputMode("append")
+        .trigger(processingTime="400 milliseconds")
+        .start()
+    )
+    q2 = (
+        near_dedup_stream(documents_file_stream(spark, str(kept1)))
+        .writeStream.foreachBatch(
+            lambda df, eid: forward_kept(df, kept2, eid, kept1)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .trigger(processingTime="400 milliseconds")
+        .start()
+    )
+    q3 = (
+        pack_stream(documents_file_stream(spark, str(kept2)))
+        .writeStream.format("memory")
+        .queryName("t_pipeline_pack")
+        .outputMode("append")
+        .trigger(processingTime="400 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 180
+        want_n = len(b3)
+        while _time.time() < deadline:
+            n = (
+                spark.sql("SELECT count(*) c FROM t_pipeline_pack")
+                .collect()[0]
+                .c
+            )
+            if n >= want_n:
+                break
+            _time.sleep(0.5)
+        packed = spark.sql("SELECT * FROM t_pipeline_pack").collect()
+    finally:
+        for q in (q1, q2, q3):
+            q.stop()
+    got = {(r.source, r.doc_id): (r.n_tokens, r.bin_id) for r in packed}
+    assert got == b3
+    got_manifest = manifest_rollup(
+        spark.createDataFrame(
+            [(r.source, r.doc_id, r.n_tokens, r.bin_id) for r in packed],
+            "source string, doc_id long, n_tokens long, bin_id long",
+        )
+    )
+    assert got_manifest == b4
