@@ -562,6 +562,82 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_dedup_clusters_incremental", oracle=_clusters_oracle())
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL duplicate-cluster maintenance — the batch companion of
+    the streaming ingest screens (streaming/stateful.py dedup_stream /
+    near_dedup_stream): yesterday's converged cluster labels absorb today's
+    new candidate pairs WITHOUT re-running connected components over the
+    historical pair graph. The old subgraph enters the merge collapsed to
+    its STAR EDGES (node → label, one edge per already-labeled node,
+    self-loop for keepers so singleton clusters survive); the second
+    pointer-doubling pass runs over star ∪ new-pairs only.
+
+    Correctness: collapsing a component to its star preserves reachability,
+    so CC over (star ∪ new) equals CC over (old ∪ new) — which is exactly
+    what the oracle asserts: the output is pinned to the SAME full-recompute
+    recursive-CTE reachability relation as q_dedup_clusters, so the hash
+    match IS the incremental≡full proof. The new/old split here is a
+    deterministic stand-in (doc_id mod 5 == 4 plays "today's batch");
+    production passes its real watermark — the algebra is split-invariant,
+    which is what the oracle-pinned equality certifies.
+
+    Scale shape (the reason this exists): the merge's edge set is
+    O(labeled nodes) + O(new pairs) — the historical PAIR graph (the
+    expensive LSH join output, quadratic-ish in corpus) is never rebuilt or
+    re-shuffled; a continuous pipeline pays per-batch cost proportional to
+    the batch, while label depth stays O(log diameter) via the same
+    auto-deepening unrolled schedule as q_dedup_clusters. n_unconverged
+    sums BOTH stages' convergence certificates (oracle pins 0)."""
+    import os
+
+    from genesapi_cli_spark.operators.text import q_dedup_near_minhash
+
+    rounds = int(
+        spark.conf.get(
+            "spark.genesapi.cc.rounds",
+            os.environ.get("GENESAPI_CC_ROUNDS", str(_CC_ROUNDS)),
+        )
+    )
+    pairs = (
+        q_dedup_near_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    new_a = (F.col("doc_a") % 5) == 4
+    new_b = (F.col("doc_b") % 5) == 4
+    old_edges = pairs.filter(~new_a & ~new_b)
+    new_edges = pairs.filter(new_a | new_b)
+    cc_old = connected_components_auto(old_edges, rounds=rounds)
+    # Star edges keep self-loops: a keeper with no surviving cluster-mates
+    # must still reach the final node set, or its cluster row vanishes.
+    star = cc_old.select(
+        F.col("node").alias("doc_a"), F.col("label").alias("doc_b")
+    )
+    cc_fin = connected_components_auto(
+        star.unionByName(new_edges), rounds=rounds
+    )
+    moved = F.coalesce(
+        F.sum((F.col("label") != F.col("prev")).cast("int")), F.lit(0)
+    ).cast("bigint")
+    conv = (
+        cc_old.agg(moved.alias("a"))
+        .crossJoin(cc_fin.agg(moved.alias("b")))
+        .select((F.col("a") + F.col("b")).alias("n_unconverged"))
+    )
+    return (
+        cc_fin.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc"))
+        .select(
+            F.col("label").alias("keeper_doc"),
+            "n_docs",
+            "max_doc",
+            (F.col("n_docs") - 1).alias("n_dropped"),
+        )
+        .crossJoin(F.broadcast(conv))
+    )
+
+
 # --- q_dedup_exact_norm -----------------------------------------------------
 
 _NORM_DEDUP_ORACLE = """

@@ -657,6 +657,91 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_pack_efficiency --------------------------------------------------------
+
+_PACK_EFF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+  FROM toks
+), bins AS (
+  SELECT source, bin_id, CAST(SUM(n_tokens) AS BIGINT) AS fill,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM packed GROUP BY source, bin_id
+), mx AS (
+  SELECT source, MAX(bin_id) AS last_bin FROM bins GROUP BY source
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(b.n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(b.fill) AS BIGINT) AS total_tokens,
+       CAST(MAX(b.fill) AS BIGINT) AS max_fill,
+       CAST(SUM(CASE WHEN b.fill > {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overfull,
+       {oracle_r4(
+           f"CAST(SUM(CASE WHEN b.bin_id < m.last_bin THEN b.fill ELSE NULL END)"
+           f" AS DOUBLE) / (NULLIF(MAX(m.last_bin), 0) * {PACK_BUDGET}.0)",
+           'closed_fill_r4',
+       )}
+FROM bins b JOIN mx m USING (source)
+GROUP BY b.source
+"""
+
+
+@register("q_pack_efficiency", oracle=_PACK_EFF_ORACLE)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency certificate — the report that tunes PACK_BUDGET
+    before a training run: per source, the bin count, total/max fill, how
+    many bins OVERFLOW the budget (a document longer than the context
+    window straddles bins under contiguous fill — those need truncation or
+    a long-doc route), and the mean fill ratio of CLOSED bins (the last,
+    still-open bin is excluded so the ratio measures packing quality, not
+    corpus-end truncation). closed_fill_r4 near 1.0 says contiguous fill
+    wastes almost nothing at this budget; a low value says documents are
+    large relative to the budget and best-fit reordering would pay.
+
+    Plan shape: pack_assignments' one window (per-source prefix sum), then
+    two hash aggregates (bin fills -> per-source report) that reuse the
+    window's source partitioning — one shuffle total, same as
+    q_pack_sequences. All ratios divide exact integers; the mean crosses
+    engines as one double division."""
+    docs = load(spark, sf_dir, "documents")
+    bins = (
+        pack_assignments(docs)
+        .groupBy("source", "bin_id")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("fill"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+    w_last = Window.partitionBy("source")
+    bins = bins.withColumn("last_bin", F.max("bin_id").over(w_last))
+    return bins.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("fill").cast("bigint").alias("total_tokens"),
+        F.max("fill").cast("bigint").alias("max_fill"),
+        F.sum(F.when(F.col("fill") > PACK_BUDGET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overfull"),
+        r4(
+            F.sum(F.when(F.col("bin_id") < F.col("last_bin"), F.col("fill")))
+            .cast("double")
+            / (
+                F.nullif(F.max("last_bin"), F.lit(0)).cast("double")
+                * F.lit(float(PACK_BUDGET))
+            ),
+            "closed_fill_r4",
+        ),
+    )
+
+
 # --- q_sample_weighted ------------------------------------------------------
 
 _WSAMPLE_K = 25

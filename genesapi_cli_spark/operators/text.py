@@ -4101,3 +4101,131 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_doc_r4"),
         )
     )
+
+
+# --- q_text_synthetic_screen --------------------------------------------------
+
+_SYNTH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents
+), ws AS (
+  SELECT doc_id, lang,
+         len(t) AS n_words,
+         len(list_distinct(t)) AS n_distinct
+  FROM toks
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) _
+  WHERE len(t) >= 2
+), per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS frac
+  FROM per_gram GROUP BY doc_id
+), scored AS (
+  SELECT ws.lang,
+         CAST(ws.n_distinct AS DOUBLE) / ws.n_words AS ttr,
+         COALESCE(rep.frac, 0.0) AS frac
+  FROM ws LEFT JOIN rep USING (doc_id)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN frac > 0.08 OR ttr < 0.3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_suspect,
+       {oracle_r4(
+           "CAST(SUM(CASE WHEN frac > 0.08 OR ttr < 0.3 THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / COUNT(*)",
+           'suspect_share_r4',
+       )},
+       {oracle_r4(
+           "CAST(SUM(CAST(ttr AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*)",
+           'avg_ttr_r4',
+       )},
+       {oracle_r4(
+           "CAST(SUM(CAST(frac AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*)",
+           'avg_top_bigram_r4',
+       )}
+FROM scored GROUP BY lang
+"""
+
+
+@register("q_text_synthetic_screen", oracle=_SYNTH_ORACLE)
+def q_text_synthetic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-generated/template-text screen — the post-2023 curation gate a
+    pretraining pipeline runs alongside the C4/Gopher filters: flag a
+    document as synthetic-suspect when its single hottest bigram covers
+    > 8% of all bigrams (template looping) OR its type-token ratio falls
+    below 0.3 (the low lexical diversity that repetitive generation
+    produces). Reports per-language suspect share plus the two underlying
+    signal means — the numbers an operator watches before turning the
+    screen into a hard drop at crawl scale.
+
+    Parity engineering: both signals are single double divisions of exact
+    integers; the OR-threshold compares those identical doubles, so the
+    verdict is engine-portable without rounding tricks; the signal means
+    cross the aggregate as exact decimals (partition-order independent).
+
+    Scale shape: one token split feeds BOTH signals — the word stats are
+    per-row array functions (no explode), and the bigram max/total reuses
+    q_text_repetition's two map-side-combinable hash aggregates keyed by
+    doc_id; the verdict is one more hash aggregate keyed by lang. Nothing
+    quadratic, nothing Python, no window over the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("t")
+    )
+    ws = toks.select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("n_words"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    grams = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+            ).alias("g"),
+        )
+    )
+    rep = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias("frac")
+        )
+    )
+    scored = (
+        ws.join(rep, "doc_id", "left")
+        .select(
+            "lang",
+            (F.col("n_distinct").cast("double") / F.col("n_words")).alias("ttr"),
+            F.coalesce(F.col("frac"), F.lit(0.0)).alias("frac"),
+        )
+    )
+    suspect = (F.col("frac") > 0.08) | (F.col("ttr") < 0.3)
+    n_suspect = F.sum(F.when(suspect, 1).otherwise(0)).cast("bigint")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        n_suspect.alias("n_suspect"),
+        r4(
+            n_suspect.cast("double") / F.count(F.lit(1)),
+            "suspect_share_r4",
+        ),
+        r4(
+            F.sum(F.col("ttr").cast(DEC)).cast("double") / F.count(F.lit(1)),
+            "avg_ttr_r4",
+        ),
+        r4(
+            F.sum(F.col("frac").cast(DEC)).cast("double") / F.count(F.lit(1)),
+            "avg_top_bigram_r4",
+        ),
+    )

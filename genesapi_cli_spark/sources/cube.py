@@ -471,3 +471,116 @@ def q_genesis_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div CAST(value_prev AS BIGINT) - 10000 AS BIGINT)"
         ).alias("yoy_bp"),
     )
+
+
+# --- q_source_cube_catalog ------------------------------------------------------
+
+#: Two additional cube fixtures for the MULTI-cube catalog build: a
+#: two-measure cube with a NAT dimension and a confidential cell, and a
+#: dimensionless (DINSG-only) cube — the axis-less layout real GENESIS
+#: exports contain, which forces the catalog join to be a LEFT join.
+EMPLOYMENT_CUBE_TEXT = """\
+K;DQ;FACH-SCHL;GHH-ART;TS-GED;KTX;PROD-STAND
+D;DQ;13311AJ002;;N;Erwerbstaetigkeit;01.01.2024
+K;DQA;NAME;RHF-BSR;RHF-ACHSE
+D;DQA;DINSG;1;1
+D;DQA;NAT;2;2
+K;DQZ;NAME;ZI-RHF-BSR
+D;DQZ;JAHR;3
+K;DQI;NAME;ME-NAME;DST;TYP
+D;DQI;ERW;Anzahl;JAHRESSUMME;GANZ
+D;DQI;ALO;Anzahl;JAHRESSUMME;GANZ
+K;QEI;FACH-SCHL;FACH-SCHL;ZI-WERT;WERT;QUALITAET;GESPERRT
+D;QEI;02001;NATA;2020;100;e;;50;e;
+D;QEI;02001;NATD;2020;80;e;;40;e;
+D;QEI;02001;NATA;2021;110;e;;55;e;
+D;QEI;02002;NATA;2020;...;x;;30;e;
+"""
+
+STUDENTS_CUBE_TEXT = """\
+K;DQ;FACH-SCHL;GHH-ART;TS-GED;KTX;PROD-STAND
+D;DQ;21111KJ001;;N;Studierende;01.01.2024
+K;DQA;NAME;RHF-BSR;RHF-ACHSE
+D;DQA;DINSG;1;1
+K;DQZ;NAME;ZI-RHF-BSR
+D;DQZ;JAHR;2
+K;DQI;NAME;ME-NAME;DST;TYP
+D;DQI;STUD;Anzahl;JAHRESSUMME;GANZ
+K;QEI;FACH-SCHL;ZI-WERT;WERT;QUALITAET;GESPERRT
+D;QEI;03001;2022;10;e;
+D;QEI;03002;2022;20;e;
+"""
+
+
+_CUBE_CATALOG_ORACLE = """
+SELECT * FROM (VALUES
+  ('12411', 'BEVSTD', CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT),
+   CAST(2 AS BIGINT), 2014, 2014, '{"GES":["GESM","GESW"]}'),
+  ('13311', 'ERW', CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT),
+   CAST(2 AS BIGINT), 2020, 2021, '{"NAT":["NATA","NATD"]}'),
+  ('13311', 'ALO', CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+   CAST(2 AS BIGINT), 2020, 2021, '{"NAT":["NATA","NATD"]}'),
+  ('21111', 'STUD', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+   CAST(2 AS BIGINT), 2022, 2022, '{}')
+) AS t(statistic, measure, n_cubes, n_facts, n_values, n_regions,
+       year_min, year_max, dim_domains_json)
+"""
+
+
+@register("q_source_cube_catalog", oracle=_CUBE_CATALOG_ORACLE)
+def q_source_cube_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-cube catalog build — the cross-cube ``schema.json`` derivation
+    that is the reference's actual job (aggregate every downloaded cube's
+    structure into one statistic→measure→dimension-domain tree for the
+    GraphQL layer): three cubes with disjoint statistics, different axis
+    sets (GES / NAT / none) and a confidential cell, parsed by the SAME
+    grammar and folded into one catalog relation. The axis-less cube forces
+    the dimension join to be a LEFT join with a '{}' domain default — real
+    GENESIS exports contain DINSG-only cubes, and an inner join would drop
+    them from the catalog (the bug class this fixture exists to pin).
+
+    Scale shape: per-cube parse parallelism comes from the genesapi_cube
+    DataSource's one-InputPartition-per-file mount at lake scale (see the
+    q_source_cube_ds@multicube rehearsal: parse marginal exponent 0.744 at
+    128→384 cubes); the catalog itself is the same one-aggregation metadata
+    pass as q_genesis_schema keyed by (statistic, measure) — cube COUNT
+    folds in as one more agg column, never a second scan."""
+    facts = (
+        parse_cube_text(spark, SAMPLE_CUBE_TEXT)
+        .unionByName(parse_cube_text(spark, EMPLOYMENT_CUBE_TEXT))
+        .unionByName(parse_cube_text(spark, STUDENTS_CUBE_TEXT))
+    )
+    dim_values = (
+        facts.select(
+            "statistic", "measure", F.explode("dims").alias("dim", "dim_value")
+        )
+        .groupBy("statistic", "measure", "dim")
+        .agg(F.sort_array(F.collect_set("dim_value")).alias("values"))
+        .groupBy("statistic", "measure")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("dim", "values")))
+            ).alias("dim_domains")
+        )
+    )
+    coverage = facts.groupBy("statistic", "measure").agg(
+        F.countDistinct("cube").alias("n_cubes"),
+        F.count(F.lit(1)).alias("n_facts"),
+        F.count("value").alias("n_values"),
+        F.countDistinct("region_id").alias("n_regions"),
+        F.min("year").alias("year_min"),
+        F.max("year").alias("year_max"),
+    )
+    return coverage.join(dim_values, ["statistic", "measure"], "left").select(
+        "statistic",
+        "measure",
+        "n_cubes",
+        "n_facts",
+        "n_values",
+        "n_regions",
+        "year_min",
+        "year_max",
+        F.coalesce(F.to_json("dim_domains"), F.lit("{}")).alias(
+            "dim_domains_json"
+        ),
+    )
