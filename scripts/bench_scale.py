@@ -53,7 +53,10 @@ NONSCALING = {"q_source_cube_ds", "q_source_cube_text", "q_source_cube_write"}
 #: burning tens of minutes re-proving it at the top sf. Each cap must be
 #: paired with a VARIANT row showing the engine's scale path for the same
 #: query (see VARIANTS).
-SF_CAP = {"q_dedup_prefix_filter": 1.0}
+#: round-10: q_dedup_prefix_filter's cap removed — the corpus-calibrated
+#: shingle width made the registered default ~linear on the degenerate
+#: closed-vocabulary corpus (marginal exponent 0.57 at sf1→sf3).
+SF_CAP: dict[str, float] = {}
 
 #: Extra ledger rows: (name suffix, base query, session confs) — the scale-
 #: path parameterizations of capped queries, benched across ALL sfs.
