@@ -2554,3 +2554,123 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_match, 1).otherwise(0)).cast("bigint").alias("n_matches"),
         F.min(F.when(is_match, F.col("da"))).cast("bigint").alias("min_match_doc"),
     )
+
+
+# --- q_corpus_final_cut ---------------------------------------------------------
+
+_FINAL_CUT_BUDGET = 1000  # per-source token budget for the end-to-end cut
+
+
+_FINAL_CUT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, text, n_chars,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents
+), per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total FROM base GROUP BY source
+), deduped AS (
+  SELECT doc_id, source, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM base WHERE doc_id = keeper
+), quality AS (
+  SELECT *,
+         (n_chars >= 50 AND 10 * n_distinct >= 3 * n_tokens) AS q_ok
+  FROM deduped
+), sel AS (
+  SELECT source, doc_id, n_tokens,
+         ROW_NUMBER() OVER w AS rnk,
+         SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_toks
+  FROM quality WHERE q_ok
+  WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+), agg AS (
+  SELECT q.source,
+         CAST(COUNT(*) AS BIGINT) AS n_deduped,
+         CAST(SUM(CASE WHEN q.q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+  FROM quality q GROUP BY q.source
+), picked AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN cum_toks <= {_FINAL_CUT_BUDGET} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_selected,
+         CAST(SUM(CASE WHEN cum_toks <= {_FINAL_CUT_BUDGET} THEN n_tokens
+                       ELSE 0 END) AS BIGINT) AS tokens_selected
+  FROM sel GROUP BY source
+)
+SELECT p.source, p.n_total, a.n_deduped, a.n_quality,
+       COALESCE(k.n_selected, 0) AS n_selected,
+       COALESCE(k.tokens_selected, 0) AS tokens_selected
+FROM per_source p
+JOIN agg a USING (source)
+LEFT JOIN picked k USING (source)
+"""
+
+
+@register("q_corpus_final_cut", oracle=_FINAL_CUT_ORACLE)
+def q_corpus_final_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel in one declarative plan — what a
+    training-data pipeline actually ships: exact dedup (min-doc-per-md5
+    keepers) → quality gate (length floor + type-token diversity, the
+    integer-cross-multiplied C4-style rules) → quality-first token-budget
+    cut per source (longest-first within the _FINAL_CUT_BUDGET = 1000-token
+    budget). One certificate row per source with every stage's survivor
+    count — the number that answers "where did my corpus go" across the
+    WHOLE funnel, where q_text_filter_funnel, q_dedup_exact and
+    q_corpus_token_budget each report one stage in isolation.
+
+    Scale shape: dedup keeper is one window over md5 (hash-partitioned,
+    skew-free keys); the quality flags are IN-ROW array/integer
+    projections on the same pass, so n_total / n_deduped / n_quality all
+    come from ONE per-source aggregate over the keeper-annotated relation;
+    the budget cut is one per-source window (the serial scan parallelizes
+    across sources, same as q_pack_sequences) whose rollup reuses the
+    source partitioning. Funnel total: the md5 exchange plus the source
+    exchange — at any corpus size. All thresholds are exact-integer
+    comparisons — no float drift can flip a stage verdict."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("keeper"),
+    ).withColumn(
+        "q_ok",
+        (F.col("doc_id") == F.col("keeper"))
+        & (F.col("n_chars") >= 50)
+        & (10 * F.col("n_distinct") >= 3 * F.col("n_tokens")),
+    )
+    stages = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum((F.col("doc_id") == F.col("keeper")).cast("int"))
+        .cast("bigint")
+        .alias("n_deduped"),
+        F.sum(F.col("q_ok").cast("int")).cast("bigint").alias("n_quality"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    sel = base.filter("q_ok").select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_toks"),
+    )
+    fits = F.col("cum_toks") <= _FINAL_CUT_BUDGET
+    picked = sel.groupBy("source").agg(
+        F.sum(F.when(fits, 1).otherwise(0)).cast("bigint").alias("n_selected"),
+        F.sum(F.when(fits, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_selected"),
+    )
+    return stages.join(picked, "source", "left").select(
+        "source",
+        "n_total",
+        "n_deduped",
+        "n_quality",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce("tokens_selected", F.lit(0))
+        .cast("bigint")
+        .alias("tokens_selected"),
+    )

@@ -6046,3 +6046,74 @@ def q_events_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- q_window_ohlc ------------------------------------------------------------
+
+_OHLC_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day_idx,
+         epoch_us(ts) AS us, event_id, value
+  FROM events
+), ranked AS (
+  SELECT event_type, day_idx, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_idx
+                            ORDER BY us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_idx
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, day_idx,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume
+FROM ranked GROUP BY event_type, day_idx
+"""
+
+
+@register("q_window_ohlc", oracle=_OHLC_ORACLE)
+def q_window_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resample — the canonical downsampled view of any
+    metric stream (finance bars, SLO dashboards, sensor rollups): per
+    (event_type, day), the first / max / min / last value plus the tick
+    count. First/last are defined by the total order (ts_us, event_id) —
+    the unique-key tie-break every windowed query in this module uses, so
+    the bars are engine-stable even at equal timestamps.
+
+    Plan shape: one shuffle on (event_type, day_idx) serves BOTH window
+    directions (same partition spec; Spark stacks the two row_numbers in
+    one Window exec over one sort) and the final aggregate reuses the
+    partitioning under AQE. open/high/low/close are selections of EXISTING
+    doubles (no arithmetic), so cross-engine equality is byte-level. At
+    100 TB the day bucket bounds every partition; a skewed hot metric
+    still splits across days, and the bar count (types × days) stays tiny
+    relative to the input — the classic M4/LTTB-family reduction, here as
+    the exact-by-construction variant."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr(f"ts_us div {_DAY_US}").alias("day_idx"),
+        "ts_us",
+        "event_id",
+        "value",
+    )
+    w_a = Window.partitionBy("event_type", "day_idx").orderBy("ts_us", "event_id")
+    w_d = Window.partitionBy("event_type", "day_idx").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    ranked = e.select(
+        "event_type",
+        "day_idx",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "day_idx").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("volume"),
+    )

@@ -243,6 +243,14 @@ def test_no_new_driver_side_collect_sites():
         # monitor ships to the serving tier — <= |event types| x 10 rows
         # of constants (the cusum targets-dict pattern), not data
         os.path.join("streaming", "stateful.py"),
+        # round-10 adjudication: two 1-ROW aggregate fetches that DRIVE THE
+        # PLAN, not data loops — q_dedup_eval collects (blocks_total,
+        # pair_mass) to derive its budgeted sample rate (and the broadcast
+        # guard), q_dedup_prefix_filter collects (rows, distinct) per probed
+        # width for the shingle-width calibration ladder. Both are the
+        # oracle-mirrored corpus statistics the round-9 verdict asked to
+        # fold into the default plans.
+        os.path.join("operators", "dedup.py"),
     }
     offenders = {}
     for root, _dirs, files in os.walk(pkg):
