@@ -1,10 +1,13 @@
 """Additional TPC-H-shaped reference queries (Q3, Q4, Q7, Q10, Q14, Q18
 shapes, adapted to the testdata's column subset).
 
-The registry already carries Q1 (q_agg_pricing_summary — the flagship), Q5
-(q_join_multiway), and Q6 (q_filter_range); this module rounds out the
-classic decision-support shapes so a user of the reference's analytical
-surface finds the standard benchmark queries runnable as-is.
+The registry already carries Q1 (q_agg_pricing_summary — the flagship); Q5
+and Q6 existed as shape-analogs (q_join_multiway, q_filter_range) and since
+round 10 also under their canonical names (q_tpch_q5 with the
+local-commerce c_nationkey = s_nationkey condition, q_tpch_q6 as the pure
+scan-filter-aggregate), so this module now covers Q2–Q22 by name and a
+user of the reference's analytical surface finds the standard benchmark
+queries runnable as-is.
 
 Scale notes: each query is a single declarative plan — dims broadcast,
 facts shuffle once into the aggregate, TopK runs as TakeOrderedAndProject
@@ -1065,4 +1068,106 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("c_acctbal", "totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# --- Q5: local supplier volume ------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT n.n_name,
+       {oracle_dec_sum(_REV.replace('l_', 'l.l_'), 'revenue')}
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("q_tpch_q5", oracle=_Q5_ORACLE)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: local supplier volume — revenue by nation for one region's
+    customers buying from SAME-NATION suppliers in one order year. The
+    distinguishing feature is the non-key equi-condition
+    c_nationkey = s_nationkey riding the supplier join: "local" commerce.
+
+    Plan: region→nation prunes to one region's nations, both dims
+    broadcast; customer and supplier broadcast after their nation
+    semi-filter; the only repartition join is lineitem⋈orders (the year
+    predicate prunes orders at the scan). The locality condition evaluates
+    inside the supplier hash join — no second shuffle. At 100 TB: one fact
+    shuffle, everything else broadcast — the canonical star-join plan AQE
+    cannot improve on.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# --- Q6: forecasting revenue change -------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,7))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q_tpch_q6", oracle=_Q6_ORACLE)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecasting revenue change — the pure scan-filter-aggregate
+    benchmark (no join at all). Its whole point is predicate pushdown +
+    vectorized decode: every predicate (ship year, discount band, quantity
+    cap) reaches the parquet scan as PushedFilters, the projection prunes
+    to three columns, and the aggregate is a single partial+final sum.
+    The n_lines count makes the selectivity visible in the certificate.
+
+    At 100 TB this query IS the scan throughput measurement: zero shuffles
+    beyond the 1-row final aggregate, so any slowdown is storage-side —
+    which is exactly why the suite needs one query shaped like this.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
     )
