@@ -2674,3 +2674,65 @@ def q_corpus_final_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_selected"),
     )
+
+
+# --- q_dedup_shard_escape -------------------------------------------------------
+
+def _shard_escape_oracle() -> str:
+    from genesapi_cli_spark.operators.text import near_minhash_oracle_ctes
+
+    return f"""
+WITH {near_minhash_oracle_ctes()},
+ks AS (SELECT unnest([4, 16, 64]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN doc_a % k != doc_b % k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_escaped,
+       FLOOR(CAST(SUM(CASE WHEN doc_a % k != doc_b % k THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+         AS escape_share_r4
+FROM ks, pairs
+GROUP BY k
+"""
+
+
+@register("q_dedup_shard_escape", oracle=_shard_escape_oracle())
+def q_dedup_shard_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-dedup ESCAPE certificate — the design question every 100 TB
+    dedup faces: if the corpus is split into k shards and dedup runs
+    shard-locally (the cheap plan: no global shuffle), what fraction of the
+    true near-duplicate pairs lands ACROSS shards and silently escapes?
+    Computed over the LSH candidate pairs with doc_id-mod sharding (the
+    naive split) for k ∈ {4, 16, 64}. The measured escape shares (~0.7–0.96
+    on this corpus) are the number that justifies the engine's actual
+    design everywhere else: shard by the CONTENT key — band bucket, content
+    hash — so every potential pair is shard-LOCAL by construction and the
+    escape share is 0 at any k.
+
+    Scale shape: the pair relation is the banded candidate set (never
+    all-pairs); the 3-row k dimension cross-joins broadcast; one hash
+    aggregate per k. Cost is O(candidate pairs), independent of k."""
+    from genesapi_cli_spark.operators.text import q_dedup_near_minhash
+
+    pairs = q_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(4), F.lit(16), F.lit(64))).alias("k")
+    )
+    esc = F.sum(
+        F.when(F.col("doc_a") % F.col("k") != F.col("doc_b") % F.col("k"), 1)
+        .otherwise(0)
+    ).cast("bigint")
+    return (
+        pairs.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("bigint").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            esc.alias("n_escaped"),
+            (
+                F.floor(
+                    esc.cast("double") / F.count(F.lit(1)) * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("escape_share_r4"),
+        )
+    )
