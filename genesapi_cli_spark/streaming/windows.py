@@ -412,3 +412,68 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_kept_cents"),
     )
+
+
+# --- q_stream_leaderboard -------------------------------------------------------
+
+_LEADERBOARD_ORACLE = """
+WITH w AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s,
+         event_type, user_id,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT win_start_s, event_type, user_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY win_start_s, event_type
+                            ORDER BY cents DESC, user_id) AS rnk
+  FROM w
+)
+SELECT win_start_s, event_type, user_id, cents, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("q_stream_leaderboard", oracle=_LEADERBOARD_ORACLE)
+def q_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed LEADERBOARD — top-3 users by value per (1-hour tumbling
+    window, event_type): the canonical streaming-analytics shape one rank
+    above plain windowed counts (dashboards, abuse screens, spend caps).
+    Batch-checkable here; the streaming mount is the foreachBatch pattern
+    (rank is not incrementally maintainable inside one query, so production
+    ranks each window's closed aggregate on emit — exactly this relation).
+
+    Parity engineering: values sum as exact integer cents (the shared-
+    daily-cents convention), the rank's tie-break is the unique user_id —
+    both engines produce the identical leaderboard with no float ordering.
+
+    Scale shape: one hash aggregate keyed by (window, type, user) — epoch-
+    aligned integer bucketing, map-side combinable — then a top-k window
+    whose partition count is windows × types; WindowGroupLimit prunes to
+    k=3 per partition before the sort materializes. Nothing global, no
+    skew (the window key spreads hot types across time)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = (
+        ev.select(
+            (F.expr("ts_us div 3600000000") * 3600).alias("win_start_s"),
+            "event_type",
+            "user_id",
+            cents.alias("c"),
+        )
+        .groupBy("win_start_s", "event_type", "user_id")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("win_start_s", "event_type").orderBy(
+            F.desc("cents"), "user_id"
+        )
+    )
+    return (
+        w.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("win_start_s", "event_type", "user_id", "cents", "rnk")
+    )
