@@ -1515,7 +1515,18 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     still honored when set, no longer the default) on a closed-vocabulary
     corpus stays super-linear because every pair shares many blocks
     (measured round 9: rate=0.05 was no cheaper than unsampled at
-    sf0.3)."""
+    sf0.3).
+
+    KNOBS ARE OFF-CONTRACT: the oracle SQL hardcodes the DEFAULT budget
+    (250000) and its 2× hysteresis (500000), so the differential contract
+    holds only at default settings. Setting
+    ``spark.genesapi.dedup.eval.pair_budget`` to a non-default value, or
+    the legacy ``spark.genesapi.dedup.eval.block_sample`` rate at all,
+    changes which blocks the Spark plan audits and the oracle will
+    (correctly) hash-mismatch — those knobs tune PRODUCTION runs, not the
+    contract row. This mirrors how every other tunable in the registry is
+    handled: the oracle pins the default decision, knobs are for
+    operators who accept leaving the certificate behind."""
     import math
 
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")

@@ -1097,13 +1097,20 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinguishing feature is the non-key equi-condition
     c_nationkey = s_nationkey riding the supplier join: "local" commerce.
 
-    Plan: region→nation prunes to one region's nations, both dims
-    broadcast; customer and supplier broadcast after their nation
-    semi-filter; the only repartition join is lineitem⋈orders (the year
-    predicate prunes orders at the scan). The locality condition evaluates
-    inside the supplier hash join — no second shuffle. At 100 TB: one fact
-    shuffle, everything else broadcast — the canonical star-join plan AQE
-    cannot improve on.
+    Plan: region→nation prunes to one region's nations — the only
+    unconditionally-broadcast dim (≤25 rows, constant in SF). Supplier and
+    customer both grow linearly with SF (10k / 150k rows per SF), so
+    neither is force-broadcast: both are first semi-pruned to the region's
+    nations (valid for customer because the locality condition
+    c_nationkey = s_nationkey forces ASIA customers — a 5× cut), then
+    joined via shuffle_hash hints so AQE promotes them to broadcast when
+    they measure small and falls back to a hash shuffle when they don't.
+    The year predicate prunes orders at the scan; orders⋈customer runs
+    dim-side (both linear-but-small) before the single fact shuffle of
+    lineitem on l_orderkey, and the supplier join carries the locality
+    condition so no extra filter pass is needed. At 100 TB: one fact
+    shuffle on the join key plus AQE-sized dim joins — no unbounded
+    driver-side broadcast anywhere in the plan.
     """
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation").join(
@@ -1112,7 +1119,15 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_nationkey", "n_name")
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "semi",
+        )
+        .select("c_custkey", "c_nationkey")
+    )
     orders = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
@@ -1120,11 +1135,16 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
+    co = orders.join(
+        cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "c_nationkey")
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        li.join(co.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp.hint("shuffle_hash"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy("n_name")
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )

@@ -230,19 +230,25 @@ def test_no_new_driver_side_collect_sites():
     distributed. The adjudicated sites (CLI display, the oracle harness,
     the cube-text sample, and the layout certificates that must read
     real file statistics) are pinned; any NEW file acquiring a collect
-    fails here and needs an explicit adjudication."""
+    fails here and needs an explicit adjudication. The allowlist is
+    site-COUNTED per file (round-11, closing the round-10 advice): a new
+    collect added anywhere — including inside an already-adjudicated
+    module like operators/dedup.py — bumps that file's count past its
+    pinned budget and fails, instead of riding a blanket module
+    exemption."""
     import re
 
     pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)), "genesapi_cli_spark")
     allowed = {
-        "cli.py",  # terminal display of a LIMITed result
-        "oracle.py",  # the differential harness materializes both sides
-        os.path.join("sources", "cube.py"),  # deterministic 6-row sample
-        os.path.join("sources", "layout.py"),  # file-statistics certificates
+        "cli.py": 2,  # terminal display of a LIMITed result
+        "oracle.py": 1,  # the differential harness materializes both sides
+        os.path.join("sources", "cube.py"): 1,  # deterministic 6-row sample
+        # file-statistics certificates (must read real footer stats)
+        os.path.join("sources", "layout.py"): 3,
         # psi_reference: the frozen calibration snapshot a streaming PSI
         # monitor ships to the serving tier — <= |event types| x 10 rows
         # of constants (the cusum targets-dict pattern), not data
-        os.path.join("streaming", "stateful.py"),
+        os.path.join("streaming", "stateful.py"): 1,
         # round-10 adjudication: two 1-ROW aggregate fetches that DRIVE THE
         # PLAN, not data loops — q_dedup_eval collects (blocks_total,
         # pair_mass) to derive its budgeted sample rate (and the broadcast
@@ -250,7 +256,7 @@ def test_no_new_driver_side_collect_sites():
         # width for the shingle-width calibration ladder. Both are the
         # oracle-mirrored corpus statistics the round-9 verdict asked to
         # fold into the default plans.
-        os.path.join("operators", "dedup.py"),
+        os.path.join("operators", "dedup.py"): 2,
     }
     offenders = {}
     for root, _dirs, files in os.walk(pkg):
@@ -265,8 +271,8 @@ def test_no_new_driver_side_collect_sites():
                 m for m in re.finditer(r"\.collect\(\)", src)
                 if "collect_list" not in src[max(0, m.start() - 20): m.start()]
             ]
-            if hits and rel not in allowed:
-                offenders[rel] = len(hits)
+            if len(hits) > allowed.get(rel, 0):
+                offenders[rel] = f"{len(hits)} sites (budget {allowed.get(rel, 0)})"
     assert not offenders, (
         f"new driver-side .collect() sites need adjudication: {offenders}"
     )
