@@ -435,38 +435,35 @@ FROM ranked WHERE rnk <= 3
 """
 
 
-@register("q_stream_leaderboard", oracle=_LEADERBOARD_ORACLE)
-def q_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed LEADERBOARD — top-3 users by value per (1-hour tumbling
-    window, event_type): the canonical streaming-analytics shape one rank
-    above plain windowed counts (dashboards, abuse screens, spend caps).
-    Batch-checkable here; the streaming mount is the foreachBatch pattern
-    (rank is not incrementally maintainable inside one query, so production
-    ranks each window's closed aggregate on emit — exactly this relation).
-
-    Parity engineering: values sum as exact integer cents (the shared-
-    daily-cents convention), the rank's tie-break is the unique user_id —
-    both engines produce the identical leaderboard with no float ordering.
-
-    Scale shape: one hash aggregate keyed by (window, type, user) — epoch-
-    aligned integer bucketing, map-side combinable — then a top-k window
-    whose partition count is windows × types; WindowGroupLimit prunes to
-    k=3 per partition before the sort materializes. Nothing global, no
-    skew (the window key spreads hot types across time)."""
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events")
+def leaderboard_cents(ev: DataFrame) -> DataFrame:
+    """The aggregate half of the leaderboard: exact integer-cent sums per
+    (1-hour tumbling event-time window, event_type, user_id). Written once
+    and mounted on BOTH the batch events table and a watermarked streaming
+    source — the event-time ``window()`` grouping key is what lets the
+    streaming state store evict closed windows (an integer-bucket key
+    would not carry watermark semantics)."""
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    w = (
-        ev.select(
-            (F.expr("ts_us div 3600000000") * 3600).alias("win_start_s"),
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type", "user_id")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+        .select(
+            F.unix_seconds(F.col("win.start").cast("timestamp")).alias("win_start_s"),
             "event_type",
             "user_id",
-            cents.alias("c"),
+            "cents",
         )
-        .groupBy("win_start_s", "event_type", "user_id")
-        .agg(F.sum("c").cast("bigint").alias("cents"))
     )
+
+
+def rank_leaderboard(w: DataFrame) -> DataFrame:
+    """The emit half of the leaderboard: top-3 per (window, event_type) by
+    cents, user_id tie-break. In the streaming mount this runs inside
+    foreachBatch on each micro-batch of CLOSED window aggregates — every
+    group of one window finalizes when the watermark passes that window's
+    end, i.e. in the SAME micro-batch, so the per-window rank computed on
+    emit is complete (tests/test_streaming.py pins batch ≡ stream)."""
+    from pyspark.sql import Window
+
     rnk = F.row_number().over(
         Window.partitionBy("win_start_s", "event_type").orderBy(
             F.desc("cents"), "user_id"
@@ -477,3 +474,28 @@ def q_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("win_start_s", "event_type", "user_id", "cents", "rnk")
     )
+
+
+@register("q_stream_leaderboard", oracle=_LEADERBOARD_ORACLE)
+def q_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed LEADERBOARD — top-3 users by value per (1-hour tumbling
+    window, event_type): the canonical streaming-analytics shape one rank
+    above plain windowed counts (dashboards, abuse screens, spend caps).
+    Both halves are shared transforms mounted on batch here and on a real
+    stream in tests/test_streaming.py::
+    test_leaderboard_batch_equals_stream_foreachbatch — the aggregate runs
+    as an append-mode watermarked streaming query and foreachBatch ranks
+    each micro-batch of closed windows on emit (rank is not incrementally
+    maintainable inside one query), with the emitted union pinned equal to
+    this batch relation.
+
+    Parity engineering: values sum as exact integer cents (the shared-
+    daily-cents convention), the rank's tie-break is the unique user_id —
+    both engines produce the identical leaderboard with no float ordering.
+
+    Scale shape: one hash aggregate keyed by (window, type, user) — epoch-
+    aligned event-time bucketing, map-side combinable — then a top-k window
+    whose partition count is windows × types; WindowGroupLimit prunes to
+    k=3 per partition before the sort materializes. Nothing global, no
+    skew (the window key spreads hot types across time)."""
+    return rank_leaderboard(leaderboard_cents(load(spark, sf_dir, "events")))
