@@ -52,12 +52,31 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def _update_user_profile(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+def _profile_fold_impl(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None,
 ) -> Iterator[pd.DataFrame]:
     """Fold this micro-batch's rows for one user into the persisted profile
-    and emit the updated row. Arrow-batched: pandas in, pandas out."""
+    and emit the updated row. Arrow-batched: pandas in, pandas out.
+
+    With ``ttl_ms`` set (ProcessingTimeTimeout mode) a user idle past the
+    TTL is evicted — the fold fires with hasTimedOut, removes the state,
+    and emits nothing; the deadline re-arms on every arrival so active
+    users never expire."""
     (user_id,) = key
+    if ttl_ms is not None and state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "total_value": pd.Series([], dtype="float64"),
+                "max_value": pd.Series([], dtype="float64"),
+            }
+        )
+        return
     n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
     for pdf in pdfs:
         n += len(pdf)
@@ -65,6 +84,8 @@ def _update_user_profile(
         if len(pdf):
             mx = max(mx, float(pdf["value"].max()))
     state.update((n, total, mx))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame(
         {
             "user_id": [user_id],
@@ -75,20 +96,59 @@ def _update_user_profile(
     )
 
 
-def user_running_profile(events: DataFrame) -> DataFrame:
+def _update_user_profile(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Unbounded-state profile fold (the pinned batch≡stream contract)."""
+    yield from _profile_fold_impl(key, pdfs, state, None)
+
+
+def _profile_fold_ttl(ttl_ms: int):
+    """Profile fold with idle-TTL eviction — the production guard for the
+    one stateful operator in this module whose key universe (user_id) is
+    genuinely unbounded."""
+
+    def fold(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        yield from _profile_fold_impl(key, pdfs, state, ttl_ms)
+
+    return fold
+
+
+def user_running_profile(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Mount the stateful profile operator on a (batch or streaming) events
     DataFrame. In streaming mode state persists across micro-batches; in a
     single-batch run the result equals a plain groupBy aggregation — the
-    equivalence the pytest harness asserts."""
+    equivalence the pytest harness asserts.
+
+    STATE BOUND: unlike every other stateful operator in this module —
+    whose keys are bounded by construction (event_type for the
+    Page-Hinkley/CUSUM/ESD/PSI detectors, a constant for KS, the source
+    dimension for pack_stream, distinct content/band buckets for the dedup
+    screens, which any dedup must hold somewhere) — the profile is keyed by
+    user_id, which grows with the user universe. ``ttl_ms`` bounds it for
+    continuous pipelines: a user idle longer than the TTL is evicted
+    (ProcessingTimeTimeout; the deadline re-arms per arrival, so active
+    users never expire). ACCURACY CAVEAT, by design: a returning user whose
+    state expired restarts the running profile from zero — the retention
+    horizon is the profile window, the standard trade for running forever.
+    Default None preserves the exact batch≡stream contract."""
+    fold = _update_user_profile if ttl_ms is None else _profile_fold_ttl(ttl_ms)
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_profile,
+            fold,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
@@ -180,7 +240,10 @@ def page_hinkley_stream(events: DataFrame) -> DataFrame:
     """Mount the sequential drift detector on a (batch or streaming) events
     DataFrame: per event_type, state = the seven Page-Hinkley sufficient
     statistics; each emitted row is that stream's current verdict. At scale
-    state is O(|streams|) and partitions across executors with the key."""
+    state is O(|streams|) and partitions across executors with the key.
+    NoTimeout is SAFE HERE BY CONSTRUCTION: the key universe is the
+    event-type dimension (bounded, not data-sized), so state never grows
+    with stream length — no TTL needed."""
     return (
         events.select("event_type", "ts_us", "event_id", "value")
         .groupBy("event_type")
@@ -229,7 +292,11 @@ def cusum_stream(events: DataFrame, targets: dict) -> DataFrame:
 
     The extremes are over the POST-OBSERVATION sums S₁..S_t (no phantom
     S₀=0), so after the final micro-batch the state equals the batch
-    cumulative-window rollup bit for bit — pytest-pinned."""
+    cumulative-window rollup bit for bit — pytest-pinned.
+
+    NoTimeout is safe by construction: state exists only for keys in the
+    frozen targets dict (the calibrated stream set) — bounded by
+    configuration, not by data."""
     import math
 
     def _fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -380,7 +447,13 @@ def ks_stream(events: DataFrame) -> DataFrame:
     detector (state keyed by a constant group — production shards this by
     segment key, e.g. per region or per model version, which also
     partitions the state across executors). Emits the current exact KS
-    verdict (na, nb, d_num, d_r4) every micro-batch."""
+    verdict (na, nb, d_num, d_r4) every micro-batch.
+
+    NoTimeout is safe by construction: one constant group key here (a
+    bounded segment dimension in the sharded production form); note the
+    value-histogram state within the key grows with DISTINCT OBSERVED
+    VALUES — cents-quantized, so bounded by the value range, not stream
+    length."""
     return (
         events.filter(F.col("event_type").isin("click", "purchase"))
         .select(F.lit(1).cast("long").alias("g"), "event_type", "value")
@@ -475,7 +548,15 @@ def esd_stream(events: DataFrame) -> DataFrame:
     pick list; after the last micro-batch the emission equals the batch
     rows exactly. ``seen`` (cumulative row count per key) is the monotone
     marker consumers use to select the final emission under update mode —
-    memory-sink row order is not contractual."""
+    memory-sink row order is not contractual.
+
+    NoTimeout note: keys are the bounded event-type dimension, but the
+    per-key day→cents rollup grows with CALENDAR TIME (~365 longs per
+    stream-year). That is the full sufficient statistic of the Rosner test
+    — a forever-run deployment bounds it by retention policy (drop days
+    older than the monitoring horizon in the fold), not by key TTL, since
+    evicting a whole stream's state would zero the detector, not trim
+    it."""
 
     def _fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (et,) = key
@@ -615,7 +696,10 @@ def psi_stream(events: DataFrame, ref: dict) -> DataFrame:
     current-period rows through an arbitrary split and pins equality.
     Rows at or before the calibration midpoint are reference traffic and
     are not re-scored; live values outside the frozen grid clamp to the
-    edge bins (standard practice — the grid is a calibration artifact)."""
+    edge bins (standard practice — the grid is a calibration artifact).
+    NoTimeout is safe by construction: keys come from the frozen reference
+    dict and state is 10 counters + 1 counter per key — O(|calibrated
+    streams|), data-independent."""
     import math
 
     def _fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):

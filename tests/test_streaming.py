@@ -1347,3 +1347,88 @@ def test_leaderboard_batch_equals_stream_foreachbatch(spark, tmp_path):
     assert _rows(got) == _rows(batch)
     # the emit-side rank ran on >= 2 distinct non-empty micro-batches
     assert len(set(emit_batches)) >= 2, emit_batches
+
+
+def test_profile_stream_ttl_evicts_idle_users(spark, tmp_path):
+    """user_running_profile(ttl_ms=...) — the bounded-state guard for the
+    ONE stateful operator whose key universe (user_id) is genuinely
+    unbounded: (a) arrivals inside the horizon keep folding into the
+    persisted profile exactly; (b) a user idle past the TTL is EVICTED, so
+    their next arrival restarts the running profile from zero (the
+    documented accuracy caveat that proves the state actually left the
+    store). Eviction is lazy, so a spacer user gives the engine a
+    micro-batch in which to time the idle user out."""
+    import json as _json
+    import time as _time
+
+    from genesapi_cli_spark.streaming.runtime import events_file_stream
+    from genesapi_cli_spark.streaming.stateful import user_running_profile
+
+    src = tmp_path / "prof_ttl_src"
+    src.mkdir()
+    ttl_ms = 5000
+
+    def dump(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "event_id": i,
+                        "ts_us": 1_700_000_000_000_000 + i,
+                        "user_id": u,
+                        "event_type": "click",
+                        "value": v,
+                        "props": "{}",
+                    }
+                )
+                for i, (u, v) in enumerate(rows, start=hash(name) % 1000 * 100)
+            )
+        )
+
+    stream = events_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        user_running_profile(stream, ttl_ms=ttl_ms)
+        .writeStream.format("memory")
+        .queryName("t_prof_ttl")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def wait_rows(n, timeout_s=60):
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM t_prof_ttl").collect()[0].c >= n:
+                return
+            _time.sleep(0.2)
+        raise AssertionError(f"timed out waiting for {n} emitted rows")
+
+    try:
+        # batch 1: user 1 gets two events, user 2 one.
+        dump("f1.json", [(1, 1.0), (1, 2.0), (2, 10.0)])
+        wait_rows(2)
+        # batch 2, inside the horizon: user 1's profile keeps folding.
+        dump("f2.json", [(1, 4.0)])
+        wait_rows(3)
+        # idle past the TTL, then a spacer user so a micro-batch runs and
+        # the engine times users 1 and 2 out.
+        _time.sleep(ttl_ms / 1000 + 3)
+        dump("f3.json", [(99, 0.5)])
+        wait_rows(4)
+        # user 1 returns after eviction: the profile must restart from
+        # zero (n=1, total=5.0), NOT continue at n=4/total=12.0.
+        dump("f4.json", [(1, 5.0)])
+        wait_rows(5)
+        rows = spark.sql("SELECT * FROM t_prof_ttl").collect()
+    finally:
+        q.stop()
+    # last emission per user (memory-sink order within a user follows
+    # n_events, which is monotone per state lifetime; the restart makes
+    # user 1's final n_events == 1, so key on the emitted tuples directly).
+    emitted = {(r.user_id, r.n_events, r.total_value) for r in rows}
+    assert (1, 2, 3.0) in emitted  # batch-1 fold of user 1
+    assert (1, 3, 7.0) in emitted  # batch-2 fold inside the horizon
+    assert (1, 1, 5.0) in emitted  # post-eviction restart from zero
+    assert (1, 4, 12.0) not in emitted  # state did NOT survive the TTL
+    assert (2, 1, 10.0) in emitted
+    assert (99, 1, 0.5) in emitted
