@@ -2747,3 +2747,143 @@ def q_dedup_shard_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("escape_share_r4"),
         )
     )
+
+
+# --- q_dedup_bloom (compact pre-screen filter for ingest) ---------------------
+
+_BLOOM_M = 16384  # filter bits; small here so the fp mechanics are visible
+_BLOOM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), old AS (
+  SELECT h FROM d WHERE doc_id % 2 = 0
+), pos AS (
+  SELECT DISTINCT p FROM (
+    SELECT ('0x' || substring(h, 1, 8))::BIGINT % {_BLOOM_M} AS p FROM old
+    UNION ALL
+    SELECT ('0x' || substring(h, 9, 8))::BIGINT % {_BLOOM_M} AS p FROM old
+  )
+), new_docs AS (
+  SELECT doc_id, h,
+         ('0x' || substring(h, 1, 8))::BIGINT % {_BLOOM_M} AS p1,
+         ('0x' || substring(h, 9, 8))::BIGINT % {_BLOOM_M} AS p2
+  FROM d WHERE doc_id % 2 = 1
+), flags AS (
+  SELECT n.doc_id,
+         (EXISTS (SELECT 1 FROM pos WHERE pos.p = n.p1)
+          AND EXISTS (SELECT 1 FROM pos WHERE pos.p = n.p2)) AS hit,
+         EXISTS (SELECT 1 FROM old o WHERE o.h = n.h) AS dup
+  FROM new_docs n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit,
+       CAST(SUM(CASE WHEN hit AND NOT dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pos) AS bits_set,
+       FLOOR(CAST(SUM(CASE WHEN hit AND NOT dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / (COUNT(*) - SUM(CASE WHEN dup THEN 1 ELSE 0 END))
+             * 10000 + 0.5) / 10000 AS fp_r4
+FROM flags
+"""
+
+
+@register("q_dedup_bloom", oracle=_BLOOM_ORACLE)
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for dedup-on-ingest, audited EXACTLY: the
+    historical half of the corpus (doc_id even — the stand-in for
+    yesterday's corpus) populates a k=2, m=16k bit filter over md5(text);
+    the incoming half is screened against it, and the certificate reports
+    hits, true duplicates, FALSE POSITIVES, and the realized fp rate —
+    the number that tells an ingest pipeline how much exact-verification
+    work the compact filter forwards, before anyone ships it to the edge.
+    (q_join_bloom certifies the same portable-filter mechanics row-by-row
+    on the orders⋈customer semi-join; this row is its corpus-ingest
+    application with the AGGREGATE calibration certificate an ingest
+    operator actually monitors.)
+    (The production pattern: the filter rides to ingest workers as a few
+    KB and screens before the dedup state store is ever touched; a hit
+    still verifies exactly — Bloom NEVER drops, it only short-circuits
+    the guaranteed-fresh path, so the documented one-sided-error contract
+    is: miss ⇒ certainly new, hit ⇒ verify.)
+
+    Parity engineering: both bit positions come from disjoint 8-hex-char
+    windows of the SAME md5 the exact screen already computes (the
+    conv(hex,16,10) ↔ ('0x'||hex)::BIGINT idiom, dedup.py:53); the
+    filter is represented EXACTLY as the distinct occupied-position set,
+    so Spark and DuckDB agree on every flag, not just the counts.
+
+    Scale shape: the occupied-position relation is bounded by m (16384
+    longs — CONSTANT in corpus size, the whole point of a Bloom filter),
+    so both membership probes are broadcast hash joins with no shuffle of
+    the incoming side; the true-dup arm is the one data-sized exchange
+    (hash-partitioned md5 semi-join — the same exchange q_dedup_exact
+    pays). At 100 TB, m scales to GB-range bits via the same plan: the
+    position set stays broadcastable (|P| ≤ m regardless of corpus), and
+    the fp certificate is what calibrates m against the observed ingest
+    mix."""
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    p1 = (F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % _BLOOM_M).alias("p1")
+    p2 = (F.conv(F.substring("h", 9, 8), 16, 10).cast("long") % _BLOOM_M).alias("p2")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    pos = (
+        old.select(p1.alias("p"))
+        .union(old.select(p2.alias("p")))
+        .distinct()
+    )
+    new_docs = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "h", p1, p2)
+    probed = (
+        new_docs.join(
+            F.broadcast(pos.select(F.col("p").alias("hit1"))),
+            F.col("p1") == F.col("hit1"),
+            "left",
+        )
+        .join(
+            F.broadcast(pos.select(F.col("p").alias("hit2"))),
+            F.col("p2") == F.col("hit2"),
+            "left",
+        )
+        .join(
+            old.select(F.col("h").alias("oh")).distinct(),
+            F.col("h") == F.col("oh"),
+            "left",
+        )
+        .select(
+            (F.col("hit1").isNotNull() & F.col("hit2").isNotNull()).alias("hit"),
+            F.col("oh").isNotNull().alias("dup"),
+        )
+    )
+    bits = pos.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    return (
+        probed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true_dup"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bloom_hit"),
+            F.sum(F.when(F.col("hit") & ~F.col("dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(bits))
+        .select(
+            "n_new",
+            "n_true_dup",
+            "n_bloom_hit",
+            "n_false_pos",
+            "bits_set",
+            (
+                F.floor(
+                    F.col("n_false_pos").cast("double")
+                    / (F.col("n_new") - F.col("n_true_dup"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("fp_r4"),
+        )
+    )

@@ -3460,3 +3460,293 @@ def q_feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("enc_micro"),
     )
+
+
+# --- q_corpus_epoch_shuffle (reproducible per-epoch remixing certificate) ----
+
+_EPOCH_SHARDS = 8
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+         ('0x' || substr(sha256('0:' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % {_EPOCH_SHARDS} AS s0,
+         ('0x' || substr(sha256('1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % {_EPOCH_SHARDS} AS s1
+  FROM documents
+)
+SELECT s0, s1,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM assigned
+GROUP BY s0, s1
+"""
+
+
+@register("q_corpus_epoch_shuffle", oracle=_EPOCH_SHUFFLE_ORACLE)
+def q_corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible EPOCH-SHUFFLE certificate: every training epoch e
+    assigns each document to loader shard sha256(e:doc_id) mod 8 — a
+    deterministic pseudo-random permutation per epoch with NO global sort
+    and no stored permutation table (the dataloader recomputes any doc's
+    epoch-e placement from its id alone — the property that makes
+    mid-epoch resume and elastic re-sharding free). The certificate is
+    the epoch-0 × epoch-1 shard TRANSITION MATRIX (doc counts + token
+    mass per cell): uniform off-diagonal mass ≈ 1/shards per cell proves
+    consecutive epochs genuinely re-mix (a batch never re-sees epoch-0
+    neighborhoods), and the row/column marginals expose shard balance for
+    both epochs in the same relation.
+
+    Parity engineering: the sha256-prefix mod idiom both engines share
+    (q_corpus_shard_assign / q_sample_hash); token counts are the
+    whitespace integer; the matrix is pure integer aggregation.
+
+    Scale shape: one projection (two sha256 calls, whole-stage codegen) +
+    one map-side-combinable hash aggregate into ≤ shards² groups — no
+    join, no window, no sort; the certificate costs one scan regardless
+    of corpus size, and the assignment itself is embarrassingly parallel
+    at any epoch count."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
+    )
+
+    def shard(epoch: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(F.lit(f"{epoch}:"), F.col("doc_id").cast("string")),
+                        256,
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _EPOCH_SHARDS
+        )
+
+    return (
+        docs.select(
+            shard(0).alias("s0"),
+            shard(1).alias("s1"),
+            n_tokens.cast("long").alias("n_tokens"),
+        )
+        .groupBy("s0", "s1")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+# --- q_corpus_blocklist (prefix blocklist screen) ----------------------------
+
+_BLOCK_PREFIX_LEN = 4
+
+_BLOCKLIST_ORACLE = f"""
+WITH blocked AS (
+  SELECT DISTINCT substr(source, 1, {_BLOCK_PREFIX_LEN}) AS pfx
+  FROM documents
+  WHERE ('0x' || substr(sha256(source), 1, 8))::BIGINT % 5 = 0
+), d AS (
+  SELECT lang,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+         EXISTS (SELECT 1 FROM blocked b
+                 WHERE b.pfx = substr(source, 1, {_BLOCK_PREFIX_LEN}))
+           AS is_blocked
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(SUM(CASE WHEN is_blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_blocked THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS blocked_tokens,
+       CAST(SUM(CASE WHEN is_blocked THEN 0 ELSE n_tokens END) AS BIGINT)
+         AS kept_tokens
+FROM d
+GROUP BY lang
+"""
+
+
+@register("q_corpus_blocklist", oracle=_BLOCKLIST_ORACLE)
+def q_corpus_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-prefix BLOCKLIST screen — the domain/URL-pattern exclusion
+    every web-corpus pipeline runs (opt-outs, spam hosts, license
+    blocks): a small blocklist of source PREFIXES (here derived
+    deterministically: sources whose sha256 lands in a 1-in-5 residue
+    class, truncated to 4 chars — note 'src1' also blocks src10..src19,
+    which is exactly prefix-match semantics doing its job) screens the
+    corpus, and the certificate reports per-lang kept/blocked doc and
+    token mass — the before/after ledger a curation run publishes.
+
+    Parity engineering: the membership test is an exact equality on the
+    fixed-length prefix; token counts are the whitespace integer; all
+    outputs integer counts/sums.
+
+    Scale shape: the blocklist aggregates to a FEW DISTINCT PREFIXES
+    (bounded by the blocklist, not the corpus) and rides a broadcast hash
+    join — the corpus never shuffles; kept/blocked fold into one map-side
+    aggregate keyed by lang. For variable-length prefix lists the same
+    plan explodes each source into its ≤ L prefixes and equi-joins — the
+    standard longest-prefix trick, still broadcast, still shuffle-free on
+    the fact side."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    blocked = (
+        docs.filter(
+            F.conv(F.substring(F.sha2(F.col("source"), 256), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % 5
+            == 0
+        )
+        .select(F.substring("source", 1, _BLOCK_PREFIX_LEN).alias("pfx"))
+        .distinct()
+    )
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
+    )
+    return (
+        docs.select(
+            "lang",
+            n_tokens.cast("long").alias("n_tokens"),
+            F.substring("source", 1, _BLOCK_PREFIX_LEN).alias("dp"),
+        )
+        .join(F.broadcast(blocked), F.col("dp") == F.col("pfx"), "left")
+        .select(
+            "lang", "n_tokens", F.col("pfx").isNotNull().alias("is_blocked")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_blocked"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocked"),
+            F.sum(F.when(F.col("is_blocked"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("is_blocked"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("blocked_tokens"),
+            F.sum(F.when(F.col("is_blocked"), 0).otherwise(F.col("n_tokens")))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+# --- q_corpus_curriculum (phased mix schedule) -------------------------------
+
+#: (phase, alpha, phase token budget) — flatten-as-you-anneal: later phases
+#: sample closer to uniform across sources while the budget share shrinks.
+_CURRICULUM_PHASES = [(0, "1.0", 500000), (1, "0.7", 300000), (2, "0.4", 200000)]
+
+_CURRICULUM_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per_source
+), phases(phase, alpha, budget) AS (
+  VALUES {", ".join(f"({p}, CAST({a} AS DOUBLE), CAST({b} AS BIGINT))"
+                    for p, a, b in _CURRICULUM_PHASES)}
+), w AS (
+  SELECT ph.phase, ph.alpha, ph.budget, s.source, s.n_tokens,
+         CAST(FLOOR(EXP(ph.alpha
+               * (FLOOR(LN(CAST(s.n_tokens AS DOUBLE) / t.total) * 1000000 + 0.5)
+                  / 1000000)) * 1000000 + 0.5) AS BIGINT) AS w_micros
+  FROM per_source s CROSS JOIN tot t CROSS JOIN phases ph
+), wt AS (
+  SELECT phase, CAST(SUM(w_micros) AS BIGINT) AS w_total FROM w GROUP BY phase
+)
+SELECT w.phase, w.source, w.n_tokens, w.w_micros,
+       CAST(FLOOR(CAST(w.w_micros AS DOUBLE) / wt.w_total
+                  * CAST(w.budget AS DOUBLE)) AS BIGINT) AS alloc_tokens
+FROM w JOIN wt ON w.phase = wt.phase
+"""
+
+
+@register("q_corpus_curriculum", oracle=_CURRICULUM_ORACLE)
+def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phased CURRICULUM schedule — the multi-stage data mix a pretraining
+    run actually executes (bulk → anneal → final polish): each phase p
+    gets a token budget and a temperature α_p, and every source's
+    allocation in phase p is budget_p · w/Σw with w = share^α_p — early
+    phases sample sources proportionally (α=1), later phases flatten
+    toward uniform (α↓) exactly like data-annealing recipes that upweight
+    scarce high-quality sources at the end of training. One relation
+    holds the whole schedule: (phase, source, tokens, weight, allocated
+    tokens) — the table the shard planner (q_corpus_shard_assign) and the
+    packer consume per phase.
+
+    Parity engineering: share^α = exp(α·ln share) with the ln
+    micro-snapped BEFORE the multiply and the weight snapped to integer
+    micros — q_corpus_temperature's exact libm discipline, now keyed by
+    (phase, source); the final allocation is one double ratio floored to
+    a bigint.
+
+    Scale shape: one per-source token aggregate (map-side) feeds a
+    |sources| × |phases| projection — the corpus is scanned ONCE for any
+    number of phases; the broadcast totals are single rows and the phase
+    table is a literal. At 100 TB this is the same one-scan decision
+    table, written by the planner and read by every phase's sampler."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
+    )
+    per_source = (
+        docs.select("source", n_tokens.cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("bigint").alias("n_tokens"))
+    )
+    tot = per_source.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    phases = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).cast("bigint").alias("phase"),
+                    F.expr(f"CAST({a} AS DOUBLE)").alias("alpha"),
+                    F.lit(b).cast("bigint").alias("budget"),
+                )
+                for p, a, b in _CURRICULUM_PHASES
+            ]
+        )
+    )
+    w = (
+        per_source.crossJoin(F.broadcast(tot))
+        .select("source", "n_tokens", "total", phases.alias("ph"))
+        .select(
+            F.col("ph.phase").alias("phase"),
+            F.col("ph.alpha").alias("alpha"),
+            F.col("ph.budget").alias("budget"),
+            "source",
+            "n_tokens",
+            F.expr(
+                "CAST(FLOOR(EXP(ph.alpha "
+                "* (FLOOR(LN(CAST(n_tokens AS DOUBLE) / total) * 1000000 + 0.5) "
+                "/ 1000000)) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("w_micros"),
+        )
+    )
+    wt = w.groupBy(F.col("phase").alias("wt_phase")).agg(
+        F.sum("w_micros").cast("bigint").alias("w_total")
+    )
+    return (
+        w.join(F.broadcast(wt), F.col("phase") == F.col("wt_phase"))
+        .select(
+            "phase",
+            "source",
+            "n_tokens",
+            "w_micros",
+            F.expr(
+                "CAST(FLOOR(CAST(w_micros AS DOUBLE) / w_total "
+                "* CAST(budget AS DOUBLE)) AS BIGINT)"
+            ).alias("alloc_tokens"),
+        )
+    )

@@ -2996,3 +2996,152 @@ def q_sim_graph_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overall_micro"),
     )
+
+
+# --- q_sim_matryoshka (truncated-dimension retrieval fidelity) ---------------
+
+_MRL_PREFIX = 16
+_MRL_K = 5
+
+_MRL_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm,
+         SQRT(list_dot_product(embedding[1:{_MRL_PREFIX}]::DOUBLE[],
+                               embedding[1:{_MRL_PREFIX}]::DOUBLE[])) AS pnrm
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         FLOOR(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) * 10000 + 0.5)
+           / 10000 AS cos_r,
+         FLOOR(list_dot_product(a.emb[1:{_MRL_PREFIX}], b.emb[1:{_MRL_PREFIX}])
+               / (a.pnrm * b.pnrm) * 10000 + 0.5) / 10000 AS pcos_r
+  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id >= 10
+), rf AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_r DESC, neighbor_id) AS rk
+  FROM scored
+), rp AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY pcos_r DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT f.query_id,
+       CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_overlap,
+       FLOOR(CAST(COUNT(p.neighbor_id) AS DOUBLE) / {_MRL_K} * 10000 + 0.5)
+         / 10000 AS recall_r4
+FROM rf f
+LEFT JOIN rp p ON f.query_id = p.query_id
+              AND f.neighbor_id = p.neighbor_id AND p.rk <= {_MRL_K}
+WHERE f.rk <= {_MRL_K}
+GROUP BY f.query_id
+"""
+
+
+@register("q_sim_matryoshka", oracle=_MRL_ORACLE)
+def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval fidelity: recall@5 of top-5 by
+    the FIRST-16-dim prefix cosine against top-k by the full
+    64-dim cosine, per query (vec_id < 10, q_sim_cosine_topk's
+    query/candidate split). This is the certificate behind the
+    matryoshka-embedding deployment decision — serve the short prefix
+    (4× less memory/bandwidth in the ANN index, the nested-representation
+    property MRL training optimizes for) and this number is exactly what
+    you trade. Companion to q_sim_recall (which certifies an ANN
+    structure); here the index is exact and the REPRESENTATION is
+    truncated.
+
+    Parity engineering: both cosines snap r4 before ranking (the
+    cosine_topk discipline: last-ulp differences can't flip an order),
+    both rankings tie-break on neighbor_id, and the overlap count is an
+    integer join — no float crosses the final aggregate.
+
+    Scale shape: ONE broadcast-queries × candidates pass scores both
+    resolutions (the prefix dot is a strict subexpression of the full
+    dot, so the second resolution is ~free); two per-query top-k windows
+    (WindowGroupLimit prunes to k per partition pre-sort) and a
+    per-(query,neighbor) equi-join over 2·|Q|·k rows. Candidates never
+    shuffle; the plan is the brute-force ANN baseline's, with the recall
+    join on top."""
+    e = shared_normed_embeddings(spark, sf_dir).select("vec_id", "emb", "nrm")
+    pn = F.sqrt(dot_expr("emb", "emb", _MRL_PREFIX))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        pn.alias("qpnrm"),
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+        pn.alias("cpnrm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.floor(
+                    dot_expr("qemb", "cemb")
+                    / (F.col("qnrm") * F.col("cnrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("cos_r"),
+            (
+                F.floor(
+                    dot_expr("qemb", "cemb", _MRL_PREFIX)
+                    / (F.col("qpnrm") * F.col("cpnrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("pcos_r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), "neighbor_id")
+    wp = Window.partitionBy("query_id").orderBy(F.col("pcos_r").desc(), "neighbor_id")
+    topf = (
+        scored.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= _MRL_K)
+        .select("query_id", "neighbor_id")
+    )
+    topp = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= _MRL_K)
+        .select(
+            F.col("query_id").alias("p_query"), F.col("neighbor_id").alias("p_nb"),
+            F.lit(1).alias("inp"),
+        )
+    )
+    return (
+        topf.join(
+            # |Q|·k rows by construction (the window already pruned) —
+            # unconditionally broadcastable at any corpus size.
+            F.broadcast(topp),
+            (F.col("query_id") == F.col("p_query"))
+            & (F.col("neighbor_id") == F.col("p_nb")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("inp", F.lit(0))).cast("bigint").alias("n_overlap"),
+            (
+                F.floor(
+                    F.sum(F.coalesce("inp", F.lit(0))).cast("double")
+                    / _MRL_K
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("recall_r4"),
+        )
+    )
