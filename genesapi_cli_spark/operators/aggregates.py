@@ -3661,11 +3661,11 @@ WITH x AS (
   FROM base GROUP BY priority
 ), s AS (
   SELECT priority, n, sx1, sx2, sy,
-         CAST(n * sx1x1 - sx1 * sx1 AS BIGINT) AS s11,
-         CAST(n * sx2x2 - sx2 * sx2 AS BIGINT) AS s22,
-         CAST(n * sx1x2 - sx1 * sx2 AS BIGINT) AS s12,
-         CAST(n * sx1y - sx1 * sy AS BIGINT) AS s1y,
-         CAST(n * sx2y - sx2 * sy AS BIGINT) AS s2y,
+         CAST(n AS HUGEINT) * sx1x1 - CAST(sx1 AS HUGEINT) * sx1 AS s11,
+         CAST(n AS HUGEINT) * sx2x2 - CAST(sx2 AS HUGEINT) * sx2 AS s22,
+         CAST(n AS HUGEINT) * sx1x2 - CAST(sx1 AS HUGEINT) * sx2 AS s12,
+         CAST(n AS HUGEINT) * sx1y - CAST(sx1 AS HUGEINT) * sy AS s1y,
+         CAST(n AS HUGEINT) * sx2y - CAST(sx2 AS HUGEINT) * sy AS s2y,
          CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS syy_c
   FROM m
 ), b AS (
@@ -3698,12 +3698,19 @@ def q_agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_agg_moments_merge certifies.
 
     Parity engineering: y in whole dollars and integer regressors keep
-    every n-scaled centered moment (n·Σab − Σa·Σb) an exact bigint
-    (max ≈ 1.6·10¹⁷ at sf0.1's n ≈ 3·10⁴, documented headroom to int64);
-    only Σy² crosses to double (Sy² would overflow), and determinant /
-    coefficients / R² are one shared IEEE sequence over exact integers,
-    snapped r4. Near-singular classes are dropped by |det| > 0.5 — for
-    integer moments a true-zero det is the only value below 1.
+    every n-scaled centered moment (n·Σab − Σa·Σb) EXACT — the raw
+    per-group sums stay bigint, and the centered cross products compute
+    in decimal(38,0) (Spark) ↔ HUGEINT (DuckDB), both exact integer
+    arithmetic with identical values (round-11: the sf10 rehearsal
+    caught the previous all-bigint cross products overflowing at
+    n ≈ 3·10⁶ per class — sx2·sy ≈ 1.7·10²⁰ > int64; decimal(38,0)
+    headroom reaches n ≈ 10¹⁰ per class, and the q_agg_spearman
+    decimal-crossed-moments precedent applies verbatim); only Σy²
+    crosses to double (Sy² would overflow any fixed width), and
+    determinant / coefficients / R² are one shared IEEE sequence over
+    exact integers, snapped r4. Near-singular classes are dropped by
+    |det| > 0.5 — for integer moments a true-zero det is the only value
+    below 1.
 
     Scale shape: one per-order aggregate (map-side combined), one
     per-class moments aggregate, then constant algebra — two shuffles of
@@ -3744,11 +3751,16 @@ def q_agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sx1",
         "sx2",
         "sy",
-        (n * F.col("sx1x1") - F.col("sx1") * F.col("sx1")).cast("bigint").alias("s11"),
-        (n * F.col("sx2x2") - F.col("sx2") * F.col("sx2")).cast("bigint").alias("s22"),
-        (n * F.col("sx1x2") - F.col("sx1") * F.col("sx2")).cast("bigint").alias("s12"),
-        (n * F.col("sx1y") - F.col("sx1") * F.col("sy")).cast("bigint").alias("s1y"),
-        (n * F.col("sx2y") - F.col("sx2") * F.col("sy")).cast("bigint").alias("s2y"),
+        (F.col("n").cast("decimal(38,0)") * F.col("sx1x1")
+         - F.col("sx1").cast("decimal(38,0)") * F.col("sx1")).alias("s11"),
+        (F.col("n").cast("decimal(38,0)") * F.col("sx2x2")
+         - F.col("sx2").cast("decimal(38,0)") * F.col("sx2")).alias("s22"),
+        (F.col("n").cast("decimal(38,0)") * F.col("sx1x2")
+         - F.col("sx1").cast("decimal(38,0)") * F.col("sx2")).alias("s12"),
+        (F.col("n").cast("decimal(38,0)") * F.col("sx1y")
+         - F.col("sx1").cast("decimal(38,0)") * F.col("sy")).alias("s1y"),
+        (F.col("n").cast("decimal(38,0)") * F.col("sx2y")
+         - F.col("sx2").cast("decimal(38,0)") * F.col("sy")).alias("s2y"),
         (
             n.cast("double") * F.col("syy")
             - F.col("sy").cast("double") * F.col("sy")
