@@ -433,8 +433,13 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, so the pattern scales to hierarchy tables that connected-
     components driver loops (q_dedup_clusters) would need many rounds for.
     Depth is bounded by key length (~log10 N), so the loop terminates in
-    a handful of iterations regardless of row count.
+    a handful of iterations regardless of row count. The recursion ROW
+    limit is a safety valve against non-terminating recursions, not a
+    scale bound — the walk legitimately materializes every customer once
+    (round-11 sf10 rehearsal: 1.5M rows tripped the 1M default), so it is
+    raised here; termination stays guaranteed by the depth structure.
     """
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
     load(spark, sf_dir, "customer").createOrReplaceTempView("rcte_customer")
     return spark.sql(
         """
