@@ -56,7 +56,14 @@ NONSCALING = {"q_source_cube_ds", "q_source_cube_text", "q_source_cube_write"}
 #: round-10: q_dedup_prefix_filter's cap removed — the corpus-calibrated
 #: shingle width made the registered default ~linear on the degenerate
 #: closed-vocabulary corpus (marginal exponent 0.57 at sf1→sf3).
-SF_CAP: dict[str, float] = {}
+#: round-11: q_dedup_ngram_jaccard capped at sf3 — the EXACT ground-truth
+#: Jaccard legitimately enumerates every shared-shingle candidate pair,
+#: and on the degenerate 31-word synthetic corpus the blocks go
+#: whale-sized by sf10 (>49 GB of sort spill exhausted this host's disk).
+#: Its scale path IS q_dedup_eval's budgeted audit (swept to sf10 at
+#: marginal 0.589) plus the documented stop-shingle escape hatch; the
+#: exact row exists to pin correctness, not to run at corpus scale.
+SF_CAP: dict[str, float] = {"q_dedup_ngram_jaccard": 3}
 
 #: Extra ledger rows: (name suffix, base query, session confs) — the scale-
 #: path parameterizations of capped queries, benched across ALL sfs.
