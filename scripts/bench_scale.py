@@ -63,7 +63,12 @@ NONSCALING = {"q_source_cube_ds", "q_source_cube_text", "q_source_cube_write"}
 #: Its scale path IS q_dedup_eval's budgeted audit (swept to sf10 at
 #: marginal 0.589) plus the documented stop-shingle escape hatch; the
 #: exact row exists to pin correctness, not to run at corpus scale.
-SF_CAP: dict[str, float] = {"q_dedup_ngram_jaccard": 3}
+#: q_dedup_threshold_sweep shares the identical shingle equi-join shape
+#: (its docstring says so) and spilled 57 GB at sf10 before the cap.
+SF_CAP: dict[str, float] = {
+    "q_dedup_ngram_jaccard": 3,
+    "q_dedup_threshold_sweep": 3,
+}
 
 #: Extra ledger rows: (name suffix, base query, session confs) — the scale-
 #: path parameterizations of capped queries, benched across ALL sfs.
