@@ -2781,9 +2781,11 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
        CAST(SUM(CASE WHEN hit AND NOT dup THEN 1 ELSE 0 END) AS BIGINT)
          AS n_false_pos,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM pos) AS bits_set,
-       FLOOR(CAST(SUM(CASE WHEN hit AND NOT dup THEN 1 ELSE 0 END) AS DOUBLE)
-             / (COUNT(*) - SUM(CASE WHEN dup THEN 1 ELSE 0 END))
-             * 10000 + 0.5) / 10000 AS fp_r4
+       CASE WHEN COUNT(*) - SUM(CASE WHEN dup THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE FLOOR(
+              CAST(SUM(CASE WHEN hit AND NOT dup THEN 1 ELSE 0 END) AS DOUBLE)
+              / (COUNT(*) - SUM(CASE WHEN dup THEN 1 ELSE 0 END))
+              * 10000 + 0.5) / 10000 END AS fp_r4
 FROM flags
 """
 
@@ -2876,7 +2878,13 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bloom_hit",
             "n_false_pos",
             "bits_set",
-            (
+            # Zero-guarded: on a degenerate slice where every incoming doc is
+            # an exact duplicate the denominator is 0 — define fp_r4 as NULL
+            # on both engines rather than risk NaN-vs-error divergence.
+            F.when(
+                (F.col("n_new") - F.col("n_true_dup")) == 0, F.lit(None)
+            )
+            .otherwise(
                 F.floor(
                     F.col("n_false_pos").cast("double")
                     / (F.col("n_new") - F.col("n_true_dup"))
@@ -2884,6 +2892,7 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(0.5)
                 )
                 / 10000
-            ).alias("fp_r4"),
+            )
+            .alias("fp_r4"),
         )
     )

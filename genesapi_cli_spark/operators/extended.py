@@ -436,10 +436,14 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     a handful of iterations regardless of row count. The recursion ROW
     limit is a safety valve against non-terminating recursions, not a
     scale bound — the walk legitimately materializes every customer once
-    (round-11 sf10 rehearsal: 1.5M rows tripped the 1M default), so it is
-    raised here; termination stays guaranteed by the depth structure.
+    (round-11 sf10 rehearsal: 1.5M rows tripped the 1M default), so the
+    raised limit lives in session.RUNTIME_CONFS as declared policy (set
+    idempotently by ensure_runtime_confs, not mutated here); termination
+    stays guaranteed by the depth structure.
     """
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     load(spark, sf_dir, "customer").createOrReplaceTempView("rcte_customer")
     return spark.sql(
         """

@@ -1103,8 +1103,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     neither is force-broadcast: both are first semi-pruned to the region's
     nations (valid for customer because the locality condition
     c_nationkey = s_nationkey forces ASIA customers — a 5× cut), then
-    joined via shuffle_hash hints so AQE promotes them to broadcast when
-    they measure small and falls back to a hash shuffle when they don't.
+    joined via shuffle_hash hints. The explicit hint PINS the joins to
+    shuffled-hash (it takes precedence over AQE's size-based broadcast
+    selection, so small SFs pay the shuffle): the point of the hint is the
+    scale ceiling — no sort on the linear-growth sides and no unbounded
+    broadcast, whatever the SF.
     The year predicate prunes orders at the scan; orders⋈customer runs
     dim-side (both linear-but-small) before the single fact shuffle of
     lineitem on l_orderkey, and the supplier join carries the locality

@@ -34,6 +34,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     # Arrow for pandas_udf / toPandas exchange (vectorized Python boundary).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Recursive-CTE row valve: the default 1M trips on legitimate full-table
+    # walks (q_cte_recursive materializes every customer once — 1.5M rows at
+    # sf10). Raised here as declared session policy rather than mutated
+    # ad-hoc inside an operator; termination for our recursive queries is
+    # guaranteed structurally (depth bounded by key length), and the valve
+    # still guards against runaway recursion at 100M.
+    "spark.sql.cteRecursionRowLimit": str(100_000_000),
 }
 
 

@@ -1366,7 +1366,11 @@ def test_profile_stream_ttl_evicts_idle_users(spark, tmp_path):
 
     src = tmp_path / "prof_ttl_src"
     src.mkdir()
-    ttl_ms = 5000
+    # TTL wide enough that the in-horizon fold (f2) cannot land after the
+    # window even on a loaded host: f2 is dumped the instant f1's rows
+    # appear, so the fold-to-fold gap is bounded by a couple of 500 ms
+    # trigger cycles plus poll latency — far under 10 s.
+    ttl_ms = 10_000
 
     def dump(name, rows):
         (src / name).write_text(
@@ -1412,7 +1416,7 @@ def test_profile_stream_ttl_evicts_idle_users(spark, tmp_path):
         wait_rows(3)
         # idle past the TTL, then a spacer user so a micro-batch runs and
         # the engine times users 1 and 2 out.
-        _time.sleep(ttl_ms / 1000 + 3)
+        _time.sleep(ttl_ms / 1000 + 2)
         dump("f3.json", [(99, 0.5)])
         wait_rows(4)
         # user 1 returns after eviction: the profile must restart from
