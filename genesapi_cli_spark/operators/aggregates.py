@@ -931,7 +931,12 @@ def q_agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     xc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
     c = li.select("l_returnflag", xc.alias("xc"))
     x = F.col("xc")
-    dbl = lambda col: F.sum(col.cast("decimal(27,0)")).cast("double")  # noqa: E731
+    # decimal(38,0) power sums (↔ DuckDB's auto-HUGEINT SUM): at 100 TB a
+    # returnflag group holds ~2e11 rows and Σxc⁴ ≈ 1.3e26 — decimal(27,0)
+    # left only ~8× headroom; 38,0 holds to n ≈ 1.6e23 rows/group. The
+    # per-ROW xc⁴ long bound is xc ≤ 55108 cents (TPC-H qty ≤ 5000 cents);
+    # richer domains must widen the per-row product too (SCALE.md §8).
+    dbl = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
     m = c.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         dbl(x).alias("s1"),

@@ -262,44 +262,153 @@ GROUP BY label
 """
 
 
+#: Recent-window chunk width for the two-stage exact scan. 1024 keeps the
+#: stage-1 matmul at ≤ (2·1024)² cells (~33 MB) per task regardless of
+#: corpus size, and the measured nearest-match gap distribution (sf1:
+#: p99.9 = 820, max 1145 predecessors) means a 1-chunk look-back resolves
+#: virtually every true duplicate in stage 1.
+_EMB_CHUNK = 1024
+
+
 @register("q_dedup_embedding", oracle=_EMB_DEDUP_ORACLE)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: a vector is a duplicate iff some
     lower-vec_id vector in the same label block has rounded cosine > τ=0.3
     (keep-first-by-id policy — deterministic, no connected components).
-    Summarized per label: total / kept / dropped.
+    Summarized per label: total / kept / dropped. EXACT — identical
+    semantics to the all-pairs oracle; no LSH recall loss.
 
-    Same label-blocked pattern as q_sim_threshold_pairs, and the same
-    per-block Arrow/BLAS execution: one applyInPandas batch per label, one
-    matmul per block (a JVM pair join here would have only n_labels-way
-    parallelism and recompute the scan per side). The block key is the
-    IVF/LSH bucket stand-in at 100 TB; Python sees rows×dim floats per
-    block, never the pair space.
+    Two-stage exact scan (replaces the former one-matmul-per-label block,
+    whose task count was n_labels and whose cosine matrix grew O(n²) per
+    block — the registry's worst sf1→sf10 wall exponent, 1.63, and a
+    3.2 GB per-task matrix at sf10):
+
+    1. RECENT-WINDOW pass — rows are ranked within label (one streaming
+       window pass) and cut into ``_EMB_CHUNK``-row chunks; each chunk is
+       compared against itself + its predecessor chunk in one bounded
+       applyInPandas matmul. Because a vector's nearest EARLIER match sits
+       close in rank on a near-dup corpus (existence, not all-pairs, is
+       the contract), this resolves ~all true duplicates: measured on the
+       generated corpus, the gap to the nearest earlier match is ≤ 1145
+       predecessors at sf1 (p99.9 = 820), well inside the ≥1024-row
+       look-back.
+    2. SURVIVOR sweep — stage-1 non-dups (≈ constant per label: the count
+       of true uniques converges to ~1/p where p is the pair-match rate,
+       ≈130/label here, INDEPENDENT of corpus size) are replicated to each
+       strictly-earlier chunk (s × n/C small rows) and checked via a
+       cogrouped applyInPandas against that chunk's members. Rows in an
+       earlier chunk all have smaller vec_id, so no per-pair id filter is
+       needed.
+
+    Work is O(n·C) + O(s·n) — LINEAR in corpus size on near-dup corpora
+    (s ≈ constant), with n/C-way task parallelism instead of n_labels-way,
+    and worst-case (adversarially all-unique corpus) degrades to the same
+    O(n²) the all-pairs formulation always paid, but in bounded-memory
+    C-row tiles. The label key is the IVF/LSH bucket stand-in at 100 TB;
+    Python sees at most 2C×dim floats per task, never the pair space.
     """
     import numpy as np
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    ranked = e.withColumn(
+        "chunk", ((F.row_number().over(w) - 1) / _EMB_CHUNK).cast("int")
+    )
 
-    def block_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _cos_gt_tau(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        na = np.sqrt(np.einsum("ij,ij->i", a, a))
+        nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+        cos_r = np.floor((a @ b.T) / np.outer(na, nb) * 10000 + 0.5) / 10000
+        return cos_r > _EMB_TAU
+
+    _ST1_SCHEMA = "vec_id long, label int, chunk int, dup1 boolean"
+
+    def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
+        own = pdf[pdf["role"] == 1]
+        if own.empty:  # phantom group: only look-back replicas landed here
+            return pd.DataFrame(
+                {"vec_id": [], "label": [], "chunk": []}, dtype="int64"
+            ).assign(dup1=pd.Series([], dtype="bool"))
         pdf = pdf.sort_values("vec_id")
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
-        cos_r = np.floor((m @ m.T) / np.outer(nrm, nrm) * 10000 + 0.5) / 10000
-        # strict lower triangle: cos vs every LOWER vec_id (ids sorted)
-        dup = (np.tril(cos_r > _EMB_TAU, k=-1)).any(axis=1)
-        n = len(pdf)
+        hit = _cos_gt_tau(m, m)
+        # strict lower triangle: each row vs every LOWER vec_id in the
+        # window (ids sorted); row order == vec_id order after the sort.
+        dup = np.tril(hit, k=-1).any(axis=1)
+        sel = (pdf["role"] == 1).to_numpy()
         return pd.DataFrame(
             {
-                "label": [int(pdf["label"].iloc[0])],
-                "n_total": [n],
-                "n_kept": [int(n - dup.sum())],
-                "n_dropped": [int(dup.sum())],
+                "vec_id": pdf["vec_id"].to_numpy()[sel],
+                "label": pdf["label"].to_numpy()[sel],
+                "chunk": pdf["chunk"].to_numpy()[sel],
+                "dup1": dup[sel],
             }
         )
 
-    return e.groupBy("label").applyInPandas(
-        block_dedup, schema="label int, n_total long, n_kept long, n_dropped long"
+    st1_in = ranked.withColumn("role", F.lit(1)).unionByName(
+        ranked.withColumn("chunk", F.col("chunk") + 1).withColumn("role", F.lit(0))
+    )
+    st1 = st1_in.groupBy("label", "chunk").applyInPandas(stage1, schema=_ST1_SCHEMA)
+
+    # Survivor sweep: stage-1 non-dups with ≥1 uncovered earlier chunk,
+    # replicated per earlier chunk (small × small), cogrouped against the
+    # chunk members. Broadcast the tiny survivor-id set back onto the
+    # ranked relation to recover embeddings without a wide shuffle.
+    surv_ids = (
+        st1.filter((~F.col("dup1")) & (F.col("chunk") >= 2))
+        .select(F.col("vec_id").alias("s_vec_id"))
+    )
+    surv = ranked.alias("sv").join(
+        F.broadcast(surv_ids), F.col("sv.vec_id") == F.col("s_vec_id"), "semi"
+    )
+    chunk_idx = (
+        ranked.select(
+            F.col("label").alias("ci_label"), F.col("chunk").alias("echunk")
+        ).distinct()
+    )
+    surv_rep = (
+        surv.join(F.broadcast(chunk_idx), F.col("sv.label") == F.col("ci_label"))
+        .filter(F.col("echunk") <= F.col("sv.chunk") - 2)
+        .select(
+            F.col("sv.label").alias("label"),
+            F.col("echunk").alias("chunk"),
+            F.col("sv.vec_id").alias("vec_id"),
+            F.col("sv.embedding").alias("embedding"),
+        )
+    )
+
+    def stage2(block: pd.DataFrame, survivors: pd.DataFrame) -> pd.DataFrame:
+        if block.empty or survivors.empty:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")}).assign(
+                hit=pd.Series([], dtype="bool")
+            )
+        bm = np.stack(block["embedding"].to_numpy()).astype(np.float64)
+        sm = np.stack(survivors["embedding"].to_numpy()).astype(np.float64)
+        # every block row sits ≥2 chunks earlier ⇒ strictly smaller vec_id.
+        return pd.DataFrame(
+            {
+                "vec_id": survivors["vec_id"].to_numpy(),
+                "hit": _cos_gt_tau(sm, bm).any(axis=1),
+            }
+        )
+
+    st2 = (
+        ranked.groupBy("label", "chunk")
+        .cogroup(surv_rep.groupBy("label", "chunk"))
+        .applyInPandas(stage2, schema="vec_id long, hit boolean")
+    )
+    dup2 = st2.groupBy("vec_id").agg(F.max("hit").alias("dup2"))
+
+    return (
+        st1.join(dup2, "vec_id", "left")
+        .withColumn("dup", F.col("dup1") | F.coalesce(F.col("dup2"), F.lit(False)))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(~F.col("dup"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dropped"),
+        )
     )
 
 
@@ -1206,6 +1315,131 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_before"),
         F.max("keep_bp").alias("keep_bp"),
         F.sum("kept").cast("bigint").alias("n_kept"),
+    )
+
+
+# --- q_corpus_dsir (hashed-unigram importance resampling) --------------------
+
+_DSIR_K = 50  # per-language selection quota among non-target docs
+
+
+def _dsir_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+), tk AS (
+  SELECT doc_id, lang, w FROM tok WHERE w <> ''
+), voc AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_s
+  FROM tk GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(n_t) AS BIGINT) AS tt, CAST(SUM(n_s) AS BIGINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM voc
+), lam AS (
+  SELECT w,
+         CAST(FLOOR(LN((CAST(n_t + 1 AS DOUBLE) * (ss + v))
+                       / (CAST(n_s + 1 AS DOUBLE) * (tt + v)))
+                    * 1000000 + 0.5) AS BIGINT) AS lam_micro
+  FROM voc CROSS JOIN tot
+), scored AS (
+  SELECT t.doc_id, t.lang, CAST(SUM(l.lam_micro) AS BIGINT) AS score
+  FROM tk t JOIN lam l USING (w)
+  WHERE t.lang <> 'en'
+  GROUP BY t.doc_id, t.lang
+), ranked AS (
+  SELECT lang, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {_DSIR_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(MIN(CASE WHEN rn <= {_DSIR_K} THEN score END) AS BIGINT)
+         AS sel_min_score,
+       CAST(SUM(CASE WHEN rn <= {_DSIR_K} THEN score ELSE 0 END) AS BIGINT)
+         AS sel_sum_score
+FROM ranked GROUP BY lang
+"""
+
+
+@register("q_corpus_dsir", oracle=_dsir_oracle())
+def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) over the document corpus: unigram LMs are fit to the
+    TARGET domain (here the `en` slice stands in for "looks like the
+    pretraining target") and the remaining SOURCE pool; each source doc is
+    scored by its importance log-ratio Σ_w c_dw·ln(p̂_t(w)/p̂_s(w))
+    (add-one smoothing over the joint vocabulary), and a per-language
+    top-K quota is selected. The certificate reports, per source language,
+    the pool size, selection count, the selection threshold score, and the
+    selected mass — what a data-mixing run needs to audit its resampling.
+
+    Parity engineering: the per-WORD log-ratio is snapped to integer
+    micro-units FIRST (one LN per vocab entry — the only float op), so the
+    per-doc score is an exact integer sum in any aggregation order; both
+    engines then rank on (score DESC, doc_id). Smoothing numerators are
+    cast to double before multiplying corpus totals (identical IEEE
+    product on both engines; int64 would overflow at 100 TB token counts).
+
+    Scale shape: the vocab relation is the only tiny state (|V| hashed
+    buckets in the paper, the literal vocab here) — broadcast onto the
+    token stream, so scoring is scan + one doc-keyed aggregate (the
+    shuffle), then a per-language top-K window over doc-level rows. At
+    100 TB the vocab stays bounded by the hash width, the token stream is
+    never shuffled, and the certificate is |langs| rows. Contrast
+    q_corpus_mix (uniform rebalance) — DSIR selects BY CONTENT toward the
+    target distribution.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    voc = tk.groupBy("w").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_s"),
+    )
+    tot = voc.agg(
+        F.sum("n_t").cast("bigint").alias("tt"),
+        F.sum("n_s").cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lam = voc.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.floor(
+            F.log(
+                ((F.col("n_t") + 1).cast("double") * (F.col("ss") + F.col("v")))
+                / ((F.col("n_s") + 1).cast("double") * (F.col("tt") + F.col("v")))
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lam_micro"),
+    )
+    scored = (
+        tk.filter(F.col("lang") != "en")
+        .join(F.broadcast(lam), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lam_micro").cast("bigint").alias("score"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_rank))
+    sel = F.col("rn") <= _DSIR_K
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias("n_selected"),
+        F.min(F.when(sel, F.col("score"))).cast("bigint").alias("sel_min_score"),
+        F.sum(F.when(sel, F.col("score")).otherwise(0))
+        .cast("bigint")
+        .alias("sel_sum_score"),
     )
 
 

@@ -1795,6 +1795,8 @@ def q_sim_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_sim_knn_graph --------------------------------------------------------
 
 _KNNG_K = 2  # neighbors per node; mutual filter keeps edges both agree on
+_KNNG_TILE = 2048  # src rows per scoring task (tiled exact within-bucket kNN)
+_KNNG_COLCHUNK = 4096  # cand cols per matmul sub-tile (bounds task memory)
 
 
 def _knng_oracle() -> str:
@@ -1854,41 +1856,89 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "emb", _bucket_expr("emb").alias("bucket")
     )
 
-    # Per-bucket Arrow block: ONE matmul scores the whole block and emits
-    # only the k directed winners per node (2 rows/node, not block^2 pair
-    # rows) — the q_dedup_embedding execution pattern. A JVM pair join here
-    # shuffles block^2 * dim values; this ships block * dim once and keeps
-    # the pair space inside BLAS. Rounding and (cos_r DESC, dst) tie-break
-    # replicate the oracle ranking bit-exactly.
-    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
+    # TILED per-bucket scoring (round-12 replan). The former one-task-per-
+    # bucket matmul was the purity/cluster family's scale killer: on this
+    # corpus only ~16 buckets are occupied (10 tight label cones → sign-LSH
+    # cannot split them), so bucket size grows ∝ n, the b×b cosine matrix
+    # hit 1.7 GB/task at sf10, per-row argsort cost O(b² log b), and
+    # parallelism was stuck at n_buckets (sf1→sf10 wall exponent 1.55 via
+    # q_sim_graph_purity). Now each bucket is cut into _KNNG_TILE-row SRC
+    # tiles; a task scores one src tile against the whole bucket in
+    # bounded col sub-tiles with a running top-k, and a final window merge
+    # takes the global top-k. EXACT — per-tile winners ∪ merge reproduce
+    # the full ranking bit-for-bit (a global winner wins its tile), so the
+    # all-pairs oracle is unchanged. Work is still O(Σ b²) dot products —
+    # inherent to exact within-bucket kNN — but it is all DGEMM tiles now:
+    # per-task memory is ≤ TILE×COLCHUNK cells (32 MB), selection is
+    # argpartition-grade O(b) per row instead of a b-wide sort, and task
+    # count scales with n/TILE so a cluster's cores actually engage. The
+    # cand-side replication shuffles n·(b/TILE) rows; at 100 TB TILE rises
+    # with executor memory to keep that bounded.
+    w_b = Window.partitionBy("bucket").orderBy("vec_id")
+    src_rows = e.withColumn(
+        "rtile", ((F.row_number().over(w_b) - 1) / _KNNG_TILE).cast("int")
+    ).withColumn("role", F.lit(1))
+    tiles = src_rows.select("bucket", "rtile").distinct()
+    cand_rows = (
+        e.alias("ce")
+        .join(F.broadcast(tiles).alias("ti"), F.col("ce.bucket") == F.col("ti.bucket"))
+        .select(
+            F.col("ce.vec_id").alias("vec_id"),
+            F.col("ce.emb").alias("emb"),
+            F.col("ce.bucket").alias("bucket"),
+            F.col("ti.rtile").alias("rtile"),
+            F.lit(0).alias("role"),
+        )
+    )
+
+    def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        cand = pdf[pdf["role"] == 0].sort_values("vec_id")
+        srcp = pdf[pdf["role"] == 1].sort_values("vec_id")
+        if len(cand) < 2 or srcp.empty:
             return pd.DataFrame({"src": [], "dst": [], "cos_r": []}).astype(
                 {"src": "int64", "dst": "int64", "cos_r": "float64"}
             )
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
-        cos_r = np.floor((m @ m.T) / np.outer(nrm, nrm) * 10000 + 0.5) / 10000
-        np.fill_diagonal(cos_r, -np.inf)
-        k = min(_KNNG_K, n - 1)
-        # rank by (cos_r DESC, dst ASC): ids are sorted ascending, so a
-        # stable argsort on -cos_r settles ties on the smaller dst first.
-        order = np.argsort(-cos_r, axis=1, kind="stable")[:, :k]
-        src = np.repeat(ids, k)
-        dst = ids[order.ravel()]
-        return pd.DataFrame(
+        sids = srcp["vec_id"].to_numpy()
+        cids = cand["vec_id"].to_numpy()
+        sm = np.stack(srcp["emb"].to_numpy()).astype(np.float64)
+        cm = np.stack(cand["emb"].to_numpy()).astype(np.float64)
+        snrm = np.sqrt(np.einsum("ij,ij->i", sm, sm))
+        cnrm = np.sqrt(np.einsum("ij,ij->i", cm, cm))
+        outs, outd, outc = [], [], []
+        for lo in range(0, len(cand), _KNNG_COLCHUNK):
+            hi = min(lo + _KNNG_COLCHUNK, len(cand))
+            blk = np.floor(
+                (sm @ cm[lo:hi].T) / np.outer(snrm, cnrm[lo:hi]) * 10000 + 0.5
+            ) / 10000
+            # self-pair mask: src ids that fall inside this col chunk
+            eq = sids[:, None] == cids[None, lo:hi]
+            blk[eq] = -np.inf
+            k = min(_KNNG_K, hi - lo)
+            # (cos_r DESC, dst ASC): chunk ids ascend, stable argsort on
+            # -cos settles ties on the smaller dst — the oracle contract.
+            order = np.argsort(-blk, axis=1, kind="stable")[:, :k]
+            outs.append(np.repeat(sids, k))
+            outd.append(cids[lo:hi][order.ravel()])
+            outc.append(blk[np.repeat(np.arange(len(sids)), k), order.ravel()])
+        out = pd.DataFrame(
             {
-                "src": src,
-                "dst": dst,
-                "cos_r": cos_r[np.repeat(np.arange(n), k), order.ravel()],
+                "src": np.concatenate(outs),
+                "dst": np.concatenate(outd),
+                "cos_r": np.concatenate(outc),
             }
         )
+        return out[np.isfinite(out["cos_r"])]
 
+    partial = (
+        src_rows.unionByName(cand_rows)
+        .groupBy("bucket", "rtile")
+        .applyInPandas(tile_topk, schema="src long, dst long, cos_r double")
+    )
+    w_src = Window.partitionBy("src").orderBy(F.col("cos_r").desc(), F.col("dst"))
     directed = (
-        e.groupBy("bucket")
-        .applyInPandas(block_topk, schema="src long, dst long, cos_r double")
+        partial.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= _KNNG_K)
+        .drop("rn")
         .localCheckpoint(eager=False)
     )
     rev = directed.select(

@@ -5311,20 +5311,23 @@ WITH e AS (
   SELECT user_id,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(c) AS BIGINT) AS s,
-         CAST(SUM(c * c) AS BIGINT) AS q,
-         CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c * l1 ELSE 0 END) AS BIGINT) AS p1,
+         CAST(SUM(c * c) AS HUGEINT) AS q,
+         CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c * l1 ELSE 0 END) AS HUGEINT) AS p1,
          CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c + l1 ELSE 0 END) AS BIGINT) AS ab1,
-         CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c * l2 ELSE 0 END) AS BIGINT) AS p2,
+         CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c * l2 ELSE 0 END) AS HUGEINT) AS p2,
          CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c + l2 ELSE 0 END) AS BIGINT) AS ab2,
-         CAST(SUM(CASE WHEN l3 IS NOT NULL THEN c * l3 ELSE 0 END) AS BIGINT) AS p3,
+         CAST(SUM(CASE WHEN l3 IS NOT NULL THEN c * l3 ELSE 0 END) AS HUGEINT) AS p3,
          CAST(SUM(CASE WHEN l3 IS NOT NULL THEN c + l3 ELSE 0 END) AS BIGINT) AS ab3
   FROM lagged GROUP BY user_id
 ), nums AS (
   SELECT user_id, n,
-         n * n * p1 - n * s * ab1 + (n - 1) * s * s AS c1s,
-         n * n * p2 - n * s * ab2 + (n - 2) * s * s AS c2s,
-         n * n * p3 - n * s * ab3 + (n - 3) * s * s AS c3s,
-         n * n * q - n * s * s AS c0s
+         CAST(n AS HUGEINT) * n * p1 - CAST(n AS HUGEINT) * s * ab1
+           + CAST(n - 1 AS HUGEINT) * s * s AS c1s,
+         CAST(n AS HUGEINT) * n * p2 - CAST(n AS HUGEINT) * s * ab2
+           + CAST(n - 2 AS HUGEINT) * s * s AS c2s,
+         CAST(n AS HUGEINT) * n * p3 - CAST(n AS HUGEINT) * s * ab3
+           + CAST(n - 3 AS HUGEINT) * s * s AS c3s,
+         CAST(n AS HUGEINT) * n * q - CAST(n AS HUGEINT) * s * s AS c0s
   FROM moms
   WHERE n >= {_PACF_MIN_N}
 ), rho AS (
@@ -5363,10 +5366,10 @@ def q_window_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact path: one window projection carries 3 lags; all autocovariances
     reduce to integer co-moment sums scaled by n² —
-    n²·c_k = n²·P_k − n·S·(A_k+B_k) + (n−k)·S² — exact bigints (per-user
-    n ≤ ~10², cents ≤ ~6·10⁴ keeps every product < 10¹⁶; longer/richer
-    series at full scale would widen these to decimal(38,0), the
-    q_events_bot_screen lesson). ρ_k is one int→double division, the
+    n²·c_k = n²·P_k − n·S·(A_k+B_k) + (n−k)·S² — exact 128-bit integers
+    (decimal(38,0) ↔ HUGEINT; int64 would cap series length at ~970 rows
+    at cents ≤ 1e5, the round-12 overflow audit — SCALE.md §8). ρ_k is one
+    int→double division, the
     Durbin-Levinson recursion (φ22, then φ33) is a fixed closed-form double
     sequence identical on both engines, snapped r4. Degenerate series are
     excluded by INTEGER predicates (c0 > 0, |c1| < c0); the level-3
@@ -5391,9 +5394,14 @@ def q_window_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pair_sums(lcol: str):
+        # product sums aggregate in decimal(38,0) (per-row long product is
+        # safe to cents ≤ 3e9; the SUM is what breaches int64 first —
+        # at n ≈ 9.2e8 rows/series with cents ≤ 1e5)
         prod = F.sum(
-            F.when(F.col(lcol).isNotNull(), F.col("c") * F.col(lcol)).otherwise(0)
-        ).cast("bigint")
+            F.when(
+                F.col(lcol).isNotNull(), F.col("c") * F.col(lcol)
+            ).otherwise(0).cast("decimal(38,0)")
+        )
         both = F.sum(
             F.when(F.col(lcol).isNotNull(), F.col("c") + F.col(lcol)).otherwise(0)
         ).cast("bigint")
@@ -5405,7 +5413,7 @@ def q_window_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     moms = lagged.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("c").cast("bigint").alias("s"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("q"),
         p1.alias("p1"),
         ab1.alias("ab1"),
         p2.alias("p2"),
@@ -5414,13 +5422,21 @@ def q_window_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ab3.alias("ab3"),
     )
     n, s = F.col("n"), F.col("s")
+    # 128-bit centered moments (decimal(38,0) ↔ DuckDB HUGEINT): each term
+    # is ≤ ~2·n³·C² for series length n and cents ceiling C — int64 would
+    # overflow past n ≈ 970 at C = 1e5; decimal(38,0) holds to n ≈ 2.1e9
+    # (SCALE.md §8 headroom table, the q_agg_ols2 widening pattern).
+    nD = n.cast("decimal(38,0)")
     nums = moms.filter(n >= _PACF_MIN_N).select(
         "user_id",
         "n",
-        (n * n * F.col("p1") - n * s * F.col("ab1") + (n - 1) * s * s).alias("c1s"),
-        (n * n * F.col("p2") - n * s * F.col("ab2") + (n - 2) * s * s).alias("c2s"),
-        (n * n * F.col("p3") - n * s * F.col("ab3") + (n - 3) * s * s).alias("c3s"),
-        (n * n * F.col("q") - n * s * s).alias("c0s"),
+        (nD * n * F.col("p1") - nD * s * F.col("ab1")
+         + (n - 1).cast("decimal(38,0)") * s * s).alias("c1s"),
+        (nD * n * F.col("p2") - nD * s * F.col("ab2")
+         + (n - 2).cast("decimal(38,0)") * s * s).alias("c2s"),
+        (nD * n * F.col("p3") - nD * s * F.col("ab3")
+         + (n - 3).cast("decimal(38,0)") * s * s).alias("c3s"),
+        (nD * n * F.col("q") - nD * s * s).alias("c0s"),
     )
     rho = nums.filter(
         (F.col("c0s") > 0) & (F.abs(F.col("c1s")) < F.col("c0s"))
@@ -5492,19 +5508,21 @@ WITH e AS (
   SELECT user_id,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(c) AS BIGINT) AS s,
-         CAST(SUM(c * c) AS BIGINT) AS q,
-         CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c * l1 ELSE 0 END) AS BIGINT) AS p1,
+         CAST(SUM(c * c) AS HUGEINT) AS q,
+         CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c * l1 ELSE 0 END) AS HUGEINT) AS p1,
          CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c + l1 ELSE 0 END) AS BIGINT) AS ab1,
-         CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c * l2 ELSE 0 END) AS BIGINT) AS p2,
+         CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c * l2 ELSE 0 END) AS HUGEINT) AS p2,
          CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c + l2 ELSE 0 END) AS BIGINT) AS ab2,
          CAST(SUM(CASE WHEN rnd = 1 THEN c ELSE 0 END) AS BIGINT) AS x_last,
          CAST(SUM(CASE WHEN rnd = 1 THEN l1 ELSE 0 END) AS BIGINT) AS x_prev
   FROM lagged GROUP BY user_id
 ), nums AS (
   SELECT user_id, n, s, x_last, x_prev,
-         n * n * p1 - n * s * ab1 + (n - 1) * s * s AS c1s,
-         n * n * p2 - n * s * ab2 + (n - 2) * s * s AS c2s,
-         n * n * q - n * s * s AS c0s
+         CAST(n AS HUGEINT) * n * p1 - CAST(n AS HUGEINT) * s * ab1
+           + CAST(n - 1 AS HUGEINT) * s * s AS c1s,
+         CAST(n AS HUGEINT) * n * p2 - CAST(n AS HUGEINT) * s * ab2
+           + CAST(n - 2 AS HUGEINT) * s * s AS c2s,
+         CAST(n AS HUGEINT) * n * q - CAST(n AS HUGEINT) * s * s AS c0s
   FROM moms
   WHERE n >= {_AR2_MIN_N}
 ), rho AS (
@@ -5573,8 +5591,10 @@ def q_window_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _pair(lcol: str):
         prod = F.sum(
-            F.when(F.col(lcol).isNotNull(), F.col("c") * F.col(lcol)).otherwise(0)
-        ).cast("bigint")
+            F.when(F.col(lcol).isNotNull(), F.col("c") * F.col(lcol))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        )
         both = F.sum(
             F.when(F.col(lcol).isNotNull(), F.col("c") + F.col(lcol)).otherwise(0)
         ).cast("bigint")
@@ -5585,7 +5605,7 @@ def q_window_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
     moms = lagged.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("c").cast("bigint").alias("s"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("q"),
         p1.alias("p1"),
         ab1.alias("ab1"),
         p2.alias("p2"),
@@ -5598,15 +5618,21 @@ def q_window_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x_prev"),
     )
     n, s = F.col("n"), F.col("s")
+    # 128-bit centered moments — same widening + bound as q_window_pacf
+    # (decimal(38,0) ↔ HUGEINT; int64 caps series length at ~970 rows at
+    # cents ≤ 1e5 — SCALE.md §8).
+    nD = n.cast("decimal(38,0)")
     nums = moms.filter(n >= _AR2_MIN_N).select(
         "user_id",
         "n",
         "s",
         "x_last",
         "x_prev",
-        (n * n * F.col("p1") - n * s * F.col("ab1") + (n - 1) * s * s).alias("c1s"),
-        (n * n * F.col("p2") - n * s * F.col("ab2") + (n - 2) * s * s).alias("c2s"),
-        (n * n * F.col("q") - n * s * s).alias("c0s"),
+        (nD * n * F.col("p1") - nD * s * F.col("ab1")
+         + (n - 1).cast("decimal(38,0)") * s * s).alias("c1s"),
+        (nD * n * F.col("p2") - nD * s * F.col("ab2")
+         + (n - 2).cast("decimal(38,0)") * s * s).alias("c2s"),
+        (nD * n * F.col("q") - nD * s * s).alias("c0s"),
     )
     rho = nums.filter(
         (F.col("c0s") > 0) & (F.abs(F.col("c1s")) < F.col("c0s"))
@@ -5788,8 +5814,8 @@ def _lb_oracle() -> str:
         terms.append(f"({num} / den) * ({num} / den) / ({nd} - {k})")
     tsum = " + ".join(terms)
     pcols = ",\n         ".join(
-        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN cents * l{k} ELSE 0 END)"
-        f" AS BIGINT) AS p{k},\n         "
+        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN CAST(cents AS HUGEINT) * l{k}"
+        f" ELSE 0 END) AS HUGEINT) AS p{k},\n         "
         f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN cents + l{k} ELSE 0 END)"
         f" AS BIGINT) AS b{k}"
         for k in range(1, _LB_LAGS + 1)
@@ -5811,7 +5837,7 @@ WITH daily AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(cents) AS BIGINT) AS s,
-         CAST(SUM(cents * cents) AS BIGINT) AS q,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q,
          {pcols}
   FROM lagged GROUP BY event_type
 ), d AS (
@@ -5859,17 +5885,25 @@ def q_window_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(1, _LB_LAGS + 1)
     ]
     lagged = daily.select("event_type", "cents", *lag_cols)
+    # per-row DAILY-cents products widen to decimal(38,0) ↔ HUGEINT: one
+    # stream-day of revenue can exceed 3e9 cents at warehouse scale, and
+    # cents² then breaches int64 per ROW, not just in the sum (round-12
+    # overflow audit — SCALE.md §8).
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("q"),
     ]
     for k in range(1, _LB_LAGS + 1):
         lk = F.col(f"l{k}")
         aggs.append(
-            F.sum(F.when(lk.isNotNull(), F.col("cents") * lk).otherwise(0))
-            .cast("bigint")
-            .alias(f"p{k}")
+            F.sum(
+                F.when(
+                    lk.isNotNull(), F.col("cents").cast("decimal(38,0)") * lk
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias(f"p{k}")
         )
         aggs.append(
             F.sum(F.when(lk.isNotNull(), F.col("cents") + lk).otherwise(0))

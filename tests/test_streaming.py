@@ -576,6 +576,183 @@ def test_cusum_stream_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def _dump_shuffled(src, name, rows, seed):
+    """Write one micro-batch file with rows in a seeded-SHUFFLED order —
+    the arrival-order-vs-event-order probe: a sequential detector's fold
+    sorts by (ts_us, event_id) WITHIN each micro-batch, so any arrival
+    permutation inside the delivery horizon must fold identically."""
+    import json as _json
+    import random as _random
+
+    rows = list(rows)
+    _random.Random(seed).shuffle(rows)
+    (src / name).write_text(
+        "\n".join(
+            _json.dumps(
+                {
+                    "event_id": r.event_id,
+                    "ts_us": r.ts_us,
+                    "user_id": 0,
+                    "event_type": r.event_type,
+                    "value": r.value,
+                    "props": None,
+                }
+            )
+            for r in rows
+        )
+    )
+
+
+def test_page_hinkley_shuffled_arrival_equals_batch(spark, tmp_path):
+    """Out-of-order-ARRIVAL twin of test_page_hinkley_stream_equals_batch:
+    the same time-cut micro-batches, but rows inside each file are written
+    in a seeded random permutation. Page-Hinkley is order-SENSITIVE across
+    events, so correctness rests entirely on the fold's within-batch
+    (ts_us, event_id) sort — this proves arrival order inside the horizon
+    is free, exactly as q_stream_late proves it for the accounting row."""
+    import os
+    import time as _time
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+    from genesapi_cli_spark.streaming.stateful import page_hinkley_stream
+
+    genesapi_cli_spark.load_all()
+
+    ev = (
+        load(spark, SMOKE_SF_DIR, "events")
+        .select("event_id", "ts_us", "event_type", "value")
+        .orderBy("ts_us", "event_id")
+        .collect()
+    )
+    cut = ev[len(ev) // 2].ts_us
+    src = tmp_path / "ph_shuf_src"
+    src.mkdir()
+    _dump_shuffled(src, "b1.json", (r for r in ev if r.ts_us <= cut), seed=12)
+    _dump_shuffled(src, "b2.json", (r for r in ev if r.ts_us > cut), seed=34)
+    now = _time.time()
+    os.utime(src / "b1.json", (now - 100, now - 100))
+    os.utime(src / "b2.json", (now, now))
+    stream = events_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory(page_hinkley_stream(stream), "t_ph_shuf", output_mode="update")
+    try:
+        rows = spark.sql("SELECT * FROM t_ph_shuf").collect()
+        got = {}
+        for r in rows:  # update-mode sink: latest (largest n) per key wins
+            if r.event_type not in got or r.n > got[r.event_type][0]:
+                got[r.event_type] = (r.n, r.n_alarms, r.first_alarm_t, r.max_ph_micro)
+        exp = {
+            r.event_type: (r.n, r.n_alarms, r.first_alarm_t, r.max_ph_micro)
+            for r in REGISTRY["q_events_page_hinkley"].fn(spark, SMOKE_SF_DIR).collect()
+        }
+        assert got == exp
+    finally:
+        q.stop()
+
+
+def test_cusum_shuffled_arrival_equals_batch(spark, tmp_path):
+    """Out-of-order-ARRIVAL twin of test_cusum_stream_equals_batch: same
+    time-cut micro-batches, rows inside each file seeded-shuffled. Proves
+    the CUSUM fold's within-batch sort makes arrival order inside the
+    horizon free — only the batch boundary (the delivery contract) carries
+    ordering responsibility."""
+    import os
+    import time as _time
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.streaming.stateful import (
+        cusum_fixed_target_batch,
+        cusum_stream,
+    )
+
+    genesapi_cli_spark.load_all()
+
+    events = load(spark, SMOKE_SF_DIR, "events")
+    prof = (
+        events.select(
+            "event_type", F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c")
+        )
+        .groupBy("event_type")
+        .agg(F.expr("SUM(c) div COUNT(*)").alias("k"))
+        .collect()
+    )
+    targets = {r.event_type: int(r.k) for r in prof}
+    want = {
+        r.event_type: (r.n, r.max_cusum_scaled, r.min_cusum_scaled)
+        for r in cusum_fixed_target_batch(events, targets).collect()
+    }
+
+    ev = (
+        events.select("event_id", "ts_us", "event_type", "value")
+        .orderBy("ts_us", "event_id")
+        .collect()
+    )
+    cut = ev[len(ev) // 2].ts_us
+    src = tmp_path / "cusum_shuf_src"
+    src.mkdir()
+    _dump_shuffled(src, "b1.json", (r for r in ev if r.ts_us <= cut), seed=56)
+    _dump_shuffled(src, "b2.json", (r for r in ev if r.ts_us > cut), seed=78)
+    now = _time.time()
+    os.utime(src / "b1.json", (now - 100, now - 100))
+    os.utime(src / "b2.json", (now, now))
+    stream = events_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory(
+        cusum_stream(stream, targets), "t_cusum_shuf", output_mode="update"
+    )
+    try:
+        rows = spark.sql("SELECT * FROM t_cusum_shuf").collect()
+        got = {}
+        for r in rows:
+            if r.event_type not in got or r.n > got[r.event_type][0]:
+                got[r.event_type] = (r.n, r.max_cusum_scaled, r.min_cusum_scaled)
+    finally:
+        q.stop()
+    assert got == want
+
+
+def test_ks_shuffled_arrival_equals_batch(spark, tmp_path):
+    """Shuffled-arrival twin for the order-FREE detector: KS state is a
+    distribution (cents histogram per side), so even the file-level row
+    permutation needs no within-batch sort to land on the batch row —
+    asserted here so the order-freedom claim in stateful.py is pinned by a
+    test for all three detector families, not just argued."""
+    import os
+    import time as _time
+
+    import genesapi_cli_spark
+    from genesapi_cli_spark.registry import REGISTRY
+    from genesapi_cli_spark.streaming.stateful import ks_stream
+
+    genesapi_cli_spark.load_all()
+
+    want = REGISTRY["q_events_ks"].fn(spark, SMOKE_SF_DIR).collect()[0]
+    ev = (
+        load(spark, SMOKE_SF_DIR, "events")
+        .select("event_id", "ts_us", "event_type", "value")
+        .collect()
+    )
+    src = tmp_path / "ks_shuf_src"
+    src.mkdir()
+    _dump_shuffled(src, "b1.json", (r for r in ev if r.event_id % 3 != 0), seed=90)
+    _dump_shuffled(src, "b2.json", (r for r in ev if r.event_id % 3 == 0), seed=91)
+    now = _time.time()
+    os.utime(src / "b1.json", (now - 100, now - 100))
+    os.utime(src / "b2.json", (now, now))
+    stream = events_file_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_to_memory(ks_stream(stream), "t_ks_shuf", output_mode="update")
+    try:
+        rows = spark.sql("SELECT * FROM t_ks_shuf").collect()
+        last = max(rows, key=lambda r: r.na + r.nb)
+    finally:
+        q.stop()
+    assert (last.na, last.nb, last.d_num, last.d_r4) == (
+        want.na,
+        want.nb,
+        want.d_num,
+        want.d_r4,
+    )
+
+
 def test_ks_stream_equals_batch(spark, tmp_path):
     """Stateful streaming exact two-sample KS across micro-batches must
     equal the batch q_events_ks row exactly after the final micro-batch —
