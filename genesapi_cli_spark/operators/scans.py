@@ -403,22 +403,41 @@ def q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
 
     def edge(name, child, ckey, parent, pkey):
-        n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
-        orphans = child.join(
-            parent, F.col(ckey) == F.col(pkey), "anti"
-        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
-        childless = parent.join(
-            child, F.col(pkey) == F.col(ckey), "anti"
-        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_childless_parents"))
-        return (
-            n_child.crossJoin(orphans)
-            .crossJoin(childless)
-            .select(
-                F.lit(name).alias("fk_edge"),
-                "n_child",
-                "n_orphans",
-                "n_childless_parents",
+        # Round-12 replan (guide §2.3/§2.4): the former shape scanned the
+        # child TWICE (bare count + anti-join probe) and the parent twice,
+        # through two anti joins and three separate aggregates. Instead,
+        # reduce both sides to (key, multiplicity) — partial map-side
+        # aggregation shrinks the child to its distinct keys before any
+        # exchange — and take ONE full-outer join on the key: orphans are
+        # child keys with no parent row, childless parents are parent keys
+        # with no child row, and n_child is the multiplicity sum. The two
+        # groupBys leave both sides hash-partitioned on the join key, so
+        # the join itself adds no exchange. Exact under any key
+        # multiplicity on either side (multiplicities ride along).
+        ck = child.groupBy(F.col(ckey).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        pg = parent.groupBy(F.col(pkey).alias("pk")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("pcnt")
+        )
+        j = ck.join(pg, ck.k == pg.pk, "full")
+        return j.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_child"),
+            F.coalesce(
+                F.sum(F.when(F.col("pk").isNull(), F.col("cnt"))), F.lit(0)
             )
+            .cast("bigint")
+            .alias("n_orphans"),
+            F.coalesce(
+                F.sum(F.when(F.col("k").isNull(), F.col("pcnt"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_childless_parents"),
+        ).select(
+            F.lit(name).alias("fk_edge"),
+            "n_child",
+            "n_orphans",
+            "n_childless_parents",
         )
 
     rows = [

@@ -1862,31 +1862,49 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot split them), so bucket size grows ∝ n, the b×b cosine matrix
     # hit 1.7 GB/task at sf10, per-row argsort cost O(b² log b), and
     # parallelism was stuck at n_buckets (sf1→sf10 wall exponent 1.55 via
-    # q_sim_graph_purity). Now each bucket is cut into _KNNG_TILE-row SRC
+    # q_sim_graph_purity). Now each bucket is cut into ~_KNNG_TILE-row SRC
     # tiles; a task scores one src tile against the whole bucket in
     # bounded col sub-tiles with a running top-k, and a final window merge
     # takes the global top-k. EXACT — per-tile winners ∪ merge reproduce
     # the full ranking bit-for-bit (a global winner wins its tile), so the
     # all-pairs oracle is unchanged. Work is still O(Σ b²) dot products —
     # inherent to exact within-bucket kNN — but it is all DGEMM tiles now:
-    # per-task memory is ≤ TILE×COLCHUNK cells (32 MB), selection is
+    # per-task memory is ~TILE×COLCHUNK cells (32 MB), selection is
     # argpartition-grade O(b) per row instead of a b-wide sort, and task
     # count scales with n/TILE so a cluster's cores actually engage. The
     # cand-side replication shuffles n·(b/TILE) rows; at 100 TB TILE rises
     # with executor memory to keep that bounded.
-    w_b = Window.partitionBy("bucket").orderBy("vec_id")
-    src_rows = e.withColumn(
-        "rtile", ((F.row_number().over(w_b) - 1) / _KNNG_TILE).cast("int")
-    ).withColumn("role", F.lit(1))
-    tiles = src_rows.select("bucket", "rtile").distinct()
-    cand_rows = (
-        e.alias("ce")
-        .join(F.broadcast(tiles).alias("ti"), F.col("ce.bucket") == F.col("ti.bucket"))
+    #
+    # Tile ASSIGNMENT is hash-based (guide §2.4 — remove shuffles
+    # outright): rtile = xxhash64(vec_id) mod ceil(b/TILE). Which tile a
+    # src row lands in is irrelevant to the result — every tile is scored
+    # against the WHOLE bucket, so any 1-of-ntiles assignment reproduces
+    # the exact ranking after the merge. The former row_number() tiling
+    # cost a full Exchange+Sort+Window of the embedding relation just to
+    # make tiles contiguous; the hash needs only a per-bucket COUNT
+    # (partial-agg'd, |buckets| rows, broadcast back), and tile sizes
+    # concentrate at TILE ± a few % (binomial spread), so the per-task
+    # memory bound stands.
+    sizes = e.groupBy("bucket").agg(
+        F.ceil(F.count(F.lit(1)) / _KNNG_TILE).cast("int").alias("ntiles")
+    )
+    src_rows = (
+        e.join(F.broadcast(sizes), "bucket")
         .select(
-            F.col("ce.vec_id").alias("vec_id"),
-            F.col("ce.emb").alias("emb"),
-            F.col("ce.bucket").alias("bucket"),
-            F.col("ti.rtile").alias("rtile"),
+            "vec_id",
+            "emb",
+            "bucket",
+            F.pmod(F.xxhash64("vec_id"), F.col("ntiles")).cast("int").alias("rtile"),
+            F.lit(1).alias("role"),
+        )
+    )
+    cand_rows = (
+        e.join(F.broadcast(sizes), "bucket")
+        .select(
+            "vec_id",
+            "emb",
+            "bucket",
+            F.explode(F.expr("sequence(0, ntiles - 1)")).alias("rtile"),
             F.lit(0).alias("role"),
         )
     )
@@ -2030,11 +2048,14 @@ def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Mutual k-NN graphs are chain-like (each node holds <= k edges), so
     # component DIAMETER grows with corpus size where shingle-overlap blobs
-    # stay shallow: start at 10 doubling rounds (chains up to 2^10 links;
-    # q_dedup_clusters' default 4 suffices for its clique-ish pair graph)
-    # and let the auto-deepening schedule resubmit doubled if a longer
-    # chain ever shows up — a data property, not a config change.
-    labels = connected_components_auto(mutual, rounds=10)
+    # stay shallow. The round-12 contraction pre-pass inside
+    # connected_components_auto halves chain depth before the doubling
+    # schedule ever runs; measured residual depth is 4 rounds at sf0.01 and
+    # 5 at sf0.1, so start at 6 (chains up to 2^6 post-contraction links —
+    # the pre-contraction 10 was sized for the raw graph) and let the
+    # auto-deepening schedule resubmit incrementally if a longer chain ever
+    # shows up — a data property, not a config change.
+    labels = connected_components_auto(mutual, rounds=6)
     unconv = labels.filter(F.col("prev") != F.col("label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_unconverged")
     )

@@ -545,10 +545,18 @@ def q_source_cube_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     128→384 cubes); the catalog itself is the same one-aggregation metadata
     pass as q_genesis_schema keyed by (statistic, measure) — cube COUNT
     folds in as one more agg column, never a second scan."""
+    # One localCheckpoint cuts the Python-RDD parse lineage: the coverage
+    # and dim_domains branches below each re-referenced the union, and the
+    # parse (applySchemaToPythonRDD per cube, per referenced scan) was
+    # re-evaluated SEVEN times in the former plan (4 scans under the
+    # coverage branch, 3 under the domains branch — plans/r12/
+    # q_source_cube_catalog_before.txt). Parse once, read blocks twice
+    # (guide §3.3: materialize a reused intermediate to truncate the plan).
     facts = (
         parse_cube_text(spark, SAMPLE_CUBE_TEXT)
         .unionByName(parse_cube_text(spark, EMPLOYMENT_CUBE_TEXT))
         .unionByName(parse_cube_text(spark, STUDENTS_CUBE_TEXT))
+        .localCheckpoint(eager=False)
     )
     dim_values = (
         facts.select(
