@@ -1176,7 +1176,12 @@ def test_dedup_stream_ttl_evicts_idle_state(spark, tmp_path):
 
     src = tmp_path / "ttl_src"
     src.mkdir()
-    ttl_ms = 5000
+    # 15s TTL: the in-horizon assertions (docs 3 and 6) need their
+    # micro-batch to land within the TTL of the keeper's batch; on a loaded
+    # host consecutive 500ms-trigger batches were observed >5s apart, so a
+    # 5s TTL evicted doc 1 before doc 3 arrived (the same wall-clock-margin
+    # flake the r11 advice fixed in test_profile_stream_ttl_evicts_idle_users).
+    ttl_ms = 15000
 
     def dump(name, rows):
         (src / name).write_text(
