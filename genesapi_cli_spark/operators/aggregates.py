@@ -1854,77 +1854,86 @@ def q_agg_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     The MERGE CERTIFICATE is the point: the union registers are computed
     BOTH ways — max over the two STORED per-audience register arrays
     (sketch merge, what production does with persisted shards) and max over
-    the raw combined stream (what a full recount would build) — and
-    ``merge_ok`` pins their checksum equality, proving the monoid identity
-    max-of-maxes = max-of-stream on real data, not by assertion. Exact
-    distinct counts ride along per set so the estimator's error is
-    readable off the row.
+    the key stream directly (what a recount would build; the register value
+    is a pure function of the key, so max over rows ≡ max over distinct
+    keys — HLL's multiset insensitivity) — and ``merge_ok`` pins their
+    checksum equality, proving the monoid identity max-of-maxes =
+    max-of-stream on real data, not by assertion. Exact distinct counts
+    ride along per set so the estimator's error is readable off the row.
 
     Parity: identical sha256-prefix registers on both engines (the
     q_agg_hll_portable convention), Z sums exact powers of two (order-free
     double addition), one shared estimate text per set, snapped once.
 
-    Scale shape: one fact scan → (flag, bucket) register MAX with map-side
-    combine (≤ 2·{_HLL_M} rows shuffle); everything downstream is
-    register-sized one-row aggregates; exact arms exist only as the
-    certificate.
+    Scale shape: ONE fact scan. Because the hash depends only on
+    l_partkey, the scan collapses to distinct keys first (map-side-combined
+    (key, in_a, in_b) aggregate — sha256 then runs once per DISTINCT key,
+    not per row), and a single (bucket)-keyed aggregate derives the
+    per-audience registers, the direct-stream registers, AND the exact
+    distinct counts (per-bucket key counts sum to the distinct totals).
+    Everything downstream is one register-sized one-row aggregate — the
+    former 3 fact scans (registers, direct arm, exact Expand arm) and the
+    crossJoin fan-in are gone.
     """
     li = (
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag").isin("A", "R"))
         .select(F.col("l_returnflag").alias("flag"), "l_partkey")
     )
-    rho = li.select(
-        "flag",
+    keys = li.groupBy("l_partkey").agg(
+        F.max(F.col("flag") == "A").alias("in_a"),
+        F.max(F.col("flag") == "R").alias("in_b"),
+    )
+    hashed = keys.select(
+        "in_a",
+        "in_b",
         F.expr(
             "CAST(CONV(SUBSTRING(SHA2(CAST(l_partkey AS STRING), 256), 1, 8), "
             "16, 10) AS BIGINT)"
         ).alias("h32"),
     ).select(
-        "flag",
+        "in_a",
+        "in_b",
         (F.col("h32") % _HLL_M).alias("bucket"),
         F.expr(
             f"CASE WHEN h32 div {_HLL_M} = 0 THEN {_HLL_W + 1} "
             f"ELSE instr(lpad(bin(h32 div {_HLL_M}), {_HLL_W}, '0'), '1') END"
         ).alias("r"),
     )
-    regs = rho.groupBy("flag", "bucket").agg(F.max("r").alias("r"))
-    regs = regs.localCheckpoint(eager=False)  # feeds per-audience AND merge
-    uni = regs.groupBy("bucket").agg(F.max("r").alias("r"))
-    direct = rho.groupBy("bucket").agg(F.max("r").alias("r"))
-    inv = "CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))"
-    per = regs.agg(
-        F.count(F.when(F.col("flag") == "A", 1)).cast("bigint").alias("n_regs_a"),
-        F.count(F.when(F.col("flag") == "R", 1)).cast("bigint").alias("n_regs_b"),
-        F.sum(F.expr(f"CASE WHEN flag = 'A' THEN {inv} ELSE 0.0 END")).alias("sp_a"),
-        F.sum(F.expr(f"CASE WHEN flag = 'R' THEN {inv} ELSE 0.0 END")).alias("sp_b"),
+    # one bucket-keyed relation carries every downstream arm: per-audience
+    # register maxima, the direct-stream maxima, and exact per-bucket
+    # distinct-key counts.
+    bregs = hashed.groupBy("bucket").agg(
+        F.max(F.when(F.col("in_a"), F.col("r"))).alias("r_a"),
+        F.max(F.when(F.col("in_b"), F.col("r"))).alias("r_b"),
+        F.max("r").alias("r_dir"),
+        F.sum(F.col("in_a").cast("int")).alias("k_a"),
+        F.sum(F.col("in_b").cast("int")).alias("k_b"),
+        F.count(F.lit(1)).alias("k_u"),
+    ).withColumn("r_u", F.greatest("r_a", "r_b"))
+    inv = (
+        lambda c: f"CASE WHEN {c} IS NULL THEN NULL ELSE "
+        f"CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), CAST({c} AS INT)) END"
     )
-    us = uni.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_regs_u"),
-        F.sum(F.expr(inv)).alias("sp_u"),
-        F.sum("r").cast("bigint").alias("u_sum"),
-        F.sum(F.col("r") * (F.col("bucket") + 1)).cast("bigint").alias("u_check"),
-    )
-    ds = direct.agg(
-        F.sum("r").cast("bigint").alias("d_sum"),
-        F.sum(F.col("r") * (F.col("bucket") + 1)).cast("bigint").alias("d_check"),
-    )
-    ex = li.agg(
-        F.count_distinct(F.when(F.col("flag") == "A", F.col("l_partkey")))
-        .cast("bigint")
-        .alias("n_exact_a"),
-        F.count_distinct(F.when(F.col("flag") == "R", F.col("l_partkey")))
-        .cast("bigint")
-        .alias("n_exact_b"),
-        F.count_distinct("l_partkey").cast("bigint").alias("n_exact_union"),
-    )
-    j = (
-        per.crossJoin(F.broadcast(us))
-        .crossJoin(F.broadcast(ds))
-        .crossJoin(F.broadcast(ex))
-        .withColumn("sum_inv_a", F.expr(f"({_HLL_M} - n_regs_a) + sp_a"))
-        .withColumn("sum_inv_b", F.expr(f"({_HLL_M} - n_regs_b) + sp_b"))
-        .withColumn("sum_inv_u", F.expr(f"({_HLL_M} - n_regs_u) + sp_u"))
+    j = bregs.agg(
+        F.count("r_a").cast("bigint").alias("n_regs_a"),
+        F.count("r_b").cast("bigint").alias("n_regs_b"),
+        F.sum(F.expr(inv("r_a"))).alias("sp_a"),
+        F.sum(F.expr(inv("r_b"))).alias("sp_b"),
+        F.count("r_u").cast("bigint").alias("n_regs_u"),
+        F.sum(F.expr(inv("r_u"))).alias("sp_u"),
+        F.sum("r_u").cast("bigint").alias("u_sum"),
+        F.sum(F.col("r_u") * (F.col("bucket") + 1)).cast("bigint").alias("u_check"),
+        F.sum("r_dir").cast("bigint").alias("d_sum"),
+        F.sum(F.col("r_dir") * (F.col("bucket") + 1)).cast("bigint").alias("d_check"),
+        F.sum("k_a").cast("bigint").alias("n_exact_a"),
+        F.sum("k_b").cast("bigint").alias("n_exact_b"),
+        F.sum("k_u").cast("bigint").alias("n_exact_union"),
+    ).select(
+        "*",
+        F.expr(f"({_HLL_M} - n_regs_a) + sp_a").alias("sum_inv_a"),
+        F.expr(f"({_HLL_M} - n_regs_b) + sp_b").alias("sum_inv_b"),
+        F.expr(f"({_HLL_M} - n_regs_u) + sp_u").alias("sum_inv_u"),
     )
     return j.select(
         "n_exact_a",

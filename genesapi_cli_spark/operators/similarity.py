@@ -1128,6 +1128,9 @@ def q_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cx = e.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
     )
+    # exact3 feeds BOTH n_queries and the hits join; the lazy checkpoint on
+    # the ≤ 3·|queries|-row result evaluates the brute-force arm (full
+    # corpus crossJoin + window) ONCE instead of once per consumer.
     exact3 = (
         F.broadcast(qx)
         .crossJoin(cx)
@@ -1135,6 +1138,7 @@ def q_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= 3)
         .select("qid", "cand_id")
+        .localCheckpoint(eager=False)
     )
     n_q = exact3.agg(F.count_distinct("qid").cast("bigint").alias("n_queries"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))

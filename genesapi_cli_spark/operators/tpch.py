@@ -525,22 +525,28 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         NOT EXISTS(other ships later)     ≡ max_other_ship ≤ own shipdate
 
     where max_other_ship excludes the row's own supplier via the standard
-    two-extremes trick (global max + max over other suppliers derived from
-    the top-2 distinct supplier maxima), here computed exactly with a
-    per-(order, supplier) pre-aggregate joined back to the order's top two.
+    two-extremes trick (global max, with the rank-1 holder falling back to
+    the max over the remaining suppliers — a second window over the SAME
+    (orderkey) partition, not a self-join).
 
-    Scale shape: one (order, supplier) hash agg collapses line items, one
-    (order) window ranks supplier maxima (top-2 carried, not all), and the
-    blame test is a projection — no correlated re-execution, no pair join
-    across suppliers of an order.
+    Scale shape: ONE line-item pass. The per-(order, supplier) aggregate
+    carries the supplier's shipdate multiset (bounded: TPC-H orders hold
+    ~4-7 line items ACROSS all suppliers, so the array is a handful of
+    dates), which turns the blame count into an array filter instead of a
+    second fact scan + (orderkey, suppkey) join-back, and the two-extremes
+    trick into window functions instead of a rank-2 self-join — the plan
+    drops from three line-item scans (per_os twice via the self-join + the
+    join-back) to one, with one Exchange per aggregation level and zero
+    joins on fact-sized relations.
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     supplier = load(spark, sf_dir, "supplier")
-    # per-(order, supplier) last ship + per-order supplier count via window
+    # per-(order, supplier): last ship + the group's shipdate multiset
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("supp_max")
+        F.max("l_shipdate").alias("supp_max"),
+        F.sort_array(F.collect_list("l_shipdate")).alias("ships"),
     )
     w_ord = Window.partitionBy("l_orderkey")
     w_rank = Window.partitionBy("l_orderkey").orderBy(
@@ -550,21 +556,24 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_suppkey",
         "supp_max",
+        "ships",
         F.count(F.lit(1)).over(w_ord).alias("n_supp"),
         F.max("supp_max").over(w_ord).alias("max1"),
         F.row_number().over(w_rank).alias("rk"),
     )
     # max over OTHER suppliers: the global max unless this row holds it
-    # uniquely (rk=1), in which case the second-ranked supplier's max.
-    second = ranked.filter(F.col("rk") == 2).select(
-        F.col("l_orderkey").alias("o2"), F.col("supp_max").alias("max2")
+    # uniquely (rk=1), in which case the max over the rows ranked below it
+    # (ties at the top make rk=2 carry the same supp_max, so this stays
+    # exact) — one more window function on the same partition, no join.
+    ranked = ranked.withColumn(
+        "max2",
+        F.max(F.when(F.col("rk") >= 2, F.col("supp_max"))).over(w_ord),
     )
     blamed_os = (
         ranked.filter(F.col("n_supp") >= 2)
-        .join(second, F.col("l_orderkey") == F.col("o2"), "left")
         .select(
-            "l_orderkey",
             "l_suppkey",
+            "ships",
             "supp_max",
             F.when(F.col("rk") == 1, F.col("max2"))
             .otherwise(F.col("max1"))
@@ -572,20 +581,19 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_other") <= F.col("supp_max"))
     )
-    # blame counts LINE ITEMS (the oracle counts l1 rows): join back the
-    # per-(order, supplier) verdict to the line-item multiplicity, but only
-    # rows at the supplier's own max shipdate qualify under NOT EXISTS when
-    # earlier rows of the same supplier are outshipped by others.
-    li_verdict = li.join(
-        blamed_os.select("l_orderkey", "l_suppkey", "max_other"),
-        ["l_orderkey", "l_suppkey"],
-    ).filter(F.col("max_other") <= F.col("l_shipdate"))
+    # blame counts LINE ITEMS (the oracle counts l1 rows): the qualifying
+    # rows are exactly the group's shipdates at or after max_other — an
+    # array filter over the multiset carried through the aggregate.
+    counted = blamed_os.select(
+        "l_suppkey",
+        F.expr("size(filter(ships, d -> d >= max_other))").alias("n_blamed"),
+    )
     return (
-        li_verdict.join(
+        counted.join(
             F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_suppkey", "s_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .agg(F.sum("n_blamed").cast("bigint").alias("numwait"))
     )
 
 

@@ -559,19 +559,35 @@ def q_layout_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def boxes(path: str) -> DataFrame:
+        # per-file stats carry the row/sum checksum alongside min/max, so
+        # the lossless certificate reuses THIS read-back instead of a third
+        # full scan of the generation.
         return (
             spark.read.parquet(path)
             .groupBy(F.input_file_name().alias("f"))
-            .agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+            .agg(
+                F.min("ts_us").alias("mn"),
+                F.max("ts_us").alias("mx"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("user_id").alias("su"),
+            )
         )
 
-    depth_sorted = _max_overlap_depth_df(boxes(f"{base}/sorted"), "ds")
-    depth_random = _max_overlap_depth_df(boxes(f"{base}/random"), "dr")
+    # the sorted generation's file stats feed the depth sweep AND the
+    # checksum row — lazy-checkpoint the 8-row relation so the read-back
+    # happens once.
+    sorted_boxes = boxes(f"{base}/sorted").localCheckpoint(eager=False)
+    depth_sorted = _max_overlap_depth_df(sorted_boxes, "ds")
+    # same for the random generation: the ±1 sweep unions its input twice
+    # (mn and mx branches), so without the 8-row checkpoint the generation
+    # is scanned twice.
+    depth_random = _max_overlap_depth_df(
+        boxes(f"{base}/random").localCheckpoint(eager=False), "dr"
+    )
     return (
-        spark.read.parquet(f"{base}/sorted")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum("user_id").cast("bigint").alias("sum_users"),
+        sorted_boxes.agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.sum("su").cast("bigint").alias("sum_users"),
         )
         .crossJoin(F.broadcast(depth_sorted))
         .crossJoin(F.broadcast(depth_random))
