@@ -749,33 +749,36 @@ def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l is met. Rolled up per segment like the k-anonymity report so the
     two audits read side by side.
 
-    Scale shape: one QI+sensitive window for the top-value count, then
-    two hash aggregates — the distinct-count is per-QI-group (bounded
-    cardinality), never global. The nation dim is broadcast; the fact
-    scan is the only large input.
+    Scale shape: NO window and no distinct machinery — the fact side is
+    reduced before any wide shuffle by a map-side-combined per-(customer,
+    sensitive) count (orders collapse to ≤5 narrow rows per customer), and
+    the per-(QI, sensitive) counts then stack into the group profile with
+    a second hash aggregate: grp_size = Σ cnt, l_div = COUNT(*), top_cnt =
+    MAX(cnt). The former Exchange+Sort+Window over the full release (plus
+    Catalyst's count_distinct expansion) becomes two ordinary aggregates.
+    The nation dim is broadcast; the fact scan is the only large input.
     """
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders")
-    qi = (
+    per_cs = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    qi_counts = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(orders, orders.o_custkey == cust.c_custkey)
-        .select(
+        .join(per_cs, per_cs.o_custkey == cust.c_custkey)
+        .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("n_name").alias("nation"),
             F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").alias("bal_band"),
             F.col("o_orderpriority").alias("sensitive"),
         )
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
-    wtop = Window.partitionBy("segment", "nation", "bal_band", "sensitive")
-    grp = (
-        qi.withColumn("cnt_top", F.count(F.lit(1)).over(wtop))
-        .groupBy("segment", "nation", "bal_band")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("grp_size"),
-            F.count_distinct("sensitive").cast("bigint").alias("l_div"),
-            F.max("cnt_top").cast("bigint").alias("top_cnt"),
-        )
+    grp = qi_counts.groupBy("segment", "nation", "bal_band").agg(
+        F.sum("cnt").cast("bigint").alias("grp_size"),
+        F.count(F.lit(1)).cast("bigint").alias("l_div"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
     )
     return (
         grp.groupBy("segment")
@@ -866,32 +869,39 @@ def q_privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows switch the cross-multiples to DOUBLE — the audit is a report, not
     an invoice).
 
-    Scale shape: ONE hash aggregate builds all 4 cumulative counters per QI
-    group (conditional sums, no per-rank explode), the global distribution
-    is a 1-row broadcast re-aggregated FROM the group relation (no second
-    fact scan), and the rollup is per-segment. The nation dim is broadcast;
-    the orders⋈customer join is the only large shuffle.
+    Scale shape: the fact side is REDUCED BEFORE THE SHUFFLE — a map-side-
+    combined per-customer aggregate collapses orders to 5 counters per
+    customer (guide: aggregate before you shuffle), so the custkey join
+    moves one narrow row per customer instead of one per order; the QI
+    aggregate then just sums counters. The global distribution is a 1-row
+    broadcast re-aggregated FROM the group relation (no second fact scan),
+    and the rollup is per-segment. The nation dim is broadcast.
     """
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders")
-    qi = (
+    r = F.substring("o_orderpriority", 1, 1).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        *[
+            F.sum((r <= i).cast("int")).cast("bigint").alias(f"c{i}")
+            for i in range(1, 5)
+        ],
+    )
+    grp = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(orders, orders.o_custkey == cust.c_custkey)
-        .select(
+        .join(per_cust, per_cust.o_custkey == cust.c_custkey)
+        .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("n_name").alias("nation"),
             F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").alias("bal_band"),
-            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("r"),
         )
+        .agg(
+            F.sum("g").cast("bigint").alias("g"),
+            *[F.sum(f"c{i}").cast("bigint").alias(f"c{i}") for i in range(1, 5)],
+        )
+        .localCheckpoint(eager=False)
     )
-    grp = qi.groupBy("segment", "nation", "bal_band").agg(
-        F.count(F.lit(1)).cast("bigint").alias("g"),
-        *[
-            F.sum((F.col("r") <= i).cast("int")).cast("bigint").alias(f"c{i}")
-            for i in range(1, 5)
-        ],
-    ).localCheckpoint(eager=False)
     glob = grp.agg(
         F.sum("g").cast("bigint").alias("n"),
         *[F.sum(f"c{i}").cast("bigint").alias(f"g{i}") for i in range(1, 5)],
@@ -999,29 +1009,37 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. Zero-count bins take the s_eff = max(s,1) Laplace floor on
     the ln side only.
 
-    Scale shape: one fact scan feeds a (type, bin) hash aggregate with
-    map-side combine (the mergeable sketch: 10 counters per type per
-    period); the time midpoint and per-type spans are 1-row/5-row
-    broadcasts. At 100 TB the per-type daily PSI is the same plan with a
-    date bucket added to the group key.
+    Scale shape: TWO column-pruned fact scans, nothing materialized — one
+    per-type stats aggregate carries the value spans AND the per-type time
+    extrema (the global midpoint folds out of those extrema, so the former
+    separate 1-row pass is free), broadcast back onto the binning scan
+    that feeds the (type, bin) hash aggregate with map-side combine (the
+    mergeable sketch: 10 counters per type per period). The previous shape
+    localCheckpointed the whole projected fact relation to serve three
+    consumers — a full materialization that two direct scans beat at any
+    scale. At 100 TB the per-type daily PSI is the same plan with a date
+    bucket added to the group key.
     """
-    ev = (
-        load(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
-            F.col("ts_us").alias("t_us"),
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.col("ts_us").alias("t_us"),
+    )
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("cents").alias("mn_c"),
+            F.max("cents").alias("mx_c"),
+            F.min("t_us").alias("mn_t"),
+            F.max("t_us").alias("mx_t"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # |types| rows; feeds spans AND mid
     )
-    mid = ev.agg(
-        ((F.min("t_us") + F.max("t_us")) / 2).cast("bigint").alias("mid_us")
-    )
-    spans = ev.groupBy("event_type").agg(
-        F.min("cents").alias("mn_c"), F.max("cents").alias("mx_c")
+    mid = stats.agg(
+        ((F.min("mn_t") + F.max("mx_t")) / 2).cast("bigint").alias("mid_us")
     )
     binned = (
-        ev.join(F.broadcast(spans), "event_type")
+        ev.join(F.broadcast(stats.select("event_type", "mn_c", "mx_c")), "event_type")
         .crossJoin(F.broadcast(mid))
         .select(
             "event_type",
