@@ -133,62 +133,72 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order, linenumber) identities, and non-positive prices — one row per
     rule with its violation count.
 
-    Plan shape: the three lineitem row-level rules fold into ONE scan's
-    aggregate; referential integrity is a left-anti join against the
-    (broadcastable) order-key set; the duplicate-identity rule reuses the
-    lineitem scan into a grouped count. At 100 TB each rule's count is a
-    map-side-combined aggregate — the expensive one is the anti-join, which
-    AQE plans as broadcast when the parent keyset fits.
+    Plan shape: ONE lineitem pass serves all four fact rules — a per-order
+    aggregate (map-side combined, one Exchange on orderkey) carries the
+    row-rule violation counts, the row count, and distinct (order, line)
+    identities (dup excess = n_rows − n_distinct_linenumbers, exactly
+    Σ(c−1) over duplicated identities); referential integrity falls out of
+    the SAME relation by a left join to the order-key set (orphan rows =
+    Σ n_rows where no parent matched), so the former four fact scans
+    (row rules twice via the shared 1-row aggregate + anti-join + dup
+    grouping) become one. The five counts leave one single-row relation,
+    exploded into the (rule, n_violations) contract rows.
     """
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
 
-    def one(rule: str, df: DataFrame) -> DataFrame:
-        return df.select(F.lit(rule).alias("rule"), F.col("n_violations"))
-
-    null_cust = orders.agg(
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_violations")
-    )
-    li_rowrules = li.agg(
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(
             F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
         )
         .cast("bigint")
-        .alias("discount_range"),
+        .alias("disc_v"),
         F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0))
         .cast("bigint")
-        .alias("negative_price"),
+        .alias("price_v"),
+        F.count_distinct("l_linenumber").cast("bigint").alias("n_ln"),
     )
-    orphans = li.join(
-        orders.select("o_orderkey"),
-        li.l_orderkey == F.col("o_orderkey"),
-        "left_anti",
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
-    dups = (
-        li.groupBy("l_orderkey", "l_linenumber")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("n_violations"))
+    null_cust = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_custkey")
     )
-    return (
-        one("null_custkey", null_cust)
-        .unionByName(
-            one(
-                "discount_range",
-                li_rowrules.select(F.col("discount_range").alias("n_violations")),
-            )
+    fact = (
+        per_order.join(
+            orders.select("o_orderkey"),
+            per_order.l_orderkey == F.col("o_orderkey"),
+            "left",
         )
-        .unionByName(one("orphan_lineitems", orphans))
-        .unionByName(one("dup_line_numbers", dups))
-        .unionByName(
-            one(
-                "negative_price",
-                li_rowrules.select(F.col("negative_price").alias("n_violations")),
-            )
+        .agg(
+            F.sum("disc_v").cast("bigint").alias("discount_range"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("orphan_lineitems"),
+            F.sum(F.col("n_rows") - F.col("n_ln")).cast("bigint").alias("dup_line_numbers"),
+            F.sum("price_v").cast("bigint").alias("negative_price"),
         )
+        .crossJoin(F.broadcast(null_cust))
     )
+    return fact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(rule).alias("rule"),
+                        F.col(rule).alias("n_violations"),
+                    )
+                    for rule in (
+                        "null_custkey",
+                        "discount_range",
+                        "orphan_lineitems",
+                        "dup_line_numbers",
+                        "negative_price",
+                    )
+                ]
+            )
+        ).alias("e")
+    ).select("e.rule", "e.n_violations")
 
 
 # --- q_quality_freshness (cross-table freshness / staleness audit) -----------
