@@ -1487,7 +1487,11 @@ def q_text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sents = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), "\\.")).alias("s")
     ).select("doc_id", F.trim("s").alias("sent")).filter(F.length("sent") > 0)
-    hashes = sents.select("doc_id", F.md5("sent").alias("h"))
+    # feeds the frequency table AND the score join: the lazy checkpoint
+    # runs the scan + sentence split + md5 once instead of per consumer.
+    hashes = sents.select("doc_id", F.md5("sent").alias("h")).localCheckpoint(
+        eager=False
+    )
     freq = hashes.groupBy("h").agg(
         F.count_distinct("doc_id").cast("bigint").alias("n_docs")
     )
@@ -1581,9 +1585,15 @@ def q_text_longgram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.expr(f"substring(text, i, {_LONGGRAM_LEN})")).alias("h"),
         )
         .distinct()
+        # feeds the frequency table AND the score join: the lazy checkpoint
+        # evaluates the explode+md5+distinct pipeline (a full shuffle of the
+        # corpus-sized gram relation) ONCE instead of once per consumer.
+        .localCheckpoint(eager=False)
     )
+    # rows are already distinct (doc, h), so the per-gram doc count is a
+    # plain count — no second distinct expansion.
     freq = grams.groupBy("h").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     # shuffle_hash, NOT broadcast: freq is CORPUS-sized (one row per
     # distinct gram). The static planner mis-estimates aggregate output
@@ -1732,9 +1742,16 @@ def q_text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"sel div {_WINNOW_POS_BOUND}").alias("h32"),
         )
         .distinct()
+        # feeds the frequency table AND the score join: the lazy checkpoint
+        # evaluates the whole winnow pipeline (explode + md5 + frame-min
+        # window + distinct shuffle) once instead of per consumer.
+        .localCheckpoint(eager=False)
     )
+    # fp rows are distinct and n_grams is constant per doc, so there is one
+    # row per (h32, doc) — the per-fingerprint doc count is a plain count,
+    # no second distinct expansion.
     freq = fp.groupBy("h32").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("nd")
+        F.count(F.lit(1)).cast("bigint").alias("nd")
     )
     # shuffle_hash for the same reason as q_text_longgram_dedup: the
     # fingerprint-frequency relation is corpus-sized and a statically
