@@ -196,8 +196,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Join on the 8-byte hash, not the ~25-char string: same pairs (the
     # oracle gate would catch any collision), much less shuffle width and
-    # compare cost — and the scale-correct key for 100 TB.
-    sh = long_docs.unionByName(short_docs)
+    # compare cost — and the scale-correct key for 100 TB. The relation
+    # feeds THREE arms (set sizes + both self-join sides): the lazy
+    # checkpoint runs the scan + split + xxhash pipeline once, not thrice.
+    sh = long_docs.unionByName(short_docs).localCheckpoint(eager=False)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g")
     b = sh.select(
