@@ -197,9 +197,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join on the 8-byte hash, not the ~25-char string: same pairs (the
     # oracle gate would catch any collision), much less shuffle width and
     # compare cost — and the scale-correct key for 100 TB. The relation
-    # feeds THREE arms (set sizes + both self-join sides): the lazy
-    # checkpoint runs the scan + split + xxhash pipeline once, not thrice.
-    sh = long_docs.unionByName(short_docs).localCheckpoint(eager=False)
+    # feeds THREE arms (set sizes + both self-join sides) and is
+    # re-projected per arm ON PURPOSE: an sf1 interleaved A/B measured a
+    # localCheckpoint here ~2× slower (6.5-8.6 s → 14.2 s) — the
+    # materialization write + pinned parallelism cost more than re-running
+    # the codegen scan+split+xxhash pipeline.
+    sh = long_docs.unionByName(short_docs)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g")
     b = sh.select(

@@ -1487,11 +1487,11 @@ def q_text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sents = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), "\\.")).alias("s")
     ).select("doc_id", F.trim("s").alias("sent")).filter(F.length("sent") > 0)
-    # feeds the frequency table AND the score join: the lazy checkpoint
-    # runs the scan + sentence split + md5 once instead of per consumer.
-    hashes = sents.select("doc_id", F.md5("sent").alias("h")).localCheckpoint(
-        eager=False
-    )
+    # recomputed per consumer on purpose: the corpus-sized hash relation is
+    # cheaper to re-project (scan + split + md5, pure codegen) than to
+    # materialize — the sf1 A/B on the sibling long-gram screen measured a
+    # localCheckpoint here 4× slower (block write + pinned parallelism).
+    hashes = sents.select("doc_id", F.md5("sent").alias("h"))
     freq = hashes.groupBy("h").agg(
         F.count_distinct("doc_id").cast("bigint").alias("n_docs")
     )
@@ -1585,10 +1585,12 @@ def q_text_longgram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.expr(f"substring(text, i, {_LONGGRAM_LEN})")).alias("h"),
         )
         .distinct()
-        # feeds the frequency table AND the score join: the lazy checkpoint
-        # evaluates the explode+md5+distinct pipeline (a full shuffle of the
-        # corpus-sized gram relation) ONCE instead of once per consumer.
-        .localCheckpoint(eager=False)
+        # NOT checkpointed although two consumers re-evaluate it: an sf1
+        # interleaved A/B measured the materialization 4× SLOWER (56 s vs
+        # 13.5 s) — the gram relation is ~1 row/char, so localCheckpoint
+        # writes multi-GB blocks AND pins downstream parallelism at the
+        # few AQE-coalesced distinct partitions; recomputing the codegen
+        # explode+md5 pipeline is strictly cheaper at every measured SF.
     )
     # rows are already distinct (doc, h), so the per-gram doc count is a
     # plain count — no second distinct expansion.
@@ -1742,10 +1744,11 @@ def q_text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"sel div {_WINNOW_POS_BOUND}").alias("h32"),
         )
         .distinct()
-        # feeds the frequency table AND the score join: the lazy checkpoint
-        # evaluates the whole winnow pipeline (explode + md5 + frame-min
-        # window + distinct shuffle) once instead of per consumer.
-        .localCheckpoint(eager=False)
+        # recomputed per consumer on purpose (see q_text_longgram_dedup):
+        # the sf1 A/B measured corpus-sized localCheckpoints strictly
+        # slower than re-running the codegen pipeline — materialization
+        # writes multi-GB blocks and pins downstream parallelism at the
+        # few AQE-coalesced partitions of the distinct.
     )
     # fp rows are distinct and n_grams is constant per doc, so there is one
     # row per (h32, doc) — the per-fingerprint doc count is a plain count,
