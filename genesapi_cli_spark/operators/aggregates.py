@@ -1570,13 +1570,18 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Portable by construction: the d hash functions are sha256 prefixes of
     "j:key" (byte-identical in DuckDB), so the oracle rebuilds the ENTIRE
-    sketch, not just the estimates. Plan shape: one ×4 in-row explode of the
-    key column (a projection, no join), ONE groupBy to the 256-cell counter
-    table (map-side partials collapse hard: output is ≤ d·w rows regardless
-    of input size — this is why CMS works at 100 TB), then a broadcast join
-    of probes against the tiny counter table and a MIN rollup. The sketch
-    table is mergeable across partitions/streams by cell-wise addition —
-    the distributed-sketch property q_agg_sketch_merge proves for HLL.
+    sketch, not just the estimates. Plan shape: the bucket index depends
+    only on o_custkey, so a per-custkey count pre-aggregate (map-side
+    combined) runs FIRST and the d sha256 hashes run once per DISTINCT key
+    instead of once per fact row (~15× fewer at TPC-H order multiplicity —
+    guide §2.3, aggregate before the expensive projection); counters are
+    then the cnt-weighted sum over a ×4 in-row explode of the key relation,
+    collapsing map-side to the ≤ d·w-cell sketch (why CMS works at 100 TB),
+    and the probe arm reads the same per-key aggregate (its %-filter pushes
+    below the aggregate to the scan). Broadcast join of probes against the
+    tiny counter table + a MIN rollup finish. The sketch table is mergeable
+    across partitions/streams by cell-wise addition — the distributed-sketch
+    property q_agg_sketch_merge proves for HLL.
     """
     orders = load(spark, sf_dir, "orders")
 
@@ -1593,6 +1598,12 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     key = F.col("o_custkey")
+    # cnt per distinct key: both arms derive from this shape (re-derived per
+    # arm — 2 column-pruned scans, each map-side combined; a checkpoint here
+    # would materialize a |custkeys|-sized relation for no scan savings).
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
     rows = F.explode(
         F.array(
             *[
@@ -1602,15 +1613,13 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("r")
     counters = (
-        orders.select(rows)
-        .select("r.j", "r.bucket")
+        per_key.select("cnt", rows)
+        .select("r.j", "r.bucket", "cnt")
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
-    probes = (
-        orders.filter(key % _CMS_PROBE_MOD == 7)
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    probes = per_key.filter(key % _CMS_PROBE_MOD == 7).select(
+        "o_custkey", F.col("cnt").alias("exact_n")
     )
     pk = F.col("o_custkey")
     probe_buckets = probes.select(
@@ -1712,13 +1721,21 @@ def q_agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: registers are a (group, bucket) MAX — a mergeable monoid
     built map-side with at most group×{_HLL_M} rows ever shuffled,
-    duplicates collapsing before exchange (no distinct pass over the fact
-    table, unlike the exact arm which exists only as the certificate).
+    duplicates collapsing before exchange. The register value and the exact
+    count both depend ONLY on the distinct (group, key) set, so ONE map-side
+    combined distinct-pair pre-pass feeds the whole query: sha256 runs once
+    per DISTINCT key (not once per fact row), the per-bucket aggregate
+    carries the key count whose per-group sum IS the exact distinct count
+    (no count_distinct expansion, no second fact scan), and the certificate
+    join disappears — a single linear cascade of three shrinking hash
+    aggregates (the q_agg_hll_setops single-scan derivation, round 12).
     This is the mergeable-sketch pattern: per-partition register partials
     union by pairwise MAX, the same way production HLL unions shards.
     """
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
-    pos = li.select(
+    # Distinct (group, key) pairs — the only relation either arm needs.
+    keys = li.distinct()
+    pos = keys.select(
         "l_returnflag",
         F.expr(
             "CAST(CONV(SUBSTRING(SHA2(CAST(l_partkey AS STRING), 256), 1, 8), "
@@ -1737,19 +1754,21 @@ def q_agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE instr(lpad(bin(suffix), {_HLL_W}, '0'), '1') END"
         ).alias("r"),
     )
-    regs = rho.groupBy("l_returnflag", "bucket").agg(F.max("r").alias("r"))
-    summ = regs.groupBy("l_returnflag").agg(
+    # n_keys per (group, bucket): pos rows are distinct keys by construction,
+    # so Σ n_keys per group is exactly COUNT(DISTINCT l_partkey).
+    regs = rho.groupBy("l_returnflag", "bucket").agg(
+        F.max("r").alias("r"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    est = regs.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_regs"),
+        F.sum("n_keys").cast("bigint").alias("n_exact"),
         F.sum("r").cast("bigint").alias("reg_sum"),
         F.sum(F.col("r") * (F.col("bucket") + 1)).cast("bigint").alias("reg_check"),
         F.sum(
             F.expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))")
         ).alias("sum_present"),
-    )
-    ex = li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_partkey").cast("bigint").alias("n_exact")
-    )
-    est = summ.join(F.broadcast(ex), "l_returnflag").select(
+    ).select(
         "l_returnflag",
         "n_exact",
         "reg_sum",

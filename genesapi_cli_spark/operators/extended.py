@@ -1487,47 +1487,57 @@ def q_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents with the deterministic (cents DESC, partkey) rank order; the
     matrix is a FULL outer join on partkey with '-' for absences.
 
-    Scale shape: per-period ranking is one window over the part-level
-    aggregate (parts ≪ line items); the matrix join is part-keyed."""
+    Scale shape: ONE fact pass — both years' part revenues come from one
+    conditional aggregate over the two-year scan window (guide §2.3), so
+    the FULL outer matrix join of the per-period classifications
+    disappears: a part absent from a period carries a NULL conditional sum,
+    which IS the '-' class. Each period's 80/95% ranking is then a window
+    over the single part-level relation ordered with its period's
+    (cents DESC, partkey) key, NULLS LAST keeping absent parts out of the
+    cumulative sum (they contribute neither to cum nor tot, exactly as the
+    per-period aggregates did). Per-period ranking stays one window over
+    the part-level aggregate (parts ≪ line items)."""
     li = load(spark, sf_dir, "lineitem")
-
-    def classify(lo: str, hi: str, out: str) -> DataFrame:
-        rev = (
-            li.filter(
-                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp_ntz"))
-                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp_ntz"))
-            )
-            .groupBy("l_partkey")
-            .agg(
-                F.sum(F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"))
-                .cast("bigint")
-                .alias("cents")
-            )
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    mid = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    cents = F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    in_p1 = F.col("l_shipdate") < mid
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(in_p1, cents)).cast("bigint").alias("cents1"),
+            F.sum(F.when(~in_p1, cents)).cast("bigint").alias("cents2"),
         )
-        w_cum = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+    )
+
+    def classify(col: str) -> F.Column:
+        # Identical cut algebra to the two-relation version: among parts
+        # PRESENT in the period (non-null conditional sum; desc ordering is
+        # NULLS LAST so absent parts trail and never perturb cum), rank by
+        # (cents DESC, partkey) and cross-multiply in 128-bit decimal —
+        # yearly total cents ×10⁴ passes int64 at SF 10⁵, the bot_screen
+        # overflow class.
+        w_cum = Window.orderBy(F.desc(col), "l_partkey").rowsBetween(
             Window.unboundedPreceding, 0
         )
         w_tot = Window.partitionBy()
-        # 128-bit cross-multiply (decimal(38,0) / HUGEINT): yearly total
-        # cents ×10⁴ passes int64 at SF 10⁵ — the bot_screen overflow class.
-        cum38 = F.sum("cents").over(w_cum).cast("decimal(38,0)")
-        tot38 = F.sum("cents").over(w_tot).cast("decimal(38,0)")
-        return rev.select(
-            "l_partkey",
-            F.when(cum38 * 10000 <= 8000 * tot38, "A")
+        cum38 = F.sum(col).over(w_cum).cast("decimal(38,0)")
+        tot38 = F.sum(col).over(w_tot).cast("decimal(38,0)")
+        return (
+            F.when(F.col(col).isNull(), "-")
+            .when(cum38 * 10000 <= 8000 * tot38, "A")
             .when(cum38 * 10000 <= 9500 * tot38, "B")
             .otherwise("C")
-            .alias(out),
         )
 
-    c1 = classify("1996-01-01 00:00:00", "1997-01-01 00:00:00", "cls1")
-    c2 = classify("1997-01-01 00:00:00", "1998-01-01 00:00:00", "cls2")
     return (
-        c1.join(c2, "l_partkey", "full")
-        .groupBy(
-            F.coalesce("cls1", F.lit("-")).alias("class_from"),
-            F.coalesce("cls2", F.lit("-")).alias("class_to"),
+        rev.select(
+            classify("cents1").alias("class_from"),
+            classify("cents2").alias("class_to"),
         )
+        .groupBy("class_from", "class_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("class_from", "class_to")
     )

@@ -1303,10 +1303,17 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probabilities are (c₂+1)/(c₁+V) per lang, ln micro-snapped BEFORE the
     decimal-cast sum (registry parity convention).
 
-    Scale shape: TRAIN is one (lang,w1,w2) hash agg; c₁ and V derive from
-    c₂ (never rescan facts); SCORE joins the log-prob table back on the
-    bigram key — a shuffle join on purpose (bigram vocab outgrows broadcast
-    at corpus scale, unlike the unigram table) — then one per-doc agg.
+    Scale shape (round-12 rewrite, guide §2.3): bigram instances collapse
+    to per-(doc, bigram) type counts FIRST — explode keeps a document's
+    rows in one partition, so the partial aggregation is near-total
+    map-side and everything downstream (train aggregate, score join)
+    shuffles collapsed types, never raw instances. c₁ is an unordered
+    window over c₂ partitioned by (lang, w1) — the former c₂⋈c₁
+    re-aggregate join is gone; V stays a tiny per-lang broadcast. SCORE
+    joins the log-prob table back on the bigram key weighted by the type
+    count (Σ cnt·lp over exact decimals ≡ the instance-level sum) — a
+    shuffle join on purpose (bigram vocab outgrows broadcast at corpus
+    scale, unlike the unigram table) — then one per-doc agg.
     """
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     arr = docs.select(
@@ -1322,17 +1329,20 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    # Deliberately NOT checkpointed: re-deriving the zip-explode for the
-    # score pass is cheaper than materializing the full bigram relation
-    # (measured 1.5 s vs 2.1 s at sf0.1) — narrow in-row fan-out loses to
-    # the write+read round trip.
-    c2 = bi.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    c1 = c2.groupBy("lang", "w1").agg(F.sum("c").cast("bigint").alias("ctx"))
+    # Deliberately NOT checkpointed: re-deriving the zip-explode + map-side
+    # collapse for the score pass is cheaper than materializing the bigram
+    # type relation (the sf1 substring-screen A/B class) — narrow in-row
+    # fan-out loses to the write+read round trip.
+    bd = bi.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    c2 = bd.groupBy("lang", "w1", "w2").agg(F.sum("cnt").cast("bigint").alias("c"))
     vocab = c2.groupBy("lang").agg(
         F.count_distinct("w2").cast("bigint").alias("v")
     )
+    ctx = F.sum("c").over(Window.partitionBy("lang", "w1")).cast("bigint")
     logp = (
-        c2.join(c1, ["lang", "w1"])
+        c2.withColumn("ctx", ctx)
         .join(F.broadcast(vocab), "lang")
         .select(
             "lang",
@@ -1349,11 +1359,13 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        bi.join(logp, ["lang", "w1", "w2"])
+        bd.join(logp, ["lang", "w1", "w2"])
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_bi"),
-            F.sum(F.col("lp").cast("decimal(18,7)")).cast("double").alias("sum_lp"),
+            F.sum("cnt").cast("long").alias("n_bi"),
+            F.sum(F.col("lp").cast("decimal(18,7)") * F.col("cnt"))
+            .cast("double")
+            .alias("sum_lp"),
         )
     )
     avg = F.col("sum_lp") / F.col("n_bi")
@@ -3115,48 +3127,43 @@ def q_text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only float is the per-doc fraction, snapped to 4 decimals before
     the per-source mean, which is snapped again on output.
 
-    Scale shape: grams explode in-row (whole-stage codegen, no shuffle);
-    the df aggregate and the instance↔df equi-join both key on the gram
-    string — at 100 TB the gram would be xxhash64'd to a fixed-width key
-    first (same technique as the minhash family) and the join co-partitions
-    with the aggregate, so the corpus shuffles twice total; the per-doc and
-    per-source rollups are map-side combined."""
+    Scale shape (round-12 rewrite, guide §2.3/§2.4): grams hash in-row to
+    8-byte xxhash64 keys inside the explode lambda (the q_dedup_ngram_jaccard
+    convention — the oracle joins gram strings, the hash-green gate certifies
+    collision-freedom), and the per-(doc, gram) COUNT collapses instances
+    map-side BEFORE anything shuffles. Document frequency is then an
+    unordered COUNT(*) window over the collapsed relation partitioned by
+    gram — the corpus-sized instance↔df equi-join AND the corpus-sized
+    localCheckpoint of the exploded gram strings are both gone (the sf1
+    substring-screen A/B showed that materialization class is the
+    regression); the single remaining consumer re-derives nothing. Per-doc
+    and per-source rollups stay map-side combined: the corpus shuffles
+    exactly twice, both times as collapsed (doc, gram-hash, cnt) rows."""
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     ws = docs.select(
         "doc_id", "source", F.split(F.lower("text"), " ").alias("w")
     )
-    grams = (
-        ws.filter(F.size("w") >= _DUPNG_N)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(w) - {_DUPNG_N - 1}),"
-                    f" i -> array_join(slice(w, i, {_DUPNG_N}), ' '))"
-                )
-            ).alias("g"),
-        )
-        .localCheckpoint(eager=False)
+    grams = ws.filter(F.size("w") >= _DUPNG_N).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_DUPNG_N - 1}),"
+                f" i -> xxhash64(slice(w, i, {_DUPNG_N})))"
+            )
+        ).alias("g"),
     )
-    df = (
-        grams.select("g", "doc_id")
-        .distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    gd = grams.groupBy("doc_id", "source", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    # shuffle_hash: the 5-gram df relation is corpus-sized; a statically
-    # mis-estimated broadcast would collect it to the driver at scale
-    # (the q_text_longgram_dedup failure class, round 9).
-    per_doc = (
-        grams.join(df.hint("shuffle_hash"), "g")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dup"),
-        )
+    # df per gram: gd rows are distinct (doc, gram) pairs, so an unordered
+    # count-over-partition window IS COUNT(DISTINCT doc_id) — no join back.
+    gdf = gd.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    per_doc = gdf.groupBy("doc_id", "source").agg(
+        F.sum("cnt").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("df") >= 2, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup"),
     )
     frac = F.floor(F.col("n_dup").cast("double") / F.col("n_grams") * 10000 + F.lit(0.5)) / 10000
     return per_doc.groupBy("source").agg(
