@@ -1000,23 +1000,29 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks; no theta join, no BroadcastNestedLoop anywhere in the plan.
     When no such key exists, the q_join_spatial grid-bucket rewrite applies
     to the time axis instead. Interval endpoints are exact epoch days; the
-    fulfillment window itself is one (orderkey) hash agg over lineitem.
+    fulfillment window is the (orderkey) hash agg over lineitem run BEFORE
+    the orders join (round 12, guide §2.3 — aggregate before you shuffle):
+    the join input shrinks from |lineitem| to |orderkeys|, the aggregate's
+    output partitioning feeds the join key directly, and the former
+    post-join re-aggregate disappears (orderkey is unique in orders, so
+    joining the collapsed window is the same relation).
     """
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_IV_DAY_US}")
+        ).alias("e")
+    )
     iv = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .select(
             F.col("o_orderkey").alias("k"),
             F.col("o_custkey").alias("c"),
             F.expr(
                 f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_IV_DAY_US}"
             ).alias("s"),
-        )
-        .agg(
-            F.max(
-                F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_IV_DAY_US}")
-            ).alias("e")
+            "e",
         )
         # one interval relation feeds both self-join sides (the fact join +
         # agg would otherwise run twice when ReuseExchange doesn't fire

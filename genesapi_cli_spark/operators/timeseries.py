@@ -6010,76 +6010,111 @@ def q_events_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round. Degenerate rounds (zero variance or n ≤ 2) emit nothing in
     both engines.
 
-    Scale shape: fourth consumer of the shared daily rollup
-    (build_daily_cents); all three rounds run over the streams×days
-    collapsed relation — per-round windows partition by stream, moments
-    are 5-row aggregates, and the unrolled-iteration discipline is
-    q_graph_pagerank's. At 100 TB the rollup is the only fact-scale pass.
+    Scale shape (round-12 rewrite, guide §2.4 — remove shuffles outright):
+    fourth consumer of the shared daily rollup (build_daily_cents). A
+    stream's daily series is CALENDAR-BOUNDED (one row per stream-day —
+    years of history is a few thousand elements), so all three rounds run
+    IN-ROW over a per-stream collected array: one hash aggregate gathers
+    each stream's (day, cents) list, and each unrolled round is pure
+    codegen'd higher-order-function work — moments via aggregate(), the
+    per-round argmax via an associative (dev DESC, day ASC) reduce (order-
+    independent, so collect order never matters), removal via filter().
+    The former shape paid 3 × (5-row aggregate + broadcast join + per-
+    stream window + anti-join + checkpoint) ≈ 14 stages over the same
+    collapsed relation; this is the rollup + ONE aggregate + a projection,
+    with identical integer/double arithmetic per round (the same long
+    moments, the same double cast sequence in guard and studentization).
+    At 100 TB the rollup is the only fact-scale pass, unchanged.
     """
     daily = shared_daily_cents(spark, sf_dir)
-    cand = daily.select("event_type", "day_idx", "cents")
-    picks = []
+    grouped = daily.groupBy("event_type").agg(
+        F.collect_list(F.struct("day_idx", "cents")).alias("a1")
+    )
+    cur = grouped
+    pick_cols = []
     for r in range(1, _ESD_ROUNDS + 1):
-        m = cand.groupBy("event_type").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("cents").cast("bigint").alias("s"),
-            F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q"),
+        a = f"a{r}"
+        # round moments (exact longs — the former 5-row aggregate)
+        cur = cur.withColumns(
+            {
+                f"n{r}": F.expr(f"CAST(size({a}) AS BIGINT)"),
+                f"s{r}": F.expr(
+                    f"aggregate({a}, CAST(0 AS BIGINT), (acc, x) -> acc + x.cents)"
+                ),
+                f"q{r}": F.expr(
+                    f"aggregate({a}, CAST(0 AS BIGINT),"
+                    f" (acc, x) -> acc + x.cents * x.cents)"
+                ),
+            }
         )
-        w = Window.partitionBy("event_type").orderBy(
-            F.abs(F.col("n") * F.col("cents") - F.col("s")).desc(), "day_idx"
+        # argmax by (|n·x − s| DESC, day_idx ASC) — an associative reduce,
+        # the former per-stream row_number window's rn = 1 row
+        cur = cur.withColumn(
+            f"b{r}",
+            F.expr(
+                f"aggregate({a},"
+                f" named_struct('dev', CAST(-1 AS BIGINT),"
+                f"               'day_idx', CAST(-1 AS BIGINT),"
+                f"               'cents', CAST(0 AS BIGINT)),"
+                f" (acc, x) -> CASE WHEN abs(n{r} * x.cents - s{r}) > acc.dev"
+                f"   OR (abs(n{r} * x.cents - s{r}) = acc.dev"
+                f"       AND x.day_idx < acc.day_idx)"
+                f"   THEN named_struct('dev', abs(n{r} * x.cents - s{r}),"
+                f"                     'day_idx', x.day_idx, 'cents', x.cents)"
+                f"   ELSE acc END)"
+            ),
         )
-        ranked = (
-            cand.join(F.broadcast(m), "event_type")
-            .withColumn("rn", F.row_number().over(w))
+        # n·q exceeds int64 for long rich series — the guard and the
+        # denominator run in doubles, the IDENTICAL cast/association
+        # sequence in both engines (the q_window_ljung_box rationale)
+        cur = cur.withColumn(
+            f"ok{r}",
+            F.expr(
+                f"CAST(n{r} AS DOUBLE) * q{r} > CAST(s{r} AS DOUBLE) * s{r}"
+                f" AND n{r} > 2"
+            ),
         )
-        p = (
-            ranked.filter(
-                (F.col("rn") == 1)
-                # n·q exceeds int64 for long rich series — the guard and the
-                # denominator run in doubles, the IDENTICAL cast/association
-                # sequence in both engines (the q_window_ljung_box rationale)
-                & (
-                    F.col("n").cast("double") * F.col("q")
-                    > F.col("s").cast("double") * F.col("s")
-                )
-                & (F.col("n") > 2)
+        pick_cols.append(
+            F.expr(
+                f"CASE WHEN ok{r} THEN named_struct("
+                f" 'round', CAST({r} AS BIGINT),"
+                f" 'day_idx', b{r}.day_idx,"
+                f" 'cents', b{r}.cents,"
+                f" 'r_micro', CAST(FLOOR(CAST(b{r}.dev AS DOUBLE)"
+                f"   / SQRT(CAST(n{r} AS DOUBLE)"
+                f"          * (CAST(n{r} AS DOUBLE) * q{r}"
+                f"             - CAST(s{r} AS DOUBLE) * s{r})"
+                f"          / (n{r} - 1))"
+                f"   * 1000000 + 0.5) AS BIGINT),"
+                f" 'n_at_round', n{r}) END"
             )
-            .select(
-                "event_type",
-                F.lit(r).cast("bigint").alias("round"),
-                "day_idx",
-                "cents",
-                F.floor(
-                    F.abs(F.col("n") * F.col("cents") - F.col("s")).cast(
-                        "double"
-                    )
-                    / F.sqrt(
-                        F.col("n").cast("double")
-                        * (
-                            F.col("n").cast("double") * F.col("q")
-                            - F.col("s").cast("double") * F.col("s")
-                        )
-                        / (F.col("n") - 1)
-                    )
-                    * 1000000
-                    + F.lit(0.5)
-                )
-                .cast("bigint")
-                .alias("r_micro"),
-                F.col("n").alias("n_at_round"),
-            )
         )
-        # only the shrinking candidate set is checkpointed (it feeds the
-        # next round twice); the picks stay un-checkpointed so the plan
-        # gate fingerprints the per-round window/join structure.
-        picks.append(p)
-        cand = cand.join(
-            p.select("event_type", "day_idx"), ["event_type", "day_idx"], "left_anti"
-        ).localCheckpoint(eager=False)
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+        if r < _ESD_ROUNDS:
+            # remove the pick only when it was emitted — a failed guard
+            # leaves the set unchanged, exactly like the former anti-join
+            # against an empty pick relation
+            cur = cur.withColumn(
+                f"a{r + 1}",
+                F.expr(
+                    f"CASE WHEN ok{r}"
+                    f" THEN filter({a}, x -> x.day_idx != b{r}.day_idx)"
+                    f" ELSE {a} END"
+                ),
+            )
+    picks = cur.select(
+        "event_type",
+        F.explode(
+            F.filter(F.array(*pick_cols), lambda p: p.isNotNull())
+        ).alias("p"),
+    )
+    return picks.select(
+        "event_type",
+        F.col("p.round").alias("round"),
+        F.col("p.day_idx").alias("day_idx"),
+        F.col("p.cents").alias("cents"),
+        F.col("p.r_micro").alias("r_micro"),
+        F.col("p.n_at_round").alias("n_at_round"),
+    )
 
 
 # --- q_window_ohlc ------------------------------------------------------------
