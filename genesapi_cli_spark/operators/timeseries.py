@@ -1616,26 +1616,28 @@ def q_orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     does the p99 tail look like): exact median×2 / p90 / p99 ceil-rank /
     max in whole days.
 
-    Parity & shape: latency is exact integer epoch-day arithmetic from one
-    per-order MIN aggregate; quantiles are exact RANK SELECTIONS via a
-    ranking window over the per-order latency table (the streaming shape —
-    no engine-side per-group list, unlike the oracle's list_sort pick),
-    then a 4-ranks-per-group conditional aggregate. Same machinery as
+    Parity & shape: latency is exact integer epoch-day arithmetic from the
+    per-order MIN aggregate run BEFORE the orders join (round 12, guide
+    §2.3 — the join input shrinks from |lineitem| to |orderkeys|, the
+    aggregate's output partitioning feeds the join key, and the former
+    post-join 3-key re-aggregate disappears since orderkey is unique in
+    orders); quantiles are exact RANK SELECTIONS via a ranking window over
+    the per-order latency table (the streaming shape — no engine-side
+    per-group list, unlike the oracle's list_sort pick), then a
+    4-ranks-per-group conditional aggregate. Same machinery as
     q_events_interarrival pointed at an operational SLA.
     """
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    lat = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
-        .agg(F.min("l_shipdate").alias("first_ship"))
-        .select(
-            "o_orderpriority",
-            F.expr(
-                f"(unix_micros(CAST(first_ship AS TIMESTAMP)) "
-                f"- unix_micros(CAST(o_orderdate AS TIMESTAMP))) div {_DAY_US}"
-            ).alias("days"),
-        )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lat = per_order.join(orders, per_order.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.expr(
+            f"(unix_micros(CAST(first_ship AS TIMESTAMP)) "
+            f"- unix_micros(CAST(o_orderdate AS TIMESTAMP))) div {_DAY_US}"
+        ).alias("days"),
     )
     # ONE window pass: rn and n share the same partition AND order spec (n
     # just widens the frame to unbounded), so Catalyst folds both into a
