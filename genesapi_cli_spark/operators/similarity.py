@@ -2477,6 +2477,43 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_K = 5        # neighbors voting
 _KNN_TEST_MOD = 5  # test split: vec_id % 5 == 0 (~20%)
 _KNN_BLOCKS = 8   # train-side hash blocks for the Arrow matmul stage
+_KNN_QCHUNK = 4096  # test columns per matmul slab (bounds task memory)
+_KNN_CCHUNK = 2048  # train rows per matmul slab (bounds task memory)
+
+
+def _knn_chunked_topk(t_mat, cids, q_mat, k, cchunk):
+    """Exact per-query top-k by (dot DESC, cand_id ASC) over train slabs
+    with a running merge — never materializes more than a cchunk×m dot
+    grid. ``cids`` must ascend (the in-slab stable argsort then settles
+    dot ties on the smaller id, and the cross-slab merge lexsorts on
+    (−dot, id)). Returns (dots, ids) as (k_eff, m) int64 grids. Pure
+    numpy so the slab/merge algebra is unit-testable without Spark
+    (tests/test_llm_ops.py)."""
+    import numpy as np
+
+    m = q_mat.shape[0]
+    run_d = np.zeros((0, m), dtype=np.int64)
+    run_i = np.zeros((0, m), dtype=np.int64)
+    for clo in range(0, len(t_mat), cchunk):
+        chi = min(clo + cchunk, len(t_mat))
+        dots = t_mat[clo:chi] @ q_mat.T  # exact int64
+        kk = min(k, chi - clo)
+        order = np.argsort(-dots, axis=0, kind="stable")[:kk]
+        col = np.arange(m)
+        run_d = np.concatenate([run_d, dots[order, col]])
+        run_i = np.concatenate([run_i, cids[clo:chi][order]])
+        if len(run_d) > k:
+            # (dot DESC, cand_id ASC): lexsort keys in reverse significance
+            sel = np.lexsort((run_i, -run_d), axis=0)[:k]
+            run_d = np.take_along_axis(run_d, sel, axis=0)
+            run_i = np.take_along_axis(run_i, sel, axis=0)
+    # canonical (dot DESC, cand_id ASC) order even when no merge fired
+    # (total candidates ≤ k leaves rows in slab order otherwise)
+    sel = np.lexsort((run_i, -run_d), axis=0)
+    return (
+        np.take_along_axis(run_d, sel, axis=0),
+        np.take_along_axis(run_i, sel, axis=0),
+    )
 
 _KNN_ORACLE = f"""
 WITH q8 AS (
@@ -2533,12 +2570,15 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit.
 
     Scale shape: train vectors split into hash blocks and each block is
-    scored by ONE cogrouped Arrow int64 matmul against the replicated test
-    matrix (the q_sim_knn_graph pattern — each side ships once; no
-    |test|·|train| pair materialization), emitting only per-block top-k;
-    a global window re-ranks 5·blocks rows per query, then votes and
-    accuracy are two hash aggregates. At 100 TB swap the hash blocks for
-    IVF/LSH buckets (q_sim_ivf) — the vote/accuracy tail is unchanged.
+    scored by cogrouped Arrow int64 matmul SLABS against the replicated
+    test matrix (the q_sim_knn_graph tile/colchunk pattern — each side
+    ships once; no |test|·|train| pair materialization, and per-task
+    memory is bounded at ~QCHUNK×CCHUNK cells by a running top-k merge
+    regardless of corpus size — the unchunked matmul OOM'd the sf10
+    rehearsal at 6.4 GB/task), emitting only per-block top-k; a global
+    window re-ranks 5·blocks rows per query, then votes and accuracy are
+    two hash aggregates. At 100 TB swap the hash blocks for IVF/LSH
+    buckets (q_sim_ivf) — the vote/accuracy tail is unchanged.
     """
     emb = load(spark, sf_dir, "embeddings")
     q8 = emb.select(
@@ -2576,6 +2616,19 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     def block_knn(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        # CHUNKED on both axes (round-12 sf10 rehearsal fix): the one-shot
+        # t_mat @ q_mat.T materialized a (|train|/blocks) × |test| int64
+        # matrix — 6.4 GB/task at sf10 (20k × 40k), and argsort's negated
+        # copy doubled it; 7 concurrent tasks OOM-killed the 32 g JVM's
+        # host. Now test rows are scored in _KNN_QCHUNK-column slabs
+        # against _KNN_CCHUNK-row train slabs with a running top-k merge —
+        # per-task memory is ~QCHUNK×CCHUNK cells (64 MB) regardless of
+        # corpus size, the q_sim_knn_graph tile/colchunk discipline.
+        # EXACT: the global (qdot DESC, cand_id ASC) top-k is the top-k of
+        # the union of per-slab top-ks (a global winner wins its slab);
+        # train ids sort ascending, slabs ascend, and the stable argsort +
+        # stable merge settle ties on the smaller cand_id — the oracle
+        # contract, unchanged.
         empty = pd.DataFrame(
             {
                 "qid": pd.Series([], dtype="int64"),
@@ -2589,22 +2642,34 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             return empty
         cdf = cdf.sort_values("cand_id")
         t_mat = np.stack(cdf["qb"].to_numpy()).astype(np.int64)
-        q_mat = np.stack(qdf["qa"].to_numpy()).astype(np.int64)
-        dots = t_mat @ q_mat.T  # exact int64, |dot| <= 64 * 127^2
-        k = min(_KNN_K, len(cdf))
-        order = np.argsort(-dots, axis=0, kind="stable")[:k]  # k x m
-        m = len(qdf)
-        qidx = np.tile(np.arange(m), k)
-        cidx = order.ravel()
-        return pd.DataFrame(
-            {
-                "qid": qdf["qid"].to_numpy()[qidx],
-                "true_label": qdf["true_label"].to_numpy()[qidx],
-                "cand_label": cdf["cand_label"].to_numpy()[cidx],
-                "cand_id": cdf["cand_id"].to_numpy()[cidx],
-                "qdot": dots[cidx, qidx],
-            }
+        cids_all = cdf["cand_id"].to_numpy()
+        out = []
+        for qlo in range(0, len(qdf), _KNN_QCHUNK):
+            qs = qdf.iloc[qlo : qlo + _KNN_QCHUNK]
+            q_mat = np.stack(qs["qa"].to_numpy()).astype(np.int64)
+            m = len(qs)
+            run_d, run_i = _knn_chunked_topk(
+                t_mat, cids_all, q_mat, _KNN_K, _KNN_CCHUNK
+            )
+            k = len(run_d)
+            qidx = np.tile(np.arange(m), k) + qlo
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": qdf["qid"].to_numpy()[qidx],
+                        "true_label": qdf["true_label"].to_numpy()[qidx],
+                        "cand_id": run_i.ravel(),
+                        "qdot": run_d.ravel(),
+                    }
+                )
+            )
+        res = pd.concat(out, ignore_index=True)
+        # re-attach train labels by position (cand ids are unique in-block)
+        lab = pd.Series(
+            cdf["cand_label"].to_numpy(), index=cids_all
         )
+        res["cand_label"] = lab.loc[res["cand_id"]].to_numpy().astype("int32")
+        return res[["qid", "true_label", "cand_label", "cand_id", "qdot"]]
 
     blocks = spark.range(_KNN_BLOCKS).select(F.col("id").cast("int").alias("blk"))
     qrep = q.crossJoin(F.broadcast(blocks))

@@ -191,9 +191,22 @@ def main() -> int:
                     materialize(fn(spark, sf_dir))
                     dt = time.monotonic() - t0
                     best = dt if best is None else min(best, dt)
+            except Exception as e:  # noqa: BLE001 — record, don't kill the sweep
+                results[name][f"error_sf{tag}"] = f"{type(e).__name__}: {e}"[:300]
+                print(f"sf{tag:>4} {name:32s} ERROR {type(e).__name__}", flush=True)
+                # a dead JVM poisons every later row — bail out of this sf
+                try:
+                    spark.sql("SELECT 1").collect()
+                except Exception:
+                    print(f"session lost at sf{tag}; aborting this sf", flush=True)
+                    break
+                continue
             finally:
                 for k in confs:
-                    spark.conf.unset(k)
+                    try:
+                        spark.conf.unset(k)
+                    except Exception:  # noqa: BLE001 — dead session
+                        pass
             results[name]["times"][tag] = round(best, 4)
             print(f"sf{tag:>4} {name:32s} {best:7.2f}s", flush=True)
             # prompt Python GC: a finished query's round/intermediate

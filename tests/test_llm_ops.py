@@ -305,3 +305,36 @@ def test_cogroup_applyinpandas_matches_asof_join(spark):
     got_rows = sorted((r.user_id, r.ts_us, int(r.v_ts)) for r in got.collect())
     ref_rows = sorted((r.user_id, r.ts_us, int(r.v_ts)) for r in ref.collect())
     assert got_rows == ref_rows
+
+
+def test_knn_chunked_topk_matches_full_matmul():
+    """The sf10-rehearsal memory fix for q_sim_knn_classify: the slab/merge
+    scorer must reproduce the one-shot full-matmul (dot DESC, cand_id ASC)
+    top-k bit-for-bit, across chunk sizes that exercise partial slabs,
+    single-slab, and heavy dot ties (small value range forces them)."""
+    import numpy as np
+
+    from genesapi_cli_spark.operators.similarity import _knn_chunked_topk
+
+    rng = np.random.default_rng(20260818)
+    for trial in range(20):
+        n_train = int(rng.integers(1, 40))
+        n_test = int(rng.integers(1, 15))
+        dim = int(rng.integers(1, 6))
+        k = int(rng.integers(1, 8))
+        t_mat = rng.integers(-2, 3, size=(n_train, dim)).astype(np.int64)
+        q_mat = rng.integers(-2, 3, size=(n_test, dim)).astype(np.int64)
+        cids = np.sort(rng.choice(10_000, size=n_train, replace=False))
+
+        # reference: one-shot full matmul + stable argsort (the pre-fix code)
+        dots = t_mat @ q_mat.T
+        kk = min(k, n_train)
+        order = np.argsort(-dots, axis=0, kind="stable")[:kk]
+        col = np.arange(n_test)
+        ref_d, ref_i = dots[order, col], cids[order]
+
+        for cchunk in (1, 2, 3, n_train, n_train + 5):
+            got_d, got_i = _knn_chunked_topk(t_mat, cids, q_mat, k, cchunk)
+            assert got_d.shape == ref_d.shape, (trial, cchunk)
+            assert (got_d == ref_d).all(), (trial, cchunk)
+            assert (got_i == ref_i).all(), (trial, cchunk)
