@@ -185,6 +185,53 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_sim_threshold_pairs --------------------------------------------------
 
 _THRESHOLD = 0.25
+_PAIRS_CHUNK = 4096  # rows per BLAS tile in the block pair sweep (memory bound)
+
+
+def _pairs_tile_sweep(ids, m, nrm, thresh, chunk):
+    """Count within-block pairs with snapped cosine > thresh, plus the
+    minimum pair-left id, sweeping the strict upper triangle in
+    chunk×chunk BLAS tiles — bounded memory for any block size. ``ids``
+    must ascend. Pure numpy so the tile algebra is unit-testable without
+    Spark (tests/test_llm_ops.py). Returns (n_pairs, min_a | None)."""
+    import numpy as np
+
+    b = len(ids)
+    n = 0
+    min_a = None
+    for i0 in range(0, b, chunk):
+        i1 = min(i0 + chunk, b)
+        for j0 in range(i0, b, chunk):
+            j1 = min(j0 + chunk, b)
+            cos = (m[i0:i1] @ m[j0:j1].T) / np.outer(nrm[i0:i1], nrm[j0:j1])
+            mask = (np.floor(cos * 10000 + 0.5) / 10000) > thresh
+            if j0 == i0:
+                mask &= np.triu(np.ones_like(mask, dtype=bool), k=1)
+            cnt = int(mask.sum())
+            if cnt:
+                n += cnt
+                a_min = int(ids[i0:i1][mask.any(axis=1)].min())
+                min_a = a_min if min_a is None else min(min_a, a_min)
+    return n, min_a
+
+
+def _running_best_cos(ma, na, mb, nb, chunk, aids=None, bids=None):
+    """Per-row-of-a running max of snapped cosine against b, streamed in
+    chunk-column BLAS slabs (max is associative; per-slab snap-then-max ≡
+    full-grid snap-then-max). When ``aids``/``bids`` are given, a-vs-own-id
+    columns are knocked out before the max (the triplet positive rule).
+    Pure numpy, unit-tested in tests/test_llm_ops.py."""
+    import numpy as np
+
+    best = np.full(len(ma), -np.inf)
+    for lo in range(0, len(mb), chunk):
+        hi = min(lo + chunk, len(mb))
+        cos = (ma @ mb[lo:hi].T) / np.outer(na, nb[lo:hi])
+        cos_r = np.floor(cos * 10000 + 0.5) / 10000
+        if aids is not None:
+            cos_r[aids[:, None] == bids[None, lo:hi]] = -np.inf
+        np.maximum(best, cos_r.max(axis=1), out=best)
+    return best
 
 _PAIRS_ORACLE = f"""
 WITH e AS (
@@ -216,15 +263,20 @@ def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # CHUNKED upper-triangle sweep (round-12 sf10 rehearsal fix): the
+        # one-shot m @ m.T materialized a b×b cosine grid — ~10 GB/task at
+        # sf10 block sizes (20k rows: grid + outer-denominator + rounded
+        # copy). The output is only (count, min vec_a), both associative,
+        # so the triangle is swept in _PAIRS_CHUNK² tiles with running
+        # scalars — per-task memory is bounded regardless of block size.
+        # EXACT: every a<b pair lands in exactly one tile (diagonal tiles
+        # keep their strict upper triangle; off-diagonal tiles are wholly
+        # a<b because ids sort ascending).
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
-        cos = (m @ m.T) / np.outer(nrm, nrm)
-        cos_r = np.floor(cos * 10000 + 0.5) / 10000
-        iu = np.triu_indices(len(ids), k=1)  # vec_a < vec_b (ids sorted)
-        mask = cos_r[iu] > _THRESHOLD
-        n = int(mask.sum())
+        n, min_a = _pairs_tile_sweep(ids, m, nrm, _THRESHOLD, _PAIRS_CHUNK)
         if n == 0:
             return pd.DataFrame({"label": [], "n_pairs": [], "min_vec_a": []}).astype(
                 {"label": "int32", "n_pairs": "int64", "min_vec_a": "int64"}
@@ -233,12 +285,12 @@ def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "label": [int(pdf["label"].iloc[0])],
                 "n_pairs": [n],
-                "min_vec_a": [int(ids[iu[0][mask]].min())],
+                "min_vec_a": [min_a],
             }
         )
 
-    # One Arrow batch per label block, scored with a single BLAS matmul —
-    # the per-block cost model that holds when 'label' is an IVF/LSH bucket
+    # One Arrow batch per label block, scored in bounded BLAS tiles — the
+    # per-block cost model that holds when 'label' is an IVF/LSH bucket
     # at 100 TB. Python sees ~rows×dim floats per block, never the pair space.
     return e.groupBy("label").applyInPandas(
         block_pairs, schema="label int, n_pairs long, min_vec_a long"
@@ -1514,6 +1566,8 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_sim_maxsim -----------------------------------------------------------
 
+_MAXSIM_CHUNK = 8192  # doc-token columns per BLAS slab (bounds task memory)
+
 _MAXSIM_ORACLE = """
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS emb,
@@ -1588,19 +1642,31 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def block_maxsim(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        # CHUNKED doc-token axis with a running per-query max (round-12
+        # sf10 rehearsal fix): the one-shot mq @ mc.T grid was
+        # |query_tokens| × |doc_tokens| — ~3 GB/task at sf10 (plus the
+        # outer-denominator and rounded copies). max is associative, so
+        # doc tokens stream through _MAXSIM_CHUNK-column slabs and the
+        # grid never exceeds |query_tokens| × CHUNK cells. EXACT: the snap
+        # happens per slab BEFORE the max, identical to snapping the full
+        # grid then maxing.
         if len(cdf) == 0 or len(qdf) == 0:
             return pd.DataFrame({"qid": [], "label": [], "best_cos": []}).astype(
                 {"qid": "int64", "label": "int32", "best_cos": "float64"}
             )
         mq = np.stack(qdf["qemb"].to_numpy()).astype(np.float64)
-        mc = np.stack(cdf["cemb"].to_numpy()).astype(np.float64)
-        denom = np.outer(qdf["qnrm"].to_numpy(), cdf["cnrm"].to_numpy())
-        cos_r = np.floor((mq @ mc.T) / denom * 10000 + 0.5) / 10000
+        best = _running_best_cos(
+            mq,
+            qdf["qnrm"].to_numpy(),
+            np.stack(cdf["cemb"].to_numpy()).astype(np.float64),
+            cdf["cnrm"].to_numpy(),
+            _MAXSIM_CHUNK,
+        )
         return pd.DataFrame(
             {
                 "qid": qdf["qid"].to_numpy(),
                 "label": np.int32(cdf["label"].iloc[0]),
-                "best_cos": cos_r.max(axis=1),
+                "best_cos": best,
             }
         )
 
@@ -1618,6 +1684,7 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_sim_triplet_eval -----------------------------------------------------
 
 _TRIPLET_MARGIN = 0.05
+_TRIPLET_CHUNK = 8192  # candidate columns per BLAS slab (bounds task memory)
 
 _TRIPLET_ORACLE = f"""
 WITH e AS (
@@ -1713,25 +1780,32 @@ def q_sim_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("anrm"),
     )
 
-    def _rounded_cos(adf: pd.DataFrame, bdf: pd.DataFrame):
-        ma = np.stack(adf["aemb"].to_numpy()).astype(np.float64)
-        mb = np.stack(bdf["bemb"].to_numpy()).astype(np.float64)
-        denom = np.outer(adf["anrm"].to_numpy(), bdf["bnrm"].to_numpy())
-        return np.floor((ma @ mb.T) / denom * 10000 + 0.5) / 10000
+    def _chunked_best(adf: pd.DataFrame, bdf: pd.DataFrame, mask_self: bool):
+        # running per-anchor max over _TRIPLET_CHUNK-column slabs (round-12
+        # sf10 rehearsal fix — the one-shot |anchors|×|block| grid plus its
+        # denominator/rounded copies was ~1.4 GB/task at sf10); the shared
+        # _running_best_cos helper carries the unit-tested slab/max/self-
+        # knockout algebra
+        return _running_best_cos(
+            np.stack(adf["aemb"].to_numpy()).astype(np.float64),
+            adf["anrm"].to_numpy(),
+            np.stack(bdf["bemb"].to_numpy()).astype(np.float64),
+            bdf["bnrm"].to_numpy(),
+            _TRIPLET_CHUNK,
+            aids=adf["aid"].to_numpy() if mask_self else None,
+            bids=bdf["bid"].to_numpy() if mask_self else None,
+        )
 
     def block_pos(adf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
         if len(adf) == 0 or len(bdf) == 0:
             return pd.DataFrame({"aid": [], "alabel": [], "best_pos": []}).astype(
                 {"aid": "int64", "alabel": "int32", "best_pos": "float64"}
             )
-        c = _rounded_cos(adf, bdf)
-        # pid != aid: knock out the anchor's own row before the max
-        c[adf["aid"].to_numpy()[:, None] == bdf["bid"].to_numpy()[None, :]] = -np.inf
         return pd.DataFrame(
             {
                 "aid": adf["aid"].to_numpy(),
                 "alabel": adf["alabel"].to_numpy().astype("int32"),
-                "best_pos": c.max(axis=1),
+                "best_pos": _chunked_best(adf, bdf, mask_self=True),
             }
         )
 
@@ -1744,8 +1818,12 @@ def q_sim_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bdf = bdf[bdf["blabel"].to_numpy() != int(adf["alabel"].iloc[0])]
         if len(bdf) == 0:
             return empty
-        c = _rounded_cos(adf, bdf)
-        return pd.DataFrame({"aid": adf["aid"].to_numpy(), "best_neg": c.max(axis=1)})
+        return pd.DataFrame(
+            {
+                "aid": adf["aid"].to_numpy(),
+                "best_neg": _chunked_best(adf, bdf, mask_self=False),
+            }
+        )
 
     pos_side = e.select(
         F.col("label").alias("plabel"),

@@ -338,3 +338,63 @@ def test_knn_chunked_topk_matches_full_matmul():
             assert got_d.shape == ref_d.shape, (trial, cchunk)
             assert (got_d == ref_d).all(), (trial, cchunk)
             assert (got_i == ref_i).all(), (trial, cchunk)
+
+
+def test_pairs_tile_sweep_matches_full_grid():
+    """q_sim_threshold_pairs' bounded-memory tile sweep must reproduce the
+    one-shot full-grid pair count and min-left-id for every tiling,
+    including tiles of 1 and tiles wider than the block."""
+    import numpy as np
+
+    from genesapi_cli_spark.operators.similarity import _pairs_tile_sweep
+
+    rng = np.random.default_rng(20260819)
+    for trial in range(15):
+        b = int(rng.integers(1, 30))
+        dim = int(rng.integers(1, 6))
+        m = rng.standard_normal((b, dim))
+        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        ids = np.sort(rng.choice(10_000, size=b, replace=False))
+        thresh = float(rng.uniform(-0.5, 0.9))
+
+        cos_r = np.floor((m @ m.T) / np.outer(nrm, nrm) * 10000 + 0.5) / 10000
+        iu = np.triu_indices(b, k=1)
+        mask = cos_r[iu] > thresh
+        ref_n = int(mask.sum())
+        ref_min = int(ids[iu[0][mask]].min()) if ref_n else None
+
+        for chunk in (1, 2, 3, 7, b, b + 4):
+            n, min_a = _pairs_tile_sweep(ids, m, nrm, thresh, chunk)
+            assert (n, min_a) == (ref_n, ref_min), (trial, chunk)
+
+
+def test_running_best_cos_matches_full_grid():
+    """The shared slab/max scorer (q_sim_maxsim, q_sim_triplet_eval) must
+    reproduce the one-shot grid's per-row best snapped cosine, with and
+    without the self-pair knockout, for every slab width."""
+    import numpy as np
+
+    from genesapi_cli_spark.operators.similarity import _running_best_cos
+
+    rng = np.random.default_rng(20260820)
+    for trial in range(15):
+        na_, nb_ = int(rng.integers(1, 12)), int(rng.integers(1, 25))
+        dim = int(rng.integers(1, 6))
+        ma = rng.standard_normal((na_, dim))
+        mb = rng.standard_normal((nb_, dim))
+        an = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        bn = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        aids = rng.choice(50, size=na_, replace=False).astype(np.int64)
+        bids = rng.choice(50, size=nb_, replace=False).astype(np.int64)
+
+        grid = np.floor((ma @ mb.T) / np.outer(an, bn) * 10000 + 0.5) / 10000
+        ref_plain = grid.max(axis=1)
+        masked = grid.copy()
+        masked[aids[:, None] == bids[None, :]] = -np.inf
+        ref_self = masked.max(axis=1)
+
+        for chunk in (1, 2, 5, nb_, nb_ + 3):
+            got = _running_best_cos(ma, an, mb, bn, chunk)
+            assert np.array_equal(got, ref_plain), (trial, chunk)
+            got_s = _running_best_cos(ma, an, mb, bn, chunk, aids=aids, bids=bids)
+            assert np.array_equal(got_s, ref_self), (trial, chunk)
