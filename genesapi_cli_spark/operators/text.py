@@ -1597,26 +1597,26 @@ def q_text_longgram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.expr(f"substring(text, i, {_LONGGRAM_LEN})")).alias("h"),
         )
         .distinct()
-        # NOT checkpointed although two consumers re-evaluate it: an sf1
-        # interleaved A/B measured the materialization 4× SLOWER (56 s vs
-        # 13.5 s) — the gram relation is ~1 row/char, so localCheckpoint
-        # writes multi-GB blocks AND pins downstream parallelism at the
-        # few AQE-coalesced distinct partitions; recomputing the codegen
-        # explode+md5 pipeline is strictly cheaper at every measured SF.
     )
-    # rows are already distinct (doc, h), so the per-gram doc count is a
-    # plain count — no second distinct expansion.
-    freq = grams.groupBy("h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
-    # shuffle_hash, NOT broadcast: freq is CORPUS-sized (one row per
-    # distinct gram). The static planner mis-estimates aggregate output
-    # under a Generate and plans a broadcast — which AQE cannot demote —
-    # and at sf3 that collected ~1 GB of gram hashes to the driver
-    # (maxResultSize abort, measured round 9). Both sides hash-partition
-    # on h: the 100 TB shape.
+    # Document frequency via an unordered COUNT window over the distinct
+    # (doc, h) relation (round-12 rewrite, the q_text_dup_ngram_coverage
+    # shape): rows are already distinct pairs, so count-over-partition-by-h
+    # IS the per-gram doc count, and the former corpus-sized freq relation
+    # + shuffled-hash join-back disappear. Two wins the sf10 rehearsal
+    # forced: the gram pipeline (explode + md5 over every corpus byte) now
+    # evaluates ONCE instead of once per join side (it is deliberately not
+    # checkpointed — an sf1 A/B measured the materialization 4× slower,
+    # 56 s vs 13.5 s, multi-GB blocks + pinned parallelism), and the
+    # spill-UNABLE ShuffledHashJoin build of ~corpus/partitions gram
+    # hashes — which OOM'd the 32-partition sf10 sweep (guide §3.1's
+    # build-side risk; broadcast was already ruled out in round 9 when the
+    # mis-estimated build collected ~1 GB to the driver at sf3) — becomes
+    # a window sort that spills gracefully. Both sides hash-partition on
+    # h, exactly as the join did: the 100 TB shape, minus the hash build.
     scored = (
-        grams.join(freq.hint("shuffle_hash"), "h")
+        grams.withColumn(
+            "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
