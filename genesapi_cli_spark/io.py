@@ -236,7 +236,17 @@ def derived_memo_get_or_build(memo: dict, key: tuple, build) -> DataFrame:
     """The shared-relation memo protocol in one place: hit → return; miss →
     evict same-(app, sf_dir) stale entries, build, lazily localCheckpoint
     (plan-cut so dependent queries don't each re-derive the lineage), store.
+
+    ``SPARK_GRAFT_NO_MEMO=1`` disables the cross-invocation sharing: every
+    call builds its own relation (still lazily checkpointed, so a single
+    query's multi-consumer plan is unchanged — only the reuse BETWEEN query
+    invocations is gone). This is the round-13 de-shadowing knob: running
+    the full bench once each way quantifies exactly what the session memos
+    contribute to the suite total (SCALE.md §10), so the memo's effect is a
+    measured, subtractable number instead of a standing shadow.
     """
+    if os.environ.get("SPARK_GRAFT_NO_MEMO") == "1":
+        return build().localCheckpoint(eager=False)
     df = memo.get(key)
     if df is None:
         evict_stale_derived(memo, key)

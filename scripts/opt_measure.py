@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-12 optimization measurement harness (guide §1).
+"""Optimization measurement harness (rounds 12-13, guide §1).
 
 Times named queries with the EXACT bench.py protocol (same session confs,
 same warmup, noop sink, min-of-N) and optionally dumps .explain("formatted")
@@ -67,7 +67,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--explain", default=None, help="dump plans/r12/<q>_<TAG>.txt")
+    ap.add_argument("--explain", default=None, help="dump plans/<dir>/<q>_<TAG>.txt")
+    ap.add_argument("--plandir", default="r13", help="subdir of plans/ for --explain dumps")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,7 +95,7 @@ def main() -> int:
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
-            path = os.path.join(HERE, "plans", "r12", f"{name}_{args.explain}.txt")
+            path = os.path.join(HERE, "plans", args.plandir, f"{name}_{args.explain}.txt")
             with open(path, "w") as fh:
                 fh.write(buf.getvalue())
     print(json.dumps(out, indent=1))
