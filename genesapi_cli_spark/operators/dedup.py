@@ -2803,6 +2803,18 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         or ""
     ).strip()
 
+    # Round-13 negative result, measured and REVERTED (guide §1.1): moving
+    # the lazy checkpoint BEFORE the calibration probe (so the probe's
+    # collect materializes the blocks and the selected width's
+    # explode+sha256+distinct pipeline runs once instead of twice) measured
+    # sf0.1 2.53 -> 2.92 s and sf1 8.3 -> 12.2 s interleaved min-of-N —
+    # materializing the corpus-sized distinct shingle relation for every
+    # PROBED width costs more than recomputing the whole-stage-codegen
+    # pipeline for the selected one, the exact class the round-12
+    # substring-screen A/B pinned (ckpt 2-4x slower on corpus-sized
+    # relations). Calibration probes therefore stay checkpoint-free; only
+    # the selected width's relation is checkpointed below, where its blocks
+    # feed >= 4 downstream consumers.
     if w_conf:
         sh = _sh_rel(int(w_conf))
     else:

@@ -1954,7 +1954,7 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-task memory is ~TILE×COLCHUNK cells (32 MB), selection is
     # argpartition-grade O(b) per row instead of a b-wide sort, and task
     # count scales with n/TILE so a cluster's cores actually engage. The
-    # cand-side replication shuffles n·(b/TILE) rows; at 100 TB TILE rises
+    # tile replication shuffles n·(b/TILE) rows; at 100 TB TILE rises
     # with executor memory to keep that bounded.
     #
     # Tile ASSIGNMENT is hash-based (guide §2.4 — remove shuffles
@@ -1970,30 +1970,31 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = e.groupBy("bucket").agg(
         F.ceil(F.count(F.lit(1)) / _KNNG_TILE).cast("int").alias("ntiles")
     )
-    src_rows = (
-        e.join(F.broadcast(sizes), "bucket")
-        .select(
-            "vec_id",
-            "emb",
-            "bucket",
-            F.pmod(F.xxhash64("vec_id"), F.col("ntiles")).cast("int").alias("rtile"),
-            F.lit(1).alias("role"),
-        )
-    )
-    cand_rows = (
-        e.join(F.broadcast(sizes), "bucket")
-        .select(
-            "vec_id",
-            "emb",
-            "bucket",
-            F.explode(F.expr("sequence(0, ntiles - 1)")).alias("rtile"),
-            F.lit(0).alias("role"),
-        )
+    # ONE exploded relation instead of a src-rows ∪ cand-rows union (round
+    # 13, guide §2.3 — shuffle fewer bytes): every row replicates to every
+    # tile as a candidate, and the row is ADDITIONALLY a source exactly in
+    # its own hash tile (is_src = rtile == pmod(xxhash64(vec_id), ntiles)).
+    # Same (bucket, rtile) groups, same scoring, identical output — but the
+    # embedding relation is scanned once instead of twice, the union node
+    # is gone, and the applyInPandas exchange carries n·ntiles rows instead
+    # of n·(ntiles+1): with one tile per bucket (every bucket ≤ TILE, the
+    # whole sf≤1 range) the heavy emb payload shuffles HALF as many rows —
+    # VERDICT r12's "one-tile fast path" without a data-dependent plan
+    # switch, and the saving persists at every ntiles.
+    rows = e.join(F.broadcast(sizes), "bucket").select(
+        "vec_id",
+        "emb",
+        "bucket",
+        F.explode(F.expr("sequence(0, ntiles - 1)")).alias("rtile"),
+        (
+            F.pmod(F.xxhash64("vec_id"), F.col("ntiles")).cast("int")
+            == F.col("rtile")
+        ).alias("is_src"),
     )
 
     def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        cand = pdf[pdf["role"] == 0].sort_values("vec_id")
-        srcp = pdf[pdf["role"] == 1].sort_values("vec_id")
+        cand = pdf.sort_values("vec_id")
+        srcp = cand[cand["is_src"]]
         if len(cand) < 2 or srcp.empty:
             return pd.DataFrame({"src": [], "dst": [], "cos_r": []}).astype(
                 {"src": "int64", "dst": "int64", "cos_r": "float64"}
@@ -2029,10 +2030,8 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out[np.isfinite(out["cos_r"])]
 
-    partial = (
-        src_rows.unionByName(cand_rows)
-        .groupBy("bucket", "rtile")
-        .applyInPandas(tile_topk, schema="src long, dst long, cos_r double")
+    partial = rows.groupBy("bucket", "rtile").applyInPandas(
+        tile_topk, schema="src long, dst long, cos_r double"
     )
     w_src = Window.partitionBy("src").orderBy(F.col("cos_r").desc(), F.col("dst"))
     directed = (
