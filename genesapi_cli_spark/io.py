@@ -110,6 +110,23 @@ def _src_stamp(path: str) -> object:
 _INITIAL_PART_BYTES = 8 << 20
 _INITIAL_PART_CAP = 4096
 
+#: Bytes of source parquet per LEAF slice (round 13, guide §2.2/§6).
+#: ``spark.sql.leafNodeDefaultParallelism`` defaults to defaultParallelism,
+#: which PADS small inputs out to the core count: on local[32] every ≤11 MB
+#: bench file fans out to 32 ~300 KB micro-tasks and every literal/range
+#: leaf to 32 near-empty slices — FLOOR_PROBE (plans/r13) measured 19,385
+#: tasks over the 459-query suite at ~2.7 ms marginal each, and the 8-core
+#: driver bench beating the 32-core one (204.9 vs 237.1 s, r12) is the same
+#: signature. Deriving the floor FROM LAKE SIZE instead —
+#: clamp(bytes / 32 MiB, 1, defaultParallelism) — removes the padding where
+#: inputs are tiny (sf0.1: 17 MB → 1; per-query-paired interleaved A/B:
+#: 66-query subset 46.4 → 39.6 s, 24 improved / 6 noise-band regressions)
+#: while converging to Spark's own default once the lake carries ≥ 32 MiB
+#: per core (sf10: 2.2 GB → clamped at defaultParallelism — measured
+#: equal-or-better there within the host's swing), so at 100 TB the knob is
+#: exactly the stock default. Override via SPARK_GRAFT_LEAF_PAR.
+_LEAF_PART_BYTES = 32 << 20
+
 #: (applicationId, sf_dir) -> computed initialPartitionNum; plus the last
 #: value actually applied per application so alternating sf_dirs in one
 #: session re-applies without re-walking the tree.
@@ -149,49 +166,69 @@ def _lake_bytes(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _ensure_scale_partitions(spark: SparkSession, sf_dir: str) -> None:
-    """Size AQE's initial shuffle-partition count to the lake under
-    ``sf_dir`` (∝ total parquet bytes via the Hadoop FileSystem listing,
-    floored at shuffle.partitions, cap 4096) — CLUSTER masters only; a
-    no-op under local[*] (see the constant block above for the measured
-    local penalty). Driver-side metadata only, memoized per (application,
-    sf_dir, freshness stamp): the stamp is ``_src_stamp`` for driver-
-    visible paths — so a lake that GROWS mid-session re-sizes, same
-    contract as the load memo — plus the manual bump knob
-    ``spark.genesapi.lake.stamp`` for object-store lakes where a
+    """Size partition-count knobs to the lake under ``sf_dir`` (∝ total
+    parquet bytes via the Hadoop FileSystem listing). Driver-side metadata
+    only, memoized per (application, sf_dir, freshness stamp): the stamp is
+    ``_src_stamp`` for driver-visible paths — so a lake that GROWS
+    mid-session re-sizes, same contract as the load memo — plus the manual
+    bump knob ``spark.genesapi.lake.stamp`` for object-store lakes where a
     per-load recursive remote listing would double metadata RPCs (bump
-    the knob after large ingests to force a re-size)."""
+    the knob after large ingests to force a re-size).
+
+    Two knobs, both derived from the same listing:
+
+    - ``spark.sql.leafNodeDefaultParallelism`` =
+      clamp(lake bytes / 32 MiB, 1, defaultParallelism) — ALL masters
+      (round 13; see the ``_LEAF_PART_BYTES`` block for the measurements).
+      Identical to the stock default once the lake carries ≥ 32 MiB per
+      core; below that it stops Spark padding tiny scans/literals out to
+      the core count.
+    - AQE's ``initialPartitionNum`` (∝ bytes / 8 MiB, floored at
+      shuffle.partitions, cap 4096) — CLUSTER masters only; a no-op under
+      local[*] (see the ``_INITIAL_PART_BYTES`` block for the measured
+      local penalty)."""
     try:
-        if spark.sparkContext.master.startswith("local"):
-            return
+        sc = spark.sparkContext
+        local = sc.master.startswith("local")
+        app = sc.applicationId
+        dp = sc.defaultParallelism
     except Exception:  # pragma: no cover - connect-mode sessions
         return
     try:
         manual = spark.conf.get("spark.genesapi.lake.stamp", "") or ""
     except Exception:  # pragma: no cover
         manual = ""
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        _src_stamp(sf_dir),
-        manual,
-    )
-    n_bytes = _PART_MEMO.get(key)
-    if n_bytes is None:
+    key = (app, sf_dir, _src_stamp(sf_dir), manual)
+    sizes = _PART_MEMO.get(key)
+    if sizes is None:
         total = _lake_bytes(spark, sf_dir)
-        n_bytes = min(_INITIAL_PART_CAP, total // _INITIAL_PART_BYTES)
-        _PART_MEMO[key] = n_bytes
-    try:
-        floor = int(spark.conf.get("spark.sql.shuffle.partitions", "200") or "200")
-    except Exception:  # pragma: no cover
-        floor = 200
-    n = max(floor, n_bytes)
-    if _PART_APPLIED.get(key[0]) == n:
+        sizes = (
+            min(_INITIAL_PART_CAP, total // _INITIAL_PART_BYTES),
+            max(1, min(dp, total // _LEAF_PART_BYTES)),
+        )
+        _PART_MEMO[key] = sizes
+    n_bytes, leaf_n = sizes
+    want: dict = {
+        "spark.sql.leafNodeDefaultParallelism": os.environ.get(
+            "SPARK_GRAFT_LEAF_PAR", str(leaf_n)
+        )
+    }
+    if not local:
+        try:
+            floor = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200") or "200"
+            )
+        except Exception:  # pragma: no cover
+            floor = 200
+        want["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = str(
+            max(floor, n_bytes)
+        )
+    if _PART_APPLIED.get(app) == want:
         return
     try:
-        spark.conf.set(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(n)
-        )
-        _PART_APPLIED[key[0]] = n
+        for k, v in want.items():
+            spark.conf.set(k, v)
+        _PART_APPLIED[app] = want
     except Exception:  # pragma: no cover - static-conf-locked exotic session
         pass
 

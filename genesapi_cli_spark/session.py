@@ -41,23 +41,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # guaranteed structurally (depth bounded by key length), and the valve
     # still guards against runaway recursion at 100M.
     "spark.sql.cteRecursionRowLimit": str(100_000_000),
-    # Leaf-node parallelism floor (round 13, guide §2.2/§6): the Spark
-    # default is defaultParallelism (= cores), which on local[32] splits
-    # every ≤11 MB bench parquet into 32 micro-tasks of ~300 KB and every
-    # literal/range leaf into 32 near-empty slices — FLOOR_PROBE measured
-    # 19,385 tasks over the 459-query suite at ~2.7 ms marginal cost each,
-    # and a per-query-paired A/B (scripts/floor_ab.py, drift-immune
-    # interleaving) measured the suite subset 14.6% faster at 1 (24 queries
-    # improved / 6 within-noise regressions ≤ 0.09 s). At 100 TB this knob
-    # is inert for data-sized scans: split count = bytes / maxPartitionBytes
-    # (e.g. a 1 TB table still yields ~8000 splits); it only stops Spark
-    # padding SMALL inputs out to the core count — and the handful of
-    # literal certificate relations the operators build are 1-few rows,
-    # where 1 slice is right at any scale. Override via
-    # SPARK_GRAFT_LEAF_PAR for clusters that want the padding back.
-    "spark.sql.leafNodeDefaultParallelism": os.environ.get(
-        "SPARK_GRAFT_LEAF_PAR", "1"
-    ),
+    # Leaf-node parallelism is NOT a static conf here: io.load derives
+    # spark.sql.leafNodeDefaultParallelism FROM LAKE SIZE per sf_dir
+    # (clamp(bytes / 32 MiB, 1, defaultParallelism) — scale-adaptive, equal
+    # to the stock default once the lake carries ≥ 32 MiB per core; see
+    # io._LEAF_PART_BYTES for the round-13 floor measurements). Override via
+    # SPARK_GRAFT_LEAF_PAR.
 }
 
 
