@@ -41,12 +41,19 @@ from scripts.opt_measure import materialize, warmup  # noqa: E402
 
 LEAF = "spark.sql.leafNodeDefaultParallelism"
 MAXPB = "spark.sql.files.maxPartitionBytes"
+SHUF = "spark.sql.shuffle.partitions"
 
 VARIANTS = {
     "v0_control": {},
     "v1_leaf1": {LEAF: "1"},
     "v2_leaf1_max4m": {LEAF: "1", MAXPB: str(4 * 1024 * 1024)},
     "v3_leaf4": {LEAF: "4"},
+    # VERDICT r12 item 8: is bench.py's shuffle=3 (r5/r6-tuned on local[32])
+    # hurting the driver's 8-core contract run? Run with SPARK_GRAFT_CPUS=8:
+    # control inherits the session's shuffle=3, these probe the obvious
+    # alternatives at that core count.
+    "v4_shuffle8": {SHUF: "8"},
+    "v5_shuffle2": {SHUF: "2"},
 }
 
 
@@ -65,7 +72,8 @@ def main() -> int:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "3")),
     )
     warmup(spark, sf_dir)
-    defaults = {LEAF: spark.conf.get(LEAF, None), MAXPB: spark.conf.get(MAXPB, None)}
+    all_keys = sorted({k for v in VARIANTS.values() for k in v})
+    defaults = {k: spark.conf.get(k, None) for k in all_keys}
 
     def apply(confs: dict) -> None:
         for k, dv in defaults.items():
