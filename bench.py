@@ -55,6 +55,16 @@ def main() -> int:
     # partitions). 3 keeps the small-query win AND the group parallelism.
     # As before: a real cluster leaves this HIGH and AQE owns coalescing;
     # this knob only trims the local stage-barrier floor.
+    # Round-13 re-verify AT 8 CORES (the driver's scaling-contract run),
+    # per-query-paired interleaved A/B over the 66-query stride-7 subset
+    # (scripts/floor_ab.py): shuffle=3 47.48 s, shuffle=8 47.05 s,
+    # shuffle=2 43.86 s. 3 vs 8 is flat (the knob is NOT hurting the c8
+    # run); 2 squeezes ~7% at c8 but regresses q_quality_fk's 4-way
+    # full-outer joins +1.6 s (the same >=3-sort-partitions class the
+    # round-6 A/B pinned at 32 cores), so 3 stays — the balanced value
+    # across both contract core counts. Production: leave HIGH (AQE owns
+    # coalescing; io._ensure_scale_partitions raises initialPartitionNum
+    # with lake size on cluster masters).
     spark = build_session(
         app_name="genesapi-bench",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "3")),

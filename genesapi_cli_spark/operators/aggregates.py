@@ -3254,10 +3254,18 @@ def q_agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines/runs/layouts), all counts are integers, and the
     estimator is one integer floor division on positive operands.
 
-    Scale shape: each sample is a filter + distinct-key hash aggregate;
-    the overlap is a join between the two DISTINCT user sets (population-
-    bounded, not event-bounded). No windows, no skew — user ids are
-    uniform.
+    Scale shape (round 13, guide §2.4 — the q_events_esd certificate-arm
+    fold): ONE per-user aggregate carries both sample memberships
+    (ua = ∃ event with hv ≡ 0 mod 2, ub = ∃ with hv ≡ 0 mod 3 — max of the
+    per-event predicates), and every output counter falls out of one
+    single-row rollup over that relation: n_a = Σ ua, n_b = Σ ub,
+    m = Σ (ua ∧ ub), n_true = COUNT(*) (the per-user relation IS the
+    distinct-user set). Identical integers to the former four-arm plan
+    (two distinct-filtered sets + overlap join + countDistinct), which
+    scanned events twice, checkpointed an events-sized projection, and
+    fanned four jobs plus three broadcasts into the result row — now one
+    map-side-combined fact pass feeds two shrinking aggregates, no join,
+    no checkpoint, at any scale.
     """
     ev = load(spark, sf_dir, "events")
     hv = F.conv(
@@ -3269,24 +3277,25 @@ def q_agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    h = ev.select("user_id", hv.alias("hv")).localCheckpoint(eager=False)
-    sa = h.filter(F.col("hv") % 2 == 0).select("user_id").distinct()
-    sb = h.filter(F.col("hv") % 3 == 0).select("user_id").distinct()
-    n_a = sa.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
-    n_b = sb.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
-    m = sa.join(sb, "user_id").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    n_true = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_true"))
-    return (
-        n_a.crossJoin(F.broadcast(n_b))
-        .crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(n_true))
-        .select(
-            "n_a",
-            "n_b",
-            "m",
-            F.expr("cast((n_a * n_b) div m as bigint)").alias("est_users"),
-            "n_true",
+    per_user = (
+        ev.select("user_id", hv.alias("hv"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("hv") % 2 == 0).cast("int")).alias("ua"),
+            F.max((F.col("hv") % 3 == 0).cast("int")).alias("ub"),
         )
+    )
+    return per_user.agg(
+        F.sum("ua").cast("bigint").alias("n_a"),
+        F.sum("ub").cast("bigint").alias("n_b"),
+        F.sum(F.col("ua") * F.col("ub")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+    ).select(
+        "n_a",
+        "n_b",
+        "m",
+        F.expr("cast((n_a * n_b) div m as bigint)").alias("est_users"),
+        "n_true",
     )
 
 

@@ -697,10 +697,16 @@ def q_docs_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one hash aggregate over the fact table; everything after
     operates on the ~100-row contingency table (broadcast joins). At
-    100 TB the fact scan dominates and nothing else grows."""
+    100 TB the fact scan dominates and nothing else grows. The contingency
+    relation is lazily checkpointed (round 13, guide §5): it feeds FOUR
+    consumers (the left join + row/col/total margins), each of which
+    otherwise re-ran the fact aggregate — ~100 rows, the rerank-class tiny
+    checkpoint, so the fact table is scanned once at any scale."""
     docs = load(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("o")
+    obs = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=False)
     )
     rows_t = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
     cols_t = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
@@ -1068,10 +1074,16 @@ def q_docs_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the term sum crosses partitions as exact decimals.
 
     Scale shape: identical to q_docs_chisq — one fact aggregate, then
-    broadcast joins over the tiny contingency relation."""
+    broadcast joins over the tiny contingency relation. The contingency
+    relation is lazily checkpointed (round 13, guide §5): it feeds FOUR
+    consumers (terms + row/col/total margins), each of which otherwise
+    re-ran the fact aggregate — |lang|·|source| rows, the rerank-class
+    tiny checkpoint, so the fact table is scanned once at any scale."""
     docs = load(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("o")
+    obs = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=False)
     )
     rows_t = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
     cols_t = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
