@@ -3036,8 +3036,13 @@ def q_agg_topk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t").cast("bigint").alias("thr_present"),
         )
     )
-    exact = fact.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    # Exact arm from the checkpointed per-(shard, brand) counters, not a
+    # second fact pass (round 13, guide §2.3): shard = l_orderkey % SHARDS
+    # partitions the fact rows disjointly, so Σ over shards of the exact
+    # per-shard counts IS the exact per-brand total — same integers, one
+    # lineitem scan + one part join instead of two of each at any scale.
+    exact = ranked.groupBy("p_brand").agg(
+        F.sum("n").cast("bigint").alias("exact_n")
     )
     merged = (
         est.crossJoin(F.broadcast(tot_thr))
